@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central session configuration for the graft engine.
+  *
+  * Scale posture: AQE on (runtime partition coalescing + skew-join
+  * splitting), UTC session time, and no hard-coded partition counts in any
+  * operator — parallelism comes from the cluster config, so the same code
+  * runs on local[32] and a 1000-executor cluster.
+  */
+object GraftSession {
+
+  /** Apply graft's standard config to a builder. */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    // events.parquet carries TIMESTAMP(NANOS); Spark's TimestampType is µs.
+    // Read nanos as Long and normalize in Tables.events.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.filterPushdown", "true")
+
+  /** Local session for tests / tools. */
+  def local(cores: String = "4", shufflePartitions: Int = 8): SparkSession = {
+    val s = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+        .config("spark.ui.enabled", "false")
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
