@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** Core relational coverage (SURVEY §2, q*).
@@ -31,6 +32,234 @@ object RelationalQueries {
           (sum(cents($"l_quantity")) / 100.0 / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // Projection + predicate pushdown: both reach the parquet scan
+    // (verified in PlanSpec via PushedFilters / ReadSchema).
+    "q2_filter_project" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+                $"l_shipdate" <  lit("1997-02-01").cast("timestamp") &&
+                $"l_discount" >= 0.05)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_discount", $"l_shipdate")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    },
+
+    // TPC-H Q3 analog: fact-fact shuffle join + broadcast dim + top-k.
+    "q3_join_agg" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      val ord  = Tables.orders(s, dir).filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      val li   = Tables.lineitem(s, dir).filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg((sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))) / 10000.0)
+          .as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+
+    // Multi-way broadcast dimension join (directory enrichment shape).
+    "q4_broadcast_join" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_customers"),
+             (sum(cents($"c_acctbal")) / 100.0).as("total_acctbal"))
+        .orderBy($"r_name", $"n_name")
+    },
+
+    // EXISTS via left-semi join.
+    "q5_semi_join" -> { (s, dir) =>
+      import s.implicits._
+      val bigOrders = Tables.orders(s, dir).filter($"o_totalprice" > 450000.0)
+      Tables.customer(s, dir)
+        .join(bigOrders, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    // NOT EXISTS via left-anti join.
+    "q6_anti_join" -> { (s, dir) =>
+      import s.implicits._
+      val urgent = Tables.orders(s, dir).filter($"o_orderpriority" === "1-URGENT")
+      Tables.customer(s, dir)
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // Global top-k: orderBy+limit plans as TakeOrderedAndProject —
+    // per-partition top-k then a k-row merge, no full sort at scale.
+    "q7_topk_orders" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderdate")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(10)
+    },
+
+    // Top-n per group via row_number window.
+    "q8_window_rank" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"l_returnflag", $"rn", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .orderBy($"l_returnflag", $"rn")
+    },
+
+    // Running (prefix) aggregate per partition; cents-exact.
+    "q9_window_running" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .filter($"o_custkey" < 30)
+        .withColumn("running_spent", sum(cents($"o_totalprice")).over(w) / 100.0)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"running_spent")
+        .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+    },
+
+    // Exact distinct counts per group (expand-based multi-distinct).
+    "q10_distinct_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+             countDistinct($"l_suppkey").as("n_supps"),
+             count(lit(1)).as("n_lines"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Exact rank-based percentiles (deterministic discrete convention:
+    // value at row_number == ceil(p*n), identical in both engines).
+    "q11_quantiles" -> { (s, dir) =>
+      import s.implicits._
+      val wo = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+      val wp = Window.partitionBy($"l_returnflag")
+      Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(wo))
+        .withColumn("n", count(lit(1)).over(wp))
+        .groupBy($"l_returnflag")
+        .agg(max(when($"rn" === ceil($"n" * 0.5), $"l_quantity")).as("p50_qty"),
+             max(when($"rn" === ceil($"n" * 0.95), $"l_quantity")).as("p95_qty"))
+        .orderBy($"l_returnflag")
+    },
+
+    // Conditional aggregation (TPC-H Q12 analog).
+    "q12_case_agg" -> { (s, dir) =>
+      import s.implicits._
+      val ord = Tables.orders(s, dir)
+      Tables.lineitem(s, dir)
+        .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+                $"l_shipdate" <  lit("1998-01-01").cast("timestamp"))
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_linestatus")
+        .agg(sum(when($"o_orderpriority" === "1-URGENT" || $"o_orderpriority" === "2-HIGH", 1L)
+               .otherwise(0L)).as("high_line_count"),
+             sum(when($"o_orderpriority" =!= "1-URGENT" && $"o_orderpriority" =!= "2-HIGH", 1L)
+               .otherwise(0L)).as("low_line_count"))
+        .orderBy($"l_linestatus")
+    },
+
+    // Aggregate-filter (HAVING).
+    "q13_having" -> { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+             (sum(cents($"o_totalprice")) / 100.0).as("spent"))
+        .filter($"n_orders" >= 15)
+        .orderBy($"o_custkey")
+    },
+
+    // Union + duplicate elimination.
+    "q14_union_dedup" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir).select($"c_nationkey".as("nationkey"))
+        .union(Tables.supplier(s, dir).select($"s_nationkey".as("nationkey")))
+        .distinct()
+        .orderBy($"nationkey")
+    },
+
+    // Hierarchical ROLLUP.
+    "q15_rollup" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+    },
+
+    // Pivot to wide aggregation.
+    "q16_pivot" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .orderBy($"l_returnflag")
+    },
+
+    // Per-group scalar subquery threshold (TPC-H Q17 analog).
+    "q17_scalar_subquery" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val p  = Tables.part(s, dir).filter($"p_brand" === "Brand#2")
+      val avgq = li.groupBy($"l_partkey".as("a_partkey"))
+        .agg((sum(cents($"l_quantity")) / 100.0 / count(lit(1))).as("avg_qty"))
+      li.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .join(avgq, $"l_partkey" === $"a_partkey")
+        .filter($"l_quantity" < $"avg_qty" * 0.2)
+        .agg((sum(cents($"l_extendedprice")) / 100.0 / 7.0).as("avg_yearly"))
+    },
+
+    // Large-group detection (TPC-H Q18 analog).
+    "q18_groupby_in" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, dir)
+      val big = li.groupBy($"l_orderkey".as("b_orderkey"))
+        .agg((sum(cents($"l_quantity")) / 100.0).as("sum_qty"))
+        .filter($"sum_qty" > 250.0)
+      Tables.orders(s, dir)
+        .join(big, $"o_orderkey" === $"b_orderkey")
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate", $"o_totalprice", $"sum_qty")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    },
+
+    // Multi-key global sort with explicit null ordering.
+    "q19_multi_sort" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .filter($"l_quantity" >= 49.0)
+        .select($"l_returnflag", $"l_shipdate", $"l_orderkey", $"l_linenumber", $"l_quantity")
+        .orderBy($"l_returnflag".asc, $"l_shipdate".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+        .limit(500)
+    },
+
+    // String predicates + transforms (LIKE, regexp, case/substr/concat).
+    "q20_string_ops" -> { (s, dir) =>
+      import s.implicits._
+      Tables.part(s, dir)
+        .filter($"p_name".like("%e%") && $"p_name".rlike("^(red|blue|hot)"))
+        .select($"p_partkey",
+          upper($"p_name").as("uname"),
+          length($"p_name").as("name_len"),
+          substring($"p_type", 1, 4).as("type_prefix"),
+          concat_ws("|", $"p_brand", $"p_type").as("brand_type"))
+        .orderBy($"p_partkey")
     }
   )
 
@@ -46,6 +275,150 @@ object RelationalQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
+        |  AND l_discount >= 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+        |FROM lineitem, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q4_broadcast_join" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  sum(CAST(round(c_acctbal*100) AS BIGINT)) / 100.0 AS total_acctbal
+        |FROM customer, nation, region
+        |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q5_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q7_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q8_window_rank" ->
+      """SELECT l_returnflag, rn, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS INT) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_returnflag, rn""".stripMargin,
+
+    "q9_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_spent
+        |FROM orders
+        |WHERE o_custkey < 30
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q10_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q11_quantiles" ->
+      """SELECT l_returnflag,
+        |  max(CASE WHEN rn = CEIL(n*0.5) THEN l_quantity END) AS p50_qty,
+        |  max(CASE WHEN rn = CEIL(n*0.95) THEN l_quantity END) AS p95_qty
+        |FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem) t
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q12_case_agg" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem, orders
+        |WHERE l_orderkey = o_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "q13_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS spent
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""".stripMargin,
+
+    "q14_union_dedup" ->
+      """SELECT DISTINCT nationkey FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  UNION ALL SELECT s_nationkey AS nationkey FROM supplier) t
+        |ORDER BY nationkey""".stripMargin,
+
+    "q15_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers
+        |FROM customer, nation, region
+        |WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q16_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q17_scalar_subquery" ->
+      """SELECT sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 / 7.0 AS avg_yearly
+        |FROM lineitem, part,
+        |  (SELECT l_partkey AS a_partkey,
+        |     sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 / count(*) AS avg_qty
+        |   FROM lineitem GROUP BY l_partkey) a
+        |WHERE p_partkey = l_partkey AND a_partkey = l_partkey
+        |  AND p_brand = 'Brand#2' AND l_quantity < avg_qty * 0.2""".stripMargin,
+
+    "q18_groupby_in" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        |FROM orders, customer,
+        |  (SELECT l_orderkey AS b_orderkey,
+        |     sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty
+        |   FROM lineitem GROUP BY l_orderkey) b
+        |WHERE o_orderkey = b_orderkey AND o_custkey = c_custkey AND sum_qty > 250.0
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q19_multi_sort" ->
+      """SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_quantity >= 49.0
+        |ORDER BY l_returnflag ASC, l_shipdate DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 500""".stripMargin,
+
+    "q20_string_ops" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  substring(p_type, 1, 4) AS type_prefix,
+        |  concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part
+        |WHERE p_name LIKE '%e%' AND regexp_matches(p_name, '^(red|blue|hot)')
+        |ORDER BY p_partkey""".stripMargin
   )
 }
