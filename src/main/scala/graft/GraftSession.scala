@@ -21,6 +21,8 @@ object GraftSession {
     // Read nanos as Long and normalize in Tables.events.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
+    // write µs (not INT96) so emitted timestamps match DuckDB's TIMESTAMP
+    .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   /** Local session for tests / tools. */
   def local(cores: String = "4", shufflePartitions: Int = 8): SparkSession = {

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{LogLines, Tables}
+import graft.operators.Monitoring
+
+/** Monitoring-domain coverage (SURVEY §2, m*): the reference's
+  * health/replication/keeper semantics over the events stream table.
+  * DuckDB `ts` is TIMESTAMP_NS; oracles use CAST(ts AS TIMESTAMP) to
+  * match Tables.events' ns→µs floor normalization.
+  */
+object MonitoringQueries {
+
+  private val tsUs = "epoch_us(CAST(ts AS TIMESTAMP))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_health_snapshot" -> { (s, dir) =>
+      Monitoring.healthSnapshot(Tables.events(s, dir)).orderBy(col("user_id"))
+    },
+
+    "m2_replication_lag" -> { (s, dir) =>
+      Monitoring.replicationLag(Tables.events(s, dir)).orderBy(col("user_id"))
+    },
+
+    "m3_parts_metrics" -> { (s, dir) =>
+      Monitoring.partsMetrics(Tables.lineitem(s, dir)).orderBy(col("part_group"))
+    },
+
+    "m4_bloat_pct" -> { (s, dir) =>
+      Monitoring.bloatPct(Tables.events(s, dir)).orderBy(col("user_id"))
+    },
+
+    // keeper text parsing round-trip: build srvr/conf-style text from
+    // typed fields, parse it back through LogLines (str_to_map +
+    // coercion), output typed columns. The oracle computes the expected
+    // values directly — so the parse must be lossless to match.
+    "m5_kv_parse" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val conf = format_string("recved=%d\nsent=%d\nenable_logging=true", col("event_id"), col("user_id"))
+      val srvr = format_string("Server Mode: %s\nNode Count: %d", col("event_type"), col("user_id"))
+      val withText = ev.withColumn("conf_text", conf).withColumn("srvr_text", srvr)
+      val confMap = LogLines.kvMap(col("conf_text"), "=")
+      val srvrMap = LogLines.normalizeKeys(LogLines.kvMap(col("srvr_text"), ": "))
+      withText.select(
+        col("event_id"),
+        LogLines.getLong(confMap, "recved").as("recved"),
+        LogLines.getLong(confMap, "sent").as("sent"),
+        LogLines.getBool(confMap, "enable_logging").as("enable_logging"),
+        LogLines.getString(srvrMap, "server_mode").as("server_mode"),
+        LogLines.getLong(srvrMap, "node_count").as("node_count")
+      ).orderBy(col("event_id"))
+    },
+
+    // PH_SYSTEM_* syslog payload emission (uploadEvents analog).
+    "m6_event_emit" -> { (s, dir) =>
+      val health = Monitoring.healthSnapshot(Tables.events(s, dir))
+      health.select(col("user_id"),
+        LogLines.phPayload("DATA_NODE_HEALTH",
+          "deviceName" -> LogLines.jstr(concat(lit("node-"), col("user_id"))),
+          "shard" -> (pmod(col("user_id"), lit(4)) + 1).cast("string"),
+          "queueSize" -> col("n_error").cast("string"),
+          "healthPct" -> col("health_pct").cast("string")
+        ).as("payload")).orderBy(col("user_id"))
+    },
+
+    // Sentinel-timestamp suppression (chStats.py:99-103).
+    "m7_sentinel_null" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val sentinel = lit("1995-01-02").cast("timestamp_ntz")
+      li.filter(col("l_shipdate") < lit("1995-03-01").cast("timestamp_ntz"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_shipdate") === sentinel, lit(null).cast("timestamp_ntz"))
+            .otherwise(col("l_shipdate")).as("ship_ts"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    "m8_shard_rollup" -> { (s, dir) =>
+      Monitoring.shardRollup(Tables.customer(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir)).orderBy(col("shard"))
+    },
+
+    "m9_enrich_lookup" -> { (s, dir) =>
+      Monitoring.enrich(Tables.events(s, dir), Tables.customer(s, dir))
+        .select(col("user_id"), col("device_name")).distinct()
+        .orderBy(col("user_id"))
+    },
+
+    "m10_time_buckets" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      // cast to NTZ at the output boundary: session is UTC, and the
+      // oracle's make_timestamp is timezone-naive
+      ev.groupBy(Monitoring.timeBucket(col("ts"), 5).cast("timestamp_ntz").as("bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          (sum(Monitoring.cents(col("value"))) / 100.0).as("total_value"))
+        .orderBy(col("bucket"), col("event_type"))
+    },
+
+    "m11_client_stats" -> { (s, dir) =>
+      Monitoring.clientStats(Tables.events(s, dir)).orderBy(col("user_id"))
+    },
+
+    "m12_top_talkers" -> { (s, dir) =>
+      Monitoring.topTalkers(Tables.events(s, dir), 10)
+    },
+
+    "m13_json_extract" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(pmod(col("k"), lit(10)).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("k_bucket"))
+    },
+
+    // activeReplicas: set → sorted CSV string (chStats.py:106).
+    "m14_active_csv" -> { (s, dir) =>
+      Tables.supplier(s, dir)
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(array_join(array_sort(collect_set(col("s_suppkey").cast("string"))), ",")
+          .as("active_members"))
+        .orderBy(col("nationkey"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "m1_health_snapshot" ->
+      """SELECT user_id, count(*) AS n_total,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(floor((count(*) - sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)) * 100 / count(*)) AS INT) AS health_pct
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "m2_replication_lag" ->
+      s"""SELECT user_id,
+         |  (SELECT max($tsUs) FROM events) - max($tsUs) AS lag_us,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS queue_size
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "m3_parts_metrics" ->
+      """SELECT l_returnflag AS part_group,
+        |  floor(CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE) / sum(CAST(round(l_quantity*100) AS BIGINT)) * 100) / 100.0 AS avg_event_size,
+        |  floor(sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0 / 1000000.0 * 100) / 100.0 AS gb_on_disk,
+        |  count(*) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "m4_bloat_pct" ->
+      """SELECT user_id,
+        |  floor(CAST(sum(CASE WHEN event_type = 'error' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS DOUBLE) * 100.0 / sum(CAST(round(value*100) AS BIGINT)) * 100) / 100.0 AS bloat_pct
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "m5_kv_parse" ->
+      """SELECT event_id, event_id AS recved, user_id AS sent,
+        |  true AS enable_logging, event_type AS server_mode, user_id AS node_count
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "m6_event_emit" ->
+      """SELECT user_id,
+        |  'PH_SYSTEM_DATA_NODE_HEALTH={"deviceName":"node-' || user_id || '","shard":' || (user_id % 4 + 1) ||
+        |  ',"queueSize":' || n_error || ',"healthPct":' || health_pct || '}' AS payload
+        |FROM (
+        |  SELECT user_id, CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |    CAST(floor((count(*) - sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)) * 100 / count(*)) AS INT) AS health_pct
+        |  FROM events GROUP BY user_id) t
+        |ORDER BY user_id""".stripMargin,
+
+    "m7_sentinel_null" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_shipdate = TIMESTAMP '1995-01-02' THEN NULL ELSE l_shipdate END AS ship_ts
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1995-03-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "m8_shard_rollup" ->
+      """SELECT r_name AS shard, count(*) AS n_nodes,
+        |  CAST(sum(n_replicas) AS BIGINT) AS total_replicas,
+        |  max(n_replicas) AS max_node_replicas
+        |FROM (
+        |  SELECT n_regionkey, n_name, count(*) AS n_replicas
+        |  FROM customer, nation WHERE c_nationkey = n_nationkey
+        |  GROUP BY n_regionkey, n_name) pn, region
+        |WHERE n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY shard""".stripMargin,
+
+    "m9_enrich_lookup" ->
+      """SELECT DISTINCT user_id,
+        |  coalesce(c_name, 'node-' || user_id) AS device_name
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |ORDER BY user_id""".stripMargin,
+
+    "m10_time_buckets" ->
+      s"""SELECT make_timestamp($tsUs - $tsUs % 300000000) AS bucket, event_type,
+         |  count(*) AS n,
+         |  sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS total_value
+         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "m11_client_stats" ->
+      """SELECT user_id, count(*) AS recved, min(value) AS minlat,
+        |  sum(CAST(round(value*100) AS BIGINT)) / 100.0 / count(*) AS avglat,
+        |  max(value) AS maxlat
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "m12_top_talkers" ->
+      """SELECT user_id,
+        |  sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS traffic,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id
+        |ORDER BY traffic DESC, user_id LIMIT 10""".stripMargin,
+
+    "m13_json_extract" ->
+      """SELECT CAST(props->>'$.k' AS INT) % 10 AS k_bucket, count(*) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    "m14_active_csv" ->
+      """SELECT s_nationkey AS nationkey,
+        |  string_agg(DISTINCT CAST(s_suppkey AS VARCHAR), ','
+        |    ORDER BY CAST(s_suppkey AS VARCHAR)) AS active_members
+        |FROM supplier GROUP BY s_nationkey ORDER BY nationkey""".stripMargin
+  )
+}

@@ -278,14 +278,14 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "q2_filter_project" ->
-      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, CAST(l_shipdate AS TIMESTAMP) AS l_shipdate
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-02-01'
         |  AND l_discount >= 0.05
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q3_join_agg" ->
-      """SELECT l_orderkey, o_orderdate,
+      """SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
         |  sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue
         |FROM lineitem, orders, customer
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -316,7 +316,7 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
 
     "q7_topk_orders" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate FROM orders
+      """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "q8_window_rank" ->
@@ -329,7 +329,7 @@ object RelationalQueries {
         |ORDER BY l_returnflag, rn""".stripMargin,
 
     "q9_window_running" ->
-      """SELECT o_custkey, o_orderkey, o_orderdate,
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
         |  sum(CAST(round(o_totalprice*100) AS BIGINT)) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0 AS running_spent
@@ -398,7 +398,7 @@ object RelationalQueries {
         |  AND p_brand = 'Brand#2' AND l_quantity < avg_qty * 0.2""".stripMargin,
 
     "q18_groupby_in" ->
-      """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+      """SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice, sum_qty
         |FROM orders, customer,
         |  (SELECT l_orderkey AS b_orderkey,
         |     sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty
@@ -407,7 +407,7 @@ object RelationalQueries {
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
 
     "q19_multi_sort" ->
-      """SELECT l_returnflag, l_shipdate, l_orderkey, l_linenumber, l_quantity
+      """SELECT l_returnflag, CAST(l_shipdate AS TIMESTAMP) AS l_shipdate, l_orderkey, l_linenumber, l_quantity
         |FROM lineitem WHERE l_quantity >= 49.0
         |ORDER BY l_returnflag ASC, l_shipdate DESC, l_orderkey ASC, l_linenumber ASC
         |LIMIT 500""".stripMargin,

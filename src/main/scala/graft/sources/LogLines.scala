@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Semi-structured text → typed columns, re-expressing the reference's
+  * keeper-output parsing (chStats.py:223-240 `key: value` stat lines,
+  * chStats.py:327-341 `key=value` conf lines, chStats.py:275-295 regex
+  * field extraction) as codegen'd Catalyst column expressions — no UDFs,
+  * so parsing stays inside whole-stage codegen at 100 TB.
+  */
+object LogLines {
+
+  /** Parse `key<sep>value` lines (one per \n) into map<string,string>. */
+  def kvMap(text: Column, sep: String): Column = {
+    // str_to_map's delimiters are regexes; escape-sensitive seps are quoted.
+    str_to_map(text, lit("\n"), lit(java.util.regex.Pattern.quote(sep)))
+  }
+
+  /** Keeper-style key normalization: lowercase, spaces → underscores
+    * (chStats.py:237). Applied to map keys.
+    */
+  def normalizeKeys(m: Column): Column =
+    transform_keys(m, (k, _) => lower(regexp_replace(k, " ", "_")))
+
+  /** Typed getters with the reference's coercion (digits→int, else text). */
+  def getLong(m: Column, key: String): Column = element_at(m, key).cast("long")
+  def getString(m: Column, key: String): Column = element_at(m, key)
+  def getBool(m: Column, key: String): Column =
+    when(lower(element_at(m, key)) === "true", true)
+      .when(lower(element_at(m, key)) === "false", false)
+
+  /** Regex field extraction (getKeeperStats cons-line shape). */
+  def extractLong(line: Column, pattern: String): Column =
+    regexp_extract(line, pattern, 1).cast("long")
+  def extractString(line: Column, pattern: String): Column =
+    regexp_extract(line, pattern, 1)
+
+  /** Serialize a row to the reference's syslog payload format
+    * `PH_SYSTEM_<TYPE>={"k":v,...}` (chStats.py:422,481-483). JSON is
+    * built with explicit concatenation so the byte layout is
+    * deterministic and engine-independent.
+    */
+  def phPayload(payloadType: String, fields: (String, Column)*): Column = {
+    val body = fields.map { case (k, v) => concat(lit("\"" + k + "\":"), v) }
+    concat(lit(s"PH_SYSTEM_$payloadType={"),
+      concat_ws(",", body: _*), lit("}"))
+  }
+
+  /** JSON-quote a string column (for phPayload string fields). */
+  def jstr(c: Column): Column = concat(lit("\""), c, lit("\""))
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Monitoring
+import graft.sources.{LogLines, Tables}
+
+class MonitoringSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local()
+  val sf = "/root/testdata/sf0.001"
+
+  test("health_pct is int(active/total*100) like the reference") {
+    val r = Monitoring.healthSnapshot(Tables.events(spark, sf)).collect()
+    r.foreach { row =>
+      val total = row.getAs[Long]("n_total")
+      val err = row.getAs[Long]("n_error")
+      assert(row.getAs[Int]("health_pct") == ((total - err) * 100 / total).toInt)
+      assert(err <= total)
+    }
+  }
+
+  test("replication lag: freshest node has zero lag, all lags non-negative") {
+    val r = Monitoring.replicationLag(Tables.events(spark, sf)).collect()
+    val lags = r.map(_.getAs[Long]("lag_us"))
+    assert(lags.min == 0L)
+    assert(lags.forall(_ >= 0L))
+  }
+
+  test("kv parsing round-trips typed values with key normalization") {
+    import spark.implicits._
+    val df = Seq("Zookeeper version: 3.7\nMode: leader\nNode count: 4").toDF("text")
+    val m = LogLines.normalizeKeys(LogLines.kvMap(col("text"), ": "))
+    val row = df.select(
+      LogLines.getString(m, "mode").as("mode"),
+      LogLines.getLong(m, "node_count").as("n")).head()
+    assert(row.getString(0) == "leader" && row.getLong(1) == 4L)
+  }
+
+  test("phPayload serializes the reference's syslog format") {
+    import spark.implicits._
+    val out = Seq((7, 2)).toDF("id", "qs")
+      .select(LogLines.phPayload("DATA_NODE_HEALTH",
+        "deviceName" -> LogLines.jstr(concat(lit("node-"), col("id"))),
+        "queueSize" -> col("qs").cast("string")).as("p"))
+      .head().getString(0)
+    assert(out == """PH_SYSTEM_DATA_NODE_HEALTH={"deviceName":"node-7","queueSize":2}""")
+  }
+
+  test("timeBucket floors to epoch-aligned intervals") {
+    import spark.implicits._
+    val df = Seq("2024-03-01 10:07:59").toDF("s")
+      .select(Monitoring.timeBucket(col("s").cast("timestamp"), 5).cast("string").as("b"))
+    assert(df.head().getString(0) == "2024-03-01 10:05:00")
+  }
+}
