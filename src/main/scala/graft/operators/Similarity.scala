@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over embedding columns.
+  *
+  * Scale posture: the query set is the small side and is broadcast; the
+  * corpus streams. Brute force is the correctness baseline (still a
+  * broadcast-nested-loop, no corpus shuffle); sign-LSH bucketing is the
+  * scale path — bucket equi-join bounds each query's candidate set so
+  * compared-pairs grow ~n/2^bits per query instead of n.
+  */
+object Similarity {
+
+  /** Top-k cosine neighbors by brute force. Deterministic ranking:
+    * round(cos,6) desc, then neighbor id. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val cand = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Sign-LSH bucket id: one bit per leading dimension's sign. */
+  def signBucket(vecCol: String, bits: Int): Column = expr(
+    s"aggregate(transform(sequence(0, ${bits - 1}), i -> " +
+    s"CASE WHEN element_at($vecCol, i + 1) >= 0 THEN shiftleft(1, i) ELSE 0 END), " +
+    "0, (acc, x) -> acc + x)")
+
+  /** Top-k within the query's sign bucket (scale path). Queries whose
+    * bucket holds no other vectors produce no rows. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, bits: Int, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      signBucket(vecCol, bits).as("bucket"))
+    val cand = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      signBucket(vecCol, bits).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Embedding near-duplicate pairs, blocked by a key (label, cluster,
+    * or LSH bucket) to avoid the full cross product. */
+  def cosineDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val v = vectors.select(col(blockCol).as("_blk"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"))
+    val u = vectors.select(col(blockCol).as("_blk"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"))
+    v.join(u, Seq("_blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .filter(col("sim") > threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

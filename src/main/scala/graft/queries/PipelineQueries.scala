@@ -1,0 +1,287 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.operators.{Dedup, Similarity}
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+
+/** LLM-data-pipeline coverage (SURVEY §2: d*, s*, t*, x*) over the
+  * documents/embeddings tables.
+  */
+object PipelineQueries {
+
+  /** DuckDB CTE producing per-doc distinct word-3-gram shingle lists —
+    * the exact mirror of Dedup.shingles. */
+  private val shingleCte =
+    """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),
+      |sh AS (SELECT doc_id,
+      |  list_distinct(CASE WHEN len(wd) >= 3
+      |    THEN list_transform(generate_series(1, len(wd)-2), i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])
+      |    ELSE [] END) AS s
+      |  FROM w),
+      |sh2 AS (SELECT * FROM sh WHERE len(s) > 0),
+      |sig AS (SELECT doc_id,
+      |  list_transform(generate_series(0, 7), h ->
+      |    list_min(list_transform(s, x -> md5(CAST(h AS VARCHAR) || '|' || x)))) AS g
+      |  FROM sh2),
+      |bands AS (SELECT doc_id, CAST(b AS VARCHAR) || ':' || g[2*b+1] || g[2*b+2] AS k
+      |  FROM sig, generate_series(0, 3) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      |  FROM bands a JOIN bands c USING (k) WHERE a.doc_id < c.doc_id)""".stripMargin
+
+  /** DuckDB CTE: per-vector squared norm in explicit double arithmetic —
+    * mirror of VectorFunctions.norm2. */
+  private val vecCte =
+    """v AS (SELECT vec_id, label, embedding AS e,
+      |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+      |  FROM embeddings)""".stripMargin
+
+  private val dotAB =
+    "list_sum(list_transform(generate_series(1, len(a.e)), i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup over a simulated duplicate ingest (corpus ∪ re-ingested
+    // copy with shifted ids): one hash-shuffle groupBy, keeper = min id.
+    "d1_exact_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val dup = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val all = docs.select(col("doc_id"), col("text")).union(dup)
+      Dedup.exactDedup(all, col("text"), col("doc_id"))
+        .select(col("keeper_id"), col("n_copies"))
+        .orderBy(col("keeper_id"))
+    },
+
+    // normalized dedup: the re-ingested copy is case-mangled and
+    // space-padded; normalization folds it onto the original.
+    "d2_norm_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val dup = docs.select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("  "), upper(col("text"))).as("text"))
+      val all = docs.select(col("doc_id"), col("text")).union(dup)
+      Dedup.exactDedup(all, Dedup.normalized(col("text")), col("doc_id"))
+        .select(col("keeper_id"), col("n_copies"))
+        .orderBy(col("keeper_id"))
+    },
+
+    "d3_minhash_lsh" -> { (s, dir) =>
+      Dedup.lshCandidates(Tables.documents(s, dir), "doc_id", "text", bands = 4, rows = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "d4_ngram_jaccard" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.lshCandidates(docs, "doc_id", "text", bands = 4, rows = 2)
+      Dedup.jaccardVerify(cand, docs, "doc_id", "text", threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "d5_simhash" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash16("text").as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+
+    "d6_embed_dup" -> { (s, dir) =>
+      Similarity.cosineDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+          "label", threshold = 0.35)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    "s1_ann_brute" -> { (s, dir) =>
+      val vecs = Tables.embeddings(s, dir)
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    "s2_ann_lsh" -> { (s, dir) =>
+      val vecs = Tables.embeddings(s, dir)
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.lshTopK(vecs, q, "vec_id", "embedding", bits = 4, k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    "t1_langid" -> { (s, dir) =>
+      val withWords = Tables.documents(s, dir)
+        .withColumn("_w", Dedup.words(col("text")))
+      withWords.select(col("doc_id"),
+          TextFunctions.stopHits("_w", TextFunctions.enStop).as("en_hits"),
+          TextFunctions.stopHits("_w", TextFunctions.deStop).as("de_hits"),
+          TextFunctions.stopHits("_w", TextFunctions.frStop).as("fr_hits"))
+        .withColumn("lang_pred",
+          TextFunctions.langId(col("en_hits"), col("de_hits"), col("fr_hits")))
+        .orderBy(col("doc_id"))
+    },
+
+    "t2_quality" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("_w", Dedup.words(col("text")))
+        .select(col("doc_id"),
+          size(col("_w")).as("n_tokens"),
+          size(array_distinct(col("_w"))).as("n_distinct"),
+          TextFunctions.stopHits("_w", TextFunctions.enStop).as("stop_hits"))
+        .withColumn("quality",
+          TextFunctions.qualityScore(col("n_distinct"), col("n_tokens"), col("stop_hits")))
+        .orderBy(col("doc_id"))
+    },
+
+    "t3_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_ws_tokens"),
+          call_function("token_count", col("text")).as("n_re_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    "t4_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          call_function("poly_hash", col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    "x1_binary_meta" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeMeta(docs, "doc_id", "payload").toDF()
+        .orderBy(col("doc_id"))
+    },
+
+    "x2_frame_sample" -> { (s, dir) =>
+      Multimodal.sampleFrames(Tables.documents(s, dir), "doc_id", "text", stride = 16)
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |GROUP BY text ORDER BY keeper_id""".stripMargin,
+
+    "d2_norm_dedup" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 100000, '  ' || upper(text) FROM documents)
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |ORDER BY keeper_id""".stripMargin,
+
+    "d3_minhash_lsh" ->
+      s"""WITH $shingleCte
+         |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+
+    "d4_ngram_jaccard" ->
+      s"""WITH $shingleCte
+         |SELECT id_a, id_b,
+         |  CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) AS jaccard
+         |FROM cand JOIN sh2 x ON id_a = x.doc_id JOIN sh2 y ON id_b = y.doc_id
+         |WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "d5_simhash" ->
+      """SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 15), b ->
+        |  CASE WHEN list_sum(list_transform(
+        |    list_distinct(regexp_split_to_array(trim(text), '\s+')), t ->
+        |      CASE WHEN ((strpos('0123456789abcdef', substr(md5(t), 1 + b // 4, 1)) - 1)
+        |        // (CASE WHEN b % 4 = 0 THEN 8 WHEN b % 4 = 1 THEN 4
+        |                 WHEN b % 4 = 2 THEN 2 ELSE 1 END)) % 2 = 1
+        |      THEN 1 ELSE -1 END)) > 0
+        |  THEN (1 << (15 - b)) ELSE 0 END)) AS INT) AS simhash
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d6_embed_dup" ->
+      s"""WITH $vecCte
+         |SELECT id_a, id_b, sim FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id) t
+         |WHERE sim > 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    "s1_ann_brute" ->
+      s"""WITH $vecCte,
+         |q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |sims AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM v a CROSS JOIN q b WHERE a.vec_id <> b.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |  FROM sims)
+         |SELECT query_id, rnk, neighbor_id, sim FROM ranked
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "s2_ann_lsh" ->
+      s"""WITH $vecCte,
+         |vb AS (SELECT *, CAST(list_sum(list_transform(generate_series(0, 3), i ->
+         |    CASE WHEN e[i+1] >= 0 THEN (1 << i) ELSE 0 END)) AS INT) AS bucket FROM v),
+         |q AS (SELECT * FROM vb WHERE vec_id % 50 = 0),
+         |sims AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM vb a JOIN q b ON a.bucket = b.bucket WHERE a.vec_id <> b.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |  FROM sims)
+         |SELECT query_id, rnk, neighbor_id, sim FROM ranked
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "t1_langid" -> {
+      val en = TextFunctions.enStop.map(w => s"'$w'").mkString(", ")
+      val de = TextFunctions.deStop.map(w => s"'$w'").mkString(", ")
+      val fr = TextFunctions.frStop.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id, en_hits, de_hits, fr_hits,
+         |  CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+         |       WHEN de_hits >= fr_hits AND de_hits > 0 THEN 'de'
+         |       WHEN fr_hits > 0 THEN 'fr' ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w IN ($en))) AS INT) AS en_hits,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w IN ($de))) AS INT) AS de_hits,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w IN ($fr))) AS INT) AS fr_hits
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "t2_quality" -> {
+      val en = TextFunctions.enStop.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id, n_tokens, n_distinct, stop_hits,
+         |  CAST(floor(CAST(n_distinct AS DOUBLE) / n_tokens * 50.0 +
+         |             CAST(stop_hits AS DOUBLE) / n_tokens * 20.0 +
+         |             CAST(least(n_tokens, 100) AS DOUBLE) / 100.0 * 30.0) AS INT) AS quality
+         |FROM (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens,
+         |    CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS INT) AS n_distinct,
+         |    CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w IN ($en))) AS INT) AS stop_hits
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "t3_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS INT) AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(1, length(text)), i ->
+        |    unicode(substr(text, i, 1)) * ((i * 2654435761) % 1000000007))) AS BIGINT) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x1_binary_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS INT) AS byte_len,
+        |  CAST(strlen(text) % 640 AS INT) AS width,
+        |  CAST(strlen(text) % 480 AS INT) AS height,
+        |  CASE CAST(strlen(text) % 3 AS INT) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |    ELSE 'webp' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x2_frame_sample" ->
+      """SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(unicode(substr(text, CAST(i AS INT) * 16 + 1, 1)) AS INT) AS frame_byte
+        |FROM (SELECT doc_id, text,
+        |    unnest(range(0, CAST(floor((length(text) - 1) / 16) AS INT) + 1)) AS i
+        |  FROM documents) t
+        |ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+import graft.multimodal.Multimodal
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local()
+  val sf = "/root/testdata/sf0.001"
+
+  test("exact dedup folds duplicate ingest onto min id") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("id", "t")
+    val r = Dedup.exactDedup(df, col("t"), col("id"))
+      .orderBy("keeper_id").collect()
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("lsh candidates find planted near-duplicates and skip unrelated") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow")
+    val far = "completely different words with no overlap whatsoever in any shingle here"
+    val docs = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidates(docs, "doc_id", "text", 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("jaccard verification scores identical docs at 1.0") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.jaccardVerify(cand, docs, "doc_id", "text", 0.5).collect()
+    assert(r.length == 1 && r(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("brute-force ANN: nearest neighbor of a vector is its duplicate") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.001f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" === 0)
+    val top = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", 1).collect()
+    assert(top.length == 1 && top(0).getAs[Long]("neighbor_id") == 1L)
+  }
+
+  test("token_count native expression matches regex semantics") {
+    import spark.implicits._
+    val r = Seq("ab12 cd  34ef-gh").toDF("text")
+      .select(call_function("token_count", $"text")).head().getInt(0)
+    // runs: ab, 12, cd, 34, ef, gh
+    assert(r == 6)
+  }
+
+  test("poly_hash is order-sensitive and deterministic") {
+    import spark.implicits._
+    val df = Seq(("ab", "ba")).toDF("x", "y")
+      .select(call_function("poly_hash", $"x").as("hx"),
+        call_function("poly_hash", $"y").as("hy"))
+    val row = df.head()
+    assert(row.getLong(0) != row.getLong(1))
+    val again = df.head()
+    assert(row.getLong(0) == again.getLong(0))
+  }
+
+  test("multimodal decode keeps partition-parallel batched shape") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = Multimodal.decodeMeta(docs, "doc_id", "payload", batchSize = 16)
+    assert(out.count() == 500)
+    val one = out.filter(col("doc_id") === 0).head()
+    assert(one.byte_len == 128 && one.width == 128 && one.format == "webp")
+  }
+}
