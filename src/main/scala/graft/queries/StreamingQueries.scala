@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.streaming.HealthStream
+
+/** Batch-equivalent forms of the streaming jobs (SURVEY §2, st*). The
+  * exact same aggregation code runs over readStream in production;
+  * StreamingSpec proves stream/batch parity on the memory sink.
+  */
+object StreamingQueries {
+
+  private val tsUs = "epoch_us(CAST(ts AS TIMESTAMP))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_stream_health" -> { (s, dir) =>
+      HealthStream.windowedHealth(Tables.events(s, dir))
+        .orderBy(col("bucket"), col("event_type"))
+    },
+
+    "st2_stream_sessions" -> { (s, dir) =>
+      HealthStream.sessions(Tables.events(s, dir), gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_idx"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "st1_stream_health" ->
+      s"""SELECT make_timestamp($tsUs - $tsUs % 300000000) AS bucket, event_type,
+         |  count(*) AS n,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "st2_stream_sessions" ->
+      s"""SELECT user_id, session_idx, min(ts_us) AS start_us, max(ts_us) AS end_us,
+         |  count(*) AS n_events
+         |FROM (
+         |  SELECT user_id, ts_us,
+         |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM (
+         |    SELECT user_id, event_id, $tsUs AS ts_us,
+         |      CASE WHEN $tsUs - lag($tsUs) OVER (PARTITION BY user_id ORDER BY $tsUs, event_id) > 1800000000
+         |           THEN 1
+         |           WHEN lag($tsUs) OVER (PARTITION BY user_id ORDER BY $tsUs, event_id) IS NULL
+         |           THEN 1 ELSE 0 END AS new_session
+         |    FROM events) a) b
+         |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin
+  )
+}
