@@ -1,5 +1,8 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.expr
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,14 +13,31 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // JIT/codegen warmup so the first measured queries don't absorb JVM
+    // startup (hash agg, shuffle, md5/regex/string/window codepaths).
+    spark.range(2000000)
+      .selectExpr("id", "md5(cast(id as string)) as m")
+      .selectExpr("id", "m", "regexp_replace(upper(m), '[0-9]+', ' ') as r")
+      .selectExpr("id", "m", "r", "explode(split(trim(r), '\\\\s+')) as t")
+      .groupBy(expr("substr(m, 1, 2)"))
+      .agg(expr("count(distinct t)"), expr("sum(length(r))"))
+      .count()
+    spark.range(1000000).selectExpr("id % 97 as k", "id as v")
+      .selectExpr("k", "v", "row_number() over (partition by k order by v desc) as rn")
+      .filter(expr("rn <= 3"))
+      .write.mode("overwrite").format("noop").save()
+    // noop sink: full evaluation of every output column, no pruning
+    // shortcut (count() would let Catalyst skip computed columns), no
+    // disk write in the measurement.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -20,7 +20,10 @@ object VectorFunctions {
     aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-  /** Cosine similarity: dot / sqrt(|a|²·|b|²). */
+  /** Cosine similarity: dot / sqrt(|a|²·|b|²). Routed through the native
+    * CosineSim expression (codegen'd fused loop); requires a session
+    * built via GraftSession.configure (function registry). Value is
+    * identical to the declarative dot/norm composition. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(norm2(a) * norm2(b))
+    call_function("cosine_sim", a, b)
 }

@@ -23,14 +23,21 @@ object Dedup {
   /** Word array (trim + split on whitespace runs). */
   def words(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Distinct word-3-gram shingles of the named string column. */
+  /** Distinct word-3-gram shingles of the named string column.
+    *
+    * Built by zipping the word array against its own 1- and 2-shifted
+    * slices: the split() runs once per document when the zipped array is
+    * constructed. (A sequence+element_at lambda would re-evaluate the
+    * inlined split per element — quadratic per doc after Catalyst's
+    * projection collapse.) */
   def shingles(textCol: String): Column = {
     val w = s"split(trim($textCol), '\\\\s+')"
-    // guard: sequence(1,0) in Spark descends instead of being empty
+    val n = s"size($w) - 2"
     array_distinct(expr(
-      s"CASE WHEN size($w) >= 3 THEN transform(sequence(1, size($w) - 2), " +
-      s"i -> concat_ws(' ', element_at($w, i), element_at($w, i+1), element_at($w, i+2))) " +
-      s"ELSE array() END"))
+      s"CASE WHEN size($w) >= 3 THEN " +
+      s"transform(arrays_zip(slice($w, 1, $n), slice($w, 2, $n), slice($w, 3, $n)), " +
+      "x -> concat_ws(' ', x.`0`, x.`1`, x.`2`)) " +
+      "ELSE array() END"))
   }
 
   /** Exact dedup: keep min id per key; emits (key survivors with copy
@@ -39,20 +46,35 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** LSH candidate pairs: band the signature, bucket-join, emit ordered
-    * distinct pairs. bands*rows must equal the signature length. */
+  /** LSH candidate pairs: explode shingles to rows, hash per seed,
+    * partial-min aggregate into per-band keys, bucket equi-join.
+    *
+    * Deliberately row-oriented rather than nested array transforms:
+    * Catalyst's projection collapse would otherwise inline the shingle
+    * expression into every per-hash lambda (quadratic recompute), and
+    * the explode→partial-agg shape is also the one that scales — the
+    * min() combines map-side, so the shuffle carries numHashes rows per
+    * document, not the shingle sets. */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
       bands: Int, rows: Int): DataFrame = {
-    val sigs = docs
-      .withColumn("_shingles", shingles(textCol))
-      .filter(size(col("_shingles")) > 0)
-      .withColumn("_sig", expr(
-        s"transform(sequence(0, ${bands * rows - 1}), h -> " +
-        "array_min(transform(_shingles, s -> md5(concat(cast(h as string), '|', s)))))"))
-    val banded = sigs.select(col(idCol), posexplode(expr(
-      s"transform(sequence(0, ${bands - 1}), b -> " +
-      s"concat(cast(b as string), ':', concat_ws('', slice(_sig, b * $rows + 1, $rows))))"))
-      .as(Seq("_band", "_key")))
+    val numHashes = bands * rows
+    // spread docs across the cluster BEFORE the shingle/hash fan-out —
+    // a narrow scan of few files would otherwise run the whole
+    // hash-explode in a handful of tasks
+    val fanout = docs.sparkSession.sparkContext.defaultParallelism
+    val shingleRows = docs.repartition(fanout, col(idCol))
+      .select(col(idCol), explode(shingles(textCol)).as("_s"))
+    val hashed = shingleRows
+      .select(col(idCol), col("_s"), explode(expr(s"sequence(0, ${numHashes - 1})")).as("_h"))
+      .select(col(idCol), col("_h"),
+        md5(concat(col("_h").cast("string"), lit("|"), col("_s"))).as("_hv"))
+    val mins = hashed.groupBy(col(idCol), col("_h")).agg(min(col("_hv")).as("_min"))
+    val banded = mins
+      .withColumn("_b", expr(s"_h div $rows"))
+      .groupBy(col(idCol), col("_b"))
+      .agg(concat(col("_b").cast("string"), lit(":"),
+        array_join(expr("transform(array_sort(collect_list(struct(_h, _min))), x -> x._min)"), ""))
+        .as("_key"))
       .select(col(idCol), col("_key"))
     val a = banded.toDF("id_a", "k")
     val b = banded.toDF("id_b", "k")
@@ -76,21 +98,27 @@ object Dedup {
   }
 
   /** 16-bit SimHash over distinct tokens, md5-nibble bit source.
-    * Pure codegen'd expression tree (nested higher-order functions). */
-  def simhash16(textCol: String): Column = {
-    val tokens = s"array_distinct(split(trim($textCol), '\\\\s+'))"
-    // bit b of md5(token): nibble = hex digit at position 1 + b/4,
-    // bit = (nibble div 2^(3 - b%4)) % 2; balance = sum(+1/-1); out bit = balance > 0
-    expr(
-      s"""aggregate(
-         |  transform(sequence(0, 15), b ->
-         |    CASE WHEN aggregate($tokens, 0, (acc, t) ->
-         |      acc + CASE WHEN (
-         |        (instr('0123456789abcdef', substr(md5(t), 1 + cast(b / 4 as int), 1)) - 1)
-         |        div CASE WHEN b % 4 = 0 THEN 8 WHEN b % 4 = 1 THEN 4
-         |                 WHEN b % 4 = 2 THEN 2 ELSE 1 END) % 2 = 1
-         |      THEN 1 ELSE -1 END) > 0
-         |    THEN shiftleft(1, 15 - b) ELSE 0 END),
-         |  0, (acc, x) -> acc + x)""".stripMargin)
+    *
+    * Row-oriented for scale: tokens explode to rows, md5 runs once per
+    * token, and the 16 bit-balances are plain conditional sums — fully
+    * codegen'd, map-side partial aggregation, 16 longs per doc on the
+    * shuffle. bit b of md5(token): nibble = hex digit at 1 + b/4,
+    * bit = (nibble div 2^(3-b%4)) % 2; out bit set iff balance > 0. */
+  def simhash16(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokenHashes = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol),
+        explode(expr(s"array_distinct(split(trim($textCol), '\\\\s+'))")).as("_t"))
+      .select(col(idCol), md5(col("_t")).as("_m"))
+    val balances = (0 until 16).map { b =>
+      val pow = Seq(8, 4, 2, 1)(b % 4)
+      sum(expr(
+        s"CASE WHEN ((instr('0123456789abcdef', substr(_m, ${1 + b / 4}, 1)) - 1) " +
+        s"div $pow) % 2 = 1 THEN 1 ELSE -1 END")).as(s"_b$b")
+    }
+    val bits = (0 until 16).map(b => s"CASE WHEN _b$b > 0 THEN ${1 << (15 - b)} ELSE 0 END")
+    tokenHashes.groupBy(col(idCol))
+      .agg(balances.head, balances.tail: _*)
+      .select(col(idCol), expr(bits.mkString("cast(", " + ", " as int)")).as("simhash"))
   }
 }

@@ -78,8 +78,7 @@ object PipelineQueries {
     },
 
     "d5_simhash" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.simhash16("text").as("simhash"))
+      Dedup.simhash16(Tables.documents(s, dir), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
 

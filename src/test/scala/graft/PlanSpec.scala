@@ -1,0 +1,65 @@
+package graft
+
+/** Physical-plan quality gates: what must hold for the 100 TB story.
+  * These assert the *shape* of the plan, not timings — pushdown reaching
+  * the scan, dims broadcast, top-k not materializing a global sort.
+  */
+import org.scalatest.funsuite.AnyFunSuite
+
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local()
+  val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q2: filters and projection are pushed to the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("l_shipdate"), p)
+    // scan reads only the 5 output columns, not all 16
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_tax") && !readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q4: dimension joins are broadcast, not shuffled") {
+    val p = plan("q4_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q7: global top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q7_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1: aggregation is partial (map-side combine) before the shuffle") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q1: aggregation runs inside whole-stage codegen") {
+    // AQE finalizes codegen stages at execution time
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages
+    assert(p.contains("*(") , p)
+  }
+
+  test("d3: LSH candidate join is an equi-join, never a cross product") {
+    val p = plan("d3_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("s1: brute-force ANN broadcasts the query side") {
+    val p = plan("s1_ann_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("m9: enrichment dim join is broadcast") {
+    val p = plan("m9_enrich_lookup")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}
