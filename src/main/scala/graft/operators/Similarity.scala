@@ -55,6 +55,37 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** IVF-style ANN: assign every vector to its nearest centroid cell
+    * (broadcast centroid set), then search only within the query's cell.
+    * `centroids` stands in for a trained codebook (production would fit
+    * k-means; the structure — broadcast assign + cell-partitioned
+    * search — is identical). Deterministic assignment: max cosine,
+    * centroid id as tie-break. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("c_vec"))
+    def assign(df: DataFrame, outId: String, outVec: String): DataFrame = {
+      val w = Window.partitionBy(col(outId))
+        .orderBy(col("_csim").desc, col("cent_id"))
+      df.select(col(idCol).as(outId), col(vecCol).as(outVec))
+        .crossJoin(broadcast(cents))
+        .withColumn("_csim", round(cosine(col(outVec), col("c_vec")), 6))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col(outId), col(outVec), col("cent_id").as("cell"))
+    }
+    val corpusCells = assign(corpus, "neighbor_id", "n_vec")
+    val queryCells = assign(queries, "query_id", "q_vec")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Embedding near-duplicate pairs, blocked by a key (label, cluster,
     * or LSH bucket) to avoid the full cross product. */
   def cosineDupPairs(vectors: DataFrame, idCol: String, vecCol: String,

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{LogLines, Tables}
-import graft.operators.Monitoring
+import graft.operators.{AsOf, Monitoring}
 
 /** Monitoring-domain coverage (SURVEY §2, m*): the reference's
   * health/replication/keeper semantics over the events stream table.
@@ -114,6 +114,26 @@ object MonitoringQueries {
         .orderBy(col("k_bucket"))
     },
 
+    // as-of join: for each error event, the user's most recent prior
+    // purchase (time-to-failure) — union + running max, no pairwise join.
+    "m15_asof_prior" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      AsOf.asofPrior(ev, "user_id", "event_id", "ts_us",
+          isLeft = col("event_type") === "purchase",
+          isRight = col("event_type") === "error")
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // longest consecutive-error run per node (gaps-and-islands).
+    "m16_error_streaks" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+      AsOf.longestStreak(ev, "user_id", "event_id", "ts_us",
+          col("event_type") === "error")
+        .orderBy(col("user_id"))
+    },
+
     // activeReplicas: set → sorted CSV string (chStats.py:106).
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
@@ -210,6 +230,32 @@ object MonitoringQueries {
       """SELECT CAST(props->>'$.k' AS INT) % 10 AS k_bucket, count(*) AS n,
         |  CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin,
+
+    "m15_asof_prior" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, $tsUs AS ts_us FROM events),
+         |p AS (SELECT *,
+         |  max(CASE WHEN event_type = 'purchase'
+         |      THEN lpad(CAST(ts_us AS VARCHAR), 20, '0') || lpad(CAST(event_id AS VARCHAR), 10, '0') END)
+         |    OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+         |  FROM e)
+         |SELECT user_id, event_id, ts_us,
+         |  CAST(substr(prior, 1, 20) AS BIGINT) AS prior_ts_us,
+         |  CAST(substr(prior, 21, 10) AS BIGINT) AS prior_id,
+         |  ts_us - CAST(substr(prior, 1, 20) AS BIGINT) AS gap_us
+         |FROM p WHERE event_type = 'error' AND prior IS NOT NULL
+         |ORDER BY user_id, event_id""".stripMargin,
+
+    "m16_error_streaks" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+         |    CAST(event_type = 'error' AS INT) AS _is, $tsUs AS ts_us FROM events),
+         |g AS (SELECT user_id, _is,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) -
+         |    row_number() OVER (PARTITION BY user_id, _is ORDER BY ts_us, event_id) AS grp
+         |  FROM e),
+         |runs AS (SELECT user_id, grp, count(*) AS len FROM g WHERE _is = 1 GROUP BY user_id, grp)
+         |SELECT user_id, max(len) AS max_streak, count(*) AS n_streaks
+         |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "m14_active_csv" ->
       """SELECT s_nationkey AS nationkey,
