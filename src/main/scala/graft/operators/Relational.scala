@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Reusable relational combinators with explicit scale posture. */
+object Relational {
+
+  /** Global top-k: plans as TakeOrderedAndProject (per-partition heap +
+    * k-row merge; no global sort/shuffle of the data). */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+
+  /** Top-n rows per group via row_number (single hash shuffle). */
+  def topNPerGroup(df: DataFrame, n: Int, part: Column, order: Column*): DataFrame =
+    df.withColumn("_rn", row_number().over(Window.partitionBy(part).orderBy(order: _*)))
+      .filter(col("_rn") <= n).drop("_rn")
+
+  /** Skew-safe aggregation: salt the hot key into `salts` subkeys,
+    * aggregate partially per (key, salt), then combine. Results are
+    * identical to a direct groupBy — the salt only splits reducer load
+    * for pathological key skew beyond what AQE's skew handling covers.
+    * aggs are (partialExpr, combineExpr-on-partial-name) pairs. */
+  def saltedCount(df: DataFrame, key: Column, salts: Int): DataFrame = {
+    val salted = df
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
+      .groupBy(key.as("key"), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+    salted.groupBy(col("key"))
+      .agg(sum(col("_partial")).as("n"))
+  }
+}

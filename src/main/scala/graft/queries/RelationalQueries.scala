@@ -249,6 +249,15 @@ object RelationalQueries {
         .limit(500)
     },
 
+    // Skew-safe two-phase aggregation (salt + combine); identical
+    // result to a direct groupBy, reducer load split across salts.
+    "q21_skew_agg" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Relational
+        .saltedCount(Tables.events(s, dir), $"event_type", salts = 16)
+        .orderBy($"key")
+    },
+
     // String predicates + transforms (LIKE, regexp, case/substr/concat).
     "q20_string_ops" -> { (s, dir) =>
       import s.implicits._
@@ -411,6 +420,10 @@ object RelationalQueries {
         |FROM lineitem WHERE l_quantity >= 49.0
         |ORDER BY l_returnflag ASC, l_shipdate DESC, l_orderkey ASC, l_linenumber ASC
         |LIMIT 500""".stripMargin,
+
+    "q21_skew_agg" ->
+      """SELECT event_type AS key, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY key""".stripMargin,
 
     "q20_string_ops" ->
       """SELECT p_partkey, upper(p_name) AS uname,

@@ -31,6 +31,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("event sink lands PH_SYSTEM payload lines per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_out")
+    val chk = java.nio.file.Files.createTempDirectory("graft_sink_chk")
+    val stream = HealthStream.readEventStream(spark, dir.toString)
+    val q = graft.streaming.EventSink.start(
+      HealthStream.windowedHealth(stream), out.toString, chk.toString, mode = "complete")
+    q.processAllAvailable(); q.stop()
+
+    val lines = spark.read.text(s"$out/batch_*").collect().map(_.getString(0))
+    val expected = HealthStream.windowedHealth(Tables.events(spark, sf)).count()
+    assert(lines.length == expected)
+    assert(lines.forall(_.startsWith("PH_SYSTEM_DATA_NODE_HEALTH={\"eventType\":\"")))
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) == declarative sessions") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
