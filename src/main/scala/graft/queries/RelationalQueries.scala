@@ -139,18 +139,25 @@ object RelationalQueries {
     },
 
     // Exact rank-based percentiles (deterministic discrete convention:
-    // value at row_number == ceil(p*n), identical in both engines).
+    // value at sorted position ceil(p*n)). Computed from a per-value
+    // count histogram — the measure has low cardinality, so this
+    // aggregates to ~|distinct| rows per group and windows over THAT,
+    // instead of globally sorting the fact table twice. Result is
+    // identical to the row_number formulation (the oracle keeps it).
     "q11_quantiles" -> { (s, dir) =>
       import s.implicits._
-      val wo = Window.partitionBy($"l_returnflag")
-        .orderBy($"l_quantity", $"l_orderkey", $"l_linenumber")
+      val hist = Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag", $"l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wp = Window.partitionBy($"l_returnflag")
-      Tables.lineitem(s, dir)
-        .withColumn("rn", row_number().over(wo))
-        .withColumn("n", count(lit(1)).over(wp))
+      hist
+        .withColumn("cum", sum($"cnt").over(w))
+        .withColumn("n", sum($"cnt").over(wp))
         .groupBy($"l_returnflag")
-        .agg(max(when($"rn" === ceil($"n" * 0.5), $"l_quantity")).as("p50_qty"),
-             max(when($"rn" === ceil($"n" * 0.95), $"l_quantity")).as("p95_qty"))
+        .agg(min(when($"cum" >= ceil($"n" * 0.5), $"l_quantity")).as("p50_qty"),
+             min(when($"cum" >= ceil($"n" * 0.95), $"l_quantity")).as("p95_qty"))
         .orderBy($"l_returnflag")
     },
 
