@@ -134,6 +134,20 @@ object MonitoringQueries {
         .orderBy(col("user_id"))
     },
 
+    // config-drift detection: value dispersion of a parsed config/prop
+    // across nodes (getKeeperParams surfaces per-node conf; drift =
+    // nodes disagreeing on a parameter).
+    "m17_conf_drift" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("k")).as("n_distinct_values"),
+          min(col("k")).as("min_value"), max(col("k")).as("max_value"))
+        .withColumn("drifted", (col("n_distinct_values") > 1).cast("boolean"))
+        .orderBy(col("event_type"))
+    },
+
     // activeReplicas: set → sorted CSV string (chStats.py:106).
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
@@ -256,6 +270,14 @@ object MonitoringQueries {
          |runs AS (SELECT user_id, grp, count(*) AS len FROM g WHERE _is = 1 GROUP BY user_id, grp)
          |SELECT user_id, max(len) AS max_streak, count(*) AS n_streaks
          |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "m17_conf_drift" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT CAST(props->>'$.k' AS INT)) AS BIGINT) AS n_distinct_values,
+        |  min(CAST(props->>'$.k' AS INT)) AS min_value,
+        |  max(CAST(props->>'$.k' AS INT)) AS max_value,
+        |  count(DISTINCT CAST(props->>'$.k' AS INT)) > 1 AS drifted
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "m14_active_csv" ->
       """SELECT s_nationkey AS nationkey,

@@ -88,6 +88,42 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // end-to-end near-dup removal: LSH candidates → Jaccard verify →
+    // drop the higher id of each verified pair (left-anti join).
+    "d7_dedup_apply" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.lshCandidates(docs, "doc_id", "text", bands = 4, rows = 2)
+      val dups = Dedup.jaccardVerify(cand, docs, "doc_id", "text", threshold = 0.5)
+        .select(col("id_b").as("drop_id")).distinct()
+      docs.join(dups, col("doc_id") === col("drop_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // corpus-wide top-20 word bigrams (explode + count + top-k).
+    "t5_ngram_freq" -> { (s, dir) =>
+      val bigrams = Tables.documents(s, dir)
+        .select(explode(expr(
+          "CASE WHEN size(split(trim(text), '\\\\s+')) >= 2 THEN " +
+          "transform(arrays_zip(slice(split(trim(text), '\\\\s+'), 1, size(split(trim(text), '\\\\s+')) - 1), " +
+          "slice(split(trim(text), '\\\\s+'), 2, size(split(trim(text), '\\\\s+')) - 1)), " +
+          "x -> concat_ws(' ', x.`0`, x.`1`)) ELSE array() END")).as("bigram"))
+      bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    },
+
+    // modality distribution over decoded metadata.
+    "x3_modality_stats" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeMeta(docs, "doc_id", "payload").toDF()
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("byte_len").cast("long")) / count(lit(1))).as("avg_bytes"))
+        .orderBy(col("format"))
+    },
+
     "s1_ann_brute" -> { (s, dir) =>
       val vecs = Tables.embeddings(s, dir)
       val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
@@ -207,6 +243,32 @@ object PipelineQueries {
          |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
          |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id) t
          |WHERE sim > 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    "d7_dedup_apply" ->
+      s"""WITH $shingleCte,
+         |dups AS (SELECT DISTINCT id_b AS drop_id
+         |  FROM cand JOIN sh2 x ON id_a = x.doc_id JOIN sh2 y ON id_b = y.doc_id
+         |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) >= 0.5)
+         |SELECT doc_id, n_chars FROM documents
+         |WHERE NOT EXISTS (SELECT 1 FROM dups WHERE drop_id = doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "t5_ngram_freq" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT unnest(CASE WHEN len(wd) >= 2
+        |    THEN list_transform(generate_series(1, len(wd) - 1), i -> wd[i] || ' ' || wd[i+1])
+        |    ELSE [] END) AS bigram
+        |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS wd FROM documents) a) b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "x3_modality_stats" ->
+      """SELECT format, count(*) AS n,
+        |  CAST(sum(byte_len) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_bytes FROM (
+        |  SELECT CASE CAST(strlen(text) % 3 AS INT) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+        |      ELSE 'webp' END AS format,
+        |    CAST(strlen(text) AS BIGINT) AS byte_len
+        |  FROM documents) t
+        |GROUP BY format ORDER BY format""".stripMargin,
 
     "s1_ann_brute" ->
       s"""WITH $vecCte,

@@ -265,6 +265,16 @@ object RelationalQueries {
         .orderBy($"key")
     },
 
+    // Full CUBE aggregation (all grouping-set combinations).
+    "q22_cube" -> { (s, dir) =>
+      import s.implicits._
+      Tables.lineitem(s, dir)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+             (sum(cents($"l_quantity")) / 100.0).as("qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    },
+
     // String predicates + transforms (LIKE, regexp, case/substr/concat).
     "q20_string_ops" -> { (s, dir) =>
       import s.implicits._
@@ -431,6 +441,13 @@ object RelationalQueries {
     "q21_skew_agg" ->
       """SELECT event_type AS key, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY key""".stripMargin,
+
+    "q22_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q20_string_ops" ->
       """SELECT p_partkey, upper(p_name) AS uname,
