@@ -148,6 +148,26 @@ object MonitoringQueries {
         .orderBy(col("event_type"))
     },
 
+    // JSON event ingestion: serialize typed rows to JSON lines (the
+    // ClickHouse FORMAT JSON / redis-config shape the reference consumes)
+    // and parse back with an explicit schema — from_json/to_json
+    // round-trip, no schema inference at scale.
+    "m18_json_ingest" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val jsonLines = ev.select(col("event_id"),
+        to_json(struct(col("user_id"), col("event_type"), col("value"))).as("line"))
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_type STRING, value DOUBLE")
+      jsonLines
+        .select(col("event_id"), from_json(col("line"), schema).as("p"))
+        .select(col("event_id"), col("p.user_id").as("user_id"),
+          col("p.event_type").as("event_type"), col("p.value").as("value"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          (sum(Monitoring.cents(col("value"))) / 100.0).as("total_value"))
+        .orderBy(col("event_type"))
+    },
+
     // activeReplicas: set → sorted CSV string (chStats.py:106).
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
@@ -277,6 +297,12 @@ object MonitoringQueries {
         |  min(CAST(props->>'$.k' AS INT)) AS min_value,
         |  max(CAST(props->>'$.k' AS INT)) AS max_value,
         |  count(DISTINCT CAST(props->>'$.k' AS INT)) > 1 AS drifted
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "m18_json_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "m14_active_csv" ->

@@ -275,6 +275,26 @@ object RelationalQueries {
         .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
     },
 
+    // The SQL API surface: identical semantics to q3, expressed as ANSI
+    // SQL over registered temp views (the engine is equally driveable
+    // from spark.sql).
+    "q23_sql_api" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT l_orderkey, o_orderdate,
+          sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / CAST(10000.0 AS DOUBLE) AS revenue
+        FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
+        JOIN v_customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")
+    },
+
     // String predicates + transforms (LIKE, regexp, case/substr/concat).
     "q20_string_ops" -> { (s, dir) =>
       import s.implicits._
@@ -441,6 +461,18 @@ object RelationalQueries {
     "q21_skew_agg" ->
       """SELECT event_type AS key, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY key""".stripMargin,
+
+    "q23_sql_api" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0 AS revenue
+        |FROM lineitem, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
 
     "q22_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,

@@ -22,6 +22,19 @@ object StreamingQueries {
     "st2_stream_sessions" -> { (s, dir) =>
       HealthStream.sessions(Tables.events(s, dir), gapMinutes = 30)
         .orderBy(col("user_id"), col("session_idx"))
+    },
+
+    // native session windows (merge while gap < 30 min; window end =
+    // last event + gap). Streaming-capable as-is (state store backed).
+    "st3_session_window" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("w.start").cast("timestamp_ntz").as("session_start"),
+          col("w.end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
     }
   )
 
@@ -46,6 +59,25 @@ object StreamingQueries {
          |           WHEN lag($tsUs) OVER (PARTITION BY user_id ORDER BY $tsUs, event_id) IS NULL
          |           THEN 1 ELSE 0 END AS new_session
          |    FROM events) a) b
-         |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin
+         |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    // session_window merges while diff < gap (strict), so the break
+    // condition here is >= — unlike st2's > (sub-µs distinction only).
+    "st3_session_window" ->
+      s"""SELECT user_id, make_timestamp(min(ts_us)) AS session_start,
+         |  make_timestamp(max(ts_us) + 1800000000) AS session_end,
+         |  count(*) AS n_events
+         |FROM (
+         |  SELECT user_id, ts_us,
+         |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+         |  FROM (
+         |    SELECT user_id, event_id, $tsUs AS ts_us,
+         |      CASE WHEN $tsUs - lag($tsUs) OVER (PARTITION BY user_id ORDER BY $tsUs, event_id) >= 1800000000
+         |           THEN 1
+         |           WHEN lag($tsUs) OVER (PARTITION BY user_id ORDER BY $tsUs, event_id) IS NULL
+         |           THEN 1 ELSE 0 END AS new_session
+         |    FROM events) a) b
+         |GROUP BY user_id, session_idx ORDER BY user_id, session_start""".stripMargin
   )
 }
