@@ -10,7 +10,10 @@ import graft.functions.expressions.{CosineSim, PolyHash, TokenCount}
   * builder). Usable from SQL and via functions.call_function.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.inject(ext)
+    ext.injectPlannerStrategy(_ => graft.plans.TopNPerKeyStrategy)
+  }
 }
 
 object GraftFunctions {

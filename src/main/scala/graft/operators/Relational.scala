@@ -17,6 +17,23 @@ object Relational {
     df.withColumn("_rn", row_number().over(Window.partitionBy(part).orderBy(order: _*)))
       .filter(col("_rn") <= n).drop("_rn")
 
+  /** Top-n rows per group through the custom TopNPerKey operator:
+    * bounded per-key heaps instead of sorting every key group (see
+    * graft.plans.TopNPerKey). `order` must be a TOTAL ordering. */
+  def topNPerGroupFast(df: DataFrame, n: Int, part: Seq[String],
+      order: Seq[(String, Boolean)]): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val plan = GraftSqlBridge.planOf(df)
+    def attr(name: String) = plan.output.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name in ${plan.output}"))
+    val sortOrders = order.map { case (name, asc) =>
+      SortOrder(attr(name), if (asc) Ascending else Descending)
+    }
+    GraftSqlBridge.ofRows(df.sparkSession,
+      graft.plans.TopNPerKey(n, part.map(attr), sortOrders, plan))
+  }
+
   /** Skew-safe aggregation: salt the hot key into `salts` subkeys,
     * aggregate partially per (key, salt), then combine. Results are
     * identical to a direct groupBy — the salt only splits reducer load

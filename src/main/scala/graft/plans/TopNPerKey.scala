@@ -1,0 +1,86 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** Custom whole-operator path (SURVEY §4 preference (c)): top-n rows per
+  * key WITHOUT sorting each key group.
+  *
+  * Spark expresses top-n-per-group as window row_number + filter, which
+  * sorts every key group in full. This operator keeps a bounded heap per
+  * key: O(rows · log n) per partition, O(keys · n) memory, no sort. At
+  * 100 TB with heavy keys that is the difference between a bounded-state
+  * stream-through and a full spill-sort of the fact table.
+  *
+  * Tie discipline: callers must provide a TOTAL ordering (as all graft
+  * queries do) — heap eviction on a partial ordering would be
+  * nondeterministic where row_number would pick arbitrarily anyway.
+  */
+case class TopNPerKey(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(c: LogicalPlan): TopNPerKey = copy(child = c)
+}
+
+case class TopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
+    child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+
+  /** Co-locate each key's rows; the heap pass is then partition-local. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keys.isEmpty) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val nLocal = n
+    val keyExprs = keys
+    val orderExprs = order
+    child.execute().mapPartitions ({ it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val cmp = new LazilyGeneratedOrdering(
+        BindReferences.bindReferences(orderExprs, childOutput))
+      // PriorityQueue dequeues the MAX of the ordering; with SortOrder
+      // semantics (compare < 0 == ranks earlier), max == worst kept row.
+      implicit val rowOrd: Ordering[UnsafeRow] =
+        (a: UnsafeRow, b: UnsafeRow) => cmp.compare(a, b)
+      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      it.foreach { row =>
+        val unsafe = row.asInstanceOf[UnsafeRow]
+        val key = keyProj(unsafe)
+        heaps.get(key) match {
+          case None =>
+            val pq = mutable.PriorityQueue.empty[UnsafeRow]
+            pq.enqueue(unsafe.copy())
+            heaps.put(key.copy(), pq)
+          case Some(pq) =>
+            if (pq.size < nLocal) pq.enqueue(unsafe.copy())
+            else if (cmp.compare(unsafe, pq.head) < 0) {
+              pq.dequeue(); pq.enqueue(unsafe.copy())
+            }
+        }
+      }
+      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan): TopNPerKeyExec =
+    copy(child = c)
+}
+
+/** Planner rule mapping the logical node to its physical operator. */
+object TopNPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopNPerKey(n, keys, order, child) =>
+      TopNPerKeyExec(n, keys, order, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}

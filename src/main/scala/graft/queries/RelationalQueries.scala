@@ -295,6 +295,19 @@ object RelationalQueries {
         LIMIT 10""")
     },
 
+    // top-n per group through the custom TopNPerKey physical operator
+    // (bounded per-key heaps; no per-group sort — see graft.plans).
+    "q24_topn_custom" -> { (s, dir) =>
+      import s.implicits._
+      graft.operators.Relational.topNPerGroupFast(
+          Tables.lineitem(s, dir)
+            .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice"),
+          n = 3,
+          part = Seq("l_returnflag"),
+          order = Seq(("l_extendedprice", false), ("l_orderkey", true), ("l_linenumber", true)))
+        .orderBy($"l_returnflag", $"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    },
+
     // String predicates + transforms (LIKE, regexp, case/substr/concat).
     "q20_string_ops" -> { (s, dir) =>
       import s.implicits._
@@ -473,6 +486,15 @@ object RelationalQueries {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q24_topn_custom" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3
+        |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
 
     "q22_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
