@@ -168,6 +168,18 @@ object MonitoringQueries {
         .orderBy(col("event_type"))
     },
 
+    // metric rate-of-change per node (delta vs previous observation).
+    "m19_rate_of_change" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("v_cents", Monitoring.cents(col("value")))
+        .withColumn("delta_cents", col("v_cents") - lag(col("v_cents"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("v_cents"), col("delta_cents"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     // activeReplicas: set → sorted CSV string (chStats.py:106).
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
@@ -304,6 +316,13 @@ object MonitoringQueries {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "m19_rate_of_change" ->
+      s"""SELECT user_id, event_id, v_cents,
+         |  v_cents - lag(v_cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS delta_cents
+         |FROM (SELECT user_id, event_id, $tsUs AS ts_us,
+         |    CAST(round(value*100) AS BIGINT) AS v_cents FROM events) t
+         |ORDER BY user_id, event_id""".stripMargin,
 
     "m14_active_csv" ->
       """SELECT s_nationkey AS nationkey,

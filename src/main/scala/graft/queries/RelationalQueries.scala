@@ -308,6 +308,23 @@ object RelationalQueries {
         .orderBy($"l_returnflag", $"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
     },
 
+    // window-function breadth: first/last/lag/lead/ntile in one pass.
+    "q25_window_misc" -> { (s, dir) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .filter($"o_custkey" < 50)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+        .withColumn("first_order", first($"o_orderkey").over(wFull))
+        .withColumn("last_order", last($"o_orderkey").over(wFull))
+        .withColumn("prev_order", lag($"o_orderkey", 1).over(w))
+        .withColumn("next_order", lead($"o_orderkey", 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .drop("o_orderdate")
+        .orderBy($"o_custkey", $"o_orderkey")
+    },
+
     // String predicates + transforms (LIKE, regexp, case/substr/concat).
     "q20_string_ops" -> { (s, dir) =>
       import s.implicits._
@@ -495,6 +512,18 @@ object RelationalQueries {
         |  FROM lineitem) t
         |WHERE rn <= 3
         |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
+    "q25_window_misc" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
+        |  lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+        |  lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q22_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
