@@ -181,6 +181,24 @@ object MonitoringQueries {
     },
 
     // activeReplicas: set → sorted CSV string (chStats.py:106).
+    // keeper cons-line shape: regex field extraction from connection
+    // stat lines (getKeeperStats, chStats.py:279-294) — build the line,
+    // extract typed fields back; oracle computes the fields directly.
+    "m20_cons_parse" -> { (s, dir) =>
+      val line = format_string(" /192.168.1.%d:%d[1](queued=%d,recved=%d,sent=%d)",
+        pmod(col("user_id"), lit(250)), lit(2181) + pmod(col("event_id"), lit(100)),
+        pmod(col("event_id"), lit(7)), col("event_id"), col("user_id"))
+      Tables.events(s, dir)
+        .withColumn("_line", line)
+        .select(col("event_id"),
+          LogLines.extractString(col("_line"), "/([0-9.]+):").as("client_ip"),
+          LogLines.extractLong(col("_line"), ":([0-9]+)\\[").as("port"),
+          LogLines.extractLong(col("_line"), "queued=([0-9]+)").as("queued"),
+          LogLines.extractLong(col("_line"), "recved=([0-9]+)").as("recved"),
+          LogLines.extractLong(col("_line"), "sent=([0-9]+)").as("sent"))
+        .orderBy(col("event_id"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -323,6 +341,15 @@ object MonitoringQueries {
          |FROM (SELECT user_id, event_id, $tsUs AS ts_us,
          |    CAST(round(value*100) AS BIGINT) AS v_cents FROM events) t
          |ORDER BY user_id, event_id""".stripMargin,
+
+    "m20_cons_parse" ->
+      """SELECT event_id,
+        |  '192.168.1.' || (user_id % 250) AS client_ip,
+        |  2181 + (event_id % 100) AS port,
+        |  event_id % 7 AS queued,
+        |  event_id AS recved,
+        |  user_id AS sent
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "m14_active_csv" ->
       """SELECT s_nationkey AS nationkey,
