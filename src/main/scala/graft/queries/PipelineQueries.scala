@@ -124,6 +124,18 @@ object PipelineQueries {
         .orderBy(col("format"))
     },
 
+    // prefix-blocking dedup: docs sharing a 5-word prefix (cheap
+    // blocking key; the groups feed exact/fuzzy verification).
+    "d8_prefix_dup" -> { (s, dir) =>
+      val prefix = expr("concat_ws(' ', slice(split(trim(text), '\\\\s+'), 1, 5))")
+      Tables.documents(s, dir)
+        .groupBy(prefix.as("prefix"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .select(col("keeper_id"), col("n_docs"))
+        .orderBy(col("keeper_id"))
+    },
+
     "s1_ann_brute" -> { (s, dir) =>
       val vecs = Tables.embeddings(s, dir)
       val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
@@ -196,6 +208,37 @@ object PipelineQueries {
     "x2_frame_sample" -> { (s, dir) =>
       Multimodal.sampleFrames(Tables.documents(s, dir), "doc_id", "text", stride = 16)
         .orderBy(col("doc_id"), col("frame_idx"))
+    },
+
+    // resize plumbing: thumbnail dims from decoded metadata (integer
+    // aspect-preserving scale; the real codec call sits behind the
+    // same decodeMeta boundary).
+    "x4_resize" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.decodeMeta(docs, "doc_id", "payload").toDF()
+        .withColumn("thumb_w",
+          expr("cast((width * 128) div greatest(width, height, 1) as int)"))
+        .withColumn("thumb_h",
+          expr("cast((height * 128) div greatest(width, height, 1) as int)"))
+        .select(col("doc_id"), col("width"), col("height"), col("thumb_w"), col("thumb_h"))
+        .orderBy(col("doc_id"))
+    },
+
+    // feature-extraction plumbing: byte-class histogram per payload
+    // (stand-in for an embedding/feature vector; declarative, codegen'd).
+    "x5_features" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("n_letters", length(regexp_replace(col("text"), "[^A-Za-z]", "")))
+        .withColumn("n_digits", length(regexp_replace(col("text"), "[^0-9]", "")))
+        .withColumn("n_spaces",
+          length(col("text")) - length(regexp_replace(col("text"), " ", "")))
+        .withColumn("n_other",
+          (length(col("text")) - col("n_letters") - col("n_digits") - col("n_spaces"))
+            .cast("int"))
+        .select(col("doc_id"), col("n_letters"), col("n_digits"), col("n_spaces"),
+          col("n_other"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -269,6 +312,31 @@ object PipelineQueries {
         |    CAST(strlen(text) AS BIGINT) AS byte_len
         |  FROM documents) t
         |GROUP BY format ORDER BY format""".stripMargin,
+
+    "d8_prefix_dup" ->
+      """SELECT min(doc_id) AS keeper_id, count(*) AS n_docs
+        |FROM documents
+        |GROUP BY array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ')
+        |HAVING count(*) > 1
+        |ORDER BY keeper_id""".stripMargin,
+
+    "x4_resize" ->
+      """SELECT doc_id, width, height,
+        |  CAST((width * 128) // greatest(width, height, 1) AS INT) AS thumb_w,
+        |  CAST((height * 128) // greatest(width, height, 1) AS INT) AS thumb_h
+        |FROM (SELECT doc_id, CAST(strlen(text) % 640 AS INT) AS width,
+        |    CAST(strlen(text) % 480 AS INT) AS height FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "x5_features" ->
+      """SELECT doc_id,
+        |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_letters,
+        |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS INT) AS n_digits,
+        |  CAST(length(text) - length(replace(text, ' ', '')) AS INT) AS n_spaces,
+        |  CAST(length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |    - length(regexp_replace(text, '[^0-9]', '', 'g'))
+        |    - (length(text) - length(replace(text, ' ', ''))) AS INT) AS n_other
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "s1_ann_brute" ->
       s"""WITH $vecCte,
