@@ -18,6 +18,10 @@ class QueriesSpec extends AnyFunSuite {
     assert(empty.isEmpty, s"queries with zero rows: $empty")
   }
 
+  test("driver smoke: entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("every query has an oracle entry") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")

@@ -49,6 +49,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(lines.forall(_.startsWith("PH_SYSTEM_DATA_NODE_HEALTH={\"eventType\":\"")))
   }
 
+  test("incremental multi-batch stream == batch (checkpointed file source)") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr")
+    // two arrival batches
+    ev.filter($"event_id" < 500).write.parquet(s"$dir/f1")
+    ev.filter($"event_id" >= 500).write.parquet(s"$dir/f2")
+    // files written by this test already carry µs TimestampType
+    val schema = org.apache.spark.sql.types.StructType(
+      graft.streaming.HealthStream.eventSchema.map {
+        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+        case f => f
+      })
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+    val chk = java.nio.file.Files.createTempDirectory("graft_incr_chk")
+    val q = HealthStream.windowedHealth(stream)
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", chk.toString)
+      .format("memory").queryName("incr_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("incr_out").orderBy("bucket", "event_type").collect().toSeq
+    val batch = HealthStream.windowedHealth(ev).orderBy("bucket", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) == declarative sessions") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
