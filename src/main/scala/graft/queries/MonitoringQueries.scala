@@ -52,12 +52,17 @@ object MonitoringQueries {
       ).orderBy(col("event_id"))
     },
 
-    // PH_SYSTEM_* syslog payload emission (uploadEvents analog).
+    // PH_SYSTEM_* syslog payload emission (uploadEvents analog) with
+    // remove_empty_keys semantics: the zone field is empty for nodes in
+    // zone 0 and is elided from those payloads entirely.
     "m6_event_emit" -> { (s, dir) =>
       val health = Monitoring.healthSnapshot(Tables.events(s, dir))
+      val zone = when(pmod(col("user_id"), lit(3)) === 0, lit(""))
+        .otherwise(concat(lit("zone-"), pmod(col("user_id"), lit(3))))
       health.select(col("user_id"),
-        LogLines.phPayload("DATA_NODE_HEALTH",
+        LogLines.phPayloadElide("DATA_NODE_HEALTH",
           "deviceName" -> LogLines.jstr(concat(lit("node-"), col("user_id"))),
+          "zone" -> when(zone === "", zone).otherwise(LogLines.jstr(zone)),
           "shard" -> (pmod(col("user_id"), lit(4)) + 1).cast("string"),
           "queueSize" -> col("n_error").cast("string"),
           "healthPct" -> col("health_pct").cast("string")
@@ -240,8 +245,14 @@ object MonitoringQueries {
 
     "m6_event_emit" ->
       """SELECT user_id,
-        |  'PH_SYSTEM_DATA_NODE_HEALTH={"deviceName":"node-' || user_id || '","shard":' || (user_id % 4 + 1) ||
-        |  ',"queueSize":' || n_error || ',"healthPct":' || health_pct || '}' AS payload
+        |  'PH_SYSTEM_DATA_NODE_HEALTH={' ||
+        |  concat_ws(',',
+        |    '"deviceName":"node-' || user_id || '"',
+        |    CASE WHEN user_id % 3 = 0 THEN NULL
+        |         ELSE '"zone":"zone-' || (user_id % 3) || '"' END,
+        |    '"shard":' || (user_id % 4 + 1),
+        |    '"queueSize":' || n_error,
+        |    '"healthPct":' || health_pct) || '}' AS payload
         |FROM (
         |  SELECT user_id, CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
         |    CAST(floor((count(*) - sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)) * 100 / count(*)) AS INT) AS health_pct

@@ -49,4 +49,17 @@ object LogLines {
 
   /** JSON-quote a string column (for phPayload string fields). */
   def jstr(c: Column): Column = concat(lit("\""), c, lit("\""))
+
+  /** phPayload with empty-value elision: fields whose value is NULL or
+    * the empty string are dropped from the payload entirely
+    * (remove_empty_keys, chStats.py:63-64). concat_ws skips NULLs, so
+    * elision is a per-field NULLing — no row-wise branching. */
+  def phPayloadElide(payloadType: String, fields: (String, Column)*): Column = {
+    val body = fields.map { case (k, v) =>
+      when(v.isNull || v === "" || v === "\"\"", lit(null))
+        .otherwise(concat(lit("\"" + k + "\":"), v))
+    }
+    concat(lit(s"PH_SYSTEM_$payloadType={"),
+      concat_ws(",", body: _*), lit("}"))
+  }
 }

@@ -76,6 +76,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stateful sessionization carries state across micro-batches") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_state")
+    // split by time so sessions span the batch boundary
+    val cut = ev.agg(expr("percentile_approx(ts_us, 0.5)")).head().getLong(0)
+    ev.filter($"ts_us" < cut).write.parquet(s"$dir/f1")
+    ev.filter($"ts_us" >= cut).write.parquet(s"$dir/f2")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, event_id BIGINT, ts_us BIGINT")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/f*")
+      .as[HealthStream.Ev]
+    val q = HealthStream.sessionsStateful(stream, 30).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("state_out").start()
+    q.processAllAvailable(); q.stop()
+
+    // stream (append, NoTimeout) emits only sessions CLOSED by a later
+    // event; expected = all declarative sessions except each user's last
+    val all = HealthStream.sessions(Tables.events(spark, sf), 30)
+    val lastPerUser = all.groupBy($"user_id").agg(max($"session_idx").as("last_idx"))
+    val expected = all.join(lastPerUser, Seq("user_id"))
+      .filter($"session_idx" =!= $"last_idx")
+      .select($"user_id", $"session_idx", $"start_us", $"end_us", $"n_events")
+      .orderBy($"user_id", $"session_idx").collect().toSeq
+    val streamed = spark.table("state_out")
+      .select($"user_id", $"session_idx", $"start_us", $"end_us", $"n_events")
+      .orderBy($"user_id", $"session_idx").collect().toSeq
+    assert(streamed == expected)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) == declarative sessions") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
