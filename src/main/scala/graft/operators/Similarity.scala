@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
+import graft.operators.Relational
 
 /** Approximate-nearest-neighbor search over embedding columns.
   *
@@ -21,13 +22,24 @@ object Similarity {
       vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
     val cand = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    cand.crossJoin(broadcast(q))
+    val sims = cand.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    rankTopK(sims, k)
+  }
+
+  /** Reduce candidate (query_id, neighbor_id, sim) rows to ranked top-k
+    * per query via the custom TopNPerKey operator: per-partition partial
+    * heaps mean the shuffle carries at most queries*k rows — windowing
+    * the full candidate set would shuffle ALL of them. The row_number
+    * then runs over the tiny survivor set. */
+  private def rankTopK(sims: DataFrame, k: Int): DataFrame = {
+    val top = Relational.topNPerGroupFast(sims, k, Seq("query_id"),
+      Seq(("sim", false), ("neighbor_id", true)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
@@ -45,14 +57,11 @@ object Similarity {
       signBucket(vecCol, bits).as("bucket"))
     val cand = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
       signBucket(vecCol, bits).as("bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    cand.join(broadcast(q), Seq("bucket"))
+    val sims = cand.join(broadcast(q), Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    rankTopK(sims, k)
   }
 
   /** IVF-style ANN: assign every vector to its nearest centroid cell
@@ -76,14 +85,11 @@ object Similarity {
     }
     val corpusCells = assign(corpus, "neighbor_id", "n_vec")
     val queryCells = assign(queries, "query_id", "q_vec")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    corpusCells.join(broadcast(queryCells), Seq("cell"))
+    val sims = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    rankTopK(sims, k)
   }
 
   /** Embedding near-duplicate pairs, blocked by a key (label, cluster,

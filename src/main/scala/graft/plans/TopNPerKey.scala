@@ -30,13 +30,15 @@ case class TopNPerKey(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
 }
 
 case class TopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
-    child: SparkPlan) extends UnaryExecNode {
+    partial: Boolean, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
-  /** Co-locate each key's rows; the heap pass is then partition-local. */
+  /** Final pass co-locates each key's rows; the partial pass runs on
+    * whatever partitioning the child has (map-side combine: each input
+    * partition reduces to at most keys*n rows BEFORE the exchange). */
   override def requiredChildDistribution: Seq[Distribution] =
-    if (keys.isEmpty) UnspecifiedDistribution :: Nil
+    if (partial || keys.isEmpty) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -80,7 +82,11 @@ case class TopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
 object TopNPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case TopNPerKey(n, keys, order, child) =>
-      TopNPerKeyExec(n, keys, order, planLater(child)) :: Nil
+      // partial (map-side) pass under the final pass — the exchange that
+      // EnsureRequirements inserts between them carries only the
+      // per-partition survivors
+      TopNPerKeyExec(n, keys, order, partial = false,
+        TopNPerKeyExec(n, keys, order, partial = true, planLater(child))) :: Nil
     case _ => Nil
   }
 }
