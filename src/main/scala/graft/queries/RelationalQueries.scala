@@ -325,6 +325,23 @@ object RelationalQueries {
         .orderBy($"o_custkey", $"o_orderkey")
     },
 
+    // INTERSECT: nations hosting both customers and suppliers.
+    "q26_intersect" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir).select($"c_nationkey".as("nationkey"))
+        .intersect(Tables.supplier(s, dir).select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
+    },
+
+    // EXCEPT: customer nations minus low-nation-id supplier nations.
+    "q27_except" -> { (s, dir) =>
+      import s.implicits._
+      Tables.customer(s, dir).select($"c_nationkey".as("nationkey"))
+        .except(Tables.supplier(s, dir).filter($"s_nationkey" < 10)
+          .select($"s_nationkey".as("nationkey")))
+        .orderBy($"nationkey")
+    },
+
     // String predicates + transforms (LIKE, regexp, case/substr/concat).
     "q20_string_ops" -> { (s, dir) =>
       import s.implicits._
@@ -524,6 +541,16 @@ object RelationalQueries {
         |  CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile
         |FROM orders WHERE o_custkey < 50
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q26_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT SELECT s_nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q27_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT SELECT s_nationkey FROM supplier WHERE s_nationkey < 10
+        |ORDER BY nationkey""".stripMargin,
 
     "q22_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
