@@ -342,6 +342,27 @@ object RelationalQueries {
         .orderBy($"nationkey")
     },
 
+    // non-equi range join: events against derived maintenance windows
+    // (ts ∈ [start, end)); the interval side is tiny and broadcast, so
+    // the range predicate never drives a cartesian of two big sides.
+    "q28_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables.events(s, dir).withColumn("ts_us", unix_micros($"ts"))
+      val base = ev.agg(min($"ts_us").as("base_us"))
+      // 10 windows of 1 day, every 3 days from the earliest event
+      val windows = base.select($"base_us",
+          explode(expr("sequence(0, 9)")).as("win_id"))
+        .select($"win_id",
+          ($"base_us" + $"win_id" * lit(259200000000L)).as("start_us"),
+          ($"base_us" + $"win_id" * lit(259200000000L) + lit(86400000000L)).as("end_us"))
+      ev.join(broadcast(windows),
+          $"ts_us" >= $"start_us" && $"ts_us" < $"end_us")
+        .groupBy($"win_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct($"user_id").as("n_users"))
+        .orderBy($"win_id")
+    },
+
     // String predicates + transforms (LIKE, regexp, case/substr/concat).
     "q20_string_ops" -> { (s, dir) =>
       import s.implicits._
@@ -541,6 +562,17 @@ object RelationalQueries {
         |  CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INT) AS quartile
         |FROM orders WHERE o_custkey < 50
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q28_range_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+        |w AS (SELECT CAST(i AS INT) AS win_id,
+        |    (SELECT min(ts_us) FROM e) + i * 259200000000 AS start_us,
+        |    (SELECT min(ts_us) FROM e) + i * 259200000000 + 86400000000 AS end_us
+        |  FROM generate_series(0, 9) t(i))
+        |SELECT win_id, count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM e JOIN w ON ts_us >= start_us AND ts_us < end_us
+        |GROUP BY win_id ORDER BY win_id""".stripMargin,
 
     "q26_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
