@@ -204,6 +204,21 @@ object MonitoringQueries {
         .orderBy(col("event_id"))
     },
 
+    // heartbeat-gap detection: longest silence per node (max inter-event
+    // gap) — the "is this node still reporting" monitoring primitive.
+    "m21_heartbeat_gaps" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(max(col("gap_us")).as("max_gap_us"),
+          count(lit(1)).as("n_heartbeats"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("span_us"))
+        .orderBy(col("user_id"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -361,6 +376,14 @@ object MonitoringQueries {
         |  event_id AS recved,
         |  user_id AS sent
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "m21_heartbeat_gaps" ->
+      s"""SELECT user_id, max(gap_us) AS max_gap_us, count(*) AS n_heartbeats,
+         |  max(ts_us) - min(ts_us) AS span_us
+         |FROM (SELECT user_id, ts_us,
+         |    ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+         |  FROM (SELECT user_id, event_id, $tsUs AS ts_us FROM events) a) b
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "m14_active_csv" ->
       """SELECT s_nationkey AS nationkey,
