@@ -32,19 +32,25 @@ object TextExprUtil {
   }
 
   /** Position-weighted polynomial fingerprint:
-    * sum_i code(c_i) * ((i+1) * 2654435761 mod 1000000007), 1-based i.
-    * Order-sensitive but associative-friendly weights keep it exactly
-    * reproducible in plain SQL (see t4 oracle).
+    * sum_i code(c_i) * ((i+1) * 2654435761 mod 1000000007), 1-based i
+    * over Unicode CODE POINTS (not UTF-16 code units) — SQL engines index
+    * strings by character, so charAt iteration would diverge on any
+    * non-BMP text (emoji, rare CJK). Order-sensitive but
+    * associative-friendly weights keep it exactly reproducible in plain
+    * SQL (see t4 oracle).
     */
   def polyHash(s: UTF8String): Long = {
     val str = s.toString
     var h = 0L
-    var i = 0
+    var i = 0  // UTF-16 index
+    var cp = 0 // code-point index (what the oracle's substr/unicode sees)
     val len = str.length
     while (i < len) {
-      val w = ((i + 1).toLong * 2654435761L) % 1000000007L
-      h += str.charAt(i).toLong * w
-      i += 1
+      val c = str.codePointAt(i)
+      val w = (cp + 1).toLong * 2654435761L % 1000000007L
+      h += c.toLong * w
+      i += Character.charCount(c)
+      cp += 1
     }
     h
   }

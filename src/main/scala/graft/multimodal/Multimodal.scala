@@ -49,11 +49,14 @@ object Multimodal {
     * distributes and prunes like any other lateral view. */
   def sampleFrames(docs: DataFrame, idCol: String, textCol: String,
       stride: Int): DataFrame = {
+    // empty payloads emit NO frames: without the guard, sequence(0, -1)
+    // evaluates with step -1 to [0, -1] and fabricates two bogus frames
     docs.select(col(idCol),
         expr(s"length($textCol)").as("_len"),
         posexplode(expr(
-          s"transform(sequence(0, cast(floor((length($textCol) - 1) / $stride) as int)), " +
-          s"i -> ascii(substr($textCol, i * $stride + 1, 1)))"))
+          s"CASE WHEN length($textCol) = 0 THEN cast(array() as array<int>) " +
+          s"ELSE transform(sequence(0, cast(floor((length($textCol) - 1) / $stride) as int)), " +
+          s"i -> ascii(substr($textCol, i * $stride + 1, 1))) END"))
           .as(Seq("frame_idx", "frame_byte")))
       .select(col(idCol), col("frame_idx"), col("frame_byte"))
   }

@@ -19,9 +19,13 @@ object Relational {
 
   /** Top-n rows per group through the custom TopNPerKey operator:
     * bounded per-key heaps instead of sorting every key group (see
-    * graft.plans.TopNPerKey). `order` must be a TOTAL ordering. */
+    * graft.plans.TopNPerKey). `order` must be a TOTAL ordering. An empty
+    * `part` means global top-n (the final pass gathers to one
+    * partition; the partial pass has already reduced each input
+    * partition to n rows). */
   def topNPerGroupFast(df: DataFrame, n: Int, part: Seq[String],
-      order: Seq[(String, Boolean)]): DataFrame = {
+      order: Seq[(String, Boolean)],
+      maxPartialKeys: Int = graft.plans.TopNPerKey.DefaultMaxPartialKeys): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge
     import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
     val plan = GraftSqlBridge.planOf(df)
@@ -31,17 +35,19 @@ object Relational {
       SortOrder(attr(name), if (asc) Ascending else Descending)
     }
     GraftSqlBridge.ofRows(df.sparkSession,
-      graft.plans.TopNPerKey(n, part.map(attr), sortOrders, plan))
+      graft.plans.TopNPerKey(n, part.map(attr), sortOrders, plan, maxPartialKeys))
   }
 
   /** Skew-safe aggregation: salt the hot key into `salts` subkeys,
     * aggregate partially per (key, salt), then combine. Results are
     * identical to a direct groupBy — the salt only splits reducer load
     * for pathological key skew beyond what AQE's skew handling covers.
-    * aggs are (partialExpr, combineExpr-on-partial-name) pairs. */
-  def saltedCount(df: DataFrame, key: Column, salts: Int): DataFrame = {
+    * `saltBy` must be a DETERMINISTIC row-level column (an id, not a
+    * random or partition-dependent value) so task retries re-produce the
+    * same salt assignment. */
+  def saltedCount(df: DataFrame, key: Column, saltBy: Column, salts: Int): DataFrame = {
     val salted = df
-      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
+      .withColumn("_salt", pmod(hash(saltBy), lit(salts)))
       .groupBy(key.as("key"), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
     salted.groupBy(col("key"))

@@ -73,15 +73,19 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("c_vec"))
+    // argmax via max_by (map-side partial aggregate): the ×|centroids|
+    // fan-out collapses per input partition BEFORE the shuffle — a
+    // row_number window would instead shuffle and sort every
+    // (vector, centroid) pair. Tie-break = lowest centroid id, encoded
+    // as max over (csim, -cent_id).
     def assign(df: DataFrame, outId: String, outVec: String): DataFrame = {
-      val w = Window.partitionBy(col(outId))
-        .orderBy(col("_csim").desc, col("cent_id"))
       df.select(col(idCol).as(outId), col(vecCol).as(outVec))
         .crossJoin(broadcast(cents))
         .withColumn("_csim", round(cosine(col(outVec), col("c_vec")), 6))
-        .withColumn("_rn", row_number().over(w))
-        .filter(col("_rn") === 1)
-        .select(col(outId), col(outVec), col("cent_id").as("cell"))
+        .groupBy(col(outId))
+        .agg(max_by(struct(col(outVec).as("v"), col("cent_id")),
+          struct(col("_csim"), (-col("cent_id")).as("_nc"))).as("_best"))
+        .select(col(outId), col("_best.v").as(outVec), col("_best.cent_id").as("cell"))
     }
     val corpusCells = assign(corpus, "neighbor_id", "n_vec")
     val queryCells = assign(queries, "query_id", "q_vec")

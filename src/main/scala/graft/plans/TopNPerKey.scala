@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Custom whole-operator path (SURVEY §4 preference (c)): top-n rows per
@@ -22,23 +22,42 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * Tie discipline: callers must provide a TOTAL ordering (as all graft
   * queries do) — heap eviction on a partial ordering would be
   * nondeterministic where row_number would pick arbitrarily anyway.
+  *
+  * Keyless inputs (`keys.isEmpty`, i.e. global top-n) require ALL rows on
+  * one partition in the final pass — without that the operator would
+  * return n rows PER PARTITION. The map-side partial pass still bounds
+  * what that single reducer receives to n rows per input partition.
   */
 case class TopNPerKey(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxPartialKeys: Int = TopNPerKey.DefaultMaxPartialKeys) extends UnaryNode {
+  require(n > 0, s"TopNPerKey needs n > 0, got $n")
+  require(order.nonEmpty, "TopNPerKey needs at least one ordering expression")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): TopNPerKey = copy(child = c)
 }
 
+object TopNPerKey {
+  /** Cap on distinct keys tracked per partition in the partial pass.
+    * 2^17 keys × n rows of heap state stays comfortably inside a task's
+    * memory at any realistic row width; beyond it rows pass through
+    * unreduced (correct, just less map-side reduction). */
+  val DefaultMaxPartialKeys: Int = 1 << 17
+}
+
 case class TopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
-    partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+    partial: Boolean, maxPartialKeys: Int, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
-  /** Final pass co-locates each key's rows; the partial pass runs on
-    * whatever partitioning the child has (map-side combine: each input
-    * partition reduces to at most keys*n rows BEFORE the exchange). */
+  /** Final pass co-locates each key's rows (ALL rows on one partition for
+    * keyless/global top-n — n rows per partition otherwise, a wrong
+    * result); the partial pass runs on whatever partitioning the child
+    * has (map-side combine: each input partition reduces to at most
+    * keys*n rows BEFORE the exchange). */
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partial || keys.isEmpty) UnspecifiedDistribution :: Nil
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -46,6 +65,8 @@ case class TopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
     val nLocal = n
     val keyExprs = keys
     val orderExprs = order
+    val isPartial = partial
+    val keyCap = maxPartialKeys
     child.execute().mapPartitions ({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val cmp = new LazilyGeneratedOrdering(
@@ -55,22 +76,36 @@ case class TopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
       implicit val rowOrd: Ordering[UnsafeRow] =
         (a: UnsafeRow, b: UnsafeRow) => cmp.compare(a, b)
       val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      it.foreach { row =>
+      // Partial pass guard: past `keyCap` distinct keys, rows of NEW keys
+      // stream through unreduced (no copy, no state) — the final pass
+      // still sees every candidate, and task memory stays bounded on
+      // high-cardinality keys. The final pass has no cap: it must hold
+      // every co-located key, the same memory class as a hash aggregate.
+      val streamed = it.flatMap { row =>
         val unsafe = row.asInstanceOf[UnsafeRow]
         val key = keyProj(unsafe)
         heaps.get(key) match {
           case None =>
-            val pq = mutable.PriorityQueue.empty[UnsafeRow]
-            pq.enqueue(unsafe.copy())
-            heaps.put(key.copy(), pq)
+            if (isPartial && heaps.size >= keyCap) {
+              // reused-buffer row is consumed downstream before next()
+              Iterator.single[InternalRow](unsafe)
+            } else {
+              val pq = mutable.PriorityQueue.empty[UnsafeRow]
+              pq.enqueue(unsafe.copy())
+              heaps.put(key.copy(), pq)
+              Iterator.empty
+            }
           case Some(pq) =>
             if (pq.size < nLocal) pq.enqueue(unsafe.copy())
             else if (cmp.compare(unsafe, pq.head) < 0) {
               pq.dequeue(); pq.enqueue(unsafe.copy())
             }
+            Iterator.empty
         }
       }
-      heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      // the heap suffix is by-name: evaluated only after `streamed` is
+      // exhausted, i.e. after the input is fully consumed
+      streamed ++ heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
     }, preservesPartitioning = true)
   }
 
@@ -81,12 +116,12 @@ case class TopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
 /** Planner rule mapping the logical node to its physical operator. */
 object TopNPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopNPerKey(n, keys, order, child) =>
+    case TopNPerKey(n, keys, order, child, cap) =>
       // partial (map-side) pass under the final pass — the exchange that
       // EnsureRequirements inserts between them carries only the
       // per-partition survivors
-      TopNPerKeyExec(n, keys, order, partial = false,
-        TopNPerKeyExec(n, keys, order, partial = true, planLater(child))) :: Nil
+      TopNPerKeyExec(n, keys, order, partial = false, cap,
+        TopNPerKeyExec(n, keys, order, partial = true, cap, planLater(child))) :: Nil
     case _ => Nil
   }
 }

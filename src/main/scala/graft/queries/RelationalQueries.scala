@@ -127,14 +127,22 @@ object RelationalQueries {
         .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
     },
 
-    // Exact distinct counts per group (expand-based multi-distinct).
+    // Exact distinct counts per group, two-phase: each distinct is its
+    // own pre-aggregated (flag, key) dedup — a multi-countDistinct agg
+    // would instead Expand the fact ×3 before the shuffle, tripling
+    // shuffle volume at scale. Three column-pruned scans with map-side
+    // combine shuffle only the distinct pairs; the per-flag results are
+    // tiny and broadcast-joined.
     "q10_distinct_agg" -> { (s, dir) =>
       import s.implicits._
-      Tables.lineitem(s, dir)
-        .groupBy($"l_returnflag")
-        .agg(countDistinct($"l_partkey").as("n_parts"),
-             countDistinct($"l_suppkey").as("n_supps"),
-             count(lit(1)).as("n_lines"))
+      val li = Tables.lineitem(s, dir)
+      val parts = li.select($"l_returnflag", $"l_partkey").distinct()
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n_parts"))
+      val supps = li.select($"l_returnflag", $"l_suppkey").distinct()
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("n_supps"))
+      val lines = li.groupBy($"l_returnflag").agg(count(lit(1)).as("n_lines"))
+      parts.join(broadcast(supps), Seq("l_returnflag"))
+        .join(broadcast(lines), Seq("l_returnflag"))
         .orderBy($"l_returnflag")
     },
 
@@ -208,13 +216,16 @@ object RelationalQueries {
         .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
     },
 
-    // Pivot to wide aggregation.
+    // Pivot to wide aggregation. Absent (flag, status) combos pivot to
+    // NULL in Spark but count to 0 under the oracle's FILTER-agg — fill
+    // so the two shapes agree on sparse distributions.
     "q16_pivot" -> { (s, dir) =>
       import s.implicits._
       Tables.lineitem(s, dir)
         .groupBy($"l_returnflag")
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(count(lit(1)))
+        .na.fill(0L, Seq("F", "O"))
         .orderBy($"l_returnflag")
     },
 
@@ -261,7 +272,7 @@ object RelationalQueries {
     "q21_skew_agg" -> { (s, dir) =>
       import s.implicits._
       graft.operators.Relational
-        .saltedCount(Tables.events(s, dir), $"event_type", salts = 16)
+        .saltedCount(Tables.events(s, dir), $"event_type", $"event_id", salts = 16)
         .orderBy($"key")
     },
 

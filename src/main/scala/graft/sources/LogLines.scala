@@ -47,8 +47,24 @@ object LogLines {
       concat_ws(",", body: _*), lit("}"))
   }
 
-  /** JSON-quote a string column (for phPayload string fields). */
-  def jstr(c: Column): Column = concat(lit("\""), c, lit("\""))
+  /** JSON-quote a string column (for phPayload string fields), escaping
+    * backslash, double-quote, and the common control characters the way
+    * the reference's json.dumps does (chStats.py:422) — a value carrying
+    * `"` or `\` must not corrupt the payload. Literal `replace`, not
+    * regex, so the escape chain stays codegen'd and engine-portable. */
+  def jstr(c: Column): Column = {
+    val esc =
+      replace(
+        replace(
+          replace(
+            replace(
+              replace(c, lit("\\"), lit("\\\\")),
+              lit("\""), lit("\\\"")),
+            lit("\n"), lit("\\n")),
+          lit("\r"), lit("\\r")),
+        lit("\t"), lit("\\t"))
+    concat(lit("\""), esc, lit("\""))
+  }
 
   /** phPayload with empty-value elision: fields whose value is NULL or
     * the empty string are dropped from the payload entirely

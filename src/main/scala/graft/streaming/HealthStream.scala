@@ -58,47 +58,87 @@ object HealthStream {
   }
 
   case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  /** Ev plus the event-time column: the analyzer requires the
+    * watermarked attribute to be present in the Dataset feeding
+    * flatMapGroupsWithState under EventTimeTimeout. */
+  case class EvW(user_id: Long, event_id: Long, ts_us: Long,
+      event_ts: java.sql.Timestamp)
   case class SessionOut(user_id: Long, session_idx: Long, start_us: Long,
       end_us: Long, n_events: Long)
 
   /** Stateful sessionization via flatMapGroupsWithState — the streaming
     * scale path (per-key state, no global windowing). In batch mode each
     * group arrives complete; in stream mode state carries sessions
-    * across micro-batches. */
+    * across micro-batches AND is bounded by an event-time timeout: when
+    * the watermark passes a key's last event + gap with no new events,
+    * the open session is flushed and its state dropped. A node that
+    * stops reporting therefore emits its final session and holds no
+    * state forever (the reference's silent-node closure, the daemon
+    * cadence at chStats.py:538-579).
+    */
   def sessionsStateful(events: Dataset[Ev], gapMinutes: Int): Dataset[SessionOut] = {
     val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val gapMs = gapMinutes.toLong * 60L * 1000L
     val spark = events.sparkSession
     import spark.implicits._
     val isBatch = !events.isStreaming // resolved on driver; closure-safe
 
     // state: (sessionIdx, start, lastTs, count) of the open session
-    def fn(userId: Long, it: Iterator[Ev],
+    def fn(userId: Long, it: Iterator[EvW],
         state: GroupState[(Long, Long, Long, Long)]): Iterator[SessionOut] = {
-      val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
-      var out = List.newBuilder[SessionOut]
-      var cur: Option[(Long, Long, Long, Long)] = state.getOption
-      evs.foreach { e =>
-        cur match {
-          case Some((idx, start, last, n)) if e.ts_us - last <= gapUs =>
-            cur = Some((idx, start, e.ts_us, n + 1))
-          case Some((idx, start, last, n)) =>
+      if (state.hasTimedOut) {
+        // watermark passed last-event + gap with no new data: the open
+        // session is final — emit it and drop the state
+        val out = state.getOption.map { case (idx, start, last, n) =>
+          SessionOut(userId, idx, start, last, n)
+        }
+        state.remove()
+        out.iterator
+      } else {
+        val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+        val out = List.newBuilder[SessionOut]
+        var cur: Option[(Long, Long, Long, Long)] = state.getOption
+        evs.foreach { e =>
+          cur match {
+            case Some((idx, start, last, n)) if e.ts_us - last <= gapUs =>
+              cur = Some((idx, start, e.ts_us, n + 1))
+            case Some((idx, start, last, n)) =>
+              out += SessionOut(userId, idx, start, last, n)
+              cur = Some((idx + 1, e.ts_us, e.ts_us, 1L))
+            case None =>
+              cur = Some((1L, e.ts_us, e.ts_us, 1L))
+          }
+        }
+        cur.foreach { c =>
+          state.update(c)
+          // expire once the event-time watermark passes last + gap (the
+          // timestamp must sit above the current watermark or Spark
+          // rejects it — a key whose horizon already passed gets the
+          // next possible instant)
+          if (!isBatch) state.setTimeoutTimestamp(
+            math.max(c._3 / 1000L + gapMs, state.getCurrentWatermarkMs + 1L))
+        }
+        if (isBatch && evs.nonEmpty) {
+          // batch mode: groups are complete — flush the open session too
+          cur.foreach { case (idx, start, last, n) =>
             out += SessionOut(userId, idx, start, last, n)
-            cur = Some((idx + 1, e.ts_us, e.ts_us, 1L))
-          case None =>
-            cur = Some((1L, e.ts_us, e.ts_us, 1L))
+          }
         }
+        out.result().iterator
       }
-      cur.foreach(state.update)
-      if (isBatch && evs.nonEmpty) {
-        // batch mode: groups are complete — flush the open session too
-        cur.foreach { case (idx, start, last, n) =>
-          out += SessionOut(userId, idx, start, last, n)
-        }
-      }
-      out.result().iterator
     }
 
-    events.groupByKey(_.user_id)
-      .flatMapGroupsWithState[(Long, Long, Long, Long), SessionOut](OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    // EventTimeTimeout requires a watermark upstream (and the
+    // watermarked column kept in the grouped Dataset); lateness
+    // allowance = the session gap (events later than that would break
+    // session identity anyway). Batch mode ignores both — the flush
+    // path above covers it.
+    events.toDF()
+      .withColumn("event_ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("event_ts", s"$gapMinutes minutes")
+      .as[EvW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long, Long, Long), SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 }

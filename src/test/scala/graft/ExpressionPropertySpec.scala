@@ -13,8 +13,11 @@ class ExpressionPropertySpec extends AnyFunSuite {
   private val rng = new scala.util.Random(42)
   private val alphabet = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ " .,-!  "
 
-  private def randText(): String =
-    Seq.fill(rng.nextInt(200))(alphabet(rng.nextInt(alphabet.length))).mkString
+  private def randText(): String = {
+    val base = Seq.fill(rng.nextInt(200))(alphabet(rng.nextInt(alphabet.length))).mkString
+    // quarter of the samples carry a non-BMP code point (surrogate pair)
+    if (rng.nextInt(4) == 0) base + "😀" + base.reverse else base
+  }
 
   test("tokenCount equals the regex reference on 500 random strings") {
     (1 to 500).foreach { _ =>
@@ -27,7 +30,8 @@ class ExpressionPropertySpec extends AnyFunSuite {
   test("polyHash equals the positional-weight reference on 500 random strings") {
     (1 to 500).foreach { _ =>
       val s = randText()
-      val expected = s.zipWithIndex.map { case (c, i) =>
+      // reference iterates CODE POINTS (SQL character indexing)
+      val expected = s.codePoints().toArray.zipWithIndex.map { case (c, i) =>
         c.toLong * (((i + 1).toLong * 2654435761L) % 1000000007L)
       }.sum
       assert(TextExprUtil.polyHash(UTF8String.fromString(s)) == expected, s"input: '$s'")

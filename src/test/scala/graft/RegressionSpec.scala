@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.expressions.TextExprUtil
+import graft.multimodal.Multimodal
+import graft.sources.LogLines
+
+/** Edge-case regression coverage for defects the sf corpora don't
+  * exercise: empty documents, sparse pivot combinations, quote-bearing
+  * payload values, and non-BMP text.
+  */
+class RegressionSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local()
+
+  test("sampleFrames emits no frames for an empty document") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "abcdef")).toDF("doc_id", "text")
+    val r = Multimodal.sampleFrames(docs, "doc_id", "text", stride = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(!r.exists(_._1 == 1L), "empty doc must produce zero frames")
+    // "abcdef": frames at chars 1 and 5 → 'a' (97), 'e' (101)
+    assert(r.filter(_._1 == 2L).sortBy(_._2) == Seq((2L, 0, 97), (2L, 1, 101)))
+  }
+
+  test("pivot fills absent (flag, status) combinations with 0, not NULL") {
+    import spark.implicits._
+    // 'B' never occurs with status 'O' — the q16 shape must count it as 0
+    val df = Seq(("A", "F"), ("A", "O"), ("B", "F")).toDF("flag", "status")
+      .groupBy($"flag").pivot("status", Seq("F", "O")).agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O"))
+      .orderBy($"flag")
+    val b = df.filter($"flag" === "B").head()
+    assert(!b.isNullAt(2), "absent combo must not be NULL")
+    assert(b.getLong(1) == 1L && b.getLong(2) == 0L)
+  }
+
+  test("jstr JSON-escapes quotes, backslashes, and control characters") {
+    import spark.implicits._
+    val in = "a\"b\\c\nd\te\rf"
+    val out = Seq(in).toDF("v").select(LogLines.jstr($"v")).head().getString(0)
+    assert(out == "\"a\\\"b\\\\c\\nd\\te\\rf\"")
+    // the escaped value must survive a real JSON parse round-trip
+    val back = Seq(in).toDF("v")
+      .select(get_json_object(
+        concat(lit("{\"k\":"), LogLines.jstr($"v"), lit("}")), "$.k"))
+      .head().getString(0)
+    assert(back == in)
+  }
+
+  test("phPayload with a quote-bearing device name stays valid JSON") {
+    import spark.implicits._
+    val payload = Seq("""node "7" \ rack""").toDF("name")
+      .select(LogLines.phPayload("DATA_NODE_HEALTH",
+        "deviceName" -> LogLines.jstr($"name"),
+        "queueSize" -> lit(2).cast("string")).as("p"))
+      .head().getString(0)
+    assert(payload.startsWith("PH_SYSTEM_DATA_NODE_HEALTH="))
+    val json = payload.stripPrefix("PH_SYSTEM_DATA_NODE_HEALTH=")
+    val parsed = Seq(json).toDF("j")
+      .select(get_json_object($"j", "$.deviceName")).head().getString(0)
+    assert(parsed == """node "7" \ rack""")
+  }
+
+  test("polyHash iterates code points, matching SQL character indexing") {
+    val s = "a😀b" // a😀b — 3 code points, 4 UTF-16 units
+    val cps = s.codePoints().toArray
+    val expected = cps.zipWithIndex.map { case (c, i) =>
+      c.toLong * ((i + 1).toLong * 2654435761L % 1000000007L)
+    }.sum
+    assert(TextExprUtil.polyHash(UTF8String.fromString(s)) == expected)
+    // and it must NOT equal the broken UTF-16 code-unit interpretation
+    val utf16 = s.zipWithIndex.map { case (c, i) =>
+      c.toLong * ((i + 1).toLong * 2654435761L % 1000000007L)
+    }.sum
+    assert(expected != utf16)
+  }
+}

@@ -76,15 +76,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
-  test("stateful sessionization carries state across micro-batches") {
+  test("stateful sessionization: cross-batch state + event-time expiry of a silent user") {
     import spark.implicits._
-    val ev = Tables.events(spark, sf)
-      .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+    // base well above epoch so watermark arithmetic never clamps
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    def min(m: Long) = base + m * 60L * 1000000L
+    // user 1: events at t+0 and t+5min (one session, split across two
+    // micro-batches), then silent. user 2: a lone event at t+200min that
+    // drives the watermark past user 1's gap horizon.
     val dir = java.nio.file.Files.createTempDirectory("graft_state")
-    // split by time so sessions span the batch boundary
-    val cut = ev.agg(expr("percentile_approx(ts_us, 0.5)")).head().getLong(0)
-    ev.filter($"ts_us" < cut).write.parquet(s"$dir/f1")
-    ev.filter($"ts_us" >= cut).write.parquet(s"$dir/f2")
+    Seq((1L, 1L, min(0))).toDF("user_id", "event_id", "ts_us")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    Seq((1L, 2L, min(5)), (2L, 3L, min(200))).toDF("user_id", "event_id", "ts_us")
+      .coalesce(1).write.parquet(s"$dir/f2")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "user_id BIGINT, event_id BIGINT, ts_us BIGINT")
     val stream = spark.readStream.schema(schema)
@@ -95,18 +99,16 @@ class StreamingSpec extends AnyFunSuite {
       .format("memory").queryName("state_out").start()
     q.processAllAvailable(); q.stop()
 
-    // stream (append, NoTimeout) emits only sessions CLOSED by a later
-    // event; expected = all declarative sessions except each user's last
-    val all = HealthStream.sessions(Tables.events(spark, sf), 30)
-    val lastPerUser = all.groupBy($"user_id").agg(max($"session_idx").as("last_idx"))
-    val expected = all.join(lastPerUser, Seq("user_id"))
-      .filter($"session_idx" =!= $"last_idx")
-      .select($"user_id", $"session_idx", $"start_us", $"end_us", $"n_events")
-      .orderBy($"user_id", $"session_idx").collect().toSeq
+    // final watermark = 200min - 30min lateness = 170min. User 1's
+    // horizon (5min + 30min gap = 35min) passed → the open session is
+    // flushed by timeout (state carried e1 across the batch boundary
+    // into e2's session first). User 2's horizon (230min) has not →
+    // nothing emitted, state retained but bounded by the watermark.
     val streamed = spark.table("state_out")
       .select($"user_id", $"session_idx", $"start_us", $"end_us", $"n_events")
-      .orderBy($"user_id", $"session_idx").collect().toSeq
-    assert(streamed == expected)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(streamed == Seq((1L, 1L, min(0), min(5), 2L)))
   }
 
   test("stateful sessionization (flatMapGroupsWithState) == declarative sessions") {

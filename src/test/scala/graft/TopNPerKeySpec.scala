@@ -34,6 +34,36 @@ class TopNPerKeySpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning(l_returnflag"), p) // co-located by key
   }
 
+  test("keyless (global) top-n returns n rows total, not n per partition") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).select($"id".cast("int").as("v")).repartition(8)
+    val r = Relational.topNPerGroupFast(df, 5, Seq.empty, Seq(("v", false)))
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(r == Seq(995, 996, 997, 998, 999))
+  }
+
+  test("rejects n <= 0") {
+    import spark.implicits._
+    val tiny = Seq(("a", 1)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Relational.topNPerGroupFast(tiny, 0, Seq("k"), Seq(("v", false)))
+    }
+  }
+
+  test("partial-pass key cap: pass-through keeps results exact beyond the cap") {
+    import spark.implicits._
+    // 200 distinct keys but only 16 tracked per partition — overflow
+    // rows stream through to the final pass unreduced, result unchanged
+    val df = spark.range(0, 2000)
+      .select(($"id" % 200).as("k"), $"id".as("v")).repartition(4)
+    val fast = Relational.topNPerGroupFast(df, 2, Seq("k"),
+        Seq(("v", false)), maxPartialKeys = 16)
+      .orderBy("k", "v").collect().toSeq
+    val window = Relational.topNPerGroup(df, 2, col("k"), col("v").desc)
+      .orderBy("k", "v").collect().toSeq
+    assert(fast == window)
+  }
+
   test("handles n larger than group size and empty input") {
     import spark.implicits._
     val tiny = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
