@@ -2,19 +2,37 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions.expr
+import scala.util.Try
 
 /** Benchmark harness. Per query: one discarded warm run (codegen compile,
   * file listing, broadcast build), then SPARK_GRAFT_BENCH_N measured runs
-  * (default 3); the reported number is the per-query MEDIAN, so a single
-  * contended run can't distort the suite total. The JSON result is printed
-  * as the final stdout line AFTER spark.stop() so no executor/log output
-  * can trail or interleave with it.
+  * (default 3); the reported number is the per-query MEDIAN (two middle
+  * samples averaged for even N), so a single contended run can't distort
+  * the suite total.
+  *
+  * Output protocol (the driver tail-parses stdout with a bounded window,
+  * and sbt appends its own "[success]" line after ours):
+  *   1. the FULL per-query JSON is written to /tmp/graft_bench_full.json
+  *      and echoed to stderr (unbounded channels);
+  *   2. stdout's final line is a COMPACT JSON (~400 bytes: suite total,
+  *      headline queries, error list, pointer to the full file) printed
+  *      after spark.stop(), small enough to sit entirely inside the
+  *      driver's tail window even with sbt's trailer after it.
+  * Errored queries are surfaced in "errors" (never silently dropped from
+  * the report) and excluded from the total.
   */
 object Bench {
+  /** SURVEY §6 headline set — inlined in the compact stdout line. */
+  private val headline = Seq("q1_pricing_summary", "q3_join_agg",
+    "q4_broadcast_join", "d3_minhash_lsh", "s1_ann_brute", "t2_quality")
+
+  private def r3(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").toInt.max(1)
+    val iters = Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").trim.toInt)
+      .getOrElse(3).max(1)
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -46,20 +64,35 @@ object Bench {
       val t = try {
         runOnce(fn) // warm run: plan + codegen + page cache; discarded
         val samples = Seq.fill(iters)(runOnce(fn)).sorted
-        samples(samples.length / 2) // median
+        if (samples.length % 2 == 1) samples(samples.length / 2)
+        else (samples(samples.length / 2 - 1) + samples(samples.length / 2)) / 2.0
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name: $e"); -1.0
       }
       name -> t
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val ok = results.filter(_._2 >= 0)
+    val errs = results.filter(_._2 < 0).map(_._1)
+    val total = ok.map(_._2).sum
+    val errsJson = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$iters}"""
+    val fullPath = "/tmp/graft_bench_full.json"
+    val full =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$iters,"n_queries":${results.length},"errors":$errsJson}"""
+    Try {
+      val w = new java.io.PrintWriter(fullPath)
+      try w.println(full) finally w.close()
+    }
+    val headQs = ok.filter(kv => headline.contains(kv._1))
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val compact =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"sf":"$sfDir","runs":$iters,"n_queries":${results.length},"errors":$errsJson,"full":"$fullPath"}"""
     spark.stop()
-    // sole trailing stdout line — the driver parses the output tail
-    System.out.println(line)
+    // stderr carries the full map; stdout's last line is the compact JSON
+    System.err.println(full)
+    System.out.println(full)
+    System.out.println(compact)
     System.out.flush()
   }
 }

@@ -98,6 +98,70 @@ object Monitoring {
     timestamp_micros(unix_micros(ts) - pmod(unix_micros(ts), lit(us)))
   }
 
+  /** Nested DATA_NODE_HEALTH document assembly (getDataHealth,
+    * chStats.py:82-123): replica rows → per-node replica arrays →
+    * per-shard node arrays → one JSON document per shard (the shape
+    * uploadEvents consumes). Scale notes: the fact table collapses to
+    * directory-cardinality partial aggregates BEFORE any collect_list,
+    * so assembly state is bounded by the node directory (nodes × tables),
+    * never the event volume; arrays are sorted so document bytes are
+    * deterministic under any partitioning. */
+  def nestedHealthDoc(events: DataFrame): DataFrame = {
+    val replicas = events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("queue_size"),
+        max(unix_micros(col("ts"))).as("last_us"),
+        sum(cents(col("value"))).as("v_cents"))
+    val nodes = replicas
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(
+        col("event_type").as("db_table"), col("queue_size"),
+        col("last_us"), col("v_cents")))).as("replicas"))
+      .select(col("user_id"),
+        concat(lit("node-"), col("user_id")).as("device_name"),
+        concat(lit("10.0."), (col("user_id") / 256).cast("long"), lit("."),
+          pmod(col("user_id"), lit(256))).as("device_ip"),
+        col("replicas"))
+    nodes
+      .groupBy((pmod(col("user_id"), lit(4)) + 1).as("shard"))
+      .agg(array_sort(collect_list(struct(col("device_name"),
+        col("device_ip"), col("replicas")))).as("nodes"))
+      .select(col("shard"), to_json(struct(col("shard"), col("nodes"))).as("doc"))
+  }
+
+  /** Schema of a nested health document (for from_json). */
+  val healthDocSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "shard BIGINT, nodes ARRAY<STRUCT<device_name: STRING, " +
+      "device_ip: STRING, replicas: ARRAY<STRUCT<db_table: STRING, " +
+      "queue_size: BIGINT, last_us: BIGINT, v_cents: BIGINT>>>>")
+
+  /** Flatten nested health documents back to per-replica rows — the
+    * reference's handle_dataHealth/handle_replicas path
+    * (chStats.py:405-422): each replica record is re-joined with its
+    * node's identity and its shard. Inverse of [[nestedHealthDoc]]. */
+  def flattenHealthDoc(docs: DataFrame): DataFrame =
+    docs.select(from_json(col("doc"), healthDocSchema).as("d"))
+      .select(col("d.shard").as("shard"), explode(col("d.nodes")).as("node"))
+      .select(col("shard"), col("node.device_name").as("device_name"),
+        col("node.device_ip").as("device_ip"),
+        explode(col("node.replicas")).as("r"))
+      .select(col("shard"), col("device_name"), col("device_ip"),
+        col("r.db_table").as("db_table"), col("r.queue_size").as("queue_size"),
+        col("r.last_us").as("last_us"), col("r.v_cents").as("v_cents"))
+
+  /** Absent/erroring-node records (chStats.py:213-221, 266-271, 319-325):
+    * nodes present in the directory but silent in the reporting stream get
+    * an error payload with fallback identity fields. The reporting set is
+    * a distinct-key aggregate (directory cardinality), so the anti join
+    * broadcasts it — the directory itself is never shuffled. */
+  def absentNodes(directory: DataFrame, events: DataFrame,
+      dirKey: String): DataFrame = {
+    val reporting = events.select(col("user_id")).distinct()
+    directory.join(broadcast(reporting), col(dirKey) === col("user_id"),
+      "left_anti")
+  }
+
   /** Per-client latency/traffic stats (getKeeperStats cons lines,
     * chStats.py:279-294: recved/sent/minlat/avglat/maxlat). */
   def clientStats(events: DataFrame): DataFrame = {

@@ -219,6 +219,33 @@ object MonitoringQueries {
         .orderBy(col("user_id"))
     },
 
+    // nested DATA_NODE_HEALTH round-trip: replica stats → node arrays →
+    // shard documents (to_json) → parse back (from_json) → flatten to
+    // per-replica rows. The oracle computes the flat shape directly, so
+    // any loss in the assemble/serialize/parse/flatten chain breaks the
+    // hash (chStats.py:82-123 assembly, 405-422 flatten).
+    "m22_nested_roundtrip" -> { (s, dir) =>
+      Monitoring.flattenHealthDoc(
+          Monitoring.nestedHealthDoc(Tables.events(s, dir)))
+        .orderBy(col("shard"), col("device_name"), col("db_table"))
+    },
+
+    // absent-node error records: directory nodes with no events emit the
+    // reference's error-payload shape (chStats.py:213-221).
+    "m23_absent_nodes" -> { (s, dir) =>
+      Monitoring.absentNodes(Tables.customer(s, dir), Tables.events(s, dir),
+          "c_custkey")
+        .select(col("c_custkey").as("node_id"),
+          LogLines.phPayload("KEEPER_NODE_HEALTH",
+            "deviceName" -> LogLines.jstr(col("c_name")),
+            "deviceIp" -> LogLines.jstr(concat(lit("10.0."),
+              (col("c_custkey") / 256).cast("long"), lit("."),
+              pmod(col("c_custkey"), lit(256)))),
+            "error" -> LogLines.jstr(lit("No response received"))
+          ).as("payload"))
+        .orderBy(col("node_id"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -384,6 +411,25 @@ object MonitoringQueries {
          |    ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
          |  FROM (SELECT user_id, event_id, $tsUs AS ts_us FROM events) a) b
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "m22_nested_roundtrip" ->
+      s"""SELECT user_id % 4 + 1 AS shard,
+         |  'node-' || user_id AS device_name,
+         |  '10.0.' || (user_id // 256) || '.' || (user_id % 256) AS device_ip,
+         |  event_type AS db_table, count(*) AS queue_size,
+         |  max($tsUs) AS last_us,
+         |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v_cents
+         |FROM events GROUP BY user_id, event_type
+         |ORDER BY shard, device_name, db_table""".stripMargin,
+
+    "m23_absent_nodes" ->
+      """SELECT c_custkey AS node_id,
+        |  'PH_SYSTEM_KEEPER_NODE_HEALTH={"deviceName":"' || c_name ||
+        |  '","deviceIp":"10.0.' || (c_custkey // 256) || '.' || (c_custkey % 256) ||
+        |  '","error":"No response received"}' AS payload
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
+        |ORDER BY node_id""".stripMargin,
 
     "m14_active_csv" ->
       """SELECT s_nationkey AS nationkey,
