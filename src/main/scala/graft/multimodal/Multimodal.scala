@@ -3,15 +3,22 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal (binary) column plumbing.
+/** Multimodal (binary) column plumbing + a real pure-JVM header decoder.
   *
   * Real pipelines carry image/audio/video as opaque `binary` columns and
-  * decode them in batched, vectorized UDFs (mapInPandas-style). The
-  * decode libraries are not in this container, so `decodeStub` is a
-  * deterministic fake — but the Spark-side plumbing is real: typed
-  * Dataset, batched mapPartitions (one decoder init + batch loop per
-  * partition, the shape a JNI/FFI decoder needs), explicit schema, and
-  * no driver-side collection.
+  * decode them in batched, vectorized calls. Full codec libraries are not
+  * in this container, but container *headers* need no codec: `decodeHeader`
+  * parses actual PNG (signature + IHDR) and JPEG (marker scan to SOFn)
+  * bytes for dimensions and format — the same work an image pipeline's
+  * metadata pass does. The Spark-side plumbing is real throughout: typed
+  * Dataset, batched mapPartitions (one decoder context + batch loop per
+  * partition, the shape a JNI/FFI decoder needs), explicit schema, no
+  * driver-side collection.
+  *
+  * `synthesize` builds VALID image payloads (PNG: signature, IHDR with
+  * correct CRC32, padded IDAT, IEND; JPEG: SOI, JFIF APP0, SOF0, entropy
+  * padding, EOI) deterministically from (doc_id, n_chars) so an oracle
+  * can predict what decoding the bytes must yield.
   */
 object Multimodal {
 
@@ -19,13 +26,101 @@ object Multimodal {
   case class DecodedMeta(doc_id: Long, byte_len: Int, width: Int, height: Int,
       format: String)
 
-  /** STUB decode: in production this calls the image codec on the byte
-    * buffer; here it derives metadata deterministically from the payload
-    * so correctness is oracle-checkable. */
-  private[multimodal] def decodeStub(id: Long, bytes: Array[Byte]): DecodedMeta = {
+  // ---------------------------------------------------------------- synth
+
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+
+  /** A PNG chunk: length + type + data + CRC32(type ++ data). */
+  private def pngChunk(chunkType: String, data: Array[Byte]): Array[Byte] = {
+    val crc = new java.util.zip.CRC32()
+    val t = chunkType.getBytes("US-ASCII")
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  /** Valid PNG: 8-byte signature, IHDR (8-bit RGBA), an IDAT of `pad`
+    * deterministic bytes, IEND. Total length = 57 + pad. */
+  def synthPng(width: Int, height: Int, pad: Int): Array[Byte] = {
+    val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+    val ihdr = pngChunk("IHDR",
+      be32(width) ++ be32(height) ++ Array[Byte](8, 6, 0, 0, 0))
+    val idat = pngChunk("IDAT", Array.tabulate(pad)(i => (i % 251).toByte))
+    sig ++ ihdr ++ idat ++ pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Valid JPEG: SOI, JFIF APP0, SOF0 (3-component baseline), `pad`
+    * entropy bytes, EOI. Total length = 41 + pad. */
+  def synthJpeg(width: Int, height: Int, pad: Int): Array[Byte] = {
+    val soi = Array(0xFF, 0xD8).map(_.toByte)
+    val app0 = Array(0xFF, 0xE0).map(_.toByte) ++ be16(16) ++
+      "JFIF".getBytes("US-ASCII") ++
+      Array[Byte](0, 1, 1, 0) ++ be16(1) ++ be16(1) ++ Array[Byte](0, 0)
+    val sof0 = Array(0xFF, 0xC0).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(height) ++ be16(width) ++ Array[Byte](3) ++
+      Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val entropy = Array.tabulate(pad)(i => (i % 251).toByte)
+    soi ++ app0 ++ sof0 ++ entropy ++ Array(0xFF, 0xD9).map(_.toByte)
+  }
+
+  /** Deterministic payload for a document: even ids are PNG, odd are
+    * JPEG; dims and padding derive from (doc_id, n_chars) so the DuckDB
+    * oracle can compute the expected decode output arithmetically. */
+  def synthesize(id: Long, nChars: Int): Array[Byte] = {
+    val w = (id % 640).toInt + 16
+    val h = (id % 480).toInt + 16
+    val pad = math.floorMod(nChars, 100)
+    if (id % 2 == 0) synthPng(w, h, pad) else synthJpeg(w, h, pad)
+  }
+
+  /** documents(doc_id, n_chars) → (doc_id, payload binary). */
+  def synthesizePayloads(docs: DataFrame): Dataset[BinaryDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) => BinaryDoc(id, synthesize(id, n)) })
+  }
+
+  // --------------------------------------------------------------- decode
+
+  private val pngSig =
+    Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 8) | (b(off + 1) & 0xFF)
+  private def u32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
+      ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
+
+  /** Parse real container headers for dimensions + format.
+    * PNG: verify the 8-byte signature and that the first chunk is IHDR;
+    * width/height are big-endian u32 at offsets 16/20.
+    * JPEG: verify SOI, then walk marker segments (each FF xx + u16
+    * length) until a frame header SOFn (C0-CF excluding C4/C8/CC);
+    * height/width are u16 at payload offsets 3/5.
+    * Anything else (or truncated) → ("unknown", 0, 0). */
+  def decodeHeader(id: Long, bytes: Array[Byte]): DecodedMeta = {
     val len = bytes.length
-    DecodedMeta(id, len, len % 640, len % 480,
-      (len % 3) match { case 0 => "jpeg"; case 1 => "png"; case _ => "webp" })
+    def unknown = DecodedMeta(id, len, 0, 0, "unknown")
+    if (len >= 24 && bytes.startsWith(pngSig) &&
+        u32(bytes, 8) == 13 && bytes(12) == 'I' && bytes(13) == 'H' &&
+        bytes(14) == 'D' && bytes(15) == 'R') {
+      DecodedMeta(id, len, u32(bytes, 16), u32(bytes, 20), "png")
+    } else if (len >= 4 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) {
+      var pos = 2
+      while (pos + 9 <= len && (bytes(pos) & 0xFF) == 0xFF) {
+        val marker = bytes(pos + 1) & 0xFF
+        if (marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC) {
+          return DecodedMeta(id, len, u16(bytes, pos + 7), u16(bytes, pos + 5),
+            "jpeg")
+        }
+        pos += 2 + u16(bytes, pos + 2) // skip segment: marker + length field
+      }
+      unknown
+    } else unknown
   }
 
   /** Batched decode over a binary column: partition-local, batch-shaped
@@ -39,7 +134,7 @@ object Multimodal {
       .mapPartitions { it =>
         // one "decoder context" per partition, reused across batches
         it.grouped(batchSize).flatMap { batch =>
-          batch.map(d => decodeStub(d.doc_id, d.payload))
+          batch.map(d => decodeHeader(d.doc_id, d.payload))
         }
       }
   }

@@ -113,11 +113,11 @@ object PipelineQueries {
         .limit(20)
     },
 
-    // modality distribution over decoded metadata.
+    // modality distribution over REAL decoded metadata: synthesized
+    // valid PNG/JPEG payloads, format read back from the magic bytes.
     "x3_modality_stats" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      Multimodal.decodeMeta(docs, "doc_id", "payload").toDF()
+      val payloads = Multimodal.synthesizePayloads(Tables.documents(s, dir)).toDF()
+      Multimodal.decodeMeta(payloads, "doc_id", "payload").toDF()
         .groupBy(col("format"))
         .agg(count(lit(1)).as("n"),
           (sum(col("byte_len").cast("long")) / count(lit(1))).as("avg_bytes"))
@@ -198,10 +198,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // binary metadata extraction from REAL bytes: valid PNG/JPEG payloads
+    // are synthesized per document, then width/height/format are parsed
+    // back out of the actual container headers (signature + IHDR for PNG,
+    // marker walk to SOF0 for JPEG). The oracle predicts the decode
+    // output arithmetically — a parser bug breaks the hash.
     "x1_binary_meta" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      Multimodal.decodeMeta(docs, "doc_id", "payload").toDF()
+      val payloads = Multimodal.synthesizePayloads(Tables.documents(s, dir)).toDF()
+      Multimodal.decodeMeta(payloads, "doc_id", "payload").toDF()
         .orderBy(col("doc_id"))
     },
 
@@ -214,9 +218,8 @@ object PipelineQueries {
     // aspect-preserving scale; the real codec call sits behind the
     // same decodeMeta boundary).
     "x4_resize" -> { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-      Multimodal.decodeMeta(docs, "doc_id", "payload").toDF()
+      val payloads = Multimodal.synthesizePayloads(Tables.documents(s, dir)).toDF()
+      Multimodal.decodeMeta(payloads, "doc_id", "payload").toDF()
         .withColumn("thumb_w",
           expr("cast((width * 128) div greatest(width, height, 1) as int)"))
         .withColumn("thumb_h",
@@ -307,9 +310,8 @@ object PipelineQueries {
     "x3_modality_stats" ->
       """SELECT format, count(*) AS n,
         |  CAST(sum(byte_len) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_bytes FROM (
-        |  SELECT CASE CAST(strlen(text) % 3 AS INT) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-        |      ELSE 'webp' END AS format,
-        |    CAST(strlen(text) AS BIGINT) AS byte_len
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 41 END + n_chars % 100 AS BIGINT) AS byte_len
         |  FROM documents) t
         |GROUP BY format ORDER BY format""".stripMargin,
 
@@ -324,8 +326,8 @@ object PipelineQueries {
       """SELECT doc_id, width, height,
         |  CAST((width * 128) // greatest(width, height, 1) AS INT) AS thumb_w,
         |  CAST((height * 128) // greatest(width, height, 1) AS INT) AS thumb_h
-        |FROM (SELECT doc_id, CAST(strlen(text) % 640 AS INT) AS width,
-        |    CAST(strlen(text) % 480 AS INT) AS height FROM documents) t
+        |FROM (SELECT doc_id, CAST(doc_id % 640 + 16 AS INT) AS width,
+        |    CAST(doc_id % 480 + 16 AS INT) AS height FROM documents) t
         |ORDER BY doc_id""".stripMargin,
 
     "x5_features" ->
@@ -427,11 +429,11 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x1_binary_meta" ->
-      """SELECT doc_id, CAST(strlen(text) AS INT) AS byte_len,
-        |  CAST(strlen(text) % 640 AS INT) AS width,
-        |  CAST(strlen(text) % 480 AS INT) AS height,
-        |  CASE CAST(strlen(text) % 3 AS INT) WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
-        |    ELSE 'webp' END AS format
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 57 ELSE 41 END + n_chars % 100 AS INT) AS byte_len,
+        |  CAST(doc_id % 640 + 16 AS INT) AS width,
+        |  CAST(doc_id % 480 + 16 AS INT) AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x2_frame_sample" ->

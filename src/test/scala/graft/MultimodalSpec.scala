@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.DecodedMeta
+
+/** Header-decoder unit coverage: valid PNG/JPEG bytes round-trip through
+  * synthesize → decodeHeader, and malformed/truncated payloads are
+  * classified unknown instead of crashing or fabricating dimensions.
+  */
+class MultimodalSpec extends AnyFunSuite {
+
+  test("PNG synth → decode round-trips dimensions, format, length") {
+    val b = Multimodal.synthPng(641, 123, pad = 37)
+    assert(b.length == 57 + 37)
+    assert(Multimodal.decodeHeader(7L, b) == DecodedMeta(7L, 94, 641, 123, "png"))
+  }
+
+  test("JPEG synth → decode round-trips dimensions through the marker walk") {
+    val b = Multimodal.synthJpeg(655, 495, pad = 0)
+    assert(b.length == 41)
+    assert(Multimodal.decodeHeader(8L, b) == DecodedMeta(8L, 41, 655, 495, "jpeg"))
+  }
+
+  test("JPEG decode skips extra APPn segments before SOF0") {
+    // insert a second APP segment (FFE1, length 4, 2 payload bytes)
+    // between APP0 and SOF0 — the marker walk must hop over it
+    val base = Multimodal.synthJpeg(100, 50, pad = 0)
+    val (head, tail) = base.splitAt(20) // SOI (2) + APP0 (18)
+    val app1 = Array(0xFF, 0xE1, 0x00, 0x04, 0x41, 0x42).map(_.toByte)
+    val b = head ++ app1 ++ tail
+    assert(Multimodal.decodeHeader(1L, b) == DecodedMeta(1L, b.length, 100, 50, "jpeg"))
+  }
+
+  test("PNG CRC32 of the IHDR chunk is genuine") {
+    val b = Multimodal.synthPng(16, 16, pad = 0)
+    val crc = new java.util.zip.CRC32()
+    crc.update(b, 12, 4 + 13) // chunk type + data
+    val stored = ((b(29) & 0xFFL) << 24) | ((b(30) & 0xFFL) << 16) |
+      ((b(31) & 0xFFL) << 8) | (b(32) & 0xFFL)
+    assert(stored == crc.getValue)
+  }
+
+  test("garbage, truncated, and empty payloads decode as unknown") {
+    val garbage = Array.tabulate(64)(i => i.toByte)
+    assert(Multimodal.decodeHeader(1L, garbage).format == "unknown")
+    assert(Multimodal.decodeHeader(2L, Array.emptyByteArray) ==
+      DecodedMeta(2L, 0, 0, 0, "unknown"))
+    // PNG signature but truncated before IHDR width
+    val trunc = Multimodal.synthPng(10, 10, 0).take(18)
+    assert(Multimodal.decodeHeader(3L, trunc).format == "unknown")
+    // JPEG SOI but no SOF before the bytes run out
+    val noSof = Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x04, 0x00, 0x00).map(_.toByte)
+    assert(Multimodal.decodeHeader(4L, noSof).format == "unknown")
+  }
+
+  test("synthesize: even ids are PNG, odd are JPEG, dims follow the formula") {
+    val p = Multimodal.decodeHeader(42L, Multimodal.synthesize(42L, 250))
+    assert(p == DecodedMeta(42L, 57 + 50, 42 + 16, 42 + 16, "png"))
+    val j = Multimodal.decodeHeader(1001L, Multimodal.synthesize(1001L, 7))
+    assert(j == DecodedMeta(1001L, 41 + 7, (1001 % 640) + 16, (1001 % 480) + 16, "jpeg"))
+  }
+}
