@@ -25,6 +25,18 @@ object EventSink {
       "bucket" -> LogLines.jstr(col("bucket").cast("string"))
     ).as("value"))
 
+  /** Health rows as (k, payload) pairs for keyed sinks (JdbcSink): the
+    * key is the natural identity of the health record. */
+  def toKeyedPayloads(health: DataFrame): DataFrame =
+    health.select(
+      concat_ws("|", col("event_type"), col("bucket").cast("string")).as("k"),
+      LogLines.phPayload("DATA_NODE_HEALTH",
+        "eventType" -> LogLines.jstr(col("event_type")),
+        "n" -> col("n").cast("string"),
+        "queueSize" -> col("n_errors").cast("string"),
+        "bucket" -> LogLines.jstr(col("bucket").cast("string"))
+      ).as("payload"))
+
   /** Start the continuous upload job: windowed health → payload lines →
     * per-batch append to `outDir`. */
   def start(health: DataFrame, outDir: String, checkpoint: String,

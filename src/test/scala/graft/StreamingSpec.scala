@@ -76,6 +76,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("JDBC sink round-trip: stream → Derby → read-back == batch; replay is idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jdbc")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val chk = java.nio.file.Files.createTempDirectory("graft_jdbc_chk")
+    val db = java.nio.file.Files.createTempDirectory("graft_derby").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val table = "graft_payloads"
+
+    val stream = HealthStream.readEventStream(spark, dir.toString)
+    val q = graft.streaming.JdbcSink.start(
+      graft.streaming.EventSink.toKeyedPayloads(HealthStream.windowedHealth(stream)),
+      url, table, chk.toString, mode = "complete")
+    q.processAllAvailable(); q.stop()
+
+    def readBack() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+
+    val lastBatch = readBack().agg(max($"batch_id")).collect()(0).getLong(0)
+    val sunk = readBack().filter($"batch_id" === lastBatch)
+      .select($"k", $"payload").orderBy($"k").collect().toSeq
+    val expected = graft.streaming.EventSink.toKeyedPayloads(
+        HealthStream.windowedHealth(Tables.events(spark, sf)))
+      .orderBy($"k").collect().toSeq
+    assert(sunk == expected)
+
+    // idempotent replay: re-writing the same batchId must not duplicate
+    val batchDf = graft.streaming.EventSink.toKeyedPayloads(
+      HealthStream.windowedHealth(Tables.events(spark, sf)))
+    graft.streaming.JdbcSink.writeBatch(batchDf, lastBatch, url, table)
+    graft.streaming.JdbcSink.writeBatch(batchDf, lastBatch, url, table)
+    assert(readBack().filter($"batch_id" === lastBatch).count() == expected.size)
+  }
+
   test("stateful sessionization: cross-batch state + event-time expiry of a silent user") {
     import spark.implicits._
     // base well above epoch so watermark arithmetic never clamps
