@@ -56,7 +56,7 @@ object Dedup {
     * min() combines map-side, so the shuffle carries numHashes rows per
     * document, not the shingle sets. */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int, rows: Int): DataFrame = {
+      bands: Int, rows: Int, maxBucket: Int = 64): DataFrame = {
     val numHashes = bands * rows
     // spread docs across the cluster BEFORE the shingle/hash fan-out —
     // a narrow scan of few files would otherwise run the whole
@@ -76,8 +76,18 @@ object Dedup {
         array_join(expr("transform(array_sort(collect_list(struct(_h, _min))), x -> x._min)"), ""))
         .as("_key"))
       .select(col(idCol), col("_key"))
-    val a = banded.toDF("id_a", "k")
-    val b = banded.toDF("id_b", "k")
+    // skew guard: a band key shared by B docs fans out to B(B-1)/2
+    // candidate pairs, so one degenerate bucket (boilerplate text, empty
+    // docs) goes quadratic at corpus scale. Buckets above maxBucket are
+    // dropped entirely — at that size the shared band stops being
+    // near-duplicate evidence (standard LSH practice).
+    val keep = banded.groupBy(col("_key")).agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= maxBucket)
+      .select(col("_key"))
+    val capped = banded.join(keep, Seq("_key"), "left_semi")
+      .select(col(idCol), col("_key"))
+    val a = capped.toDF("id_a", "k")
+    val b = capped.toDF("id_b", "k")
     a.join(b, Seq("k")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
   }

@@ -246,6 +246,23 @@ object MonitoringQueries {
         .orderBy(col("node_id"))
     },
 
+    // multi-cadence scheduling analog (chStats.py:538-579: 3/5/30-minute
+    // jobs off one source): ONE fact scan aggregates to a 1-minute base
+    // grain, then three cheap re-aggregations over the tiny base produce
+    // every cadence — counts and cents re-sum losslessly because coarser
+    // epoch-aligned buckets are unions of 1-minute buckets.
+    "m24_cadence_rollup" -> { (s, dir) =>
+      val base = Tables.events(s, dir)
+        .groupBy(Monitoring.timeBucket(col("ts"), 1).as("b1"))
+        .agg(count(lit(1)).as("n"), sum(Monitoring.cents(col("value"))).as("cents"))
+      Seq(3, 5, 30).map { m =>
+        base.groupBy(Monitoring.timeBucket(col("b1"), m).cast("timestamp_ntz").as("bucket"))
+          .agg(sum(col("n")).as("n"), (sum(col("cents")) / 100.0).as("total_value"))
+          .withColumn("cadence_min", lit(m))
+          .select(col("cadence_min"), col("bucket"), col("n"), col("total_value"))
+      }.reduce(_ union _).orderBy(col("cadence_min"), col("bucket"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -430,6 +447,21 @@ object MonitoringQueries {
         |FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM events WHERE user_id = c_custkey)
         |ORDER BY node_id""".stripMargin,
+
+    "m24_cadence_rollup" ->
+      s"""SELECT * FROM (
+         |  SELECT 3 AS cadence_min, make_timestamp($tsUs - $tsUs % 180000000) AS bucket,
+         |    count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS total_value
+         |  FROM events GROUP BY 2
+         |  UNION ALL
+         |  SELECT 5, make_timestamp($tsUs - $tsUs % 300000000),
+         |    count(*), sum(CAST(round(value*100) AS BIGINT)) / 100.0
+         |  FROM events GROUP BY 2
+         |  UNION ALL
+         |  SELECT 30, make_timestamp($tsUs - $tsUs % 1800000000),
+         |    count(*), sum(CAST(round(value*100) AS BIGINT)) / 100.0
+         |  FROM events GROUP BY 2) t
+         |ORDER BY cadence_min, bucket""".stripMargin,
 
     "m14_active_csv" ->
       """SELECT s_nationkey AS nationkey,

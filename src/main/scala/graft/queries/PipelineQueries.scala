@@ -28,8 +28,9 @@ object PipelineQueries {
       |  FROM sh2),
       |bands AS (SELECT doc_id, CAST(b AS VARCHAR) || ':' || g[2*b+1] || g[2*b+2] AS k
       |  FROM sig, generate_series(0, 3) t(b)),
+      |bandsk AS (SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY k) <= 64),
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-      |  FROM bands a JOIN bands c USING (k) WHERE a.doc_id < c.doc_id)""".stripMargin
+      |  FROM bandsk a JOIN bandsk c USING (k) WHERE a.doc_id < c.doc_id)""".stripMargin
 
   /** DuckDB CTE: per-vector squared norm in explicit double arithmetic —
     * mirror of VectorFunctions.norm2. */

@@ -31,9 +31,16 @@ object HealthStream {
   /** Windowed health aggregation; valid on both batch and streaming
     * inputs (watermark is a no-op in batch). */
   def windowedHealth(events: DataFrame): DataFrame =
+    windowedHealthAt(events, 5)
+
+  /** Windowed health at an arbitrary cadence — the reference runs the
+    * same jobs at 3/5/30-minute intervals (chStats.py:538-579,667-673);
+    * in Spark each cadence is just another streaming query over the SAME
+    * source, all sharing one watermark policy. */
+  def windowedHealthAt(events: DataFrame, minutes: Int): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .groupBy(window(col("ts"), s"$minutes minutes").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
       .select(col("w.start").cast("timestamp_ntz").as("bucket"), col("event_type"),

@@ -69,11 +69,13 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("multimodal decode keeps partition-parallel batched shape") {
-    val docs = Tables.documents(spark, sf)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val out = Multimodal.decodeMeta(docs, "doc_id", "payload", batchSize = 16)
+    val payloads = Multimodal.synthesizePayloads(Tables.documents(spark, sf)).toDF()
+    val out = Multimodal.decodeMeta(payloads, "doc_id", "payload", batchSize = 16)
     assert(out.count() == 500)
+    // doc 0: even id → PNG; dims follow the synthesis formula; byte_len
+    // = 57 + n_chars%100 (doc 0 has 128 chars → pad 28)
     val one = out.filter(col("doc_id") === 0).head()
-    assert(one.byte_len == 128 && one.width == 128 && one.format == "webp")
+    assert(one.byte_len == 85 && one.width == 16 && one.height == 16 &&
+      one.format == "png")
   }
 }

@@ -24,6 +24,26 @@ class RegressionSpec extends AnyFunSuite {
     assert(r.filter(_._1 == 2L).sortBy(_._2) == Seq((2L, 0, 97), (2L, 1, 101)))
   }
 
+  test("LSH bucket cap drops degenerate band buckets instead of going quadratic") {
+    import spark.implicits._
+    // 40 identical docs share every band key; with maxBucket=10 the
+    // degenerate bucket is dropped (0 pairs); distinct near-dup pairs
+    // below the cap still surface
+    val boiler = (1L to 40L).map(i => (i, "the same boilerplate text repeated here again and again"))
+    val pair = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (101L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+    val capped = graft.operators.Dedup.lshCandidates(docs, "doc_id", "text",
+      bands = 4, rows = 2, maxBucket = 10).collect()
+    assert(capped.forall(r => r.getLong(0) >= 100L),
+      "boilerplate bucket must be dropped")
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).contains((100L, 101L)))
+    // without the cap the boilerplate bucket contributes 40*39/2 pairs
+    val uncapped = graft.operators.Dedup.lshCandidates(docs, "doc_id", "text",
+      bands = 4, rows = 2, maxBucket = 1000).count()
+    assert(uncapped >= 40L * 39 / 2)
+  }
+
   test("pivot fills absent (flag, status) combinations with 0, not NULL") {
     import spark.implicits._
     // 'B' never occurs with status 'O' — the q16 shape must count it as 0

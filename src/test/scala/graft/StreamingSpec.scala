@@ -76,6 +76,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("multi-cadence jobs off one source: 3- and 30-minute streams both match batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cadence")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = HealthStream.readEventStream(spark, dir.toString)
+    val qs = Seq(3, 30).map { m =>
+      HealthStream.windowedHealthAt(stream, m)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(s"cadence_$m").start()
+    }
+    qs.foreach(_.processAllAvailable()); qs.foreach(_.stop())
+    Seq(3, 30).foreach { m =>
+      val streamed = spark.table(s"cadence_$m")
+        .orderBy("bucket", "event_type").collect().toSeq
+      val batch = HealthStream.windowedHealthAt(Tables.events(spark, sf), m)
+        .orderBy("bucket", "event_type").collect().toSeq
+      assert(streamed == batch, s"cadence $m diverged")
+    }
+  }
+
   test("JDBC sink round-trip: stream → Derby → read-back == batch; replay is idempotent") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_jdbc")
