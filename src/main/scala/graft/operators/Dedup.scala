@@ -76,20 +76,28 @@ object Dedup {
         array_join(expr("transform(array_sort(collect_list(struct(_h, _min))), x -> x._min)"), ""))
         .as("_key"))
       .select(col(idCol), col("_key"))
-    // skew guard: a band key shared by B docs fans out to B(B-1)/2
+    // Pair generation WITHOUT a self-join: group band keys into bounded
+    // id arrays and explode each bucket's pairs directly. A self-join on
+    // the band key would evaluate the whole shingle/hash pipeline twice
+    // (no exchange reuse once AQE broadcasts one side — and broadcasting
+    // the banded corpus is itself impossible at 100 TB); this shape is
+    // one pass, one shuffle row per (doc, band).
+    //
+    // Skew guard: a band key shared by B docs fans out to B(B-1)/2
     // candidate pairs, so one degenerate bucket (boilerplate text, empty
     // docs) goes quadratic at corpus scale. Buckets above maxBucket are
     // dropped entirely — at that size the shared band stops being
-    // near-duplicate evidence (standard LSH practice).
-    val keep = banded.groupBy(col("_key")).agg(count(lit(1)).as("_bsz"))
-      .filter(col("_bsz") <= maxBucket)
-      .select(col("_key"))
-    val capped = banded.join(keep, Seq("_key"), "left_semi")
-      .select(col(idCol), col("_key"))
-    val a = capped.toDF("id_a", "k")
-    val b = capped.toDF("id_b", "k")
-    a.join(b, Seq("k")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    // near-duplicate evidence (standard LSH practice) — which also
+    // bounds the explode fan-out at maxBucket²/2 per bucket.
+    banded.groupBy(col("_key"))
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+      .select(explode(expr(
+        "flatten(transform(sequence(0, size(_ids) - 2), i -> " +
+        "transform(slice(_ids, i + 2, size(_ids) - i - 1), " +
+        "y -> struct(_ids[i] AS id_a, y AS id_b))))")).as("p")) // [] is 0-based, slice is 1-based
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
   }
 
   /** Exact word-3-gram Jaccard for candidate pairs (array intersect /
