@@ -255,12 +255,17 @@ object MonitoringQueries {
       val base = Tables.events(s, dir)
         .groupBy(Monitoring.timeBucket(col("ts"), 1).as("b1"))
         .agg(count(lit(1)).as("n"), sum(Monitoring.cents(col("value"))).as("cents"))
-      Seq(3, 5, 30).map { m =>
-        base.groupBy(Monitoring.timeBucket(col("b1"), m).cast("timestamp_ntz").as("bucket"))
-          .agg(sum(col("n")).as("n"), (sum(col("cents")) / 100.0).as("total_value"))
-          .withColumn("cadence_min", lit(m))
-          .select(col("cadence_min"), col("bucket"), col("n"), col("total_value"))
-      }.reduce(_ union _).orderBy(col("cadence_min"), col("bucket"))
+      // single pass: each tiny base row fans out to its three cadence
+      // buckets, then ONE re-aggregation — a union of three re-aggs
+      // would rescan the fact per cadence (branch expr ids defeat
+      // exchange reuse)
+      base.select(explode(array(Seq(3, 5, 30).map(m => struct(
+            lit(m).as("cadence_min"),
+            Monitoring.timeBucket(col("b1"), m).cast("timestamp_ntz").as("bucket"))): _*))
+          .as("c"), col("n"), col("cents"))
+        .groupBy(col("c.cadence_min").as("cadence_min"), col("c.bucket").as("bucket"))
+        .agg(sum(col("n")).as("n"), (sum(col("cents")) / 100.0).as("total_value"))
+        .orderBy(col("cadence_min"), col("bucket"))
     },
 
     "m14_active_csv" -> { (s, dir) =>

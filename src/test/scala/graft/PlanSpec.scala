@@ -62,4 +62,30 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("m9_enrich_lookup")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("d3: pair generation is join-free (one pass over the corpus)") {
+    val p = plan("d3_minhash_lsh")
+    assert(!p.contains("Join"), p)
+    // exactly one scan of documents — the self-join shape would scan twice
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
+  }
+
+  test("m23: absent-node anti-join broadcasts the reporting set") {
+    val p = plan("m23_absent_nodes")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("m24: all three cadences come from a single fact scan") {
+    val p = plan("m24_cadence_rollup")
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
+  }
+
+  test("m22: nested assembly partial-aggregates the fact before collect_list") {
+    val p = plan("m22_nested_roundtrip")
+    // the replica-level aggregate must be partial (map-side combine);
+    // collect_list only ever sees directory-cardinality rows
+    assert(p.contains("partial_count") || p.contains("partial_"), p)
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
+  }
 }
