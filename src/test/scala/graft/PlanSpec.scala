@@ -81,6 +81,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
   }
 
+  test("q8: rank filter pushes a partial WindowGroupLimit below the shuffle") {
+    // Catalyst's InferWindowGroupLimit turns rank<=k into a per-partition
+    // top-k BEFORE the exchange: the shuffle carries <=k rows per group
+    // per input partition, not the whole fact table
+    val p = plan("q8_window_rank")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
   test("m22: nested assembly partial-aggregates the fact before collect_list") {
     val p = plan("m22_nested_roundtrip")
     // the replica-level aggregate must be partial (map-side combine);
