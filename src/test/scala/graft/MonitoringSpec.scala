@@ -9,6 +9,25 @@ class MonitoringSpec extends AnyFunSuite {
   lazy val spark = GraftSession.local()
   val sf = "/root/testdata/sf0.001"
 
+  test("nested health docs serialize to real JSON and flatten back losslessly") {
+    import spark.implicits._
+    // Inside one plan Catalyst (OptimizeJsonExprs) elides the redundant
+    // from_json(to_json(...)) — correct, and free performance. To prove
+    // the SERIALIZED form is lossless (the cross-system contract), break
+    // lineage: materialize the JSON strings, rehydrate a fresh Dataset,
+    // and flatten that — from_json must now parse real bytes.
+    val ev = Tables.events(spark, sf)
+    val docStrings = Monitoring.nestedHealthDoc(ev)
+      .select($"doc").as[String].collect().toSeq
+    assert(docStrings.nonEmpty && docStrings.forall(_.startsWith("{\"shard\":")))
+    val flatFromBytes = Monitoring.flattenHealthDoc(
+        spark.createDataset(docStrings).toDF("doc"))
+      .orderBy("shard", "device_name", "db_table").collect().toSeq
+    val fused = Monitoring.flattenHealthDoc(Monitoring.nestedHealthDoc(ev))
+      .orderBy("shard", "device_name", "db_table").collect().toSeq
+    assert(flatFromBytes == fused)
+  }
+
   test("health_pct is int(active/total*100) like the reference") {
     val r = Monitoring.healthSnapshot(Tables.events(spark, sf)).collect()
     r.foreach { row =>
