@@ -101,6 +101,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // near-dup GROUP assembly: verified pairs → connected components →
+    // (doc, component) membership. The step after pair generation in a
+    // real dedup pipeline: keep one doc per component.
+    "d9_dedup_groups" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.lshCandidates(docs, "doc_id", "text", bands = 4, rows = 2)
+      val dups = Dedup.jaccardVerify(cand, docs, "doc_id", "text", threshold = 0.5)
+      Dedup.connectedComponents(dups.select(col("id_a"), col("id_b")))
+        .orderBy(col("id"))
+    },
+
     // corpus-wide top-20 word bigrams (explode + count + top-k).
     "t5_ngram_freq" -> { (s, dir) =>
       val bigrams = Tables.documents(s, dir)
@@ -299,6 +310,18 @@ object PipelineQueries {
          |SELECT doc_id, n_chars FROM documents
          |WHERE NOT EXISTS (SELECT 1 FROM dups WHERE drop_id = doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "d9_dedup_groups" ->
+      s"""WITH RECURSIVE $shingleCte,
+         |vp AS (SELECT id_a, id_b
+         |  FROM cand JOIN sh2 x ON id_a = x.doc_id JOIN sh2 y ON id_b = y.doc_id
+         |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM vp UNION SELECT id_b, id_a FROM vp),
+         |reach(id, l) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT e.a, reach.l FROM e JOIN reach ON e.b = reach.id)
+         |SELECT id, min(l) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "t5_ngram_freq" ->
       """SELECT bigram, count(*) AS n FROM (

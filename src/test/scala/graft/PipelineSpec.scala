@@ -68,6 +68,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getLong(0) == again.getLong(0))
   }
 
+  test("connected components: chains, cliques, and isolated pairs resolve to min ids") {
+    import spark.implicits._
+    // chain 1-2-3-4-5-6 (diameter 5), clique {10,11,12}, pair {20,21}
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val r = graft.operators.Dedup.connectedComponents(pairs)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert((1L to 6L).forall(r(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(r(_) == 10L))
+    assert(r(20L) == 20L && r(21L) == 20L)
+  }
+
   test("multimodal decode keeps partition-parallel batched shape") {
     val payloads = Multimodal.synthesizePayloads(Tables.documents(spark, sf)).toDF()
     val out = Multimodal.decodeMeta(payloads, "doc_id", "payload", batchSize = 16)
