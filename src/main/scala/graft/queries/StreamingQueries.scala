@@ -24,6 +24,24 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("session_idx"))
     },
 
+    // streaming-ingest dedup, batch form: keep the earliest event per
+    // (user, type) key. The streaming path is dropDuplicatesWithinWatermark
+    // (state bounded by the watermark) — parity in StreamingSpec; this
+    // batch form pins the stronger earliest-event semantics. Plans with
+    // a partial WindowGroupLimit (rank pushdown), not a full sort.
+    "st4_stream_dedup" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("ts_us").as("first_ts_us"), col("event_id").as("first_event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
     // native session windows (merge while gap < 30 min; window end =
     // last event + gap). Streaming-capable as-is (state store backed).
     "st3_session_window" -> { (s, dir) =>
@@ -60,6 +78,14 @@ object StreamingQueries {
          |           THEN 1 ELSE 0 END AS new_session
          |    FROM events) a) b
          |GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+
+    "st4_stream_dedup" ->
+      s"""SELECT user_id, event_type, ts_us AS first_ts_us, event_id AS first_event_id
+         |FROM (SELECT user_id, event_type, event_id, $tsUs AS ts_us,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY $tsUs, event_id) AS rn
+         |  FROM events) t
+         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
     // session_window merges while diff < gap (strict), so the break
     // condition here is >= — unlike st2's > (sub-µs distinction only).

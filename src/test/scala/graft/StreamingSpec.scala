@@ -76,6 +76,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming ingest dedup: dropDuplicatesWithinWatermark emits each key once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = HealthStream.readEventStream(spark, dir.toString)
+    val q = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select($"user_id", $"event_type")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sdedup_out")
+      .groupBy($"user_id", $"event_type").count().collect()
+    assert(streamed.nonEmpty && streamed.forall(_.getLong(2) == 1L),
+      "every (user, type) key must be emitted exactly once")
+    val batchKeys = Tables.events(spark, sf)
+      .select($"user_id", $"event_type").distinct().count()
+    assert(streamed.length == batchKeys)
+  }
+
   test("multi-cadence jobs off one source: 3- and 30-minute streams both match batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cadence")
     java.nio.file.Files.copy(
