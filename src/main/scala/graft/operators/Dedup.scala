@@ -102,39 +102,44 @@ object Dedup {
 
   /** Connected components over a (near-dup) pair graph by iterative
     * min-label propagation: each round, every node takes the minimum
-    * label among itself and its neighbors; after `iters` ≥ graph
-    * diameter rounds, every member of a component carries the
-    * component's minimum id.
+    * label among itself and its neighbors, until a fixpoint — then every
+    * member of a component carries the component's minimum id.
     *
     * Scale shape: the pair graph is TINY relative to the corpus (only
     * near-duplicate docs appear), each round is one broadcast-friendly
-    * equi-join + one partial-agg groupBy, and rounds are data-independent
-    * (fixed `iters`, no driver-side convergence collect). Dedup clusters
-    * are near-cliques, so the diameter is small; for adversarially deep
-    * chains swap in the large-star/small-star variant (log-round) —
-    * the per-round plan is identical.
+    * equi-join + one partial-agg groupBy. Edges and per-round labels are
+    * localCheckpoint'ed (Pregel-style lineage truncation — without it
+    * every round would re-evaluate the expensive upstream pair
+    * pipeline). Convergence is detected with a 1-row aggregate on a
+    * monotone invariant — labels only ever decrease, so an unchanged
+    * sum(component) means fixpoint — never by collecting the labels.
+    * Dedup clusters are near-cliques, so this converges in 2-3 rounds;
+    * maxIters is a runaway bound, not a correctness knob.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", iters: Int = 8): DataFrame = {
-    // materialize the edge set once and truncate its lineage: every
-    // round joins against `edges`, and without the checkpoint each of
-    // the `iters` joins would re-evaluate the (expensive) upstream
-    // pair-generation pipeline. The edge set is tiny — only near-dup
-    // docs appear — so this is the Pregel-style iterative pattern, not
-    // a hidden cache of the corpus.
+      idB: String = "id_b", maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-    for (_ <- 1 to iters) {
+      .localCheckpoint()
+    var prevSum = Option.empty[Long]
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
       labels = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .select(col("src").as("id"), col("component"))
         .union(labels)
         .groupBy(col("id"))
         .agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val s = labels.agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
+      iter += 1
     }
     labels
   }
