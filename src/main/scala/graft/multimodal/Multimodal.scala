@@ -64,6 +64,67 @@ object Multimodal {
     soi ++ app0 ++ sof0 ++ entropy ++ Array(0xFF, 0xD9).map(_.toByte)
   }
 
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+
+  /** Valid WAV: RIFF/WAVE header, PCM fmt chunk (little-endian, the
+    * inverse byte order of PNG/JPEG), `pad` data bytes. Length = 44+pad. */
+  def synthWav(sampleRate: Int, channels: Int, pad: Int): Array[Byte] = {
+    val bits = 16
+    val byteRate = sampleRate * channels * bits / 8
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(channels) ++ le32(sampleRate) ++ le32(byteRate) ++
+      le16(channels * bits / 8) ++ le16(bits)
+    val data = "data".getBytes("US-ASCII") ++ le32(pad) ++
+      Array.tabulate(pad)(i => (i % 251).toByte)
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + pad) ++
+      "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+  }
+
+  case class AudioMeta(doc_id: Long, byte_len: Int, sample_rate: Int,
+      channels: Int, format: String)
+
+  /** Parse a WAV header: verify RIFF....WAVE, then read the PCM fmt
+    * chunk's channel count and sample rate (little-endian u16/u32). */
+  def decodeAudioHeader(id: Long, bytes: Array[Byte]): AudioMeta = {
+    def l16(off: Int) = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    def l32(off: Int) = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+      ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    val len = bytes.length
+    if (len >= 36 && new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE" &&
+        new String(bytes, 12, 4, "US-ASCII") == "fmt ") {
+      AudioMeta(id, len, l32(24), l16(22), "wav")
+    } else AudioMeta(id, len, 0, 0, "unknown")
+  }
+
+  /** WAV payloads per doc: sample rate and channels derive from doc_id
+    * so the oracle predicts the decode arithmetically. */
+  def synthesizeAudio(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) =>
+        val rate = Seq(8000, 16000, 22050, 44100)((id % 4).toInt)
+        val ch = (id % 2).toInt + 1
+        BinaryDoc(id, synthWav(rate, ch, math.floorMod(n, 100)))
+      }).toDF()
+  }
+
+  /** Batched audio-header decode (same mapPartitions shape as decodeMeta). */
+  def decodeAudio(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[AudioMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => decodeAudioHeader(d.doc_id, d.payload)))
+      }
+  }
+
   /** Deterministic payload for a document: even ids are PNG, odd are
     * JPEG; dims and padding derive from (doc_id, n_chars) so the DuckDB
     * oracle can compute the expected decode output arithmetically. */

@@ -173,6 +173,20 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // int8 scalar quantization + ANN over the quantized vectors: the
+    // 100 TB bandwidth story (4 bytes -> 1 byte per dim). Quantized
+    // components are small exact integers, so cosine arithmetic is
+    // bit-identical across engines with no float drift.
+    "s4_ann_quantized" -> { (s, dir) =>
+      val quant = expr("transform(embedding, x -> " +
+        "cast(greatest(-127.0D, least(127.0D, floor(cast(x as double) * 127.0D + 0.5D))) as float))")
+      val vecs = Tables.embeddings(s, dir).withColumn("embedding", quant)
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     "t1_langid" -> { (s, dir) =>
       val withWords = Tables.documents(s, dir)
         .withColumn("_w", Dedup.words(col("text")))
@@ -237,6 +251,15 @@ object PipelineQueries {
         .withColumn("thumb_h",
           expr("cast((height * 128) div greatest(width, height, 1) as int)"))
         .select(col("doc_id"), col("width"), col("height"), col("thumb_w"), col("thumb_h"))
+        .orderBy(col("doc_id"))
+    },
+
+    // audio metadata from REAL bytes: valid WAV (RIFF/WAVE/fmt) payloads
+    // synthesized per doc, sample rate + channels parsed back out of the
+    // little-endian header (byte-order counterpart to PNG/JPEG's BE).
+    "x6_audio_meta" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeAudio(Tables.documents(s, dir))
+      Multimodal.decodeAudio(payloads, "doc_id", "payload").toDF()
         .orderBy(col("doc_id"))
     },
 
@@ -354,6 +377,15 @@ object PipelineQueries {
         |    CAST(doc_id % 480 + 16 AS INT) AS height FROM documents) t
         |ORDER BY doc_id""".stripMargin,
 
+    "x6_audio_meta" ->
+      """SELECT doc_id,
+        |  CAST(44 + n_chars % 100 AS INT) AS byte_len,
+        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |       WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+        |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |  'wav' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "x5_features" ->
       """SELECT doc_id,
         |  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INT) AS n_letters,
@@ -409,6 +441,21 @@ object PipelineQueries {
          |  FROM sims)
          |SELECT query_id, rnk, neighbor_id, sim FROM ranked
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "s4_ann_quantized" ->
+      s"""WITH vq AS (SELECT vec_id,
+         |    list_transform(embedding, x -> greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE)*127.0 + 0.5)))) AS e
+         |  FROM embeddings),
+         |v AS (SELECT vec_id, e, list_sum(list_transform(e, x -> x*x)) AS n2 FROM vq),
+         |q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |sims AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM v a CROSS JOIN q b WHERE a.vec_id <> b.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |  FROM sims)
+         |SELECT query_id, rnk, neighbor_id, sim FROM ranked
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "t1_langid" -> {
       val en = TextFunctions.enStop.map(w => s"'$w'").mkString(", ")

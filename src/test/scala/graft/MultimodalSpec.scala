@@ -41,6 +41,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stored == crc.getValue)
   }
 
+  test("WAV synth → decode round-trips sample rate and channels (little-endian)") {
+    val b = Multimodal.synthWav(44100, 2, pad = 10)
+    assert(b.length == 54)
+    assert(Multimodal.decodeAudioHeader(5L, b) ==
+      Multimodal.AudioMeta(5L, 54, 44100, 2, "wav"))
+    // PNG bytes are not audio
+    val notWav = Multimodal.synthPng(10, 10, 0)
+    assert(Multimodal.decodeAudioHeader(6L, notWav).format == "unknown")
+  }
+
   test("garbage, truncated, and empty payloads decode as unknown") {
     val garbage = Array.tabulate(64)(i => i.toByte)
     assert(Multimodal.decodeHeader(1L, garbage).format == "unknown")
