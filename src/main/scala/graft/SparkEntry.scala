@@ -13,11 +13,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ MonitoringQueries.queries ++
-      PipelineQueries.queries ++ StreamingQueries.queries
+      PipelineQueries.queries ++ StreamingQueries.queries ++
+      SamplingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ MonitoringQueries.oracles ++
-      PipelineQueries.oracles ++ StreamingQueries.oracles
+      PipelineQueries.oracles ++ StreamingQueries.oracles ++
+      SamplingQueries.oracles
 }

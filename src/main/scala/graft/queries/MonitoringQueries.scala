@@ -268,6 +268,26 @@ object MonitoringQueries {
         .orderBy(col("cadence_min"), col("bucket"))
     },
 
+    // severity state-transition alerting: classify each observation
+    // (value thresholds → ok/warn/crit), emit a row only when a node's
+    // severity CHANGES — the alert stream a monitoring daemon forwards,
+    // not the raw metric stream. One lag window per node; output is
+    // transition-cardinality (≪ event-cardinality at 100 TB).
+    "m25_status_alerts" -> { (s, dir) =>
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val sev = when(col("value") >= 100.0, "crit")
+        .when(col("value") >= 50.0, "warn").otherwise("ok")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          sev.as("severity"))
+        .withColumn("prev", lag(col("severity"), 1).over(byUser))
+        .filter(col("prev").isNotNull && col("prev") =!= col("severity"))
+        .select(col("user_id"), col("ts_us"), col("prev").as("prev_severity"),
+          col("severity").as("new_severity"))
+        .orderBy(col("user_id"), col("ts_us"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -467,6 +487,19 @@ object MonitoringQueries {
          |    count(*), sum(CAST(round(value*100) AS BIGINT)) / 100.0
          |  FROM events GROUP BY 2) t
          |ORDER BY cadence_min, bucket""".stripMargin,
+
+    "m25_status_alerts" ->
+      s"""SELECT user_id, ts_us, prev AS prev_severity, severity AS new_severity
+         |FROM (
+         |  SELECT user_id, ts_us, severity,
+         |    lag(severity) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+         |  FROM (
+         |    SELECT user_id, event_id, $tsUs AS ts_us,
+         |      CASE WHEN value >= 100.0 THEN 'crit'
+         |           WHEN value >= 50.0 THEN 'warn' ELSE 'ok' END AS severity
+         |    FROM events) a) b
+         |WHERE prev IS NOT NULL AND prev <> severity
+         |ORDER BY user_id, ts_us""".stripMargin,
 
     "m14_active_csv" ->
       """SELECT s_nationkey AS nationkey,

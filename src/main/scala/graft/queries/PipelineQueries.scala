@@ -125,6 +125,33 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // integer-scaled TF-IDF top terms per doc, one pass: tf is a single
+    // (doc,term) hash agg; df comes from a count-over-term window on the
+    // SAME aggregate (a tf⋈df self-join would re-evaluate the whole tf
+    // pipeline twice — CLAUDE.md plan-reuse pitfall); idf is scaled
+    // integer division so ranking is bit-exact vs the oracle. Top-5 per
+    // doc through the rank window (partial WindowGroupLimit below the
+    // exchange — shuffle-bounded, not a corpus sort).
+    "t6_tfidf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("wd"))
+      val tf = docs.select(col("doc_id"), explode(col("wd")).as("term"))
+        .filter(length(col("term")) >= 3)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .crossJoin(broadcast(n))
+        .withColumn("score", expr("tf * ((n_docs * 1000000) div df)"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 5)
+        .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+
     // modality distribution over REAL decoded metadata: synthesized
     // valid PNG/JPEG payloads, format read back from the magic bytes.
     "x3_modality_stats" -> { (s, dir) =>
@@ -353,6 +380,24 @@ object PipelineQueries {
         |    ELSE [] END) AS bigram
         |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS wd FROM documents) a) b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "t6_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, t AS term
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd
+        |    FROM documents) a, unnest(wd) u(t)
+        |  WHERE length(t) >= 3),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT doc_id, term, tf,
+        |    count(*) OVER (PARTITION BY term) AS df FROM tf)
+        |SELECT doc_id, CAST(rnk AS INT) AS rnk, term, CAST(score AS BIGINT) AS score
+        |FROM (SELECT doc_id, term,
+        |    tf * ((n_docs * 1000000) // df) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf * ((n_docs * 1000000) // df) DESC, term) AS rnk
+        |  FROM scored, n) x
+        |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
 
     "x3_modality_stats" ->
       """SELECT format, count(*) AS n,

@@ -374,6 +374,23 @@ object RelationalQueries {
         .orderBy($"win_id")
     },
 
+    // explicit GROUPING SETS (beyond rollup/cube): the four grouping
+    // combinations in one Expand pass, with grouping() flags
+    // disambiguating a real NULL from a grouping-set NULL.
+    "q29_grouping_sets" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_li_gs")
+      s.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               count(*) AS n,
+               sum(CAST(round(l_quantity*100) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS sum_qty
+        FROM v_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+        ORDER BY g_flag, g_status,
+          l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    },
+
     // String predicates + transforms (LIKE, regexp, case/substr/concat).
     "q20_string_ops" -> { (s, dir) =>
       import s.implicits._
@@ -601,6 +618,17 @@ object RelationalQueries {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q29_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |  count(*) AS n,
+        |  sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+        |ORDER BY g_flag, g_status,
+        |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "q20_string_ops" ->
       """SELECT p_partkey, upper(p_name) AS uname,

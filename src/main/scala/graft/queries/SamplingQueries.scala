@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Training-data sampling & packing coverage (SURVEY §2, p*): the
+  * selection/packing stages a large-scale training pipeline runs after
+  * dedup/quality filtering. All draws are keyed on md5 hex (identical in
+  * Spark and DuckDB — CLAUDE.md invariants) so every "random" decision
+  * is a pure function of the row: re-running the pipeline on 100 TB, or
+  * on any subset, reproduces the same split/sample bit-for-bit with zero
+  * coordination (no RNG state, no driver-side sampling pass).
+  *
+  * Scale shapes: p1/p2 are map-only filters (no shuffle beyond the final
+  * agg); p3 bounds per-group sample memory via the TopNPerKey partial
+  * heaps; p4 is one window over the per-shard ordering key; p5 is an
+  * explode whose fan-out is bounded by ceil(tokens/stride) per doc.
+  */
+object SamplingQueries {
+
+  /** Deterministic per-row draw in [0x00, 0xff]: first hex byte of a
+    * salted md5 of the doc id. Distinct salts give independent draws
+    * (p1's split must not correlate with p2's sample).
+    */
+  private def drawHex(salt: String) =
+    substring(md5(concat_ws("|", lit(salt), col("doc_id").cast("string"))), 1, 2)
+
+  private def drawHexSql(salt: String) =
+    s"substr(md5('$salt|' || CAST(doc_id AS VARCHAR)), 1, 2)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deterministic train/val/test split: hex-threshold on the draw
+    // ('1a' = 26/256 ≈ 10% test, '33' → next ≈10% val). Map-only per
+    // row; the groupBy here only summarizes the split for checking.
+    "p1_hash_split" -> { (s, dir) =>
+      val k = drawHex("split")
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(k < "1a", "test").when(k < "33", "val").otherwise("train"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"), col("lang"))
+    },
+
+    // stratified downsampling: per-language keep-rate from a broadcast
+    // config dim (e.g. downweight over-represented en). The filter is
+    // map-side (broadcast hash join + threshold compare) — at 100 TB
+    // this never shuffles the corpus.
+    "p2_stratified_sample" -> { (s, dir) =>
+      import s.implicits._
+      val rates = Seq(("en", "20"), ("de", "80"), ("es", "80"),
+          ("fr", "80"), ("zh", "40"))
+        .toDF("lang", "keep_below")
+      Tables.documents(s, dir)
+        .withColumn("k", drawHex("strat"))
+        .join(broadcast(rates), Seq("lang"))
+        .filter(col("k") < col("keep_below"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // fixed-size per-group sample (reservoir-style, deterministic): the
+    // n smallest salted-md5 draws per language, through the TopNPerKey
+    // custom operator — per-partition bounded heaps, so the shuffle
+    // carries ≤ groups×n rows instead of the corpus.
+    "p3_group_sample" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"))
+        .withColumn("samp_key",
+          md5(concat_ws("|", lit("res"), col("doc_id").cast("string"))))
+      graft.operators.Relational.topNPerGroupFast(docs, n = 20,
+          part = Seq("lang"), order = Seq(("samp_key", true), ("doc_id", true)))
+        .select(col("lang"), col("doc_id"), col("samp_key"))
+        .orderBy(col("lang"), col("samp_key"), col("doc_id"))
+    },
+
+    // sequence packing: stream each language shard in doc_id order and
+    // cut a new pack whenever the running token count crosses a budget
+    // multiple (next-fit packing; budget 256 tokens). One window per
+    // shard — at scale the shard key is the partition key, so packing
+    // is a single shuffle-free-after-sort pass per shard.
+    "p4_token_pack" -> { (s, dir) =>
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", expr("(cum - n_tokens) div 256"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("bin"))
+    },
+
+    // sliding-window chunking with overlap (chunk 40 tokens, stride 30):
+    // context-window pre-segmentation. Chunk content is verified by md5
+    // of the re-joined token slice; fan-out per doc is ceil(tokens/30).
+    // The words array is built ONCE per row (zip-of-slices pitfall does
+    // not apply: slice() sits outside any transform() lambda).
+    "p5_chunk_overlap" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("words"))
+        .withColumn("nw", size(col("words")))
+        .withColumn("chunk_idx",
+          explode(sequence(lit(0), expr("CAST((nw - 1) div 30 AS INT)"))))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(40), col("nw") - col("chunk_idx") * 30).as("chunk_tokens"),
+          md5(concat_ws(" ", slice(col("words"), col("chunk_idx") * 30 + 1, lit(40))))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }
+  )
+
+  def oracles: Map[String, String] = Map(
+    "p1_hash_split" ->
+      s"""SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM (SELECT lang, n_chars,
+         |    CASE WHEN ${drawHexSql("split")} < '1a' THEN 'test'
+         |         WHEN ${drawHexSql("split")} < '33' THEN 'val'
+         |         ELSE 'train' END AS split
+         |  FROM documents) t
+         |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+    "p2_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |JOIN (VALUES ('en','20'),('de','80'),('es','80'),('fr','80'),('zh','40'))
+         |  r(lang, keep_below) USING (lang)
+         |WHERE ${drawHexSql("strat")} < keep_below
+         |ORDER BY doc_id""".stripMargin,
+
+    "p3_group_sample" ->
+      """SELECT lang, doc_id, samp_key FROM (
+        |  SELECT lang, doc_id, md5('res|' || CAST(doc_id AS VARCHAR)) AS samp_key,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('res|' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 20 ORDER BY lang, samp_key, doc_id""".stripMargin,
+
+    "p4_token_pack" ->
+      """SELECT lang, bin, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM (
+        |  SELECT lang, doc_id, n_tokens,
+        |    CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 256 AS BIGINT) AS bin
+        |  FROM (SELECT lang, doc_id,
+        |      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
+        |    FROM documents) a) b
+        |GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "p5_chunk_overlap" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(least(40, nw - i*30) AS INT) AS chunk_tokens,
+        |  md5(array_to_string(wd[(i*30+1):(i*30+40)], ' ')) AS chunk_md5
+        |FROM (
+        |  SELECT doc_id, wd, len(wd) AS nw,
+        |    unnest(range(0, (len(wd)-1)//30 + 1)) AS i
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd
+        |    FROM documents) a) b
+        |ORDER BY doc_id, chunk_idx""".stripMargin
+  )
+}

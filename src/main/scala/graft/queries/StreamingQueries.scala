@@ -42,6 +42,14 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // stream-static broadcast enrichment + windowed agg, batch form;
+    // streaming parity (same code over readStream) in StreamingSpec.
+    "st5_stream_enrich" -> { (s, dir) =>
+      HealthStream.enrichedHealth(Tables.events(s, dir),
+          Tables.customer(s, dir), Tables.nation(s, dir))
+        .orderBy(col("bucket"), col("nation"))
+    },
+
     // native session windows (merge while gap < 30 min; window end =
     // last event + gap). Streaming-capable as-is (state store backed).
     "st3_session_window" -> { (s, dir) =>
@@ -86,6 +94,18 @@ object StreamingQueries {
          |      ORDER BY $tsUs, event_id) AS rn
          |  FROM events) t
          |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "st5_stream_enrich" ->
+      s"""SELECT bucket, nation, count(*) AS n_events,
+         |  CAST(sum(is_err) AS BIGINT) AS n_errors
+         |FROM (SELECT make_timestamp($tsUs - $tsUs % 600000000) AS bucket,
+         |    coalesce(n_name, 'UNKNOWN') AS nation,
+         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+         |  FROM events e LEFT JOIN
+         |    (SELECT c_custkey, n_name FROM customer
+         |      JOIN nation ON c_nationkey = n_nationkey) d
+         |    ON e.user_id = d.c_custkey) t
+         |GROUP BY bucket, nation ORDER BY bucket, nation""".stripMargin,
 
     // session_window merges while diff < gap (strict), so the break
     // condition here is >= — unlike st2's > (sub-µs distinction only).

@@ -46,6 +46,32 @@ object HealthStream {
       .select(col("w.start").cast("timestamp_ntz").as("bucket"), col("event_type"),
         col("n"), col("n_errors"))
 
+  /** Stream-static enrichment: the event stream broadcast-joined to a
+    * slowly-changing dimension (user → nation via customer), then
+    * windowed per enriched key. In streaming mode Spark re-plans the
+    * static side per micro-batch (dimension updates picked up without a
+    * restart); the join itself is stateless — only the windowed agg
+    * holds watermark-bounded state. Events with no directory entry keep
+    * the reference's fallback-chain behavior (getHostName analog:
+    * unknown → sentinel label, never dropped).
+    */
+  def enrichedHealth(events: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val dim = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(nation.select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    events
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim), events("user_id") === dim("c_custkey"), "left")
+      .withColumn("nation", coalesce(col("n_name"), lit("UNKNOWN")))
+      .groupBy(window(col("ts"), "10 minutes").as("w"), col("nation"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .select(col("w.start").cast("timestamp_ntz").as("bucket"), col("nation"),
+        col("n_events"), col("n_errors"))
+  }
+
   /** Declarative gap-based sessionization (batch form): a session breaks
     * when the gap to the previous event exceeds gapMinutes. Windows +
     * prefix-sum — all engine-portable, oracle-checkable. */

@@ -97,4 +97,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_"), p)
     assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
   }
+
+  test("p2: stratified sample filters map-side through a broadcast config dim") {
+    val p = plan("p2_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("p3: per-group sample goes through TopNPerKey bounded heaps") {
+    val p = plan("p3_group_sample")
+    assert(p.contains("TopNPerKey"), p)
+    // no window-function fallback: the sample must not sort the corpus
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q29: grouping sets are one Expand over one scan") {
+    val p = plan("q29_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert(p.linesIterator.count(_.contains("FileScan")) == 1, p)
+  }
+
+  test("st5: stream-static enrich broadcasts the dimension") {
+    val p = plan("st5_stream_enrich")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

@@ -31,6 +31,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static enrich: streaming windowed enrich == batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_enrich")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = HealthStream.readEventStream(spark, dir.toString)
+    val cust = Tables.customer(spark, sf)
+    val nat = Tables.nation(spark, sf)
+    val q = HealthStream.enrichedHealth(stream, cust, nat)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("enrich_out")
+      .orderBy("bucket", "nation").collect().toSeq
+    val batch = HealthStream.enrichedHealth(Tables.events(spark, sf), cust, nat)
+      .orderBy("bucket", "nation").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("event sink lands PH_SYSTEM payload lines per micro-batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink")
     java.nio.file.Files.copy(
