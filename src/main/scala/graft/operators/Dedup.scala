@@ -46,36 +46,38 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** LSH candidate pairs: explode shingles to rows, hash per seed,
-    * partial-min aggregate into per-band keys, bucket equi-join.
+  /** LSH candidate pairs: explode shingles to rows, min-aggregate all
+    * hash signatures in one pass, band-key bucket grouping.
     *
     * Deliberately row-oriented rather than nested array transforms:
     * Catalyst's projection collapse would otherwise inline the shingle
-    * expression into every per-hash lambda (quadratic recompute), and
-    * the explode→partial-agg shape is also the one that scales — the
-    * min() combines map-side, so the shuffle carries numHashes rows per
-    * document, not the shingle sets. */
+    * expression into every per-hash lambda (quadratic recompute). The
+    * numHashes signatures are NOT a second ×numHashes explode — they are
+    * numHashes min() columns over ONE shingle-row pass, so the (string)
+    * min aggregate sees |shingles| rows, the map-side combine applies
+    * per column, and the shuffle carries one row per document. */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
       bands: Int, rows: Int, maxBucket: Int = 64): DataFrame = {
     val numHashes = bands * rows
-    // spread docs across the cluster BEFORE the shingle/hash fan-out —
-    // a narrow scan of few files would otherwise run the whole
-    // hash-explode in a handful of tasks
+    // spread docs across the cluster BEFORE the shingle fan-out — a
+    // narrow scan of few files would otherwise run the whole
+    // shingle-explode in a handful of tasks
     val fanout = docs.sparkSession.sparkContext.defaultParallelism
     val shingleRows = docs.repartition(fanout, col(idCol))
       .select(col(idCol), explode(shingles(textCol)).as("_s"))
-    val hashed = shingleRows
-      .select(col(idCol), col("_s"), explode(expr(s"sequence(0, ${numHashes - 1})")).as("_h"))
-      .select(col(idCol), col("_h"),
-        md5(concat(col("_h").cast("string"), lit("|"), col("_s"))).as("_hv"))
-    val mins = hashed.groupBy(col(idCol), col("_h")).agg(min(col("_hv")).as("_min"))
+    val minCols = (0 until numHashes).map { h =>
+      min(md5(concat(lit(s"$h|"), col("_s")))).as(s"_m$h")
+    }
+    val mins = shingleRows.groupBy(col(idCol))
+      .agg(minCols.head, minCols.drop(1): _*)
+    // band key = band id ":" concat of the band's `rows` signatures —
+    // byte-identical to hashing per band in the oracle's formulation
+    val bandKeys = (0 until bands).map { b =>
+      concat(lit(s"$b:") +: (b * rows until (b + 1) * rows)
+        .map(h => col(s"_m$h")): _*)
+    }
     val banded = mins
-      .withColumn("_b", expr(s"_h div $rows"))
-      .groupBy(col(idCol), col("_b"))
-      .agg(concat(col("_b").cast("string"), lit(":"),
-        array_join(expr("transform(array_sort(collect_list(struct(_h, _min))), x -> x._min)"), ""))
-        .as("_key"))
-      .select(col(idCol), col("_key"))
+      .select(col(idCol), explode(array(bandKeys: _*)).as("_key"))
     // Pair generation WITHOUT a self-join: group band keys into bounded
     // id arrays and explode each bucket's pairs directly. A self-join on
     // the band key would evaluate the whole shingle/hash pipeline twice

@@ -214,6 +214,28 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // ANN quality evaluation: recall of the sign-LSH scale path against
+    // brute-force ground truth at the same k. The eval is itself a
+    // distributed op — both result sets are queries×k rows, so the
+    // intersection join is trivially small; every query appears (empty
+    // LSH bucket → recall 0), which is what an index-quality monitor
+    // must surface. Integer recall (n_hits*100 div k) — no float drift.
+    "s5_ann_recall" -> { (s, dir) =>
+      val vecs = Tables.embeddings(s, dir)
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val truth = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Similarity.lshTopK(vecs, q, "vec_id", "embedding", bits = 4, k = 3)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall_pct", expr("CAST(n_hits * 100 div 3 AS INT)"))
+        .orderBy(col("query_id"))
+    },
+
     "t1_langid" -> { (s, dir) =>
       val withWords = Tables.documents(s, dir)
         .withColumn("_w", Dedup.words(col("text")))
@@ -501,6 +523,36 @@ object PipelineQueries {
          |  FROM sims)
          |SELECT query_id, rnk, neighbor_id, sim FROM ranked
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "s5_ann_recall" ->
+      s"""WITH $vecCte,
+         |q0 AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |tsims AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM v a CROSS JOIN q0 b WHERE a.vec_id <> b.vec_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |    FROM tsims) t WHERE rnk <= 3),
+         |vb AS (SELECT *, CAST(list_sum(list_transform(generate_series(0, 3), i ->
+         |    CASE WHEN e[i+1] >= 0 THEN (1 << i) ELSE 0 END)) AS INT) AS bucket FROM v),
+         |qb AS (SELECT * FROM vb WHERE vec_id % 50 = 0),
+         |lsims AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM vb a JOIN qb b ON a.bucket = b.bucket WHERE a.vec_id <> b.vec_id),
+         |lsh AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |    FROM lsims) t WHERE rnk <= 3),
+         |hits AS (SELECT t.query_id, count(*) AS n_hits
+         |  FROM truth t JOIN lsh l
+         |    ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q0.vec_id AS query_id,
+         |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(n_hits, 0) * 100 // 3 AS INT) AS recall_pct
+         |FROM q0 LEFT JOIN hits ON q0.vec_id = hits.query_id
+         |ORDER BY query_id""".stripMargin,
 
     "t1_langid" -> {
       val en = TextFunctions.enStop.map(w => s"'$w'").mkString(", ")

@@ -120,6 +120,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length == batchKeys)
   }
 
+  test("late data beyond the watermark is dropped from append-mode windows") {
+    import spark.implicits._
+    // 2024-01-01 12:00 UTC in ns; windowedHealth = 5-min windows, 1h watermark
+    def ns(min: Long) = (1704110400000000L + min * 60000000L) * 1000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_late")
+    def mkBatch(rows: Seq[(Long, Long)], path: String): Unit =
+      rows.map { case (id, t) => (id, t, 1L, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/$path")
+
+    // batch 1: two events in window [12:00,12:05) + one at 14:00 that
+    // drives the watermark to 13:00 once the batch commits
+    mkBatch(Seq((1L, ns(0)), (2L, ns(1)), (3L, ns(120))), "f1")
+    val stream = spark.readStream.schema(HealthStream.eventSchema)
+      .parquet(s"$dir/f*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = HealthStream.windowedHealth(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    q.processAllAvailable()
+    // batch 2: event 4 is LATE (12:02 < watermark 13:00, its window is
+    // closed) and must be dropped; event 5 advances the watermark
+    mkBatch(Seq((4L, ns(2)), (5L, ns(240))), "f2")
+    q.processAllAvailable(); q.stop()
+
+    val w0 = spark.table("late_out")
+      .filter($"bucket" === java.sql.Timestamp.valueOf("2024-01-01 12:00:00"))
+      .collect()
+    assert(w0.length == 1, s"window [12:00,12:05) must finalize exactly once: ${w0.toSeq}")
+    assert(w0(0).getAs[Long]("n") == 2L,
+      s"late event 4 must NOT be counted: ${w0.toSeq}")
+  }
+
   test("multi-cadence jobs off one source: 3- and 30-minute streams both match batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_cadence")
     java.nio.file.Files.copy(
