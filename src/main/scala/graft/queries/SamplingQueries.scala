@@ -94,6 +94,32 @@ object SamplingQueries {
         .orderBy(col("lang"), col("bin"))
     },
 
+    // deterministic class rebalancing: oversample every language up to
+    // the majority class count. Each doc gets floor(target/c) copies;
+    // the remainder goes to the first (target mod c) docs in salted-md5
+    // order — so the rebalanced corpus is an exact, reproducible
+    // function of the input. Fan-out per doc is bounded by
+    // ceil(target/c); counts come from two window passes over the
+    // (lang)-partitioned corpus, no driver-side sizing.
+    "p6_balanced_resample" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      // class sizes and the majority-class target are tiny aggregates,
+      // broadcast back — never a global single-partition window
+      val langCounts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val target = langCounts.agg(max(col("c")).as("target"))
+      val draw = md5(concat_ws("|", lit("bal"), col("doc_id").cast("string")))
+      val rnkW = Window.partitionBy(col("lang")).orderBy(draw, col("doc_id"))
+      docs
+        .join(broadcast(langCounts), Seq("lang"))
+        .crossJoin(broadcast(target))
+        .withColumn("rnk", row_number().over(rnkW))
+        .withColumn("n_copies",
+          expr("CAST(target div c + (CASE WHEN rnk <= target % c THEN 1 ELSE 0 END) AS INT)"))
+        .withColumn("copy_idx", explode(sequence(lit(1), col("n_copies"))))
+        .select(col("doc_id"), col("lang"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    },
+
     // sliding-window chunking with overlap (chunk 40 tokens, stride 30):
     // context-window pre-segmentation. Chunk content is verified by md5
     // of the re-joined token slice; fan-out per doc is ceil(tokens/30).
@@ -149,6 +175,22 @@ object SamplingQueries {
         |      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
         |    FROM documents) a) b
         |GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+
+    "p6_balanced_resample" ->
+      """WITH lc AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |tgt AS (SELECT max(c) AS target FROM lc),
+        |ranked AS (
+        |  SELECT d.doc_id, d.lang, lc.c, tgt.target,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY md5('bal|' || CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rnk
+        |  FROM documents d JOIN lc USING (lang) CROSS JOIN tgt)
+        |SELECT doc_id, lang, CAST(i AS INT) AS copy_idx
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    unnest(generate_series(1, CAST(target // c +
+        |      (CASE WHEN rnk <= target % c THEN 1 ELSE 0 END) AS INT))) AS i
+        |  FROM ranked) u
+        |ORDER BY doc_id, copy_idx""".stripMargin,
 
     "p5_chunk_overlap" ->
       """SELECT doc_id, CAST(i AS INT) AS chunk_idx,
