@@ -288,6 +288,37 @@ object MonitoringQueries {
         .orderBy(col("user_id"), col("ts_us"))
     },
 
+    // dataset profiling (ANALYZE-style): per-column null count, exact
+    // distinct count, min/max — the data-QA snapshot a training
+    // pipeline runs before ingest. One base scan for counts/extrema;
+    // each exact distinct is its own pre-aggregated column scan (the
+    // q10 shape — never an Expand of the fact ×columns); the tiny
+    // 1-row aggregates cross-join broadcast and melt to one row per
+    // column.
+    "m26_column_profile" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")
+      def mn(c: String) = min(col(c)).cast("string").as(s"min_$c")
+      def mx(c: String) = max(col(c)).cast("string").as(s"max_$c")
+      val base = docs.agg(count(lit(1)).as("n_rows"),
+        nulls("lang"), mn("lang"), mx("lang"),
+        nulls("source"), mn("source"), mx("source"),
+        nulls("n_chars"), mn("n_chars"), mx("n_chars"))
+      def dcount(c: String) = docs.select(col(c)).distinct()
+        .agg(count(lit(1)).as(s"d_$c"))
+      val joined = base
+        .crossJoin(broadcast(dcount("lang")))
+        .crossJoin(broadcast(dcount("source")))
+        .crossJoin(broadcast(dcount("n_chars")))
+      def row(c: String) = struct(lit(c).as("col_name"), col("n_rows"),
+        col(s"nulls_$c").as("n_nulls"), col(s"d_$c").as("n_distinct"),
+        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))
+      joined
+        .select(explode(array(row("lang"), row("source"), row("n_chars"))).as("p"))
+        .select(col("p.*"))
+        .orderBy(col("col_name"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -500,6 +531,31 @@ object MonitoringQueries {
          |    FROM events) a) b
          |WHERE prev IS NOT NULL AND prev <> severity
          |ORDER BY user_id, ts_us""".stripMargin,
+
+    "m26_column_profile" ->
+      """WITH base AS (SELECT count(*) AS n_rows FROM documents)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+        |  SELECT 'lang' AS col_name, base.n_rows,
+        |    (SELECT CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents) AS n_nulls,
+        |    (SELECT count(DISTINCT lang) FROM documents) AS n_distinct,
+        |    (SELECT CAST(min(lang) AS VARCHAR) FROM documents) AS min_val,
+        |    (SELECT CAST(max(lang) AS VARCHAR) FROM documents) AS max_val
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'source', base.n_rows,
+        |    (SELECT CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents),
+        |    (SELECT count(DISTINCT source) FROM documents),
+        |    (SELECT CAST(min(source) AS VARCHAR) FROM documents),
+        |    (SELECT CAST(max(source) AS VARCHAR) FROM documents)
+        |  FROM base
+        |  UNION ALL
+        |  SELECT 'n_chars', base.n_rows,
+        |    (SELECT CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM documents),
+        |    (SELECT count(DISTINCT n_chars) FROM documents),
+        |    (SELECT CAST(min(n_chars) AS VARCHAR) FROM documents),
+        |    (SELECT CAST(max(n_chars) AS VARCHAR) FROM documents)
+        |  FROM base) t
+        |ORDER BY col_name""".stripMargin,
 
     "m14_active_csv" ->
       """SELECT s_nationkey AS nationkey,

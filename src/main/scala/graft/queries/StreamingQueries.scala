@@ -50,6 +50,15 @@ object StreamingQueries {
         .orderBy(col("bucket"), col("nation"))
     },
 
+    // event-sequence funnel (click → error within 10 min per user),
+    // batch form; the same code runs as a watermarked stream-stream
+    // inner join — parity in StreamingSpec.
+    "st6_stream_funnel" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      HealthStream.clickErrorFunnel(ev, ev, windowMinutes = 10)
+        .orderBy(col("user_id"), col("click_id"), col("error_id"))
+    },
+
     // native session windows (merge while gap < 30 min; window end =
     // last event + gap). Streaming-capable as-is (state store backed).
     "st3_session_window" -> { (s, dir) =>
@@ -106,6 +115,16 @@ object StreamingQueries {
          |      JOIN nation ON c_nationkey = n_nationkey) d
          |    ON e.user_id = d.c_custkey) t
          |GROUP BY bucket, nation ORDER BY bucket, nation""".stripMargin,
+
+    "st6_stream_funnel" ->
+      s"""SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+         |  (epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))) AS gap_us
+         |FROM events c JOIN events e
+         |  ON c.user_id = e.user_id
+         |WHERE c.event_type = 'click' AND e.event_type = 'error'
+         |  AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= epoch_us(CAST(c.ts AS TIMESTAMP))
+         |  AND epoch_us(CAST(e.ts AS TIMESTAMP)) < epoch_us(CAST(c.ts AS TIMESTAMP)) + 600000000
+         |ORDER BY 1, click_id, error_id""".stripMargin,
 
     // session_window merges while diff < gap (strict), so the break
     // condition here is >= — unlike st2's > (sub-µs distinction only).

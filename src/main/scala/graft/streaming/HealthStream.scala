@@ -72,6 +72,35 @@ object HealthStream {
         col("n_events"), col("n_errors"))
   }
 
+  /** Event-sequence correlation (funnel): every (click, error) pair for
+    * the same user with the error inside [click, click + window). In
+    * batch this is an equi-join on user plus a µs range predicate; in
+    * streaming the SAME code is a watermarked stream-stream inner join —
+    * the time-range condition lets Spark bound each side's join state to
+    * the window + watermark horizon. Comparisons are in integer µs so
+    * batch, stream, and the SQL oracle agree bit-for-bit.
+    */
+  def clickErrorFunnel(clickSide: DataFrame, errorSide: DataFrame,
+      windowMinutes: Int): DataFrame = {
+    val clicks = clickSide.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), unix_micros(col("ts")).as("click_us"))
+    val errors = errorSide.filter(col("event_type") === "error")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("error_ts"), unix_micros(col("ts")).as("error_us"))
+    // the range condition is on the watermarked event-time columns —
+    // that is what lets streaming bound join state; ts is µs-exact so
+    // this is bit-identical to comparing click_us/error_us
+    clicks.join(errors,
+        col("user_id") === col("e_user") &&
+        col("error_ts") >= col("click_ts") &&
+        col("error_ts") < col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("error_id"),
+        (col("error_us") - col("click_us")).as("gap_us"))
+  }
+
   /** Declarative gap-based sessionization (batch form): a session breaks
     * when the gap to the previous event exceeds gapMinutes. Windows +
     * prefix-sum — all engine-portable, oracle-checkable. */

@@ -120,6 +120,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length == batchKeys)
   }
 
+  test("stream-stream funnel join == batch funnel join") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    // two independent stream readers over the same source — a real
+    // stream-stream join, not a self-join of one stream node
+    val clicks = HealthStream.readEventStream(spark, dir.toString)
+    val errors = HealthStream.readEventStream(spark, dir.toString)
+    val q = HealthStream.clickErrorFunnel(clicks, errors, windowMinutes = 10)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("funnel_out")
+      .orderBy("user_id", "click_id", "error_id").collect().toSeq
+    val ev = Tables.events(spark, sf)
+    val batch = HealthStream.clickErrorFunnel(ev, ev, windowMinutes = 10)
+      .orderBy("user_id", "click_id", "error_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("late data beyond the watermark is dropped from append-mode windows") {
     import spark.implicits._
     // 2024-01-01 12:00 UTC in ns; windowedHealth = 5-min windows, 1h watermark
