@@ -391,6 +391,24 @@ object RelationalQueries {
           l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
     },
 
+    // FULL OUTER join: reconcile two aggregated sides where either may
+    // lack a key (customer-nations vs low-id supplier-nations); the
+    // pre-aggregation keeps both sides tiny before the join.
+    "q30_full_outer" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables.customer(s, dir)
+        .groupBy($"c_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, dir).filter($"s_nationkey" < 15)
+        .groupBy($"s_nationkey".as("nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nationkey"), "full_outer")
+        .select($"nationkey",
+          coalesce($"n_cust", lit(0L)).as("n_cust"),
+          coalesce($"n_supp", lit(0L)).as("n_supp"))
+        .orderBy($"nationkey")
+    },
+
     // String predicates + transforms (LIKE, regexp, case/substr/concat).
     "q20_string_ops" -> { (s, dir) =>
       import s.implicits._
@@ -629,6 +647,17 @@ object RelationalQueries {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
         |ORDER BY g_flag, g_status,
         |  l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q30_full_outer" ->
+      """SELECT nationkey,
+        |  CAST(coalesce(n_cust, 0) AS BIGINT) AS n_cust,
+        |  CAST(coalesce(n_supp, 0) AS BIGINT) AS n_supp
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+        |      FROM supplier WHERE s_nationkey < 15 GROUP BY 1) s
+        |  USING (nationkey)
+        |ORDER BY nationkey""".stripMargin,
 
     "q20_string_ops" ->
       """SELECT p_partkey, upper(p_name) AS uname,
