@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structural invariants of the sampling/packing family (p1-p6). The
+  * DuckDB oracle proves value-equality; these prove the SEMANTICS a
+  * pipeline relies on: splits cover disjointly, per-group samples are
+  * exactly sized, packing conserves tokens, chunking covers every
+  * token, rebalancing hits the target exactly.
+  */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local()
+  val sf = "/root/testdata/sf0.01"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("p1: splits disjointly cover the corpus at roughly the configured rates") {
+    val splits = run("p1_hash_split").collect()
+    val total = splits.map(_.getAs[Long]("n_docs")).sum
+    val corpus = graft.sources.Tables.documents(spark, sf).count()
+    assert(total == corpus, "every doc lands in exactly one split")
+    val test = splits.filter(_.getString(0) == "test").map(_.getAs[Long]("n_docs")).sum
+    val valN = splits.filter(_.getString(0) == "val").map(_.getAs[Long]("n_docs")).sum
+    // thresholds '1a'/'33' ≈ 10.2% / 9.8%; md5 is uniform enough that
+    // 500 draws land within ±6 points
+    assert(test >= corpus * 4 / 100 && test <= corpus * 16 / 100, s"test=$test")
+    assert(valN >= corpus * 4 / 100 && valN <= corpus * 16 / 100, s"val=$valN")
+  }
+
+  test("p3: per-group sample is exactly n for every group with >= n docs") {
+    val counts = run("p3_group_sample").groupBy("lang").count().collect()
+    assert(counts.nonEmpty)
+    counts.foreach(r => assert(r.getLong(1) == 20L, r.toString))
+  }
+
+  test("p4: packing conserves tokens per shard (no doc lost or double-packed)") {
+    import spark.implicits._
+    val packed = run("p4_token_pack")
+      .groupBy("lang").agg(sum($"bin_tokens").as("packed"), sum($"n_docs").as("docs"))
+    val direct = graft.sources.Tables.documents(spark, sf)
+      .withColumn("n_tokens", size(split(trim($"text"), "\\s+")))
+      .groupBy("lang").agg(sum($"n_tokens").as("direct"), count(lit(1)).as("n"))
+    val joined = packed.join(direct, "lang").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("packed") == r.getAs[Long]("direct"), r.toString)
+      assert(r.getAs[Long]("docs") == r.getAs[Long]("n"), r.toString)
+    }
+  }
+
+  test("p5: chunks cover every token with the configured overlap shape") {
+    import spark.implicits._
+    val chunks = run("p5_chunk_overlap")
+    val bad = chunks.filter($"chunk_tokens" < 1 || $"chunk_tokens" > 40).count()
+    assert(bad == 0, "chunk sizes bounded by the chunk length")
+    // chunk count per doc = ceil(nw / stride); verify against the corpus
+    val perDoc = chunks.groupBy("doc_id").count()
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).as("nw"))
+      .withColumn("exp", expr("CAST((nw - 1) div 30 AS LONG) + 1"))
+    val mismatch = perDoc.join(expected, "doc_id")
+      .filter($"count" =!= $"exp").count()
+    assert(mismatch == 0)
+  }
+
+  test("p6: every class is rebalanced to exactly the majority count") {
+    val out = run("p6_balanced_resample").groupBy("lang").count().collect()
+    val target = out.map(_.getLong(1)).max
+    assert(out.length >= 2)
+    out.foreach(r => assert(r.getLong(1) == target, r.toString))
+    // copies of one doc are distinct rows, indexed from 1
+    val dup = run("p6_balanced_resample")
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), max(col("copy_idx")).as("mx"))
+      .filter(col("n") =!= col("mx")).count()
+    assert(dup == 0, "copy_idx must enumerate 1..n_copies")
+  }
+}
