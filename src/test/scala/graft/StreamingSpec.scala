@@ -269,6 +269,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == Seq((1L, 1L, min(0), min(5), 2L)))
   }
 
+  test("stateful sessionization parity holds on the RocksDB state store") {
+    import spark.implicits._
+    // the provider a large deployment runs (state lives off-heap/on-disk
+    // instead of executor heap) — emitted results must be identical to
+    // the default HDFS-backed provider on the same stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_rocks")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    def runWith(provider: Option[String], sink: String): Seq[org.apache.spark.sql.Row] = {
+      provider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      try {
+        val stream = HealthStream.readEventStream(spark, dir.toString)
+          .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"))
+          .as[HealthStream.Ev]
+        val q = HealthStream.sessionsStateful(stream, 30).toDF()
+          .writeStream.outputMode("append")
+          .format("memory").queryName(sink).start()
+        q.processAllAvailable(); q.stop()
+        spark.table(sink)
+          .select("user_id", "session_idx", "start_us", "end_us", "n_events")
+          .orderBy("user_id", "session_idx").collect().toSeq
+      } finally {
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val rocks = runWith(Some(
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"),
+      "rocks_out")
+    val default = runWith(None, "rocks_default_out")
+    assert(rocks == default)
+    assert(rocks.nonEmpty)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) == declarative sessions") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
