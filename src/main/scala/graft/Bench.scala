@@ -6,14 +6,18 @@ import scala.util.Try
 
 /** Benchmark harness. One discarded warm PASS over the whole suite
   * (codegen compile, file listing, broadcast build), then
-  * SPARK_GRAFT_BENCH_N measured passes (default 3); the reported number
-  * is the per-query MEDIAN across passes (two middle samples averaged
-  * for even N). Passes are INTERLEAVED — every query runs once per pass,
-  * not N times back-to-back — so a minutes-long system contention burst
-  * inflates a stretch of different queries once each (their medians
-  * survive) instead of poisoning all N samples of whichever query it
-  * lands on (observed: the same query measuring 1.2s and 54s
-  * median-of-3 in adjacent suite runs under burst contention).
+  * SPARK_GRAFT_BENCH_N measured passes (default 5 — JIT/profile warmup
+  * of regex-heavy plans needs several spread-out executions to reach
+  * steady state under interleaving); the reported number
+  * is the per-query MINIMUM across passes (best-of-N, timeit's
+  * rationale: contention and GC only ever ADD time, so the minimum is
+  * the closest estimator of uncontended steady-state cost). Passes are
+  * INTERLEAVED — every query runs once per pass, not N times
+  * back-to-back — so a minutes-long system contention burst inflates a
+  * stretch of different queries once each (their minima survive)
+  * instead of poisoning all N samples of whichever query it lands on
+  * (observed: the same query measuring 1.2s and 54s median-of-3 in
+  * adjacent suite runs under burst contention).
   *
   * Output protocol (the driver tail-parses stdout with a bounded window,
   * and sbt appends its own "[success]" line after ours):
@@ -36,8 +40,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val iters = Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "3").trim.toInt)
-      .getOrElse(3).max(1)
+    val iters = Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "5").trim.toInt)
+      .getOrElse(5).max(1)
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -83,11 +87,8 @@ object Bench {
       }
     }
     val results = ordered.map { case (name, _) =>
-      val t = if (failed(name)) -1.0 else {
-        val s = samples(name).sorted
-        if (s.length % 2 == 1) s(s.length / 2)
-        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-      }
+      val t = if (failed(name) || samples(name).isEmpty) -1.0
+        else samples(name).min
       name -> t
     }
     val ok = results.filter(_._2 >= 0)

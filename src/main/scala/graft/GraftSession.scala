@@ -15,6 +15,10 @@ object GraftSession {
   def configure(b: SparkSession.Builder): SparkSession.Builder = b
     .withExtensions(new graft.functions.GraftExtensions)
     .config("spark.sql.adaptive.enabled", "true")
+    // static conf, default 100: a 90+-query workload cycling through the
+    // whole-stage-codegen cache re-Janino-compiles every plan on every
+    // revisit (~1.5× uniform slowdown measured on the interleaved bench)
+    .config("spark.sql.codegen.cache.maxEntries", "5000")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
