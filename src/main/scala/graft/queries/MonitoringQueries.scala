@@ -319,6 +319,26 @@ object MonitoringQueries {
         .orderBy(col("col_name"))
     },
 
+    // incremental rollup maintenance: the production path for keeping a
+    // bucketed aggregate current is merging a DELTA aggregate into the
+    // existing rollup — never rescanning history. count and scaled-cent
+    // sums are decomposable, so re-aggregating (old ∪ delta) partial
+    // rows equals the full recompute (which is what the oracle runs) —
+    // the merge is what this query proves. The even/odd split stands in
+    // for history vs new-arrivals.
+    "m27_incremental_rollup" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .withColumn("bucket", Monitoring.timeBucket(col("ts"), 5).cast("timestamp_ntz"))
+      def rollup(part: DataFrame) = part.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(Monitoring.cents(col("value"))).as("cents"))
+      val history = rollup(ev.filter(pmod(col("event_id"), lit(2)) === 0))
+      val delta = rollup(ev.filter(pmod(col("event_id"), lit(2)) === 1))
+      history.unionByName(delta)
+        .groupBy(col("bucket"))
+        .agg(sum(col("n")).as("n"), (sum(col("cents")) / 100.0).as("total_value"))
+        .orderBy(col("bucket"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -556,6 +576,12 @@ object MonitoringQueries {
         |    (SELECT CAST(max(n_chars) AS VARCHAR) FROM documents)
         |  FROM base) t
         |ORDER BY col_name""".stripMargin,
+
+    "m27_incremental_rollup" ->
+      s"""SELECT make_timestamp($tsUs - $tsUs % 300000000) AS bucket,
+         |  count(*) AS n,
+         |  sum(CAST(round(value*100) AS BIGINT)) / 100.0 AS total_value
+         |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "m14_active_csv" ->
       """SELECT s_nationkey AS nationkey,
