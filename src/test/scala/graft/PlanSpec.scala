@@ -122,4 +122,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("t6: per-doc top-k terms pushes a partial WindowGroupLimit") {
+    // the rank filter must bound the shuffle (≤k rows per doc per
+    // partition), not sort the full (doc, term) aggregate
+    val p = plan("t6_tfidf")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("m27: incremental merge partial-aggregates both branches") {
+    val p = plan("m27_incremental_rollup")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
