@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to this process's stdout/stderr with
+// no "[info]" logger framing, and the "[success] Total time" trailer is
+// suppressed — so the last stdout line of `sbt -batch "runMain
+// graft.Bench"` is Bench's bare compact JSON, which automated callers
+// tail-parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — silence
+// the unused-key lint so bench stdout stays warning-free
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -97,9 +97,20 @@ object Bench {
     val errsJson = errs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // pass-to-pass spread (max/min per query): drift like a contention
+    // burst inflating one query is visible in ONE artifact instead of
+    // needing a cross-round diff
+    val spreadQs = results.collect { case (k, v) if v > 0 =>
+      "\"" + k + "\":" + r3(samples(k).max / v)
+    }.mkString("{", ",", "}")
+    // honesty guard: a per-query minimum below ~50 ms at sf0.1 usually
+    // means the query escaped evaluation (lazy plan, cached result) —
+    // surface those instead of silently reporting an impossible number
+    val suspects = ok.filter(_._2 < 0.05).map(_._1)
+    val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullPath = "/tmp/graft_bench_full.json"
     val full =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"sf":"$sfDir","runs":$iters,"n_queries":${results.length},"errors":$errsJson}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$fullQs,"spread":$spreadQs,"suspect_fast":$suspectsJson,"sf":"$sfDir","runs":$iters,"n_queries":${results.length},"errors":$errsJson}"""
     Try {
       val w = new java.io.PrintWriter(fullPath)
       try w.println(full) finally w.close()

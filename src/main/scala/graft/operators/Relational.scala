@@ -38,6 +38,28 @@ object Relational {
       graft.plans.TopNPerKey(n, part.map(attr), sortOrders, plan, maxPartialKeys))
   }
 
+  /** Top-n per group where n VARIES per group: `limitCol` is an int
+    * column constant within each group (typically broadcast-joined from
+    * a per-key quota dim; 0 or null keeps nothing). Same bounded-heap
+    * physical shape as [[topNPerGroupFast]] — the alternative, a
+    * row_number window filtered against the quota, full-sorts every
+    * group. */
+  def topNPerGroupQuota(df: DataFrame, limitCol: String, part: Seq[String],
+      order: Seq[(String, Boolean)],
+      maxPartialKeys: Int = graft.plans.TopNPerKey.DefaultMaxPartialKeys): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    val plan = GraftSqlBridge.planOf(df)
+    def attr(name: String) = plan.output.find(_.name == name)
+      .getOrElse(throw new IllegalArgumentException(s"no column $name in ${plan.output}"))
+    val sortOrders = order.map { case (name, asc) =>
+      SortOrder(attr(name), if (asc) Ascending else Descending)
+    }
+    GraftSqlBridge.ofRows(df.sparkSession,
+      graft.plans.TopNPerKey(1, part.map(attr), sortOrders, plan, maxPartialKeys,
+        limitExpr = Some(attr(limitCol))))
+  }
+
   /** Skew-safe aggregation: salt the hot key into `salts` subkeys,
     * aggregate partially per (key, salt), then combine. Results are
     * identical to a direct groupBy — the salt only splits reducer load

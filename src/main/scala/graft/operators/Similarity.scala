@@ -97,13 +97,28 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs, blocked by a key (label, cluster,
-    * or LSH bucket) to avoid the full cross product. */
+    * or LSH bucket) to avoid the full cross product.
+    *
+    * Skew guard (mirrors Dedup.lshCandidates' maxBucket): a block of B
+    * vectors fans out to B(B-1)/2 pairs, so one degenerate block (a
+    * catch-all label) goes quadratic at corpus scale. Blocks larger than
+    * `maxBlock` are dropped entirely — a block that large has stopped
+    * being a meaningful near-dup candidate set and should be sub-split
+    * (e.g. by an LSH bucket) before pairing. The size filter is a
+    * broadcast semi-join against a narrow one-column aggregate, so the
+    * guard itself never shuffles the vectors. */
   def cosineDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
+      blockCol: String, threshold: Double, maxBlock: Int = 1024): DataFrame = {
+    val keep = vectors.groupBy(col(blockCol).as("_blk"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn").between(2, maxBlock))
+      .select(col("_blk"))
     val v = vectors.select(col(blockCol).as("_blk"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"))
+      .join(broadcast(keep), Seq("_blk"), "left_semi")
     val u = vectors.select(col(blockCol).as("_blk"), col(idCol).as("id_b"),
       col(vecCol).as("vec_b"))
+      .join(broadcast(keep), Seq("_blk"), "left_semi")
     v.join(u, Seq("_blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), 6))

@@ -27,11 +27,20 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
   * one partition in the final pass — without that the operator would
   * return n rows PER PARTITION. The map-side partial pass still bounds
   * what that single reducer receives to n rows per input partition.
+  *
+  * Per-key limits: `limitExpr`, when set, overrides `n` — each key's
+  * heap size is the expression's value on that key's rows (contract:
+  * every row of a key must evaluate to the same value, e.g. a column
+  * broadcast-joined from a per-key config dim). A limit of 0 keeps
+  * nothing for that key. This is what lets a variable-quota selection
+  * ("the (target mod c) smallest draws per class") stay a bounded-heap
+  * stream-through instead of a rank-the-whole-class window.
   */
 case class TopNPerKey(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
     child: LogicalPlan,
-    maxPartialKeys: Int = TopNPerKey.DefaultMaxPartialKeys) extends UnaryNode {
-  require(n > 0, s"TopNPerKey needs n > 0, got $n")
+    maxPartialKeys: Int = TopNPerKey.DefaultMaxPartialKeys,
+    limitExpr: Option[Expression] = None) extends UnaryNode {
+  require(limitExpr.isDefined || n > 0, s"TopNPerKey needs n > 0, got $n")
   require(order.nonEmpty, "TopNPerKey needs at least one ordering expression")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(c: LogicalPlan): TopNPerKey = copy(child = c)
@@ -46,7 +55,8 @@ object TopNPerKey {
 }
 
 case class TopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
-    partial: Boolean, maxPartialKeys: Int, child: SparkPlan) extends UnaryExecNode {
+    partial: Boolean, maxPartialKeys: Int, limitExpr: Option[Expression],
+    child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
 
@@ -67,15 +77,26 @@ case class TopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
     val orderExprs = order
     val isPartial = partial
     val keyCap = maxPartialKeys
+    val limitExprLocal = limitExpr
     child.execute().mapPartitions ({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val cmp = new LazilyGeneratedOrdering(
         BindReferences.bindReferences(orderExprs, childOutput))
+      // per-key limit (contract: constant within a key); null → 0
+      val boundLimit = limitExprLocal.map(e =>
+        BindReferences.bindReference(e, childOutput))
+      def limitOf(row: InternalRow): Int = boundLimit match {
+        case None => nLocal
+        case Some(e) => e.eval(row) match {
+          case null => 0
+          case v: Number => math.max(0, v.intValue())
+        }
+      }
       // PriorityQueue dequeues the MAX of the ordering; with SortOrder
       // semantics (compare < 0 == ranks earlier), max == worst kept row.
       implicit val rowOrd: Ordering[UnsafeRow] =
         (a: UnsafeRow, b: UnsafeRow) => cmp.compare(a, b)
-      val heaps = mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      val heaps = mutable.HashMap.empty[UnsafeRow, (Int, mutable.PriorityQueue[UnsafeRow])]
       // Partial pass guard: past `keyCap` distinct keys, rows of NEW keys
       // stream through unreduced (no copy, no state) — the final pass
       // still sees every candidate, and task memory stays bounded on
@@ -90,14 +111,15 @@ case class TopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
               // reused-buffer row is consumed downstream before next()
               Iterator.single[InternalRow](unsafe)
             } else {
+              val lim = limitOf(unsafe)
               val pq = mutable.PriorityQueue.empty[UnsafeRow]
-              pq.enqueue(unsafe.copy())
-              heaps.put(key.copy(), pq)
+              if (lim > 0) pq.enqueue(unsafe.copy())
+              heaps.put(key.copy(), (lim, pq))
               Iterator.empty
             }
-          case Some(pq) =>
-            if (pq.size < nLocal) pq.enqueue(unsafe.copy())
-            else if (cmp.compare(unsafe, pq.head) < 0) {
+          case Some((lim, pq)) =>
+            if (pq.size < lim) pq.enqueue(unsafe.copy())
+            else if (lim > 0 && cmp.compare(unsafe, pq.head) < 0) {
               pq.dequeue(); pq.enqueue(unsafe.copy())
             }
             Iterator.empty
@@ -105,7 +127,7 @@ case class TopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
       }
       // the heap suffix is by-name: evaluated only after `streamed` is
       // exhausted, i.e. after the input is fully consumed
-      streamed ++ heaps.valuesIterator.flatMap(_.dequeueAll.reverseIterator)
+      streamed ++ heaps.valuesIterator.flatMap(_._2.dequeueAll.reverseIterator)
     }, preservesPartitioning = true)
   }
 
@@ -116,12 +138,13 @@ case class TopNPerKeyExec(n: Int, keys: Seq[Expression], order: Seq[SortOrder],
 /** Planner rule mapping the logical node to its physical operator. */
 object TopNPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopNPerKey(n, keys, order, child, cap) =>
+    case TopNPerKey(n, keys, order, child, cap, limitExpr) =>
       // partial (map-side) pass under the final pass — the exchange that
       // EnsureRequirements inserts between them carries only the
       // per-partition survivors
-      TopNPerKeyExec(n, keys, order, partial = false, cap,
-        TopNPerKeyExec(n, keys, order, partial = true, cap, planLater(child))) :: Nil
+      TopNPerKeyExec(n, keys, order, partial = false, cap, limitExpr,
+        TopNPerKeyExec(n, keys, order, partial = true, cap, limitExpr,
+          planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -185,22 +185,48 @@ object MonitoringQueries {
         .orderBy(col("user_id"), col("event_id"))
     },
 
-    // activeReplicas: set → sorted CSV string (chStats.py:106).
     // keeper cons-line shape: regex field extraction from connection
-    // stat lines (getKeeperStats, chStats.py:279-294) — build the line,
-    // extract typed fields back; oracle computes the fields directly.
+    // stat lines — the reference's FULL 14-field set (getKeeperStats,
+    // chStats.py:279-294: ip, port, recved, sent, hex sid, enum lop,
+    // est, to, hex lzxid, lresp, llat, minlat, avglat, maxlat, plus
+    // queued) with the reference's own capture patterns ([::ffff:ip]
+    // bracket form, 0x-hex sid/lzxid, lop up to the next comma). The
+    // line is synthesized deterministically; the oracle computes every
+    // field directly, so each extraction must be lossless to match.
     "m20_cons_parse" -> { (s, dir) =>
-      val line = format_string(" /192.168.1.%d:%d[1](queued=%d,recved=%d,sent=%d)",
-        pmod(col("user_id"), lit(250)), lit(2181) + pmod(col("event_id"), lit(100)),
-        pmod(col("event_id"), lit(7)), col("event_id"), col("user_id"))
+      val line = format_string(
+        " /[::ffff:192.168.1.%d]:%d(queued=%d,recved=%d,sent=%d,sid=0x%x," +
+          "lop=%s,est=%d,to=30000,lzxid=0x%x,lresp=%d,llat=%d,minlat=0," +
+          "avglat=%d,maxlat=%d)",
+        pmod(col("user_id"), lit(250)), lit(30000) + pmod(col("event_id"), lit(20000)),
+        pmod(col("event_id"), lit(7)), col("event_id"), col("user_id"),
+        lit(281474976710656L) + col("user_id"),
+        element_at(array(lit("PING"), lit("GETD"), lit("SETD"), lit("CREA")),
+          (pmod(col("event_id"), lit(4)) + 1).cast("int")),
+        lit(1598892558000L) + col("event_id"),
+        col("event_id") * 16 + 10,
+        lit(1598892558100L) + col("event_id"),
+        pmod(col("event_id"), lit(50)),
+        pmod(col("event_id"), lit(5)),
+        pmod(col("event_id"), lit(100)) + 5)
       Tables.events(s, dir)
         .withColumn("_line", line)
         .select(col("event_id"),
-          LogLines.extractString(col("_line"), "/([0-9.]+):").as("client_ip"),
-          LogLines.extractLong(col("_line"), ":([0-9]+)\\[").as("port"),
+          LogLines.extractString(col("_line"), "\\[::ffff:([^\\]]+)").as("client_ip"),
+          LogLines.extractLong(col("_line"), ":([0-9]+)\\(").as("port"),
           LogLines.extractLong(col("_line"), "queued=([0-9]+)").as("queued"),
           LogLines.extractLong(col("_line"), "recved=([0-9]+)").as("recved"),
-          LogLines.extractLong(col("_line"), "sent=([0-9]+)").as("sent"))
+          LogLines.extractLong(col("_line"), "sent=([0-9]+)").as("sent"),
+          LogLines.extractString(col("_line"), "sid=(0x[0-9a-f]+)").as("sid"),
+          LogLines.extractString(col("_line"), "lop=([^,]+)").as("lop"),
+          LogLines.extractLong(col("_line"), "est=([0-9]+)").as("est"),
+          LogLines.extractLong(col("_line"), ",to=([0-9]+)").as("to_ms"),
+          LogLines.extractString(col("_line"), "lzxid=(0x[0-9a-f]+)").as("lzxid"),
+          LogLines.extractLong(col("_line"), "lresp=([0-9]+)").as("lresp"),
+          LogLines.extractLong(col("_line"), "llat=([0-9]+)").as("llat"),
+          LogLines.extractLong(col("_line"), "minlat=([0-9]+)").as("minlat"),
+          LogLines.extractLong(col("_line"), "avglat=([0-9]+)").as("avglat"),
+          LogLines.extractLong(col("_line"), "maxlat=([0-9]+)").as("maxlat"))
         .orderBy(col("event_id"))
     },
 
@@ -283,9 +309,9 @@ object MonitoringQueries {
           sev.as("severity"))
         .withColumn("prev", lag(col("severity"), 1).over(byUser))
         .filter(col("prev").isNotNull && col("prev") =!= col("severity"))
-        .select(col("user_id"), col("ts_us"), col("prev").as("prev_severity"),
-          col("severity").as("new_severity"))
-        .orderBy(col("user_id"), col("ts_us"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("prev").as("prev_severity"), col("severity").as("new_severity"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     },
 
     // dataset profiling (ANALYZE-style): per-column null count, exact
@@ -304,8 +330,11 @@ object MonitoringQueries {
         nulls("lang"), mn("lang"), mx("lang"),
         nulls("source"), mn("source"), mx("source"),
         nulls("n_chars"), mn("n_chars"), mx("n_chars"))
+      // count(col) over the distinct projection, NOT count(*): a NULL in
+      // the profiled column is its own distinct row, and the oracle's
+      // count(DISTINCT c) excludes NULLs
       def dcount(c: String) = docs.select(col(c)).distinct()
-        .agg(count(lit(1)).as(s"d_$c"))
+        .agg(count(col(c)).as(s"d_$c"))
       val joined = base
         .crossJoin(broadcast(dcount("lang")))
         .crossJoin(broadcast(dcount("source")))
@@ -491,10 +520,21 @@ object MonitoringQueries {
     "m20_cons_parse" ->
       """SELECT event_id,
         |  '192.168.1.' || (user_id % 250) AS client_ip,
-        |  2181 + (event_id % 100) AS port,
+        |  30000 + (event_id % 20000) AS port,
         |  event_id % 7 AS queued,
         |  event_id AS recved,
-        |  user_id AS sent
+        |  user_id AS sent,
+        |  '0x' || printf('%x', 281474976710656 + user_id) AS sid,
+        |  CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'PING' WHEN 1 THEN 'GETD'
+        |       WHEN 2 THEN 'SETD' ELSE 'CREA' END AS lop,
+        |  1598892558000 + event_id AS est,
+        |  CAST(30000 AS BIGINT) AS to_ms,
+        |  '0x' || printf('%x', event_id * 16 + 10) AS lzxid,
+        |  1598892558100 + event_id AS lresp,
+        |  event_id % 50 AS llat,
+        |  CAST(0 AS BIGINT) AS minlat,
+        |  event_id % 5 AS avglat,
+        |  event_id % 100 + 5 AS maxlat
         |FROM events ORDER BY event_id""".stripMargin,
 
     "m21_heartbeat_gaps" ->
@@ -540,9 +580,9 @@ object MonitoringQueries {
          |ORDER BY cadence_min, bucket""".stripMargin,
 
     "m25_status_alerts" ->
-      s"""SELECT user_id, ts_us, prev AS prev_severity, severity AS new_severity
+      s"""SELECT user_id, event_id, ts_us, prev AS prev_severity, severity AS new_severity
          |FROM (
-         |  SELECT user_id, ts_us, severity,
+         |  SELECT user_id, event_id, ts_us, severity,
          |    lag(severity) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
          |  FROM (
          |    SELECT user_id, event_id, $tsUs AS ts_us,
@@ -550,7 +590,7 @@ object MonitoringQueries {
          |           WHEN value >= 50.0 THEN 'warn' ELSE 'ok' END AS severity
          |    FROM events) a) b
          |WHERE prev IS NOT NULL AND prev <> severity
-         |ORDER BY user_id, ts_us""".stripMargin,
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "m26_column_profile" ->
       """WITH base AS (SELECT count(*) AS n_rows FROM documents)

@@ -15,8 +15,11 @@ import graft.sources.Tables
   *
   * Scale shapes: p1/p2 are map-only filters (no shuffle beyond the final
   * agg); p3 bounds per-group sample memory via the TopNPerKey partial
-  * heaps; p4 is one window over the per-shard ordering key; p5 is an
-  * explode whose fan-out is bounded by ceil(tokens/stride) per doc.
+  * heaps; p4 windows over a sub-sharded (lang, block) key so packing
+  * parallelism is unbounded; p5 is an explode whose fan-out is bounded
+  * by ceil(tokens/stride) per doc; p6 is map-side fan-out plus a
+  * per-key-quota TopNPerKey remainder — no corpus-wide window anywhere
+  * in the family.
   */
 object SamplingQueries {
 
@@ -76,18 +79,25 @@ object SamplingQueries {
         .orderBy(col("lang"), col("samp_key"), col("doc_id"))
     },
 
-    // sequence packing: stream each language shard in doc_id order and
-    // cut a new pack whenever the running token count crosses a budget
-    // multiple (next-fit packing; budget 256 tokens). One window per
-    // shard — at scale the shard key is the partition key, so packing
-    // is a single shuffle-free-after-sort pass per shard.
+    // sequence packing: next-fit packing (budget 256 tokens) in doc_id
+    // order. Packing is inherently sequential per shard, so the shard
+    // key decides the parallelism: `lang` alone (~5 values) would pack
+    // each whole language in ONE task at 100 TB. The shard is therefore
+    // sub-divided into fixed 128-doc blocks — (lang, doc_id div 128) —
+    // so packing parallelizes per block and stays deterministic (bins
+    // never cross a block boundary; the cost is ≤ 1 partial bin per
+    // block, i.e. < 256 wasted tokens per 128 docs — a bounded,
+    // documented packing-efficiency trade for unbounded parallelism).
+    // Bin ids are composite (block*1e6 + bin-within-block) so they stay
+    // unique per lang.
     "p4_token_pack" -> { (s, dir) =>
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val w = Window.partitionBy(col("lang"), col("blk")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, dir)
         .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .withColumn("blk", expr("doc_id div 128"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
-        .withColumn("bin", expr("(cum - n_tokens) div 256"))
+        .withColumn("bin", expr("blk * 1000000 + (cum - n_tokens) div 256"))
         .groupBy(col("lang"), col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -95,28 +105,36 @@ object SamplingQueries {
     },
 
     // deterministic class rebalancing: oversample every language up to
-    // the majority class count. Each doc gets floor(target/c) copies;
-    // the remainder goes to the first (target mod c) docs in salted-md5
-    // order — so the rebalanced corpus is an exact, reproducible
-    // function of the input. Fan-out per doc is bounded by
-    // ceil(target/c); counts come from two window passes over the
-    // (lang)-partitioned corpus, no driver-side sizing.
+    // the majority class count. Each doc gets floor(target/c) copies
+    // MAP-SIDE (broadcast-joined class sizes, explode — no shuffle of
+    // the corpus); the remaining (target mod c) copies go to the docs
+    // with the smallest salted-md5 draws per class, selected through the
+    // per-key-quota TopNPerKey (bounded heaps, shuffle ≤ Σ quota rows) —
+    // NOT a corpus-wide row_number window, whose ~5-value partition key
+    // would sort each whole class in one task at 100 TB. The corpus is
+    // scanned twice (map-only fan-out + heap selection); both passes are
+    // embarrassingly parallel.
     "p6_balanced_resample" -> { (s, dir) =>
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
       // class sizes and the majority-class target are tiny aggregates,
       // broadcast back — never a global single-partition window
       val langCounts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
       val target = langCounts.agg(max(col("c")).as("target"))
-      val draw = md5(concat_ws("|", lit("bal"), col("doc_id").cast("string")))
-      val rnkW = Window.partitionBy(col("lang")).orderBy(draw, col("doc_id"))
-      docs
+      val enriched = docs
         .join(broadcast(langCounts), Seq("lang"))
         .crossJoin(broadcast(target))
-        .withColumn("rnk", row_number().over(rnkW))
-        .withColumn("n_copies",
-          expr("CAST(target div c + (CASE WHEN rnk <= target % c THEN 1 ELSE 0 END) AS INT)"))
-        .withColumn("copy_idx", explode(sequence(lit(1), col("n_copies"))))
-        .select(col("doc_id"), col("lang"), col("copy_idx"))
+        .withColumn("base", expr("CAST(target div c AS INT)"))
+        .withColumn("rem", expr("CAST(target % c AS INT)"))
+      val baseCopies = enriched.select(col("doc_id"), col("lang"),
+        explode(sequence(lit(1), col("base"))).as("copy_idx"))
+      val extras = graft.operators.Relational.topNPerGroupQuota(
+          enriched.withColumn("draw",
+            md5(concat_ws("|", lit("bal"), col("doc_id").cast("string")))),
+          limitCol = "rem", part = Seq("lang"),
+          order = Seq(("draw", true), ("doc_id", true)))
+        .select(col("doc_id"), col("lang"), (col("base") + 1).as("copy_idx"))
+      baseCopies.unionByName(extras)
+        .select(col("doc_id"), col("lang"), col("copy_idx").cast("int").as("copy_idx"))
         .orderBy(col("doc_id"), col("copy_idx"))
     },
 
@@ -169,9 +187,9 @@ object SamplingQueries {
         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM (
         |  SELECT lang, doc_id, n_tokens,
-        |    CAST((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    CAST(blk * 1000000 + (sum(n_tokens) OVER (PARTITION BY lang, blk ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 256 AS BIGINT) AS bin
-        |  FROM (SELECT lang, doc_id,
+        |  FROM (SELECT lang, doc_id, doc_id // 128 AS blk,
         |      CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens
         |    FROM documents) a) b
         |GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,

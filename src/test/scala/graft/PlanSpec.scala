@@ -111,6 +111,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p)
   }
 
+  test("p6: rebalancing never windows the corpus — quota heaps only") {
+    // the remainder selection must be the per-key-quota TopNPerKey
+    // (bounded heaps); a row_number window over the ~5-value lang key
+    // would sort each whole class in one task at 100 TB
+    val p = plan("p6_balanced_resample")
+    assert(p.contains("TopNPerKey"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("p4: packing windows over the sub-sharded (lang, block) key") {
+    // partitioning by lang alone (~5 values) would single-task each
+    // language's packing pass; the block sub-shard keys the window
+    val p = plan("p4_token_pack")
+    val windowLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(windowLine.contains("blk"), p)
+  }
+
   test("q29: grouping sets are one Expand over one scan") {
     val p = plan("q29_grouping_sets")
     assert(p.contains("Expand"), p)

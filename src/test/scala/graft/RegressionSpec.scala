@@ -44,6 +44,25 @@ class RegressionSpec extends AnyFunSuite {
     assert(uncapped >= 40L * 39 / 2)
   }
 
+  test("cosine dup-pair block cap drops degenerate label blocks instead of going quadratic") {
+    import spark.implicits._
+    // 20 near-identical vectors share one catch-all label; with
+    // maxBlock=10 that block is dropped (0 pairs from it) while a true
+    // near-dup pair in a small label still surfaces
+    val big = (1L to 20L).map(i => (i, "catchall", Array(1.0f, 0.0f, 0.1f * (i % 2))))
+    val small = Seq((100L, "tight", Array(0.6f, 0.8f, 0.0f)),
+      (101L, "tight", Array(0.6f, 0.8f, 0.01f)))
+    val vecs = (big ++ small).toDF("vec_id", "label", "embedding")
+    val capped = graft.operators.Similarity.cosineDupPairs(vecs, "vec_id",
+      "embedding", "label", threshold = 0.9, maxBlock = 10).collect()
+    assert(capped.forall(_.getLong(0) >= 100L), "catch-all block must be dropped")
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).contains((100L, 101L)))
+    // without the cap the catch-all block contributes ~20*19/2 pairs
+    val uncapped = graft.operators.Similarity.cosineDupPairs(vecs, "vec_id",
+      "embedding", "label", threshold = 0.9, maxBlock = 1000).count()
+    assert(uncapped >= 20L * 19 / 2)
+  }
+
   test("pivot fills absent (flag, status) combinations with 0, not NULL") {
     import spark.implicits._
     // 'B' never occurs with status 'O' — the q16 shape must count it as 0

@@ -64,6 +64,27 @@ class TopNPerKeySpec extends AnyFunSuite {
     assert(fast == window)
   }
 
+  test("per-key quota == window row_number filtered against the quota") {
+    import spark.implicits._
+    // quotas per key: a→3, b→0 (keeps nothing), c→7 (> group size), d→1
+    val quota = Seq(("a", 3), ("b", 0), ("c", 7), ("d", 1)).toDF("k", "q")
+    val df = spark.range(0, 400)
+      .select(element_at(array(lit("a"), lit("b"), lit("c"), lit("d")),
+        ($"id" % 4 + 1).cast("int")).as("k"), $"id".as("v"))
+      .join(broadcast(quota), Seq("k"))
+      .repartition(4)
+    val fast = Relational.topNPerGroupQuota(df, "q", Seq("k"), Seq(("v", false)))
+      .select("k", "v").orderBy("k", "v").collect().toSeq
+    val window = df.withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"k").orderBy($"v".desc)))
+      .filter($"_rn" <= $"q")
+      .select("k", "v").orderBy("k", "v").collect().toSeq
+    assert(fast == window)
+    assert(fast.count(_.getString(0) == "b") == 0)
+    assert(fast.count(_.getString(0) == "c") == 7)
+    assert(fast.count(_.getString(0) == "d") == 1)
+  }
+
   test("handles n larger than group size and empty input") {
     import spark.implicits._
     val tiny = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
