@@ -69,7 +69,12 @@ object Bench {
       fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_BENCH_ONLY=st2_stream_sessions,st3_session_window —
+    // profile a subset without the 95-query interleave around it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val failed = scala.collection.mutable.Set[String]()
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
