@@ -64,36 +64,72 @@ object Similarity {
     rankTopK(sims, k)
   }
 
+  /** Nearest-centroid assignment. Argmax via max_by (map-side partial
+    * aggregate): the ×|centroids| fan-out collapses per input partition
+    * BEFORE the shuffle — a row_number window would instead shuffle and
+    * sort every (vector, centroid) pair. Tie-break = lowest centroid
+    * id, encoded as max over (csim, -cent_id). `cents` must have
+    * (cent_id, c_vec) and is always broadcast. */
+  private def nearestCell(df: DataFrame, cents: DataFrame, idCol: String,
+      vecCol: String, outId: String, outVec: String): DataFrame =
+    df.select(col(idCol).as(outId), col(vecCol).as(outVec))
+      .crossJoin(broadcast(cents))
+      .withColumn("_csim", round(cosine(col(outVec), col("c_vec")), 6))
+      .groupBy(col(outId))
+      .agg(max_by(struct(col(outVec).as("v"), col("cent_id")),
+        struct(col("_csim"), (-col("cent_id")).as("_nc"))).as("_best"))
+      .select(col(outId), col("_best.v").as(outVec), col("_best.cent_id").as("cell"))
+
   /** IVF-style ANN: assign every vector to its nearest centroid cell
     * (broadcast centroid set), then search only within the query's cell.
-    * `centroids` stands in for a trained codebook (production would fit
-    * k-means; the structure — broadcast assign + cell-partitioned
-    * search — is identical). Deterministic assignment: max cosine,
-    * centroid id as tie-break. */
+    * `centroids` is the codebook — a fixed seed set, or the output of
+    * `trainIvfCodebook`. Deterministic assignment: max cosine, centroid
+    * id as tie-break. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("c_vec"))
-    // argmax via max_by (map-side partial aggregate): the ×|centroids|
-    // fan-out collapses per input partition BEFORE the shuffle — a
-    // row_number window would instead shuffle and sort every
-    // (vector, centroid) pair. Tie-break = lowest centroid id, encoded
-    // as max over (csim, -cent_id).
-    def assign(df: DataFrame, outId: String, outVec: String): DataFrame = {
-      df.select(col(idCol).as(outId), col(vecCol).as(outVec))
-        .crossJoin(broadcast(cents))
-        .withColumn("_csim", round(cosine(col(outVec), col("c_vec")), 6))
-        .groupBy(col(outId))
-        .agg(max_by(struct(col(outVec).as("v"), col("cent_id")),
-          struct(col("_csim"), (-col("cent_id")).as("_nc"))).as("_best"))
-        .select(col(outId), col("_best.v").as(outVec), col("_best.cent_id").as("cell"))
-    }
-    val corpusCells = assign(corpus, "neighbor_id", "n_vec")
-    val queryCells = assign(queries, "query_id", "q_vec")
+    val corpusCells = nearestCell(corpus, cents, idCol, vecCol, "neighbor_id", "n_vec")
+    val queryCells = nearestCell(queries, cents, idCol, vecCol, "query_id", "q_vec")
     val sims = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
       .select(col("query_id"), col("neighbor_id"), col("sim"))
     rankTopK(sims, k)
+  }
+
+  /** Lloyd's k-means over INTEGER-quantized vectors — the trained-
+    * codebook path for ivfTopK. Input vectors must hold integer-valued
+    * components (s4's int8 quantization); the centroid update is then
+    * exact integer arithmetic — per-dimension scaled floor-division
+    * `(scale * sum) fdiv n` — so training is bit-identical on any
+    * engine and any partitioning (no float-sum order drift), the same
+    * reason production PQ/IVF codebooks ship quantized.
+    *
+    * Scale shape: the codebook is k rows and stays broadcast; each
+    * Lloyd iteration is one map-side broadcast assign (no corpus
+    * shuffle) + one groupBy(cell) with dim sum COLUMNS (partial agg:
+    * k×(dim+1) rows per partition reach the exchange — the
+    * one-pass-k-columns shape, not a ×dim explode). Centroids never
+    * visit the driver; `iters` chains tiny plan segments instead.
+    * Empty cells drop out of the codebook (standard Lloyd's). */
+  def trainIvfCodebook(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, iters: Int, scale: Int = 64): DataFrame = {
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long") // floor div, exact: |a| << 2^53
+    var cents = vectors.filter(col(idCol) < k)
+      .select(col(idCol).cast("long").as("cent_id"), col(vecCol).as("c_vec"))
+    (1 to iters).foreach { _ =>
+      val assigned = nearestCell(vectors, cents, idCol, vecCol, "_vid", "_v")
+      val sums = (1 to dim).map(i =>
+        sum(element_at(col("_v"), i).cast("long")).as(s"_s$i"))
+      cents = assigned.groupBy(col("cell").as("cent_id"))
+        .agg(count(lit(1)).as("_n"), sums: _*)
+        .select(col("cent_id"),
+          array((1 to dim).map(i =>
+            fdiv(lit(scale.toLong) * col(s"_s$i"), col("_n")).cast("float")): _*)
+            .as("c_vec"))
+    }
+    cents.select(col("cent_id").as(idCol), col("c_vec").as(vecCol))
   }
 
   /** Embedding near-duplicate pairs, blocked by a key (label, cluster,

@@ -42,6 +42,31 @@ object PipelineQueries {
   private val dotAB =
     "list_sum(list_transform(generate_series(1, len(a.e)), i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))"
 
+  /** s6 integer-k-means oracle fragments (mirror of
+    * Similarity.trainIvfCodebook at dim=64, scale=64). Assignment of
+    * `vsrc` (vec_id, e, n2) to centroid set `csrc` (cent_id, c): two
+    * CTEs, `${out}0` scored and `$out` the argmax cell. */
+  private def s6Assign(vsrc: String, csrc: String, out: String): String =
+    s"""${out}0 AS (SELECT a.vec_id, a.e, a.n2, c.cent_id,
+       |    round(list_sum(list_transform(generate_series(1, 64), i ->
+       |      CAST(a.e[i] AS DOUBLE) * CAST(c.c[i] AS DOUBLE))) /
+       |      sqrt(a.n2 * list_sum(list_transform(c.c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS csim
+       |  FROM $vsrc a CROSS JOIN $csrc c),
+       |$out AS (SELECT vec_id, e, n2, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn
+       |    FROM ${out}0) t WHERE arn = 1)""".stripMargin
+
+  /** Centroid update: per-dimension exact scaled floor-division
+    * (64*sum) fdiv n over the cell's integer vectors — list() collect is
+    * order-safe because the summed components are integers. */
+  private def s6Update(asg: String, out: String): String =
+    s"""${out}g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n, list(e) AS vl
+       |  FROM $asg GROUP BY cell),
+       |$out AS (SELECT cell AS cent_id, list_transform(generate_series(1, 64), i ->
+       |    (64*list_sum(list_transform(vl, v -> v[i]))
+       |     - ((64*list_sum(list_transform(vl, v -> v[i])) % n + n) % n)) // n
+       |  ) AS c FROM ${out}g)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup over a simulated duplicate ingest (corpus ∪ re-ingested
     // copy with shifted ids): one hash-shuffle groupBy, keeper = min id.
@@ -234,6 +259,24 @@ object PipelineQueries {
         .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
         .withColumn("recall_pct", expr("CAST(n_hits * 100 div 3 AS INT)"))
         .orderBy(col("query_id"))
+    },
+
+    // trained-codebook IVF: integer k-means (k=8, 2 Lloyd iterations,
+    // exact scaled-floor-div centroid update) over the int8-quantized
+    // corpus, then cell-partitioned search — closes s3's fixed-seed
+    // codebook gap. The 8-row trained book is localCheckpointed so its
+    // three downstream uses (corpus assign, query assign, broadcast)
+    // don't re-run training per branch.
+    "s6_ann_trained" -> { (s, dir) =>
+      val quant = expr("transform(embedding, x -> " +
+        "cast(greatest(-127.0D, least(127.0D, floor(cast(x as double) * 127.0D + 0.5D))) as float))")
+      val vecs = Tables.embeddings(s, dir).withColumn("embedding", quant)
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val book = Similarity.trainIvfCodebook(vecs, "vec_id", "embedding",
+        dim = 64, k = 8, iters = 2).localCheckpoint()
+      Similarity.ivfTopK(vecs, q, book, "vec_id", "embedding", k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
     },
 
     "t1_langid" -> { (s, dir) =>
@@ -553,6 +596,30 @@ object PipelineQueries {
          |  CAST(coalesce(n_hits, 0) * 100 // 3 AS INT) AS recall_pct
          |FROM q0 LEFT JOIN hits ON q0.vec_id = hits.query_id
          |ORDER BY query_id""".stripMargin,
+
+    "s6_ann_trained" ->
+      s"""WITH vq AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(greatest(-127.0,
+         |      least(127.0, floor(CAST(x AS DOUBLE)*127.0 + 0.5))) AS BIGINT)) AS e
+         |  FROM embeddings),
+         |vn AS (SELECT vec_id, e,
+         |    list_sum(list_transform(e, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS n2
+         |  FROM vq),
+         |c0 AS (SELECT vec_id AS cent_id, e AS c FROM vq WHERE vec_id < 8),
+         |${s6Assign("vn", "c0", "asg1")},
+         |${s6Update("asg1", "c1")},
+         |${s6Assign("vn", "c1", "asg2")},
+         |${s6Update("asg2", "c2")},
+         |${s6Assign("vn", "c2", "cells")},
+         |q AS (SELECT * FROM cells WHERE vec_id % 50 = 0),
+         |sims AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM cells a JOIN q b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |  FROM sims)
+         |SELECT query_id, rnk, neighbor_id, sim FROM ranked
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     "t1_langid" -> {
       val en = TextFunctions.enStop.map(w => s"'$w'").mkString(", ")

@@ -34,6 +34,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r == Set(0L)) // 1 maps to cell of centroid 0; 2 is in the other cell
   }
 
+  test("trainIvfCodebook: integer centroids, partitioning-invariant") {
+    import spark.implicits._
+    // integer-valued 4-dim vectors in two obvious clusters
+    val data = Seq(
+      (0L, Array(100f, 2f, 0f, 0f)), (1L, Array(90f, -3f, 1f, 0f)),
+      (2L, Array(95f, 0f, -2f, 1f)), (3L, Array(-1f, 88f, 3f, 0f)),
+      (4L, Array(2f, 101f, -1f, 1f)), (5L, Array(0f, 97f, 2f, -2f))
+    )
+    def train(parts: Int) = Similarity.trainIvfCodebook(
+      spark.createDataset(data).toDF("vec_id", "embedding").repartition(parts),
+      "vec_id", "embedding", dim = 4, k = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toList))
+      .sortBy(_._1).toList
+    val book = train(1)
+    assert(book.length == 2 && book.forall(_._2.length == 4))
+    // every component is an exact integer (quantized training)
+    assert(book.forall(_._2.forall(x => x == math.rint(x))))
+    // the centroids migrate to the two cluster axes — one dominated by
+    // dim 0, the other by dim 1 (seed→cluster mapping is an argmax
+    // detail, so assert the pair, not the order)
+    val doms = book.map(b => b._2.indexOf(b._2.max)).toSet
+    assert(doms == Set(0, 1), s"expected one centroid per cluster axis, got $book")
+    // exact integer arithmetic ⇒ bit-identical under any partitioning
+    assert(train(7) == book)
+  }
+
   test("cosineDupPairs respects blocking and threshold") {
     import spark.implicits._
     val df = Seq(
