@@ -30,14 +30,21 @@ object Dedup {
     * constructed. (A sequence+element_at lambda would re-evaluate the
     * inlined split per element — quadratic per doc after Catalyst's
     * projection collapse.) */
-  def shingles(textCol: String): Column = {
+  def shingles(textCol: String): Column = ngrams(textCol, 3)
+
+  /** Word n-grams of the named string column, zip-of-slices shape (see
+    * shingles). `distinct=false` keeps multiplicity (frequency mining —
+    * PMI, contamination weighting); `true` is the dedup/set semantics. */
+  def ngrams(textCol: String, n: Int, distinct: Boolean = true): Column = {
     val w = s"split(trim($textCol), '\\\\s+')"
-    val n = s"size($w) - 2"
-    array_distinct(expr(
-      s"CASE WHEN size($w) >= 3 THEN " +
-      s"transform(arrays_zip(slice($w, 1, $n), slice($w, 2, $n), slice($w, 3, $n)), " +
-      "x -> concat_ws(' ', x.`0`, x.`1`, x.`2`)) " +
-      "ELSE array() END"))
+    val sz = s"size($w) - ${n - 1}"
+    val slices = (1 to n).map(i => s"slice($w, $i, $sz)").mkString(", ")
+    val fields = (0 until n).map(i => s"x.`$i`").mkString(", ")
+    val grams = expr(
+      s"CASE WHEN size($w) >= $n THEN " +
+      s"transform(arrays_zip($slices), x -> concat_ws(' ', $fields)) " +
+      "ELSE array() END")
+    if (distinct) array_distinct(grams) else grams
   }
 
   /** Exact dedup: keep min id per key; emits (key survivors with copy

@@ -368,6 +368,36 @@ object MonitoringQueries {
         .orderBy(col("bucket"))
     },
 
+    // time-grid gap fill + forward fill: each monitored entity gets a
+    // dense hour grid over ITS observed span (sequence + explode —
+    // map-side, no driver loop), missing hours join as 0-observation
+    // rows, and the last seen reading carries forward via
+    // last(ignoreNulls) over a per-entity window (high-cardinality
+    // partition key: parallelizes per entity, each grid is bounded by
+    // the entity's span). Buckets stay integer µs end to end.
+    "m28_gap_fill" -> { (s, dir) =>
+      val hourUs = 3600L * 1000000L
+      val ev = Tables.events(s, dir)
+        .filter(pmod(col("user_id"), lit(10)) === 0)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("b_us", col("ts_us") - pmod(col("ts_us"), lit(hourUs)))
+      val obs = ev.groupBy(col("user_id"), col("b_us"))
+        .agg(count(lit(1)).as("n_obs"), max(col("value")).as("mv"))
+      val grid = obs.groupBy(col("user_id"))
+        .agg(min(col("b_us")).as("mn"), max(col("b_us")).as("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"), lit(hourUs))).as("b_us"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("b_us"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid.join(obs, Seq("user_id", "b_us"), "left")
+        .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+        .withColumn("ffill_value", last(col("mv"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("b_us").as("bucket_us"),
+          col("n_obs"), col("ffill_value"))
+        .orderBy(col("user_id"), col("bucket_us"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -378,6 +408,21 @@ object MonitoringQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "m28_gap_fill" ->
+      s"""WITH e AS (SELECT user_id,
+         |    $tsUs - $tsUs % 3600000000 AS b_us, value
+         |  FROM events WHERE user_id % 10 = 0),
+         |obs AS (SELECT user_id, b_us, CAST(count(*) AS BIGINT) AS n_obs, max(value) AS mv
+         |  FROM e GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(b_us) AS mn, max(b_us) AS mx FROM obs GROUP BY 1),
+         |grid AS (SELECT user_id, unnest(generate_series(mn, mx, 3600000000)) AS b_us FROM span)
+         |SELECT g.user_id, g.b_us AS bucket_us,
+         |  coalesce(o.n_obs, 0) AS n_obs,
+         |  last_value(o.mv IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.b_us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+         |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b_us = o.b_us
+         |ORDER BY g.user_id, bucket_us""".stripMargin,
+
     "m1_health_snapshot" ->
       """SELECT user_id, count(*) AS n_total,
         |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,

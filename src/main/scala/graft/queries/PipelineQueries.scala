@@ -200,6 +200,54 @@ object PipelineQueries {
         .orderBy(col("keeper_id"))
     },
 
+    // eval-set decontamination: corpus docs sharing any distinct word-
+    // 4-gram with the (small) eval split — the n-gram-overlap benchmark
+    // contamination check every training pipeline runs before release.
+    // Eval grams are an aggregate (distinct) and broadcast; the corpus
+    // explodes ONCE and re-aggregates per doc — no corpus self-join, no
+    // corpus-side shuffle beyond the final per-doc count.
+    "d10_contamination" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val grams = Dedup.ngrams("text", 4)
+      val evalGrams = docs.filter(pmod(col("doc_id"), lit(23)) === 0)
+        .select(explode(grams).as("gram")).distinct()
+      docs.filter(pmod(col("doc_id"), lit(23)) =!= 0)
+        .select(col("doc_id"), explode(grams).as("gram"))
+        .join(broadcast(evalGrams), Seq("gram"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy(col("doc_id"))
+    },
+
+    // collocation mining: corpus bigram PMI, integer-scaled
+    // ((n_xy·N·10000) div (n_x·n_y)) with a support floor — exact
+    // integer arithmetic end to end, global top-20 via ordered limit
+    // (TakeOrderedAndProject, never a full sort). Word/bigram counts are
+    // aggregates, so both PMI joins see vocabulary-sized inputs, not the
+    // corpus.
+    "t7_pmi_bigrams" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val uni = docs
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n_w"))
+      val nTot = docs
+        .agg(sum(greatest(size(split(trim(col("text")), "\\s+")) - 1, lit(0)))
+          .cast("long").as("n_total"))
+      val bc = docs
+        .select(explode(Dedup.ngrams("text", 2, distinct = false)).as("b"))
+        .select(substring_index(col("b"), " ", 1).as("w1"),
+          substring_index(col("b"), " ", -1).as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_xy"))
+        .filter(col("n_xy") >= 3)
+      bc.crossJoin(broadcast(nTot))
+        .join(uni.select(col("word").as("w1"), col("n_w").as("n_x")), Seq("w1"))
+        .join(uni.select(col("word").as("w2"), col("n_w").as("n_y")), Seq("w2"))
+        .withColumn("pmi_scaled", expr("n_xy * n_total * 10000 div (n_x * n_y)"))
+        .select(col("w1"), col("w2"), col("n_xy"), col("pmi_scaled"))
+        .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))
+        .limit(20)
+    },
+
     "s1_ann_brute" -> { (s, dir) =>
       val vecs = Tables.embeddings(s, dir)
       val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
@@ -478,6 +526,33 @@ object PipelineQueries {
         |GROUP BY array_to_string(regexp_split_to_array(trim(text), '\s+')[1:5], ' ')
         |HAVING count(*) > 1
         |ORDER BY keeper_id""".stripMargin,
+
+    "d10_contamination" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(wd) >= 4
+        |    THEN list_transform(generate_series(1, len(wd)-3), i ->
+        |      wd[i]||' '||wd[i+1]||' '||wd[i+2]||' '||wd[i+3])
+        |    ELSE [] END)) AS gram FROM w),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 23 = 0)
+        |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+        |FROM g JOIN ev USING (gram) WHERE g.doc_id % 23 <> 0
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    "t7_pmi_bigrams" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),
+        |uc AS (SELECT word, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(wd) AS word FROM w) GROUP BY 1),
+        |bg AS (SELECT unnest(CASE WHEN len(wd) >= 2
+        |    THEN list_transform(generate_series(1, len(wd)-1), i -> wd[i] || ' ' || wd[i+1])
+        |    ELSE [] END) AS b FROM w),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bg),
+        |bc AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+        |    CAST(count(*) AS BIGINT) AS n_xy
+        |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT w1, w2, n_xy,
+        |  CAST(n_xy * n_total * 10000 // (x.n * y.n) AS BIGINT) AS pmi_scaled
+        |FROM bc CROSS JOIN tot JOIN uc x ON bc.w1 = x.word JOIN uc y ON bc.w2 = y.word
+        |ORDER BY pmi_scaled DESC, w1, w2 LIMIT 20""".stripMargin,
 
     "x4_resize" ->
       """SELECT doc_id, width, height,

@@ -409,6 +409,35 @@ object RelationalQueries {
         .orderBy($"nationkey")
     },
 
+    // distributed quantile bucketing WITHOUT a global sort: exact
+    // quartile boundaries come from a bounded price histogram
+    // (floor(price/100) buckets; the cum-sum window runs over the tiny
+    // histogram whose size is bounded by the price DOMAIN, not the
+    // table), broadcast back, quartile assigned map-side. The ntile()
+    // formulation would single-task the whole table at scale.
+    "q31_quantile_bucket" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.orders(s, dir)
+        .select(floor($"o_totalprice" / 100).cast("long").as("pb"))
+      val hist = o.groupBy($"pb").agg(count(lit(1)).as("cnt"))
+      val wc = Window.orderBy($"pb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bounds = hist
+        .withColumn("cum", sum($"cnt").over(wc))
+        .withColumn("n", sum($"cnt").over(Window.partitionBy()))
+        .agg(
+          min(when($"cum" >= expr("(n + 3) div 4"), $"pb")).as("b25"),
+          min(when($"cum" >= expr("(n + 1) div 2"), $"pb")).as("b50"),
+          min(when($"cum" >= expr("(3 * n + 3) div 4"), $"pb")).as("b75"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("quartile", lit(1) + ($"pb" > $"b25").cast("int")
+          + ($"pb" > $"b50").cast("int") + ($"pb" > $"b75").cast("int"))
+        .groupBy($"quartile")
+        .agg(count(lit(1)).as("n_orders"),
+          min($"pb").as("min_pb"), max($"pb").as("max_pb"))
+        .orderBy($"quartile")
+    },
+
     // String predicates + transforms (LIKE, regexp, case/substr/concat).
     "q20_string_ops" -> { (s, dir) =>
       import s.implicits._
@@ -424,6 +453,19 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q31_quantile_bucket" ->
+      """WITH o AS (SELECT CAST(floor(o_totalprice / 100) AS BIGINT) AS pb FROM orders),
+        |hist AS (SELECT pb, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1),
+        |c AS (SELECT pb,
+        |    sum(cnt) OVER (ORDER BY pb ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER () AS n FROM hist),
+        |b AS (SELECT min(CASE WHEN cum >= (n + 3) // 4 THEN pb END) AS b25,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN pb END) AS b50,
+        |    min(CASE WHEN cum >= (3*n + 3) // 4 THEN pb END) AS b75 FROM c)
+        |SELECT 1 + CAST(pb > b25 AS INT) + CAST(pb > b50 AS INT) + CAST(pb > b75 AS INT) AS quartile,
+        |  CAST(count(*) AS BIGINT) AS n_orders, min(pb) AS min_pb, max(pb) AS max_pb
+        |FROM o CROSS JOIN b GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS sum_qty,
