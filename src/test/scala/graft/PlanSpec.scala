@@ -152,4 +152,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("d10: contamination check broadcasts the eval grams, no self-join") {
+    val p = plan("d10_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q31: quantile bucketing never sorts the fact table") {
+    val p = plan("q31_quantile_bucket")
+    // the only Sort below a Window must sit on the histogram aggregate
+    // (post-agg), never on the raw orders scan: every Window/Sort in the
+    // plan has an Aggregate between itself and the FileScan
+    val lines = p.linesIterator.toList
+    val firstWindow = lines.indexWhere(_.contains("Window"))
+    assert(firstWindow >= 0, p)
+    val scanBelow = lines.indexWhere(_.contains("FileScan"), firstWindow)
+    assert(scanBelow > firstWindow, p)
+    assert(lines.slice(firstWindow, scanBelow).exists(_.contains("HashAggregate")),
+      "Window must run over the histogram aggregate, not the fact\n" + p)
+    // boundaries come back as a broadcast (1-row nested-loop is fine)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("t7: PMI joins see aggregated vocabulary sides; top-k is ordered-limit") {
+    val p = plan("t7_pmi_bigrams")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s6: codebook training partial-aggregates before every shuffle") {
+    val p = plan("s6_ann_trained")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // both Lloyd iterations + search assignment ride broadcast centroid
+    // sets — the corpus is never shuffled for assignment
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
 }
