@@ -144,6 +144,24 @@ object Multimodal {
       .mapPartitions(_.map { case (id, n) => BinaryDoc(id, synthesize(id, n)) })
   }
 
+  /** Payloads with deliberate byte-identical duplicates: all synthesis
+    * parameters derive from `doc_id % mod` (and `mod` < 100 keeps the
+    * pad inside its residue), so docs sharing a residue share the exact
+    * payload bytes and payloads of different residues differ (width is
+    * injective in the residue). Feeds content-hash dedup (x7), where the
+    * oracle predicts group structure from the residue arithmetically. */
+  def synthesizeSharedPayloads(docs: DataFrame, mod: Int): Dataset[BinaryDoc] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(mod >= 1 && mod <= 100, "residue must stay within the pad range")
+    docs.select(col("doc_id").cast("long"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val r = math.floorMod(id, mod.toLong)
+        BinaryDoc(id, synthesize(r, r.toInt))
+      })
+  }
+
   // --------------------------------------------------------------- decode
 
   private val pngSig =

@@ -53,19 +53,18 @@ object Dedup {
     df.groupBy(key.as("dedup_key"))
       .agg(min(id).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** LSH candidate pairs: explode shingles to rows, min-aggregate all
-    * hash signatures in one pass, band-key bucket grouping.
+  /** Per-doc MinHash signature: `numHashes` salted-md5 min COLUMNS
+    * (`_m0.._mk`) over one shingle-row pass.
     *
     * Deliberately row-oriented rather than nested array transforms:
     * Catalyst's projection collapse would otherwise inline the shingle
     * expression into every per-hash lambda (quadratic recompute). The
-    * numHashes signatures are NOT a second ×numHashes explode — they are
+    * numHashes signatures are NOT a ×numHashes explode — they are
     * numHashes min() columns over ONE shingle-row pass, so the (string)
     * min aggregate sees |shingles| rows, the map-side combine applies
     * per column, and the shuffle carries one row per document. */
-  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int, rows: Int, maxBucket: Int = 64): DataFrame = {
-    val numHashes = bands * rows
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int): DataFrame = {
     // spread docs across the cluster BEFORE the shingle fan-out — a
     // narrow scan of few files would otherwise run the whole
     // shingle-explode in a handful of tasks
@@ -75,8 +74,15 @@ object Dedup {
     val minCols = (0 until numHashes).map { h =>
       min(md5(concat(lit(s"$h|"), col("_s")))).as(s"_m$h")
     }
-    val mins = shingleRows.groupBy(col(idCol))
+    shingleRows.groupBy(col(idCol))
       .agg(minCols.head, minCols.drop(1): _*)
+  }
+
+  /** LSH candidate pairs: MinHash signatures → band keys → bounded
+    * bucket pair explode (no self-join anywhere). */
+  def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, rows: Int, maxBucket: Int = 64): DataFrame = {
+    val mins = minhashSignatures(docs, idCol, textCol, bands * rows)
     // band key = band id ":" concat of the band's `rows` signatures —
     // byte-identical to hashing per band in the oracle's formulation
     val bandKeys = (0 until bands).map { b =>

@@ -398,6 +398,28 @@ object MonitoringQueries {
         .orderBy(col("user_id"), col("bucket_us"))
     },
 
+    // CDC latest-wins upsert snapshot: events as a changelog keyed by
+    // (user_id, event_type); the materialized state is the newest value
+    // per key. ONE hash shuffle with map-side partial `max_by` ordered
+    // by a (ts, event_id) struct — never a row_number window (which
+    // would SORT every key group; at 100 TB the changelog's hot keys
+    // make that the skew killer). Tie-break by unique event_id makes
+    // the winner retry-deterministic.
+    "m29_cdc_upsert" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"), col("value"), col("event_id"))
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(
+          max_by(struct(col("ts_us"), col("value")),
+            struct(col("ts_us"), col("event_id"))).as("last"),
+          count(lit(1)).as("n_versions"))
+        .select(col("user_id"), col("event_type"),
+          col("last.ts_us").as("last_ts_us"), col("last.value").as("last_value"),
+          col("n_versions"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -422,6 +444,18 @@ object MonitoringQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
          |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b_us = o.b_us
          |ORDER BY g.user_id, bucket_us""".stripMargin,
+
+    // latest-wins replicated with a DuckDB window (arg_max can't take a
+    // composite tie-break key); same (ts_us DESC, event_id DESC) order.
+    "m29_cdc_upsert" ->
+      s"""SELECT user_id, event_type, ts_us AS last_ts_us, value AS last_value, n_versions
+         |FROM (
+         |  SELECT user_id, event_type, $tsUs AS ts_us, value,
+         |    CAST(count(*) OVER (PARTITION BY user_id, event_type) AS BIGINT) AS n_versions,
+         |    row_number() OVER (PARTITION BY user_id, event_type
+         |      ORDER BY $tsUs DESC, event_id DESC) AS rn
+         |  FROM events) t
+         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
 
     "m1_health_snapshot" ->
       """SELECT user_id, count(*) AS n_total,

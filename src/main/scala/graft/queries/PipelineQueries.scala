@@ -137,6 +137,36 @@ object PipelineQueries {
         .orderBy(col("id"))
     },
 
+    // sketch-quality evaluation: per candidate pair, the MinHash
+    // estimate of Jaccard (slot-agreement fraction over the SAME 8
+    // hashes the LSH bands use) against the exact word-3-gram Jaccard,
+    // with the error in integer basis points. The eval rides the
+    // bounded candidate set — signatures and shingle sets join onto a
+    // tiny pair table, never pairwise over the corpus.
+    "d11_minhash_accuracy" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.lshCandidates(docs, "doc_id", "text", bands = 4, rows = 2)
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", numHashes = 8)
+        .select(col("doc_id"), array((0 until 8).map(h => col(s"_m$h")): _*).as("sig"))
+      val sets = docs.select(col("doc_id"), Dedup.shingles("text").as("sset"))
+      cand
+        .join(sigs.toDF("_id", "sig_a"), col("id_a") === col("_id")).drop("_id")
+        .join(sigs.toDF("_id", "sig_b"), col("id_b") === col("_id")).drop("_id")
+        .join(sets.toDF("_id", "set_a"), col("id_a") === col("_id")).drop("_id")
+        .join(sets.toDF("_id", "set_b"), col("id_b") === col("_id")).drop("_id")
+        .withColumn("n_slot_matches",
+          expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))").cast("int"))
+        .withColumn("inter",
+          size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+        .withColumn("uni", size(array_union(col("set_a"), col("set_b"))).cast("long"))
+        .select(col("id_a"), col("id_b"), col("n_slot_matches"),
+          (col("n_slot_matches").cast("double") / lit(8)).as("est_jaccard"),
+          (col("inter").cast("double") / col("uni")).as("jaccard"),
+          expr("abs(10000L * (n_slot_matches * uni - 8 * inter)) div (8 * uni)")
+            .as("err_bp"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // corpus-wide top-20 word bigrams (explode + count + top-k).
     "t5_ngram_freq" -> { (s, dir) =>
       val bigrams = Tables.documents(s, dir)
@@ -403,6 +433,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // content-hash dedup of media payloads: group byte-identical blobs
+    // by md5(payload), computed map-side so the shuffle carries one
+    // 32-hex-char key + counters per distinct payload — never the bytes
+    // themselves (THE dedup shape for binary at 100 TB). Payloads are
+    // synthesized with deliberate duplicates (params from doc_id % 40);
+    // the oracle predicts group structure from the residue.
+    "x7_content_dedup" -> { (s, dir) =>
+      val payloads =
+        Multimodal.synthesizeSharedPayloads(Tables.documents(s, dir), mod = 40).toDF()
+      payloads
+        .groupBy(md5(col("payload")).as("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"),
+          max(length(col("payload"))).as("n_bytes"))
+        .select(col("keeper_id"), col("n_copies"), col("n_bytes"))
+        .orderBy(col("keeper_id"))
+    },
+
     // feature-extraction plumbing: byte-class histogram per payload
     // (stand-in for an embedding/feature vector; declarative, codegen'd).
     "x5_features" -> { (s, dir) =>
@@ -485,6 +532,23 @@ object PipelineQueries {
          |  UNION
          |  SELECT e.a, reach.l FROM e JOIN reach ON e.b = reach.id)
          |SELECT id, min(l) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "d11_minhash_accuracy" ->
+      s"""WITH $shingleCte
+         |SELECT id_a, id_b,
+         |  CAST(m AS INT) AS n_slot_matches,
+         |  CAST(m AS DOUBLE) / 8 AS est_jaccard,
+         |  CAST(i AS DOUBLE) / u AS jaccard,
+         |  CAST(abs(10000 * (m * u - 8 * i)) // (8 * u) AS BIGINT) AS err_bp
+         |FROM (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_filter(generate_series(1, 8), h -> x.g[h] = y.g[h])) AS BIGINT) AS m,
+         |    CAST(len(list_intersect(xs.s, ys.s)) AS BIGINT) AS i,
+         |    CAST(len(list_distinct(xs.s || ys.s)) AS BIGINT) AS u
+         |  FROM cand
+         |  JOIN sig x ON id_a = x.doc_id JOIN sig y ON id_b = y.doc_id
+         |  JOIN sh2 xs ON id_a = xs.doc_id JOIN sh2 ys ON id_b = ys.doc_id) t
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "t5_ngram_freq" ->
       """SELECT bigram, count(*) AS n FROM (
@@ -752,6 +816,16 @@ object PipelineQueries {
         |FROM (SELECT doc_id, text,
         |    unnest(range(0, CAST(floor((length(text) - 1) / 16) AS INT) + 1)) AS i
         |  FROM documents) t
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // group structure predicted from the synthesis residue: docs with
+    // the same doc_id % 40 share byte-identical payloads (injective in
+    // the residue), so md5-groups == residue-groups; byte length follows
+    // x1's arithmetic with pad = residue.
+    "x7_content_dedup" ->
+      """SELECT min(doc_id) AS keeper_id, CAST(count(*) AS BIGINT) AS n_copies,
+        |  CAST(CASE WHEN r % 2 = 0 THEN 57 ELSE 41 END + r AS INT) AS n_bytes
+        |FROM (SELECT doc_id, doc_id % 40 AS r FROM documents) t
+        |GROUP BY r ORDER BY keeper_id""".stripMargin
   )
 }
