@@ -189,4 +189,30 @@ class PlanSpec extends AnyFunSuite {
     // sets — the corpus is never shuffled for assignment
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
+
+  test("m29: CDC upsert is one partial-agg shuffle, never a window sort") {
+    val p = plan("m29_cdc_upsert")
+    // max_by(struct) partial-aggregates map-side; a row_number
+    // formulation would show Window + per-key Sort here instead
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("x7: content-hash dedup hashes map-side — payload bytes never shuffle") {
+    val df = SparkEntry.queries("x7_content_dedup")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), p)
+    // the hash exchange partitions on the md5 key (Catalyst names the
+    // computed group key _groupingexpression), not the blob; the
+    // partial agg below it means only (key, counters) rows shuffle
+    val exch = p.linesIterator.filter(_.contains("hashpartitioning")).mkString
+    assert(exch.contains("_groupingexpression") || exch.contains("content_hash"), p)
+    assert(!exch.contains("payload"), p)
+  }
+
+  test("d11: accuracy eval joins ride the bounded candidate set — no cross product") {
+    val p = plan("d11_minhash_accuracy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
