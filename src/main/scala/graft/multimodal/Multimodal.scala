@@ -125,6 +125,103 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------------------ video
+
+  case class VideoMeta(doc_id: Long, byte_len: Int, brand: String,
+      timescale: Int, duration_units: Long, duration_ms: Long)
+
+  /** An ISO-BMFF box: u32 BE size (incl. header) + 4-char type + body. */
+  private def mp4Box(boxType: String, body: Array[Byte]): Array[Byte] =
+    be32(8 + body.length) ++ boxType.getBytes("US-ASCII") ++ body
+
+  /** Valid minimal MP4: ftyp (major brand + one compatible brand),
+    * moov[mvhd v0] (timescale + duration at their real offsets, identity
+    * matrix, standard 108-byte mvhd), mdat of `pad` bytes.
+    * Total length = 24 + 116 + 8 + pad = 148 + pad. */
+  def synthMp4(brand: String, timescale: Int, durationUnits: Long,
+      pad: Int): Array[Byte] = {
+    val ftyp = mp4Box("ftyp",
+      brand.getBytes("US-ASCII") ++ be32(0) ++ "isom".getBytes("US-ASCII") ++
+        "iso2".getBytes("US-ASCII"))
+    val mvhd = mp4Box("mvhd",
+      Array[Byte](0, 0, 0, 0) ++            // version 0 + flags
+        be32(0) ++ be32(0) ++               // creation, modification
+        be32(timescale) ++ be32(durationUnits.toInt) ++
+        be32(0x00010000) ++ be16(0x0100) ++ // rate 1.0, volume 1.0
+        Array.fill[Byte](10)(0) ++          // reserved
+        (be32(0x00010000) ++ be32(0) ++ be32(0) ++ be32(0) ++
+          be32(0x00010000) ++ be32(0) ++ be32(0) ++ be32(0) ++
+          be32(0x40000000)) ++              // identity matrix
+        Array.fill[Byte](24)(0) ++          // pre_defined
+        be32(2))                            // next_track_ID
+    val moov = mp4Box("moov", mvhd)
+    val mdat = mp4Box("mdat", Array.tabulate(pad)(i => (i % 251).toByte))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** Walk the top-level box sequence to moov, then moov's children to
+    * mvhd (the real ISO-BMFF traversal — no fixed offsets), and read
+    * timescale/duration as big-endian u32. duration_ms is integer
+    * arithmetic (units * 1000 div timescale) so the oracle can predict
+    * it exactly. Anything malformed → ("unknown", 0, 0, 0). */
+  def decodeVideoHeader(id: Long, bytes: Array[Byte]): VideoMeta = {
+    val len = bytes.length
+    def boxType(off: Int) = new String(bytes, off + 4, 4, "US-ASCII")
+    def unknown = VideoMeta(id, len, "unknown", 0, 0L, 0L)
+    if (len < 16 || boxType(0) != "ftyp" || u32(bytes, 0) < 16) return unknown
+    val brand = new String(bytes, 8, 4, "US-ASCII")
+    // walk top-level boxes for moov
+    var off = u32(bytes, 0)
+    while (off + 8 <= len && boxType(off) != "moov") {
+      val sz = u32(bytes, off)
+      if (sz < 8) return unknown
+      off += sz
+    }
+    if (off + 8 > len) return unknown
+    val moovEnd = off + u32(bytes, off)
+    // walk moov children for mvhd
+    var c = off + 8
+    while (c + 8 <= moovEnd && boxType(c) != "mvhd") {
+      val sz = u32(bytes, c)
+      if (sz < 8) return unknown
+      c += sz
+    }
+    if (c + 28 > len || bytes(c + 8) != 0) return unknown // need mvhd v0
+    val timescale = u32(bytes, c + 20)
+    val duration = u32(bytes, c + 24).toLong & 0xFFFFFFFFL
+    if (timescale <= 0) return unknown
+    VideoMeta(id, len, brand, timescale, duration, duration * 1000L / timescale)
+  }
+
+  /** MP4 payloads per doc: brand/timescale/duration derive from doc_id
+    * (whole seconds 1..120 at the residue-selected timescale), pad from
+    * n_chars — all oracle-predictable arithmetic. */
+  def synthesizeVideo(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) =>
+        val brand = if (id % 2 == 0) "isom" else "mp42"
+        val timescale = Seq(600, 1000, 90000, 44100)((id % 4).toInt)
+        val secs = id % 120 + 1
+        BinaryDoc(id, synthMp4(brand, timescale, secs * timescale,
+          math.floorMod(n, 100)))
+      }).toDF()
+  }
+
+  /** Batched box-walk decode (same mapPartitions shape as decodeMeta). */
+  def decodeVideo(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[VideoMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => decodeVideoHeader(d.doc_id, d.payload)))
+      }
+  }
+
   /** Deterministic payload for a document: even ids are PNG, odd are
     * JPEG; dims and padding derive from (doc_id, n_chars) so the DuckDB
     * oracle can compute the expected decode output arithmetically. */

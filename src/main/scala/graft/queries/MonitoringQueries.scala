@@ -420,6 +420,31 @@ object MonitoringQueries {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // ordered-sequence funnel: users who did view → click → purchase
+    // with each step STRICTLY after the previous (first qualifying
+    // event per step). Three type-filtered scans (the predicate reaches
+    // the parquet scan) each reduced to a tiny per-user aggregate
+    // before the next join — no per-user window sort over the fact, no
+    // stage ever carries more than one row per funnel-surviving user.
+    "m30_funnel_conversion" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("first_view_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts_us") > col("first_view_us"))
+        .groupBy(col("user_id")).agg(min(col("first_view_us")).as("first_view_us"),
+          min(col("ts_us")).as("first_click_us"))
+      ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts_us") > col("first_click_us"))
+        .groupBy(col("user_id")).agg(min(col("first_view_us")).as("first_view_us"),
+          min(col("first_click_us")).as("first_click_us"),
+          min(col("ts_us")).as("first_purchase_us"))
+        .orderBy(col("user_id"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -444,6 +469,19 @@ object MonitoringQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
          |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b_us = o.b_us
          |ORDER BY g.user_id, bucket_us""".stripMargin,
+
+    "m30_funnel_conversion" ->
+      s"""WITH e AS (SELECT user_id, event_type, $tsUs AS ts_us FROM events),
+         |v AS (SELECT user_id, min(ts_us) AS fv FROM e
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(fv) AS fv, min(ts_us) AS fc
+         |  FROM e JOIN v ON e.user_id = v.user_id
+         |  WHERE event_type = 'click' AND ts_us > fv GROUP BY e.user_id)
+         |SELECT e.user_id, min(fv) AS first_view_us, min(fc) AS first_click_us,
+         |  min(ts_us) AS first_purchase_us
+         |FROM e JOIN c ON e.user_id = c.user_id
+         |WHERE event_type = 'purchase' AND ts_us > fc
+         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
 
     // latest-wins replicated with a DuckDB window (arg_max can't take a
     // composite tie-break key); same (ts_us DESC, event_id DESC) order.

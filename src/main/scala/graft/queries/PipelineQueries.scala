@@ -137,6 +137,31 @@ object PipelineQueries {
         .orderBy(col("id"))
     },
 
+    // tokenizer-vocabulary construction: top-200 terms by corpus
+    // frequency with cumulative coverage in basis points. Scale shape:
+    // term counts are ONE partial-agg hash shuffle; the top-K is a
+    // bounded TakeOrdered (never a global sort of the vocabulary); the
+    // running coverage sum windows over the K=200 SURVIVING rows only —
+    // a corpus-independent constant — with the total-token count
+    // broadcast as a 1-row scalar.
+    "t8_vocab_coverage" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val terms = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+      val counts = terms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      val total = terms.agg(count(lit(1)).as("tot"))
+      val byFreq = Window.orderBy(col("n").desc, col("term"))
+      counts.orderBy(col("n").desc, col("term")).limit(200)
+        .crossJoin(broadcast(total))
+        .withColumn("rnk", row_number().over(byFreq).cast("int"))
+        .withColumn("cum_n",
+          sum(col("n")).over(byFreq.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("rnk"), col("term"), col("n"),
+          expr("CAST(cum_n * 10000 div tot AS INT)").as("cum_bp"))
+        .orderBy(col("rnk"))
+    },
+
     // sketch-quality evaluation: per candidate pair, the MinHash
     // estimate of Jaccard (slot-agreement fraction over the SAME 8
     // hashes the LSH bands use) against the exact word-3-gram Jaccard,
@@ -433,6 +458,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // video metadata from REAL bytes: minimal valid MP4 (ftyp + moov/
+    // mvhd + mdat) synthesized per doc; the decoder does the true
+    // ISO-BMFF traversal — walk top-level boxes to moov, walk moov's
+    // children to mvhd, read big-endian timescale/duration — no fixed
+    // offsets. duration_ms is integer arithmetic, oracle-predictable.
+    "x8_video_meta" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeVideo(Tables.documents(s, dir))
+      Multimodal.decodeVideo(payloads, "doc_id", "payload").toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // content-hash dedup of media payloads: group byte-identical blobs
     // by md5(payload), computed map-side so the shuffle carries one
     // 32-hex-char key + counters per distinct payload — never the bytes
@@ -532,6 +568,20 @@ object PipelineQueries {
          |  UNION
          |  SELECT e.a, reach.l FROM e JOIN reach ON e.b = reach.id)
          |SELECT id, min(l) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    "t8_vocab_coverage" ->
+      """WITH t2 AS (SELECT term FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |    FROM documents) a WHERE length(term) > 0),
+        |counts AS (SELECT term, count(*) AS n FROM t2 GROUP BY term),
+        |tot AS (SELECT count(*) AS tot FROM t2),
+        |top AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 200)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rnk,
+        |  term, CAST(n AS BIGINT) AS n,
+        |  CAST(CAST(sum(n) OVER (ORDER BY n DESC, term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    * 10000 // (SELECT tot FROM tot) AS INT) AS cum_bp
+        |FROM top ORDER BY rnk""".stripMargin,
 
     "d11_minhash_accuracy" ->
       s"""WITH $shingleCte
@@ -817,6 +867,18 @@ object PipelineQueries {
         |    unnest(range(0, CAST(floor((length(text) - 1) / 16) AS INT) + 1)) AS i
         |  FROM documents) t
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "x8_video_meta" ->
+      """SELECT doc_id,
+        |  CAST(148 + n_chars % 100 AS INT) AS byte_len,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 600 WHEN 1 THEN 1000
+        |       WHEN 2 THEN 90000 ELSE 44100 END AS INT) AS timescale,
+        |  CAST((doc_id % 120 + 1) * (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 600
+        |       WHEN 1 THEN 1000 WHEN 2 THEN 90000 ELSE 44100 END) AS BIGINT)
+        |    AS duration_units,
+        |  CAST((doc_id % 120 + 1) * 1000 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // group structure predicted from the synthesis residue: docs with
     // the same doc_id % 40 share byte-identical payloads (injective in

@@ -59,6 +59,16 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("click_id"), col("error_id"))
     },
 
+    // sliding-window rate monitor (10-min windows every 5 min): each
+    // event expands to width÷slide window rows MAP-SIDE before the one
+    // hash shuffle — overlap costs ×2 input rows, never a self-join or
+    // re-scan. Streaming parity (same code over readStream) in
+    // StreamingSpec.
+    "st7_sliding_rate" -> { (s, dir) =>
+      HealthStream.slidingRate(Tables.events(s, dir))
+        .orderBy(col("win_start"))
+    },
+
     // native session windows (merge while gap < 30 min; window end =
     // last event + gap). Streaming-capable as-is (state store backed).
     "st3_session_window" -> { (s, dir) =>
@@ -125,6 +135,19 @@ object StreamingQueries {
          |  AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= epoch_us(CAST(c.ts AS TIMESTAMP))
          |  AND epoch_us(CAST(e.ts AS TIMESTAMP)) < epoch_us(CAST(c.ts AS TIMESTAMP)) + 600000000
          |ORDER BY 1, click_id, error_id""".stripMargin,
+
+    // every event contributes to exactly width/slide = 2 sliding
+    // windows: starts t - t%slide and t - t%slide - slide.
+    "st7_sliding_rate" ->
+      s"""SELECT make_timestamp(ws) AS win_start,
+         |  make_timestamp(ws + 600000000) AS win_end,
+         |  count(*) AS n_total, CAST(sum(is_err) AS BIGINT) AS n_errors,
+         |  CAST(CAST(sum(is_err) AS BIGINT) * 100 // count(*) AS INT) AS err_pct
+         |FROM (
+         |  SELECT $tsUs - $tsUs % 300000000 - 300000000 * i AS ws,
+         |    CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+         |  FROM events, generate_series(0, 1) t(i)) e
+         |GROUP BY ws ORDER BY win_start""".stripMargin,
 
     // session_window merges while diff < gap (strict), so the break
     // condition here is >= — unlike st2's > (sub-µs distinction only).

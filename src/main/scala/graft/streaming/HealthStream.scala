@@ -46,6 +46,23 @@ object HealthStream {
       .select(col("w.start").cast("timestamp_ntz").as("bucket"), col("event_type"),
         col("n"), col("n_errors"))
 
+  /** Sliding-window error-rate monitor: overlapping width/slide windows
+    * (each event lands in width÷slide of them — Spark expands this
+    * map-side, no self-join). Valid on batch and streaming inputs;
+    * streaming state is bounded by watermark + window horizon. err_pct
+    * is integer-truncated so every engine agrees bit-for-bit. */
+  def slidingRate(events: DataFrame, widthMinutes: Int = 10,
+      slideMinutes: Int = 5): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), s"$widthMinutes minutes", s"$slideMinutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+      .select(col("w.start").cast("timestamp_ntz").as("win_start"),
+        col("w.end").cast("timestamp_ntz").as("win_end"),
+        col("n_total"), col("n_errors"),
+        expr("CAST(n_errors * 100 div n_total AS INT)").as("err_pct"))
+
   /** Stream-static enrichment: the event stream broadcast-joined to a
     * slowly-changing dimension (user → nation via customer), then
     * windowed per enriched key. In streaming mode Spark re-plans the

@@ -64,6 +64,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeHeader(4L, noSof).format == "unknown")
   }
 
+  test("MP4 synth → box-walk decode round-trips brand/timescale/duration") {
+    val b = Multimodal.synthMp4("mp42", 90000, 90000L * 7, pad = 13)
+    assert(b.length == 148 + 13)
+    assert(Multimodal.decodeVideoHeader(9L, b) ==
+      Multimodal.VideoMeta(9L, 161, "mp42", 90000, 630000L, 7000L))
+  }
+
+  test("MP4 box walk hops over unknown boxes to find moov and mvhd") {
+    // splice a top-level 'free' box between ftyp and moov, and an
+    // 'iods' box inside moov before mvhd — the walk must skip both
+    val base = Multimodal.synthMp4("isom", 1000, 5000L, pad = 0)
+    val ftyp = base.slice(0, 24)
+    val moovBody = base.slice(32, 140) // the 108-byte mvhd
+    def box(t: String, body: Array[Byte]) =
+      Array((body.length + 8 >>> 24).toByte, (body.length + 8 >>> 16).toByte,
+        (body.length + 8 >>> 8).toByte, (body.length + 8).toByte) ++
+        t.getBytes("US-ASCII") ++ body
+    val spliced = ftyp ++ box("free", Array[Byte](1, 2, 3)) ++
+      box("moov", box("iods", Array[Byte](9)) ++ moovBody)
+    val m = Multimodal.decodeVideoHeader(2L, spliced)
+    assert(m.brand == "isom" && m.timescale == 1000 &&
+      m.duration_units == 5000L && m.duration_ms == 5000L)
+  }
+
+  test("non-MP4, truncated, and mvhd-less payloads decode as unknown video") {
+    assert(Multimodal.decodeVideoHeader(1L, Multimodal.synthPng(10, 10, 0))
+      .brand == "unknown")
+    val trunc = Multimodal.synthMp4("isom", 600, 600L, 0).take(30)
+    assert(Multimodal.decodeVideoHeader(2L, trunc).brand == "unknown")
+    assert(Multimodal.decodeVideoHeader(3L, Array.emptyByteArray) ==
+      Multimodal.VideoMeta(3L, 0, "unknown", 0, 0L, 0L))
+  }
+
   test("synthesize: even ids are PNG, odd are JPEG, dims follow the formula") {
     val p = Multimodal.decodeHeader(42L, Multimodal.synthesize(42L, 250))
     assert(p == DecodedMeta(42L, 57 + 50, 42 + 16, 42 + 16, "png"))

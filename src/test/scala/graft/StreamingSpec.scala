@@ -31,6 +31,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("sliding-window rate: streaming == batch (overlapping windows)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_slide")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = HealthStream.readEventStream(spark, dir.toString)
+    val q = HealthStream.slidingRate(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("slide_out").orderBy("win_start").collect().toSeq
+    val batch = HealthStream.slidingRate(Tables.events(spark, sf))
+      .orderBy("win_start").collect().toSeq
+    assert(streamed == batch)
+    // windows overlap: successive starts are slide apart, width covers 2
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-static enrich: streaming windowed enrich == batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_enrich")
     java.nio.file.Files.copy(
