@@ -97,6 +97,30 @@ object Similarity {
     rankTopK(sims, k)
   }
 
+  /** Two-stage retrieval: coarse top-`coarseK` over int8-quantized
+    * vectors (the 4×-memory-bandwidth scan a production index does),
+    * then exact full-precision rerank of ONLY the coarse survivors down
+    * to top-`k`. The candidate set (queries × coarseK rows) broadcasts
+    * back onto the full-precision corpus — the expensive float cosine
+    * runs on coarseK rows per query, never the corpus. Both stages are
+    * deterministic: integer-exact coarse sims, round(·,6) + neighbor-id
+    * tie-break in both rankings. */
+  def rerankTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, coarseK: Int, k: Int): DataFrame = {
+    val quant = expr(s"transform($vecCol, x -> " +
+      "cast(greatest(-127.0D, least(127.0D, floor(cast(x as double) * 127.0D + 0.5D))) as float))")
+    val cand = bruteForceTopK(corpus.withColumn(vecCol, quant),
+        queries.withColumn(vecCol, quant), idCol, vecCol, coarseK)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"))
+    val qFull = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val sims = full.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qFull), Seq("query_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    rankTopK(sims, k)
+  }
+
   /** Lloyd's k-means over INTEGER-quantized vectors — the trained-
     * codebook path for ivfTopK. Input vectors must hold integer-valued
     * components (s4's int8 quantization); the centroid update is then

@@ -382,6 +382,17 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // two-stage retrieval: quantized coarse top-10 → full-precision
+    // rerank top-3 (the production ANN serving shape: compressed scan,
+    // exact rerank of survivors only).
+    "s7_ann_rerank" -> { (s, dir) =>
+      val vecs = Tables.embeddings(s, dir)
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.rerankTopK(vecs, q, "vec_id", "embedding", coarseK = 10, k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     "t1_langid" -> { (s, dir) =>
       val withWords = Tables.documents(s, dir)
         .withColumn("_w", Dedup.words(col("text")))
@@ -755,6 +766,29 @@ object PipelineQueries {
          |  FROM sims)
          |SELECT query_id, rnk, neighbor_id, sim FROM ranked
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "s7_ann_rerank" ->
+      s"""WITH vq AS (SELECT vec_id,
+         |    list_transform(embedding, x -> greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE)*127.0 + 0.5)))) AS e
+         |  FROM embeddings),
+         |vi AS (SELECT vec_id, e, list_sum(list_transform(e, x -> x*x)) AS n2 FROM vq),
+         |qi AS (SELECT * FROM vi WHERE vec_id % 50 = 0),
+         |cs AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM vi a CROSS JOIN qi b WHERE a.vec_id <> b.vec_id),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS crn
+         |    FROM cs) t0 WHERE crn <= 10),
+         |$vecCte,
+         |rs AS (SELECT c.query_id, c.neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM cand c JOIN v a ON c.neighbor_id = a.vec_id
+         |    JOIN v b ON c.query_id = b.vec_id)
+         |SELECT query_id, rnk, neighbor_id, sim FROM (
+         |  SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |  FROM rs) t1 WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     "s5_ann_recall" ->
       s"""WITH $vecCte,

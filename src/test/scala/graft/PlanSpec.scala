@@ -190,6 +190,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("s7: rerank stage broadcasts the bounded candidate set onto the corpus") {
+    val p = plan("s7_ann_rerank")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the full-precision rerank join is an equi BHJ, not a shuffle join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("m29: CDC upsert is one partial-agg shuffle, never a window sort") {
     val p = plan("m29_cdc_upsert")
     // max_by(struct) partial-aggregates map-side; a row_number
