@@ -138,6 +138,27 @@ object SamplingQueries {
         .orderBy(col("doc_id"), col("copy_idx"))
     },
 
+    // training-mixture materialization: each source carries an explicit
+    // mixture weight in 16ths (epochs = w div 16 full passes; the
+    // fractional remainder is a per-doc hex-draw so exactly ~frac/16 of
+    // the source gets one extra pass). Entirely map-side — weight
+    // arithmetic + bounded explode (≤4 copies), no shuffle before the
+    // output sort; deterministic under retry like the whole p-family.
+    "p7_weighted_mix" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("w64", expr("(CAST(substring(source, 4, 10) AS INT) * 37) % 64"))
+        .withColumn("extra",
+          when(substring(drawHex("mix"), 1, 1) <
+            lower(hex(pmod(col("w64"), lit(16)))), 1).otherwise(0))
+        .withColumn("n_copies", expr("w64 div 16").cast("int") + col("extra"))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), col("n_copies"))).as("epoch"))
+        .withColumn("epoch", col("epoch").cast("int"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+
     // sliding-window chunking with overlap (chunk 40 tokens, stride 30):
     // context-window pre-segmentation. Chunk content is verified by md5
     // of the re-joined token slice; fan-out per doc is ceil(tokens/30).
@@ -209,6 +230,20 @@ object SamplingQueries {
         |      (CASE WHEN rnk <= target % c THEN 1 ELSE 0 END) AS INT))) AS i
         |  FROM ranked) u
         |ORDER BY doc_id, copy_idx""".stripMargin,
+
+    "p7_weighted_mix" ->
+      s"""SELECT doc_id, source, CAST(e AS INT) AS epoch
+         |FROM (
+         |  SELECT doc_id, source,
+         |    unnest(generate_series(1, w64 // 16 + extra)) AS e
+         |  FROM (
+         |    SELECT doc_id, source,
+         |      (CAST(substr(source, 4) AS INT) * 37) % 64 AS w64,
+         |      CASE WHEN substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 1) <
+         |          lower(hex((CAST(substr(source, 4) AS INT) * 37) % 64 % 16))
+         |        THEN 1 ELSE 0 END AS extra
+         |    FROM documents) t) u
+         |ORDER BY doc_id, epoch""".stripMargin,
 
     "p5_chunk_overlap" ->
       """SELECT doc_id, CAST(i AS INT) AS chunk_idx,

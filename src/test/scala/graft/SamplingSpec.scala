@@ -84,4 +84,20 @@ class SamplingSpec extends AnyFunSuite {
       .filter(col("n") =!= col("mx")).count()
     assert(dup == 0, "copy_idx must enumerate 1..n_copies")
   }
+
+  test("p7: mixture epochs are dense 1..n and bounded by weight div 16 + 1") {
+    val out = run("p7_weighted_mix")
+    val perDoc = out.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), min(col("epoch")).as("mn"), max(col("epoch")).as("mx"))
+    assert(perDoc.filter(col("mn") =!= 1 || col("mx") =!= col("n")).count() == 0,
+      "epochs must enumerate 1..n_copies")
+    // n_copies ∈ {w div 16, w div 16 + 1} for the doc's source weight
+    val bad = perDoc
+      .withColumn("w64", expr("(CAST(substring(source, 4, 10) AS INT) * 37) % 64"))
+      .filter(col("n") < expr("w64 div 16") || col("n") > expr("w64 div 16 + 1"))
+    assert(bad.count() == 0, "copy count must match the source weight")
+    // zero-weight sources (w64 < 16, failed draw) are absent — but some
+    // source must have made it through the fractional draw
+    assert(out.select("source").distinct().count() >= 10)
+  }
 }
