@@ -59,6 +59,18 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("click_id"), col("error_id"))
     },
 
+    // left-outer funnel: clicks that never led to an error inside the
+    // window surface with NULL error columns — the "where did the
+    // funnel leak" query. Streaming = watermarked stream-stream LEFT
+    // OUTER join (unmatched rows emit when the watermark passes their
+    // horizon); parity in StreamingSpec via a sentinel event.
+    "st8_funnel_outer" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      HealthStream.clickErrorFunnelOuter(ev, ev, windowMinutes = 10)
+        .orderBy(col("user_id"), col("click_id"),
+          col("error_id").asc_nulls_first)
+    },
+
     // sliding-window rate monitor (10-min windows every 5 min): each
     // event expands to width÷slide window rows MAP-SIDE before the one
     // hash shuffle — overlap costs ×2 input rows, never a self-join or
@@ -135,6 +147,16 @@ object StreamingQueries {
          |  AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= epoch_us(CAST(c.ts AS TIMESTAMP))
          |  AND epoch_us(CAST(e.ts AS TIMESTAMP)) < epoch_us(CAST(c.ts AS TIMESTAMP)) + 600000000
          |ORDER BY 1, click_id, error_id""".stripMargin,
+
+    "st8_funnel_outer" ->
+      s"""SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id,
+         |  (epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))) AS gap_us
+         |FROM (SELECT * FROM events WHERE event_type = 'click') c
+         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+         |  ON c.user_id = e.user_id
+         |  AND epoch_us(CAST(e.ts AS TIMESTAMP)) >= epoch_us(CAST(c.ts AS TIMESTAMP))
+         |  AND epoch_us(CAST(e.ts AS TIMESTAMP)) < epoch_us(CAST(c.ts AS TIMESTAMP)) + 600000000
+         |ORDER BY c.user_id, click_id, error_id NULLS FIRST""".stripMargin,
 
     // every event contributes to exactly width/slide = 2 sliding
     // windows: starts t - t%slide and t - t%slide - slide.

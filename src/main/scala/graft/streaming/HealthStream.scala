@@ -118,6 +118,34 @@ object HealthStream {
         (col("error_us") - col("click_us")).as("gap_us"))
   }
 
+  /** Left-outer funnel: every click, matched to its errors when any
+    * land inside the window, with NULL error columns otherwise. In
+    * streaming this is a watermarked stream-stream LEFT OUTER join —
+    * the unmatched-click rows can only emit once the watermark passes
+    * the click's join horizon (Spark holds them in state until no
+    * future error could match), which StreamingSpec drives with a
+    * sentinel watermark-advancing event. Batch form is a plain left
+    * join; both are bit-identical in µs integers.
+    */
+  def clickErrorFunnelOuter(clickSide: DataFrame, errorSide: DataFrame,
+      windowMinutes: Int): DataFrame = {
+    val clicks = clickSide.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"), unix_micros(col("ts")).as("click_us"))
+    val errors = errorSide.filter(col("event_type") === "error")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("e_user"), col("event_id").as("error_id"),
+        col("ts").as("error_ts"), unix_micros(col("ts")).as("error_us"))
+    clicks.join(errors,
+        col("user_id") === col("e_user") &&
+        col("error_ts") >= col("click_ts") &&
+        col("error_ts") < col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .select(col("user_id"), col("click_id"), col("error_id"),
+        (col("error_us") - col("click_us")).as("gap_us"))
+  }
+
   /** Declarative gap-based sessionization (batch form): a session breaks
     * when the gap to the previous event exceeds gapMinutes. Windows +
     * prefix-sum — all engine-portable, oracle-checkable. */

@@ -89,6 +89,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(lines.forall(_.startsWith("PH_SYSTEM_DATA_NODE_HEALTH={\"eventType\":\"")))
   }
 
+  test("stream-stream LEFT OUTER funnel: unmatched clicks emit after the watermark") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_outer")
+    ev.write.parquet(s"$dir/f1")
+    // sentinel click+error for two disjoint fake users, 3 h past the
+    // end of data: they advance BOTH sides' watermarks (each passes its
+    // side's type filter) so every real click's join horizon expires
+    // and the unmatched-NULL rows can leave state; they match no real
+    // user and (distinct users) not each other
+    val maxUs = ev.agg(max(unix_micros($"ts"))).head().getLong(0)
+    Seq((-1L, maxUs + 10800000000L, -1L, "click", 0.0, ""),
+        (-2L, maxUs + 10800000000L, -2L, "error", 0.0, ""))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select($"event_id", expr("timestamp_micros(ts_us)").as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .write.parquet(s"$dir/f2")
+    val schema = org.apache.spark.sql.types.StructType(
+      graft.streaming.HealthStream.eventSchema.map {
+        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+        case f => f
+      })
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/f*")
+    val chk = java.nio.file.Files.createTempDirectory("graft_outer_chk")
+    val q = HealthStream.clickErrorFunnelOuter(stream, stream, windowMinutes = 10)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", chk.toString)
+      .format("memory").queryName("outer_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("outer_out").filter($"user_id" >= 0)
+      .orderBy($"user_id", $"click_id", $"error_id".asc_nulls_first).collect().toSeq
+    val batch = HealthStream.clickErrorFunnelOuter(ev, ev, windowMinutes = 10)
+      .orderBy($"user_id", $"click_id", $"error_id".asc_nulls_first).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.exists(_.isNullAt(2)), "some click must be unmatched (NULL error)")
+  }
+
   test("incremental multi-batch stream == batch (checkpointed file source)") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
