@@ -198,6 +198,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("t8: vocab top-K is a bounded TakeOrdered; the coverage window sits above the limit") {
+    val p = plan("t8_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the global (unpartitioned) window must run on the K=200 survivors,
+    // i.e. appear above the limit in the tree — the term counts
+    // themselves partial-aggregate before their shuffle
+    val winAt = p.linesIterator.indexWhere(_.contains("Window"))
+    val takeAt = p.linesIterator.indexWhere(_.contains("TakeOrderedAndProject"))
+    assert(winAt >= 0 && takeAt > winAt, s"window@$winAt take@$takeAt\n$p")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("m30: funnel type-filters reach the parquet scans; aggregates are partial") {
+    val p = plan("m30_funnel_conversion")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)") ||
+      p.contains("EqualTo(event_type,view)"), p)
+    assert(p.contains("EqualTo(event_type,purchase)"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("p7: mixture materialization never hash-shuffles — map-side explode only") {
+    val p = plan("p7_weighted_mix")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("st7: sliding windows expand map-side into one partial-agg shuffle") {
+    val p = plan("st7_sliding_rate")
+    // no self-join: overlap comes from the window expansion, then one
+    // partial-agg exchange
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
   test("m29: CDC upsert is one partial-agg shuffle, never a window sort") {
     val p = plan("m29_cdc_upsert")
     // max_by(struct) partial-aggregates map-side; a row_number
