@@ -445,6 +445,29 @@ object MonitoringQueries {
         .orderBy(col("user_id"))
     },
 
+    // per-entity anomaly detection: events whose value sits more than
+    // 3σ from the entity's own mean. Entirely INTEGER: with cents c,
+    // n·Σc² − (Σc)² is n²·variance, so the 3σ test is the cross-
+    // multiplied (n·c − Σc)² > 9·(n·Σc² − (Σc)²) — no float mean/stddev
+    // anywhere, bit-identical on any engine/partitioning. One partial-
+    // agg groupBy for the per-entity moments + a co-partitioned join
+    // back (a window would SORT every entity's history instead).
+    // Long-range bound: |c| ≤ 5·10⁶ here, so Σc² stays < 2⁶³ up to
+    // ~10⁹ events/entity; beyond that the moments need decimal sums.
+    "m31_anomaly_zscore" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("value"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val stats = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s1"),
+          sum(expr("c * c")).as("s2"))
+      ev.join(stats, Seq("user_id"))
+        .filter(expr("n >= 2 AND (n*c - s1)*(n*c - s1) > 9*(n*s2 - s1*s1)"))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("n").as("n_user_events"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -469,6 +492,17 @@ object MonitoringQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
          |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b_us = o.b_us
          |ORDER BY g.user_id, bucket_us""".stripMargin,
+
+    "m31_anomaly_zscore" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS s1, CAST(sum(c*c) AS BIGINT) AS s2
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, event_id, value, n AS n_user_events
+        |FROM e JOIN s USING (user_id)
+        |WHERE n >= 2 AND (n*c - s1)*(n*c - s1) > 9*(n*s2 - s1*s1)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "m30_funnel_conversion" ->
       s"""WITH e AS (SELECT user_id, event_type, $tsUs AS ts_us FROM events),
