@@ -37,8 +37,12 @@ object MonitoringQueries {
     // values directly — so the parse must be lossless to match.
     "m5_kv_parse" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
-      val conf = format_string("recved=%d\nsent=%d\nenable_logging=true", col("event_id"), col("user_id"))
-      val srvr = format_string("Server Mode: %s\nNode Count: %d", col("event_type"), col("user_id"))
+      // fixtures via codegen'd concat, not format_string (Formatter
+      // costs µs/row — see m20)
+      val conf = concat(lit("recved="), col("event_id").cast("string"),
+        lit("\nsent="), col("user_id").cast("string"), lit("\nenable_logging=true"))
+      val srvr = concat(lit("Server Mode: "), col("event_type"),
+        lit("\nNode Count: "), col("user_id").cast("string"))
       val withText = ev.withColumn("conf_text", conf).withColumn("srvr_text", srvr)
       val confMap = LogLines.kvMap(col("conf_text"), "=")
       val srvrMap = LogLines.normalizeKeys(LogLines.kvMap(col("srvr_text"), ": "))
@@ -194,39 +198,52 @@ object MonitoringQueries {
     // line is synthesized deterministically; the oracle computes every
     // field directly, so each extraction must be lossless to match.
     "m20_cons_parse" -> { (s, dir) =>
-      val line = format_string(
-        " /[::ffff:192.168.1.%d]:%d(queued=%d,recved=%d,sent=%d,sid=0x%x," +
-          "lop=%s,est=%d,to=30000,lzxid=0x%x,lresp=%d,llat=%d,minlat=0," +
-          "avglat=%d,maxlat=%d)",
-        pmod(col("user_id"), lit(250)), lit(30000) + pmod(col("event_id"), lit(20000)),
-        pmod(col("event_id"), lit(7)), col("event_id"), col("user_id"),
-        lit(281474976710656L) + col("user_id"),
+      // line fixture built with codegen'd concat, not format_string —
+      // java.util.Formatter costs microseconds per row and dominated
+      // the query; lower(hex(x)) is printf("%x") (minimal-width hex)
+      def d(c: org.apache.spark.sql.Column) = c.cast("string")
+      val line = concat(
+        lit(" /[::ffff:192.168.1."), d(pmod(col("user_id"), lit(250))),
+        lit("]:"), d(lit(30000) + pmod(col("event_id"), lit(20000))),
+        lit("(queued="), d(pmod(col("event_id"), lit(7))),
+        lit(",recved="), d(col("event_id")),
+        lit(",sent="), d(col("user_id")),
+        lit(",sid=0x"), lower(hex(lit(281474976710656L) + col("user_id"))),
+        lit(",lop="),
         element_at(array(lit("PING"), lit("GETD"), lit("SETD"), lit("CREA")),
           (pmod(col("event_id"), lit(4)) + 1).cast("int")),
-        lit(1598892558000L) + col("event_id"),
-        col("event_id") * 16 + 10,
-        lit(1598892558100L) + col("event_id"),
-        pmod(col("event_id"), lit(50)),
-        pmod(col("event_id"), lit(5)),
-        pmod(col("event_id"), lit(100)) + 5)
+        lit(",est="), d(lit(1598892558000L) + col("event_id")),
+        lit(",to=30000"),
+        lit(",lzxid=0x"), lower(hex(col("event_id") * 16 + 10)),
+        lit(",lresp="), d(lit(1598892558100L) + col("event_id")),
+        lit(",llat="), d(pmod(col("event_id"), lit(50))),
+        lit(",minlat=0"),
+        lit(",avglat="), d(pmod(col("event_id"), lit(5))),
+        lit(",maxlat="), d(pmod(col("event_id"), lit(100)) + 5),
+        lit(")"))
+      // structural parse: 15 fields from ONE str_to_map pass + three
+      // substring cuts (was: one regex scan per field — 15× the line
+      // traffic for byte-identical output)
+      val m = col("_m")
       Tables.events(s, dir)
         .withColumn("_line", line)
+        .withColumn("_m", LogLines.consMap(col("_line")))
         .select(col("event_id"),
-          LogLines.extractString(col("_line"), "\\[::ffff:([^\\]]+)").as("client_ip"),
-          LogLines.extractLong(col("_line"), ":([0-9]+)\\(").as("port"),
-          LogLines.extractLong(col("_line"), "queued=([0-9]+)").as("queued"),
-          LogLines.extractLong(col("_line"), "recved=([0-9]+)").as("recved"),
-          LogLines.extractLong(col("_line"), "sent=([0-9]+)").as("sent"),
-          LogLines.extractString(col("_line"), "sid=(0x[0-9a-f]+)").as("sid"),
-          LogLines.extractString(col("_line"), "lop=([^,]+)").as("lop"),
-          LogLines.extractLong(col("_line"), "est=([0-9]+)").as("est"),
-          LogLines.extractLong(col("_line"), ",to=([0-9]+)").as("to_ms"),
-          LogLines.extractString(col("_line"), "lzxid=(0x[0-9a-f]+)").as("lzxid"),
-          LogLines.extractLong(col("_line"), "lresp=([0-9]+)").as("lresp"),
-          LogLines.extractLong(col("_line"), "llat=([0-9]+)").as("llat"),
-          LogLines.extractLong(col("_line"), "minlat=([0-9]+)").as("minlat"),
-          LogLines.extractLong(col("_line"), "avglat=([0-9]+)").as("avglat"),
-          LogLines.extractLong(col("_line"), "maxlat=([0-9]+)").as("maxlat"))
+          LogLines.consIp(col("_line")).as("client_ip"),
+          LogLines.consPort(col("_line")).as("port"),
+          LogLines.getLong(m, "queued").as("queued"),
+          LogLines.getLong(m, "recved").as("recved"),
+          LogLines.getLong(m, "sent").as("sent"),
+          LogLines.getString(m, "sid").as("sid"),
+          LogLines.getString(m, "lop").as("lop"),
+          LogLines.getLong(m, "est").as("est"),
+          LogLines.getLong(m, "to").as("to_ms"),
+          LogLines.getString(m, "lzxid").as("lzxid"),
+          LogLines.getLong(m, "lresp").as("lresp"),
+          LogLines.getLong(m, "llat").as("llat"),
+          LogLines.getLong(m, "minlat").as("minlat"),
+          LogLines.getLong(m, "avglat").as("avglat"),
+          LogLines.getLong(m, "maxlat").as("maxlat"))
         .orderBy(col("event_id"))
     },
 
