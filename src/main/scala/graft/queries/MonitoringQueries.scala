@@ -485,6 +485,35 @@ object MonitoringQueries {
         .orderBy(col("user_id"), col("event_id"))
     },
 
+    // count-min sketch heavy hitters: a 4×256 integer sketch (four
+    // md5-salted bucket rows) estimates any key's frequency in O(1)
+    // from O(4·256) memory — REGARDLESS of key cardinality, the
+    // bounded-memory structure a 100 TB stream monitor keeps where the
+    // exact per-key agg would not fit. Bucket index = first two md5
+    // nibbles (engine-portable integer arithmetic, no native hash);
+    // emitted next to the exact counts for the top-20 keys so the
+    // one-sided error (cms_n ≥ true_n) is visible and oracle-checked.
+    "m32_cms_heavy_hitters" -> { (s, dir) =>
+      val keys = Tables.events(s, dir)
+        .select(col("user_id").cast("string").as("key"))
+      val bucketed = keys.select(col("key"),
+          explode(array((0 until 4).map(i => lit(i)): _*)).as("r"))
+        .withColumn("_m", md5(concat(lit("cms"), col("r"), lit("|"), col("key"))))
+        .withColumn("b", expr(
+          "(instr('0123456789abcdef', substr(_m, 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substr(_m, 2, 1)) - 1)"))
+        .select(col("key"), col("r"), col("b"))
+      val sketch = bucketed.groupBy(col("r"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val trueCounts = keys.groupBy(col("key")).agg(count(lit(1)).as("true_n"))
+      val est = bucketed.distinct()
+        .join(broadcast(sketch), Seq("r", "b"))
+        .groupBy(col("key")).agg(min(col("c")).as("cms_n"))
+      trueCounts.join(est, Seq("key"))
+        .orderBy(col("true_n").desc, col("key"))
+        .limit(20)
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -509,6 +538,19 @@ object MonitoringQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
          |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b_us = o.b_us
          |ORDER BY g.user_id, bucket_us""".stripMargin,
+
+    "m32_cms_heavy_hitters" ->
+      """WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
+        |r AS (SELECT key, i AS r,
+        |    (strpos('0123456789abcdef', substr(md5('cms' || i || '|' || key), 1, 1)) - 1) * 16 +
+        |    (strpos('0123456789abcdef', substr(md5('cms' || i || '|' || key), 2, 1)) - 1) AS b
+        |  FROM k, generate_series(0, 3) t(i)),
+        |sk AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+        |truec AS (SELECT key, CAST(count(*) AS BIGINT) AS true_n FROM k GROUP BY 1),
+        |est AS (SELECT key, min(c) AS cms_n
+        |  FROM (SELECT DISTINCT key, r, b FROM r) d JOIN sk USING (r, b) GROUP BY key)
+        |SELECT key, true_n, cms_n FROM truec JOIN est USING (key)
+        |ORDER BY true_n DESC, key LIMIT 20""".stripMargin,
 
     "m31_anomaly_zscore" ->
       """WITH e AS (SELECT user_id, event_id, value,

@@ -65,6 +65,14 @@ class MonitoringSpec extends AnyFunSuite {
     assert(out == """PH_SYSTEM_DATA_NODE_HEALTH={"deviceName":"node-7","queueSize":2}""")
   }
 
+  test("count-min estimate is one-sided: cms_n >= true_n for every key") {
+    val rows = SparkEntry.queries("m32_cms_heavy_hitters")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cms_n") >= r.getAs[Long]("true_n"), r.toString)
+    }
+  }
+
   test("timeBucket floors to epoch-aligned intervals") {
     import spark.implicits._
     val df = Seq("2024-03-01 10:07:59").toDF("s")
