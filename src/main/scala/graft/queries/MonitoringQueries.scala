@@ -514,6 +514,50 @@ object MonitoringQueries {
         .limit(20)
     },
 
+    // retention cohort analysis: users grouped by first-signup week,
+    // counted as retained in each later week they purchased. Two
+    // filter-pushed scans; the cohort table is one row per user (tiny
+    // vs the fact — co-partitioned join); the (user, cohort, week)
+    // dedup is a two-phase distinct (map-side partial) so the final
+    // cell counts shuffle one row per distinct membership — no windows.
+    "m33_retention_cohorts" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      val cohorts = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(expr("min(ts_us) div 604800000000").as("cohort_wk"))
+      ev.filter(col("event_type") === "purchase")
+        .join(cohorts, Seq("user_id"))
+        .withColumn("wk_off", expr("ts_us div 604800000000 - cohort_wk"))
+        .filter(col("wk_off") >= 0)
+        .select(col("user_id"), col("cohort_wk"), col("wk_off")).distinct()
+        .groupBy(col("cohort_wk"), col("wk_off"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_wk"), col("wk_off"))
+    },
+
+    // state-duration accounting: each event opens a state interval that
+    // lasts until the entity's next event; report the share of observed
+    // time each entity spent in the 'error' state (integer µs sums, bp
+    // truncation). The lead() window partitions by user_id — high
+    // cardinality, so interval construction parallelizes per entity —
+    // and the duration sums partial-aggregate after it.
+    "m34_error_uptime" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "error",
+            col("next_us") - col("ts_us")).otherwise(0L)).as("err_us"),
+          sum(col("next_us") - col("ts_us")).as("span_us"))
+        .withColumn("err_bp", expr("err_us * 10000 div span_us"))
+        .orderBy(col("user_id"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -538,6 +582,31 @@ object MonitoringQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
          |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b_us = o.b_us
          |ORDER BY g.user_id, bucket_us""".stripMargin,
+
+    "m34_error_uptime" ->
+      s"""SELECT user_id,
+         |  CAST(sum(CASE WHEN event_type = 'error' THEN next_us - ts_us ELSE 0 END) AS BIGINT) AS err_us,
+         |  CAST(sum(next_us - ts_us) AS BIGINT) AS span_us,
+         |  CAST(CAST(sum(CASE WHEN event_type = 'error' THEN next_us - ts_us ELSE 0 END) AS BIGINT)
+         |    * 10000 // CAST(sum(next_us - ts_us) AS BIGINT) AS BIGINT) AS err_bp
+         |FROM (
+         |  SELECT user_id, event_type, $tsUs AS ts_us,
+         |    lead($tsUs) OVER (PARTITION BY user_id ORDER BY $tsUs, event_id) AS next_us
+         |  FROM events) t
+         |WHERE next_us IS NOT NULL
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "m33_retention_cohorts" ->
+      s"""WITH e AS (SELECT user_id, event_type, $tsUs AS ts_us FROM events),
+         |f AS (SELECT user_id, min(ts_us) // 604800000000 AS cohort_wk
+         |  FROM e WHERE event_type = 'signup' GROUP BY 1),
+         |a AS (SELECT DISTINCT e.user_id, f.cohort_wk,
+         |    e.ts_us // 604800000000 - f.cohort_wk AS wk_off
+         |  FROM e JOIN f USING (user_id)
+         |  WHERE e.event_type = 'purchase'
+         |    AND e.ts_us // 604800000000 >= f.cohort_wk)
+         |SELECT cohort_wk, wk_off, CAST(count(*) AS BIGINT) AS n_users
+         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "m32_cms_heavy_hitters" ->
       """WITH k AS (SELECT CAST(user_id AS VARCHAR) AS key FROM events),
