@@ -137,6 +137,78 @@ object PipelineQueries {
         .orderBy(col("id"))
     },
 
+    // PII redaction: regex scrubbing of emails / IPv4s / long digit runs
+    // with per-doc detection counts and a hash of the redacted text.
+    // The documents text is digit-free word soup, so a deterministic
+    // PII-bearing fixture is appended per doc (same synthesize-then-
+    // process pattern as m20's keeper lines and x1's PNG payloads); the
+    // oracle runs the identical construct + regexes in DuckDB, so a
+    // redaction bug breaks the hash. Scale shape: map-only — three
+    // codegen'd regexps per row, no shuffle before the output sort.
+    "t9_pii_redact" -> { (s, dir) =>
+      val emailPat = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+      val ipPat = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      val numPat = "\\d{7,}"
+      Tables.documents(s, dir)
+        .withColumn("_pii", expr(
+          "concat(text, ' contact user', CAST(doc_id AS STRING), '@', source, " +
+          "'.net mail admin', CAST(doc_id % 7 AS STRING), '@example.org host 10.', " +
+          "CAST(doc_id % 256 AS STRING), '.', CAST(doc_id * 7 % 256 AS STRING), '.', " +
+          "CAST(doc_id * 13 % 256 AS STRING), " +
+          "CASE WHEN doc_id % 3 = 0 THEN concat(' gw 192.168.0.', CAST(doc_id % 250 AS STRING)) ELSE '' END, " +
+          "' tel ', CAST(5550000000 + doc_id AS STRING))"))
+        .withColumn("_red",
+          regexp_replace(regexp_replace(regexp_replace(col("_pii"),
+            emailPat, "<EMAIL>"), ipPat, "<IP>"), numPat, "<NUM>"))
+        .select(col("doc_id"),
+          regexp_count(col("_pii"), lit(emailPat)).cast("int").as("n_emails"),
+          regexp_count(col("_pii"), lit(ipPat)).cast("int").as("n_ips"),
+          regexp_count(col("_pii"), lit(numPat)).cast("int").as("n_nums"),
+          length(col("_red")).cast("int").as("red_len"),
+          md5(col("_red")).as("red_hash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // line-level boilerplate removal (the CCNet/RefinedWeb "shared
+    // lines" pass, on aligned 3-word segments since the synthetic text
+    // has no newlines): segments appearing in >= 3 DISTINCT docs are
+    // boilerplate and are dropped from every doc; surviving segments
+    // reassemble in position order. Scale shape: segment explode is
+    // p5's slice-per-exploded-row (never a slice inside a transform
+    // lambda); corpus frequency is one partial-agg hash shuffle
+    // (two-phase countDistinct on doc_id); removal is an anti join on
+    // the segment key (AQE may broadcast the boilerplate head — Zipf
+    // bounds it at total_segs/threshold); reassembly collects only a
+    // doc's own bounded segment list. The corpus is scanned twice
+    // (frequency pass + removal pass) — deliberate: branch reuse
+    // doesn't exist (CLAUDE.md), and two parquet scans beat collecting
+    // per-segment occurrence lists, which a hot segment makes unbounded.
+    "t10_line_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      def segsOf(d: DataFrame): DataFrame = d
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("_w"))
+        .withColumn("n_segs", expr("CAST((size(_w) + 2) div 3 AS INT)"))
+        .withColumn("seg_idx", explode(sequence(lit(0), col("n_segs") - 1)))
+        .select(col("doc_id"), col("seg_idx"),
+          concat_ws(" ", slice(col("_w"), col("seg_idx") * 3 + 1, lit(3))).as("seg"))
+      val boiler = segsOf(docs).groupBy(col("seg"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3).select(col("seg"))
+      val clean = segsOf(docs).join(boiler, Seq("seg"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(struct(seg_idx, seg))), x -> x.seg), ' ')")
+            .as("clean"))
+      docs.select(col("doc_id"),
+          expr("CAST((size(split(trim(text), '\\\\s+')) + 2) div 3 AS INT)").as("n_segs"))
+        .join(clean, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          (col("n_segs") - coalesce(col("n_kept"), lit(0))).cast("int").as("n_removed"),
+          length(coalesce(col("clean"), lit(""))).cast("int").as("clean_len"),
+          md5(coalesce(col("clean"), lit(""))).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    },
+
     // tokenizer-vocabulary construction: top-200 terms by corpus
     // frequency with cumulative coverage in basis points. Scale shape:
     // term counts are ONE partial-agg hash shuffle; the top-K is a
@@ -593,6 +665,46 @@ object PipelineQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    * 10000 // (SELECT tot FROM tot) AS INT) AS cum_bp
         |FROM top ORDER BY rnk""".stripMargin,
+
+    "t9_pii_redact" ->
+      """WITH pii AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@' || source ||
+        |  '.net mail admin' || CAST(doc_id % 7 AS VARCHAR) || '@example.org host 10.' ||
+        |  CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id * 7 % 256 AS VARCHAR) || '.' ||
+        |  CAST(doc_id * 13 % 256 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' gw 192.168.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+        |  ' tel ' || CAST(5550000000 + doc_id AS VARCHAR) AS p
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(p, '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(p, '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(p, '\d{7,}')) AS INT) AS n_nums,
+        |  CAST(length(r) AS INT) AS red_len, md5(r) AS red_hash
+        |FROM (SELECT doc_id, p,
+        |    regexp_replace(regexp_replace(regexp_replace(p,
+        |      '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+        |      '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g'),
+        |      '\d{7,}', '<NUM>', 'g') AS r
+        |  FROM pii) t
+        |ORDER BY doc_id""".stripMargin,
+
+    "t10_line_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |segs AS (SELECT doc_id, CAST(t.g AS INT) AS seg_idx,
+        |    array_to_string(w[(t.g*3+1):(t.g*3+3)], ' ') AS seg
+        |  FROM w, LATERAL unnest(generate_series(0, (len(w)+2)//3 - 1)) t(g)),
+        |boiler AS (SELECT seg FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 3),
+        |kept AS (SELECT * FROM segs WHERE seg NOT IN (SELECT seg FROM boiler)),
+        |clean AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY seg_idx) AS clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST((len(w.w)+2)//3 AS INT) AS n_segs,
+        |  CAST((len(w.w)+2)//3 - coalesce(c.n_kept, 0) AS INT) AS n_removed,
+        |  CAST(length(coalesce(c.clean, '')) AS INT) AS clean_len,
+        |  md5(coalesce(c.clean, '')) AS clean_hash
+        |FROM documents d JOIN w ON d.doc_id = w.doc_id
+        |LEFT JOIN clean c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "d11_minhash_accuracy" ->
       s"""WITH $shingleCte
