@@ -137,6 +137,83 @@ object PipelineQueries {
         .orderBy(col("id"))
     },
 
+    // bloom-filter membership pre-filter for incremental dedup — the
+    // bounded-memory way to ask "was this doc already ingested?" at
+    // 100 TB. The reference half of the corpus (even sources) builds a
+    // 2016-bit bloom (32 longs × 63 usable bits; 63 because DuckDB's
+    // BIGINT << 63 overflows, and the oracle must run the identical
+    // arithmetic) from k=4 md5-derived probe positions; the incoming
+    // half (odd sources) probes it through a broadcast of the 32-row
+    // sketch. Exact membership joins back in, so the result PROVES
+    // bloom_hit ⊇ exact_hit and surfaces every false positive. Scale
+    // shape: sketch size is O(m) at any corpus size; the build is one
+    // partial-agg shuffle of ≤ 32 rows per partition (bit_or combines
+    // map-side); the probe never shuffles the incoming half.
+    "d12_bloom_dedup" -> { (s, dir) =>
+      val keyed = Tables.documents(s, dir).select(col("doc_id"),
+        expr("md5(array_join(slice(split(trim(text), '\\\\s+'), 1, 6), ' '))").as("k"),
+        expr("CAST(substring(source, 4) AS INT) % 2").as("half"))
+      def positions(d: DataFrame): DataFrame = d
+        .withColumn("h", explode(array((0 until 4).map(lit): _*)))
+        .withColumn("_hex", expr("md5(concat('bf', CAST(h AS STRING), '|', k))"))
+        .withColumn("pos", expr(
+          "((instr('0123456789abcdef', substring(_hex, 1, 1)) - 1) * 256 + " +
+          "(instr('0123456789abcdef', substring(_hex, 2, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(_hex, 3, 1)) - 1)) % 2016"))
+      val ref = keyed.filter(col("half") === 0).select(col("k")).distinct()
+      val bloom = positions(ref)
+        .groupBy(expr("CAST(pos div 63 AS INT)").as("word"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT)))").as("bits"))
+      val inc = keyed.filter(col("half") === 1).select(col("doc_id"), col("k"))
+      val probed = positions(inc)
+        .withColumn("word", expr("CAST(pos div 63 AS INT)"))
+        .join(broadcast(bloom), Seq("word"), "left")
+        .withColumn("bit", expr(
+          "CAST(shiftright(coalesce(bits, CAST(0 AS BIGINT)), CAST(pos % 63 AS INT)) & 1 AS INT)"))
+        .groupBy(col("doc_id"), col("k"))
+        .agg((sum(col("bit")) === 4).cast("int").as("bloom_hit"))
+      probed
+        .join(ref.withColumn("_e", lit(1)), Seq("k"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          coalesce(col("_e"), lit(0)).cast("int").as("exact_hit"))
+        .withColumn("is_fp", (col("bloom_hit") === 1 && col("exact_hit") === 0).cast("int"))
+        .orderBy(col("doc_id"))
+    },
+
+    // result-set diversity evaluation: average/max pairwise cosine
+    // WITHIN each query's top-k — the redundancy measure an MMR-style
+    // diversifier optimizes. Scale shape: pairs are generated IN-ROW
+    // from each query's collected k-neighbor list (k structs per query,
+    // k(k-1)/2 in-row pairs) — the top-k result is never self-joined,
+    // so nothing re-evaluates the candidate pipeline twice (CLAUDE.md
+    // branch-reuse trap). Per-pair cosines are floored to integer basis
+    // points before the per-query sum (order-free), with ONE final
+    // division for the average.
+    "s8_topk_diversity" -> { (s, dir) =>
+      import graft.functions.VectorFunctions
+      val vecs = Tables.embeddings(s, dir)
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val topk = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 5)
+      val nb = topk
+        .join(vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("nvec")),
+          Seq("neighbor_id"))
+        .groupBy(col("query_id"))
+        .agg(expr("array_sort(collect_list(struct(neighbor_id, nvec)))").as("nbs"))
+        .filter(size(col("nbs")) >= 2)
+      nb.select(col("query_id"), explode(expr(
+          "flatten(transform(sequence(1, size(nbs) - 1), i -> " +
+          "transform(sequence(0, i - 1), j -> struct(nbs[j] AS a, nbs[i] AS b))))")).as("p"))
+        .select(col("query_id"),
+          round(VectorFunctions.cosine(col("p.a.nvec"), col("p.b.nvec")), 6).as("c"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).cast("int").as("n_pairs"),
+          expr("CAST(sum(CAST(floor(c * 10000) AS BIGINT)) AS BIGINT)").as("sum_bp"),
+          max(col("c")).as("max_pair_sim"))
+        .withColumn("avg_pair_sim",
+          col("sum_bp").cast("double") / (col("n_pairs") * 10000))
+        .orderBy(col("query_id"))
+    },
+
     // PII redaction: regex scrubbing of emails / IPv4s / long digit runs
     // with per-doc detection counts and a hash of the redacted text.
     // The documents text is digit-free word soup, so a deterministic
@@ -665,6 +742,62 @@ object PipelineQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    * 10000 // (SELECT tot FROM tot) AS INT) AS cum_bp
         |FROM top ORDER BY rnk""".stripMargin,
+
+    "d12_bloom_dedup" ->
+      """WITH keyed AS (SELECT doc_id,
+        |    md5(array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:6], ' ')) AS k,
+        |    CAST(substr(source, 4) AS INT) % 2 AS half
+        |  FROM documents),
+        |ref AS (SELECT DISTINCT k FROM keyed WHERE half = 0),
+        |inc AS (SELECT doc_id, k FROM keyed WHERE half = 1),
+        |rpos AS (SELECT k,
+        |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256 +
+        |     (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16 +
+        |     (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) % 2016 AS pos
+        |  FROM (SELECT k, md5('bf' || CAST(t.g AS VARCHAR) || '|' || k) AS h
+        |    FROM ref, LATERAL unnest(generate_series(0, 3)) t(g)) a),
+        |bloom AS (SELECT CAST(pos // 63 AS INT) AS word,
+        |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT)) AS bits
+        |  FROM rpos GROUP BY 1),
+        |ipos AS (SELECT doc_id, k,
+        |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 256 +
+        |     (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 16 +
+        |     (strpos('0123456789abcdef', substr(h, 3, 1)) - 1)) % 2016 AS pos
+        |  FROM (SELECT doc_id, k, md5('bf' || CAST(t.g AS VARCHAR) || '|' || k) AS h
+        |    FROM inc, LATERAL unnest(generate_series(0, 3)) t(g)) a),
+        |probed AS (SELECT doc_id, k,
+        |    CASE WHEN sum((coalesce(b.bits, 0) >> CAST(pos % 63 AS INT)) & 1) = 4
+        |      THEN 1 ELSE 0 END AS bloom_hit
+        |  FROM ipos LEFT JOIN bloom b ON CAST(pos // 63 AS INT) = b.word
+        |  GROUP BY doc_id, k)
+        |SELECT doc_id, CAST(bloom_hit AS INT) AS bloom_hit,
+        |  CAST(CASE WHEN r.k IS NOT NULL THEN 1 ELSE 0 END AS INT) AS exact_hit,
+        |  CAST(CASE WHEN bloom_hit = 1 AND r.k IS NULL THEN 1 ELSE 0 END AS INT) AS is_fp
+        |FROM probed p LEFT JOIN ref r ON p.k = r.k
+        |ORDER BY doc_id""".stripMargin,
+
+    "s8_topk_diversity" ->
+      s"""WITH $vecCte,
+         |q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |sims AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM v a CROSS JOIN q b WHERE a.vec_id <> b.vec_id),
+         |topk AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |    FROM sims) t WHERE rnk <= 5),
+         |pq AS (SELECT t.query_id, t.neighbor_id, v.e, v.n2
+         |  FROM topk t JOIN v ON t.neighbor_id = v.vec_id),
+         |pairs AS (SELECT a.query_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS c
+         |  FROM pq a JOIN pq b
+         |    ON a.query_id = b.query_id AND a.neighbor_id < b.neighbor_id)
+         |SELECT query_id, CAST(count(*) AS INT) AS n_pairs,
+         |  CAST(sum(CAST(floor(c * 10000) AS BIGINT)) AS BIGINT) AS sum_bp,
+         |  max(c) AS max_pair_sim,
+         |  CAST(CAST(sum(CAST(floor(c * 10000) AS BIGINT)) AS BIGINT) AS DOUBLE)
+         |    / (count(*) * 10000) AS avg_pair_sim
+         |FROM pairs GROUP BY query_id ORDER BY query_id""".stripMargin,
 
     "t9_pii_redact" ->
       """WITH pii AS (SELECT doc_id,

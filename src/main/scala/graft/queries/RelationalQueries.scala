@@ -438,6 +438,29 @@ object RelationalQueries {
         .orderBy($"quartile")
     },
 
+    // Correlated subqueries through the SQL surface: a correlated
+    // SCALAR aggregate subquery (orders above their customer's average
+    // order value, in truncating integer cents so both engines agree
+    // bit-for-bit) plus a correlated EXISTS. Catalyst de-correlates
+    // both (RewriteCorrelatedScalarSubquery → aggregate + join;
+    // EXISTS → left-semi join) — no per-row re-execution, no nested
+    // loop; asserted in PlanSpec. Scale shape: one hash shuffle of
+    // orders on o_custkey for the per-customer aggregate, one semi
+    // join on the order key.
+    "q32_correlated_subquery" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM v_orders o
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+            (SELECT sum(CAST(round(o2.o_totalprice * 100) AS BIGINT)) div count(*)
+             FROM v_orders o2 WHERE o2.o_custkey = o.o_custkey)
+          AND EXISTS (SELECT 1 FROM v_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        ORDER BY o_orderkey""")
+    },
+
     // String predicates + transforms (LIKE, regexp, case/substr/concat).
     "q20_string_ops" -> { (s, dir) =>
       import s.implicits._
@@ -453,6 +476,16 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q32_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+        |    (SELECT CAST(sum(CAST(round(o2.o_totalprice * 100) AS BIGINT)) AS BIGINT) // count(*)
+        |     FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q31_quantile_bucket" ->
       """WITH o AS (SELECT CAST(floor(o_totalprice / 100) AS BIGINT) AS pb FROM orders),
         |hist AS (SELECT pb, CAST(count(*) AS BIGINT) AS cnt FROM o GROUP BY 1),

@@ -175,6 +175,38 @@ object SamplingQueries {
           md5(concat_ws(" ", slice(col("words"), col("chunk_idx") * 30 + 1, lit(40))))
             .as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // z-order data layout: interleave the bits of two filter dimensions
+    // (customer key, order-day, each masked to 8 bits so the layout is
+    // scale-invariant) into one clustering key, then report per-bucket
+    // min/max spans of BOTH dims — the file-skipping stats a lakehouse
+    // OPTIMIZE ZORDER produces. Each of the 64 buckets is a 32×32 tile
+    // of the (x, y) plane, so both spans come out ≤ 31 — min/max
+    // pruning works for predicates on EITHER dimension, which a
+    // single-key sort cannot give. Scale shape: the z-value is pure
+    // map-side integer bit-spreading (the classic mask cascade, no UDF,
+    // stays in codegen); the stats are one partial-agg shuffle of 64
+    // groups. At 100 TB the same z-key feeds repartitionByRange before
+    // the parquet write.
+    "p8_zorder_layout" -> { (s, dir) =>
+      def spread(e: String): String = {
+        val a = s"(($e) | shiftleft(($e), 8)) & 16711935"
+        val b = s"(($a) | shiftleft(($a), 4)) & 252645135"
+        val c = s"(($b) | shiftleft(($b), 2)) & 858993459"
+        s"(($c) | shiftleft(($c), 1)) & 1431655765"
+      }
+      Tables.orders(s, dir)
+        .withColumn("_x", expr("CAST(o_custkey % 256 AS BIGINT)"))
+        .withColumn("_y", expr(
+          "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01') % 256 AS BIGINT)"))
+        .withColumn("_z", expr(s"(${spread("_x")}) | shiftleft(${spread("_y")}, 1)"))
+        .withColumn("bucket", expr("CAST(_z div 1024 AS INT)"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("_x")).as("min_x"), max(col("_x")).as("max_x"),
+          min(col("_y")).as("min_y"), max(col("_y")).as("max_y"))
+        .orderBy(col("bucket"))
     }
   )
 
@@ -254,6 +286,23 @@ object SamplingQueries {
         |    unnest(range(0, (len(wd)-1)//30 + 1)) AS i
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd
         |    FROM documents) a) b
-        |ORDER BY doc_id, chunk_idx""".stripMargin
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "p8_zorder_layout" -> {
+      def spreadSql(e: String): String = {
+        val a = s"(($e) | (($e) << 8)) & 16711935"
+        val b = s"(($a) | (($a) << 4)) & 252645135"
+        val c = s"(($b) | (($b) << 2)) & 858993459"
+        s"(($c) | (($c) << 1)) & 1431655765"
+      }
+      s"""SELECT bucket, count(*) AS n_rows,
+         |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+         |FROM (SELECT x, y,
+         |    CAST(((${spreadSql("x")}) | ((${spreadSql("y")}) << 1)) // 1024 AS INT) AS bucket
+         |  FROM (SELECT CAST(o_custkey % 256 AS BIGINT) AS x,
+         |      CAST(datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS y
+         |    FROM orders) s) t
+         |GROUP BY bucket ORDER BY bucket""".stripMargin
+    }
   )
 }

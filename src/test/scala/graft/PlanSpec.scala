@@ -259,4 +259,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q32: correlated subqueries de-correlate to joins — no per-row re-execution") {
+    val p = plan("q32_correlated_subquery")
+    // RewriteCorrelatedScalarSubquery → aggregate + join; EXISTS → semi
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("d12: bloom probe broadcasts the 32-row sketch — the incoming half never shuffles") {
+    val p = plan("d12_bloom_dedup")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p8: z-order stats are one 64-group partial-agg shuffle, all map-side math") {
+    val p = plan("p8_zorder_layout")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("s8: pair generation is in-row — the top-k result is never self-joined") {
+    val df = SparkEntry.queries("s8_topk_diversity")(spark, sf)
+    val analyzed = df.queryExecution.optimizedPlan.toString
+    // exactly one pass over the candidate pipeline: the brute-force
+    // cross join appears once; pairs come from the in-row explode
+    assert(analyzed.linesIterator.count(_.contains("Join Cross")) <= 1, analyzed)
+    assert(analyzed.contains("explode"), analyzed)
+  }
 }
