@@ -558,6 +558,47 @@ object MonitoringQueries {
         .orderBy(col("user_id"))
     },
 
+    // HyperLogLog distinct-count sketch: 64 registers, each holding the
+    // max leading-zero rank of md5-derived 48-bit tails — O(64) memory
+    // at ANY key cardinality, the count-distinct counterpart to m32's
+    // count-min (both: the only state a 100 TB monitor can keep hot).
+    // All arithmetic is engine-portable integers: register index from
+    // the first md5 byte, rank from a regexp leading-zero run, the
+    // harmonic mean as Σ 2^(50-M_j) (exact powers of two, no floats),
+    // and the raw estimate by one integer division — deliberately NO
+    // linear-counting correction, so est/exact/err_bp are reproducible
+    // bit-for-bit in both engines. Scale shape: one 64-group partial
+    // agg over the stream, a 64→1 fold, and a broadcast of the 1-row
+    // exact count for the error column.
+    "m35_hll_distinct" -> { (s, dir) =>
+      val keys = Tables.events(s, dir).select(col("user_id").cast("string").as("key"))
+      val hashed = keys
+        .withColumn("_h", md5(concat(lit("hll|"), col("key"))))
+        .withColumn("idx", expr(
+          "((instr('0123456789abcdef', substr(_h, 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substr(_h, 2, 1)) - 1)) % 64"))
+        .withColumn("_tail", expr("substr(_h, 3, 12)"))
+        .withColumn("_lz", expr("length(regexp_extract(_tail, '^0*', 0))"))
+        .withColumn("rnk", expr(
+          "CASE WHEN _lz >= 12 THEN 49 ELSE _lz * 4 + " +
+          "(CASE WHEN instr('0123456789abcdef', substr(_tail, _lz + 1, 1)) - 1 >= 8 THEN 0 " +
+          " WHEN instr('0123456789abcdef', substr(_tail, _lz + 1, 1)) - 1 >= 4 THEN 1 " +
+          " WHEN instr('0123456789abcdef', substr(_tail, _lz + 1, 1)) - 1 >= 2 THEN 2 " +
+          " ELSE 3 END) + 1 END"))
+      val regs = hashed.groupBy(col("idx")).agg(max(col("rnk")).as("mreg"))
+      val sketch = regs.agg(count(lit(1)).cast("int").as("n_hit"),
+        expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), CAST(50 - mreg AS INT))) AS BIGINT)")
+          .as("s_present"))
+      val exact = keys.agg(countDistinct(col("key")).as("exact_distinct"))
+      sketch.crossJoin(broadcast(exact))
+        .withColumn("s_total",
+          expr("s_present + (64 - n_hit) * CAST(1125899906842624 AS BIGINT)"))
+        .withColumn("est_distinct",
+          expr("2904064 * CAST(1099511627776 AS BIGINT) div (1000 * (s_total div 1024))"))
+        .select(lit(64).as("m"), col("n_hit"), col("est_distinct"), col("exact_distinct"),
+          expr("abs(est_distinct - exact_distinct) * 10000 div exact_distinct").as("err_bp"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -582,6 +623,33 @@ object MonitoringQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
          |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b_us = o.b_us
          |ORDER BY g.user_id, bucket_us""".stripMargin,
+
+    "m35_hll_distinct" ->
+      """WITH h AS (SELECT md5('hll|' || CAST(user_id AS VARCHAR)) AS _h FROM events),
+        |rk AS (SELECT
+        |    ((strpos('0123456789abcdef', substr(_h, 1, 1)) - 1) * 16 +
+        |     (strpos('0123456789abcdef', substr(_h, 2, 1)) - 1)) % 64 AS idx,
+        |    CASE WHEN lz >= 12 THEN 49 ELSE lz * 4 +
+        |      (CASE WHEN strpos('0123456789abcdef', substr(tail, lz + 1, 1)) - 1 >= 8 THEN 0
+        |            WHEN strpos('0123456789abcdef', substr(tail, lz + 1, 1)) - 1 >= 4 THEN 1
+        |            WHEN strpos('0123456789abcdef', substr(tail, lz + 1, 1)) - 1 >= 2 THEN 2
+        |            ELSE 3 END) + 1 END AS rnk
+        |  FROM (SELECT _h, substr(_h, 3, 12) AS tail,
+        |      length(regexp_extract(substr(_h, 3, 12), '^0*')) AS lz FROM h) t),
+        |regs AS (SELECT idx, max(rnk) AS mreg FROM rk GROUP BY idx),
+        |sk AS (SELECT CAST(count(*) AS INT) AS n_hit,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(50 - mreg AS INT)) AS BIGINT) AS s_present
+        |  FROM regs),
+        |ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events),
+        |est AS (SELECT n_hit, exact_distinct,
+        |    2904064 * CAST(1099511627776 AS BIGINT) //
+        |      (1000 * ((s_present + (64 - n_hit) * CAST(1125899906842624 AS BIGINT)) // 1024))
+        |      AS est_distinct
+        |  FROM sk CROSS JOIN ex)
+        |SELECT CAST(64 AS INT) AS m, n_hit, CAST(est_distinct AS BIGINT) AS est_distinct,
+        |  exact_distinct,
+        |  CAST(abs(est_distinct - exact_distinct) * 10000 // exact_distinct AS BIGINT) AS err_bp
+        |FROM est""".stripMargin,
 
     "m34_error_uptime" ->
       s"""SELECT user_id,

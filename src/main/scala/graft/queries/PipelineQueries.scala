@@ -180,6 +180,60 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // URL canonicalization dedup — the first pass of any web-crawl
+    // pipeline: scheme/host case-folding, default-port stripping,
+    // tracking-parameter removal, trailing-slash normalization, then
+    // an exact group-by on the canonical form. URLs are a per-doc
+    // deterministic fixture (three variant spellings per canonical
+    // target, driven by doc_id — same synthesize-then-process pattern
+    // as t9/m20); the oracle canonicalizes identically, so a
+    // normalization bug splits a group and breaks the hash. No
+    // lookaheads in the regexes — RE2 (DuckDB) has none, so the rules
+    // stay in the Java∩RE2 common subset. Scale shape: map-only
+    // string ops, one partial-agg shuffle on the canonical key.
+    "d13_url_dedup" -> { (s, dir) =>
+      val url =
+        "CASE CAST(doc_id div 40 AS INT) % 3 " +
+        "WHEN 0 THEN concat('http://www.site', CAST(doc_id % 40 AS STRING), '.example.com/path/', CAST(doc_id % 40 AS STRING)) " +
+        "WHEN 1 THEN concat('HTTP://WWW.Site', CAST(doc_id % 40 AS STRING), '.Example.COM:80/path/', CAST(doc_id % 40 AS STRING)) " +
+        "ELSE concat('http://www.site', CAST(doc_id % 40 AS STRING), '.example.com/path/', CAST(doc_id % 40 AS STRING), '/?utm_source=feed') END"
+      Tables.documents(s, dir)
+        .withColumn("url", expr(url))
+        .withColumn("canonical", expr(
+          "regexp_replace(regexp_replace(replace(lower(url), ':80/', '/'), " +
+          "'\\\\?utm_[a-z_]+=[a-z]*$', ''), '/$', '')"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("n_raw_variants"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("canonical"))
+    },
+
+    // training-sample manifest assembly: one JSON manifest line per
+    // sample joining all three modality tables — document metadata,
+    // embedding dimensionality, decoded image container metadata (the
+    // REAL PNG/JPEG header parse behind x1). The deterministic
+    // serialization contract (fixed struct field order, m6's escaping
+    // rules) makes the manifest hashable: the oracle re-derives the
+    // exact JSON text arithmetically. Scale shape: two co-keyed joins
+    // on doc_id (no broadcast assumption — both sides are corpus-sized
+    // at 100 TB; AQE picks the strategy), map-side to_json, no windows.
+    "x9_sample_manifest" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val payloads = Multimodal.synthesizePayloads(docs).toDF()
+      val meta = Multimodal.decodeMeta(payloads, "doc_id", "payload").toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"))
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), size(col("embedding")).cast("int").as("dim"))
+      docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .join(emb, Seq("doc_id"))
+        .join(meta, Seq("doc_id"))
+        .withColumn("manifest", to_json(struct(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("dim"), col("format"), col("width"), col("height"))))
+        .select(col("doc_id"), col("manifest"), md5(col("manifest")).as("manifest_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // result-set diversity evaluation: average/max pairwise cosine
     // WITHIN each query's top-k — the redundancy measure an MMR-style
     // diversifier optimizes. Scale shape: pairs are generated IN-ROW
@@ -283,6 +337,28 @@ object PipelineQueries {
           (col("n_segs") - coalesce(col("n_kept"), lit(0))).cast("int").as("n_removed"),
           length(coalesce(col("clean"), lit(""))).cast("int").as("clean_len"),
           md5(coalesce(col("clean"), lit(""))).as("clean_hash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // lexical-diversity quality scoring: per-doc Simpson index and
+    // type-token ratio in integer basis points. Simpson (1 - Σp²) is
+    // the repetition detector entropy is usually used for, but unlike
+    // entropy it needs NO logarithms — Σc² and Σc are exact integers,
+    // so the score is bit-identical across engines and partitionings
+    // (a log-based entropy would hang determinism on libm ulps). Scale
+    // shape: two chained partial aggs, both on high-cardinality keys
+    // ((doc,term) then doc) — no windows, no collected term lists.
+    "t11_token_diversity" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(expr("CAST(sum(c) AS BIGINT)").as("n_tokens"),
+          count(lit(1)).cast("int").as("n_types"),
+          expr("CAST(sum(c * c) AS BIGINT)").as("_ss"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"),
+          expr("10000 - (10000 * _ss) div (n_tokens * n_tokens)").as("simpson_bp"),
+          expr("(10000 * n_types) div n_tokens").as("ttr_bp"))
         .orderBy(col("doc_id"))
     },
 
@@ -743,6 +819,39 @@ object PipelineQueries {
         |    * 10000 // (SELECT tot FROM tot) AS INT) AS cum_bp
         |FROM top ORDER BY rnk""".stripMargin,
 
+    "d13_url_dedup" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE CAST(doc_id // 40 AS INT) % 3
+        |      WHEN 0 THEN 'http://www.site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/path/' || CAST(doc_id % 40 AS VARCHAR)
+        |      WHEN 1 THEN 'HTTP://WWW.Site' || CAST(doc_id % 40 AS VARCHAR) || '.Example.COM:80/path/' || CAST(doc_id % 40 AS VARCHAR)
+        |      ELSE 'http://www.site' || CAST(doc_id % 40 AS VARCHAR) || '.example.com/path/' || CAST(doc_id % 40 AS VARCHAR) || '/?utm_source=feed'
+        |    END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |    regexp_replace(regexp_replace(replace(lower(url), ':80/', '/'),
+        |      '\?utm_[a-z_]+=[a-z]*$', ''), '/$', '') AS canonical
+        |  FROM u)
+        |SELECT canonical, count(*) AS n_urls,
+        |  count(DISTINCT url) AS n_raw_variants,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM c GROUP BY canonical ORDER BY canonical""".stripMargin,
+
+    "x9_sample_manifest" ->
+      """WITH m AS (SELECT d.doc_id, d.lang, d.source, d.n_chars,
+        |    CAST(len(e.embedding) AS INT) AS dim,
+        |    CASE WHEN d.doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+        |    CAST(d.doc_id % 640 + 16 AS INT) AS w, CAST(d.doc_id % 480 + 16 AS INT) AS h
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |j AS (SELECT doc_id,
+        |    '{"doc_id":' || CAST(doc_id AS VARCHAR) || ',"lang":"' || lang ||
+        |    '","source":"' || source || '","n_chars":' || CAST(n_chars AS VARCHAR) ||
+        |    ',"dim":' || CAST(dim AS VARCHAR) || ',"format":"' || fmt ||
+        |    '","width":' || CAST(w AS VARCHAR) || ',"height":' || CAST(h AS VARCHAR) || '}'
+        |      AS manifest
+        |  FROM m)
+        |SELECT doc_id, manifest, md5(manifest) AS manifest_md5
+        |FROM j ORDER BY doc_id""".stripMargin,
+
     "d12_bloom_dedup" ->
       """WITH keyed AS (SELECT doc_id,
         |    md5(array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:6], ' ')) AS k,
@@ -838,6 +947,17 @@ object PipelineQueries {
         |FROM documents d JOIN w ON d.doc_id = w.doc_id
         |LEFT JOIN clean c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    "t11_token_diversity" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |c AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS INT) AS n_types,
+        |  CAST(10000 - (10000 * CAST(sum(c * c) AS BIGINT))
+        |    // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS BIGINT) AS simpson_bp,
+        |  CAST((10000 * count(*)) // CAST(sum(c) AS BIGINT) AS BIGINT) AS ttr_bp
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d11_minhash_accuracy" ->
       s"""WITH $shingleCte

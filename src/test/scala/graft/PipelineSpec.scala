@@ -80,6 +80,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(r(20L) == 20L && r(21L) == 20L)
   }
 
+  test("d12: bloom membership has zero false negatives (bloom_hit ⊇ exact_hit)") {
+    val rows = SparkEntry.queries("d12_bloom_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the defining bloom-filter guarantee: an exact member NEVER probes negative
+    assert(!rows.exists(r => r.getAs[Int]("exact_hit") == 1 && r.getAs[Int]("bloom_hit") == 0))
+    // and every flagged FP is bloom-positive / exact-negative by construction
+    assert(rows.filter(_.getAs[Int]("is_fp") == 1)
+      .forall(r => r.getAs[Int]("bloom_hit") == 1 && r.getAs[Int]("exact_hit") == 0))
+  }
+
+  test("t10: boilerplate removal conserves segments and empties only fully-removed docs") {
+    val rows = SparkEntry.queries("t10_line_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val n = r.getAs[Int]("n_segs"); val rm = r.getAs[Int]("n_removed")
+      rm >= 0 && rm <= n && (r.getAs[Int]("clean_len") == 0) == (rm == n)
+    })
+    // the threshold actually bites on the corpus: some doc loses a segment
+    assert(rows.exists(_.getAs[Int]("n_removed") > 0))
+  }
+
+  test("s8: every query carries exactly k(k-1)/2 in-row pairs") {
+    val rows = SparkEntry.queries("s8_topk_diversity")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("n_pairs") == 10))
+  }
+
+  test("m35: HLL sketch stays within its 64-register budget and estimates > 0") {
+    val r = SparkEntry.queries("m35_hll_distinct")(spark, sf).head()
+    assert(r.getAs[Int]("n_hit") <= 64 && r.getAs[Int]("n_hit") > 0)
+    assert(r.getAs[Long]("est_distinct") > 0)
+  }
+
+  test("d13: canonicalization folds all variant spellings into one group per target") {
+    val rows = SparkEntry.queries("d13_url_dedup")(spark, sf).collect()
+    // every canonical group holds ≥1 URLs and raw variants never exceed 3 spellings
+    assert(rows.nonEmpty && rows.forall { r =>
+      val v = r.getAs[Long]("n_raw_variants")
+      v >= 1 && v <= 3 && r.getAs[Long]("n_urls") >= v
+    })
+  }
+
   test("multimodal decode keeps partition-parallel batched shape") {
     val payloads = Multimodal.synthesizePayloads(Tables.documents(spark, sf)).toDF()
     val out = Multimodal.decodeMeta(payloads, "doc_id", "payload", batchSize = 16)
