@@ -80,6 +80,16 @@ object Similarity {
         struct(col("_csim"), (-col("cent_id")).as("_nc"))).as("_best"))
       .select(col(outId), col("_best.v").as(outVec), col("_best.cent_id").as("cell"))
 
+  /** Public nearest-centroid assignment: (id, cell) per corpus vector.
+    * Broadcast codebook + max_by partial-agg argmax — one hash shuffle
+    * carrying one row per vector, never a per-vector window sort. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("c_vec"))
+    nearestCell(corpus, cents, idCol, vecCol, "vec_id", "_v")
+      .select(col("vec_id"), col("cell"))
+  }
+
   /** IVF-style ANN: assign every vector to its nearest centroid cell
     * (broadcast centroid set), then search only within the query's cell.
     * `centroids` is the codebook — a fixed seed set, or the output of

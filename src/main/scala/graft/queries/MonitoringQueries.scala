@@ -558,6 +558,40 @@ object MonitoringQueries {
         .orderBy(col("user_id"))
     },
 
+    // time-series linear interpolation: resample each entity's metric
+    // onto minute marks BETWEEN consecutive observations (the
+    // complement of m28's forward-fill — interpolation, not carry).
+    // Integer-exact: values in cents, the interpolated point as ONE
+    // truncating division of the weighted sum vc*(t1-t) + v1*(t-t0)
+    // (both terms non-negative, so truncation direction can't diverge
+    // between engines). Gaps over 2 h are left unfilled — the fan-out
+    // per event pair is bounded by gap/60 s, and a monitor should show
+    // a hole, not a fabricated line, across a long outage. Scale
+    // shape: the pairing lead() windows by user_id (high cardinality —
+    // parallelizes per entity); mark generation is a bounded map-side
+    // explode; no further shuffle before the output sort.
+    "m36_linear_interp" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val minUs = 60L * 1000000L
+      Tables.events(s, dir)
+        .filter(pmod(col("user_id"), lit(10)) === 1)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+        .withColumn("t1", lead(col("ts_us"), 1).over(w))
+        .withColumn("v1", lead(col("vc"), 1).over(w))
+        .filter(col("t1").isNotNull && (col("t1") - col("ts_us")) <= lit(7200L * 1000000L))
+        .withColumn("mark", explode(expr(
+          s"CASE WHEN (ts_us div $minUs + 1) * $minUs <= t1 - 1 " +
+          s"THEN sequence((ts_us div $minUs + 1) * $minUs, t1 - 1, $minUs) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END")))
+        .select(col("user_id"), col("mark").as("mark_us"),
+          expr("(vc * (t1 - mark) + v1 * (mark - ts_us)) div (t1 - ts_us)")
+            .as("interp_cents"))
+        .withColumn("v_interp", col("interp_cents").cast("double") / 100.0)
+        .orderBy(col("user_id"), col("mark_us"))
+    },
+
     // HyperLogLog distinct-count sketch: 64 registers, each holding the
     // max leading-zero rank of md5-derived 48-bit tails — O(64) memory
     // at ANY key cardinality, the count-distinct counterpart to m32's
@@ -623,6 +657,23 @@ object MonitoringQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
          |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b_us = o.b_us
          |ORDER BY g.user_id, bucket_us""".stripMargin,
+
+    "m36_linear_interp" ->
+      s"""WITH e AS (SELECT user_id, event_id, $tsUs AS ts_us,
+         |    CAST(round(value * 100) AS BIGINT) AS vc
+         |  FROM events WHERE user_id % 10 = 1),
+         |p AS (SELECT user_id, ts_us, vc,
+         |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS t1,
+         |    lead(vc) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS v1
+         |  FROM e),
+         |g AS (SELECT user_id, ts_us, vc, t1, v1, t.m AS mark
+         |  FROM (SELECT * FROM p WHERE t1 IS NOT NULL AND t1 - ts_us <= 7200000000) pp,
+         |  LATERAL unnest(generate_series((ts_us // 60000000 + 1) * 60000000,
+         |    t1 - 1, 60000000)) t(m))
+         |SELECT user_id, mark AS mark_us,
+         |  CAST((vc * (t1 - mark) + v1 * (mark - ts_us)) // (t1 - ts_us) AS BIGINT) AS interp_cents,
+         |  CAST(CAST((vc * (t1 - mark) + v1 * (mark - ts_us)) // (t1 - ts_us) AS BIGINT) AS DOUBLE) / 100.0 AS v_interp
+         |FROM g ORDER BY user_id, mark_us""".stripMargin,
 
     "m35_hll_distinct" ->
       """WITH h AS (SELECT md5('hll|' || CAST(user_id AS VARCHAR)) AS _h FROM events),

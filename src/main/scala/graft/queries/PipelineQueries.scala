@@ -180,6 +180,27 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // cluster-level semantic dedup / diversification: assign every
+    // embedding to its nearest centroid cell and keep ONE representative
+    // per cell (min id) — the "semantic dedup" pass that thins
+    // over-represented regions of a training corpus, where pairwise
+    // near-dup search (d6) only removes near-copies. Output is the
+    // per-cell census: members, keeper, and how many distinct source
+    // labels the cell collapses. Scale shape: the codebook broadcasts;
+    // assignment is a map-side cosine + ONE max_by partial-agg shuffle
+    // (one row per vector, no window sort); the census re-joins labels
+    // on the co-keyed vec_id.
+    "d14_cluster_dedup" -> { (s, dir) =>
+      val vecs = Tables.embeddings(s, dir)
+      val cents = vecs.filter(col("vec_id") < 8)
+      Similarity.assignCells(vecs, cents, "vec_id", "embedding")
+        .join(vecs.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"), min(col("vec_id")).as("keeper_id"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy(col("cell"))
+    },
+
     // URL canonicalization dedup — the first pass of any web-crawl
     // pipeline: scheme/host case-folding, default-port stripping,
     // tracking-parameter removal, trailing-slash normalization, then
@@ -818,6 +839,21 @@ object PipelineQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    * 10000 // (SELECT tot FROM tot) AS INT) AS cum_bp
         |FROM top ORDER BY rnk""".stripMargin,
+
+    "d14_cluster_dedup" ->
+      s"""WITH $vecCte,
+         |c AS (SELECT vec_id AS cent_id, e AS c_vec, n2 AS c_n2 FROM v WHERE vec_id < 8),
+         |asg0 AS (SELECT a.vec_id, c.cent_id,
+         |    round(list_sum(list_transform(generate_series(1, len(a.e)), i ->
+         |      CAST(a.e[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE))) / sqrt(a.n2 * c.c_n2), 6) AS csim
+         |  FROM v a CROSS JOIN c),
+         |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn
+         |  FROM asg0),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM asg WHERE arn = 1)
+         |SELECT cell, count(*) AS n_members, min(cl.vec_id) AS keeper_id,
+         |  count(DISTINCT e2.label) AS n_labels
+         |FROM cells cl JOIN embeddings e2 ON cl.vec_id = e2.vec_id
+         |GROUP BY cell ORDER BY cell""".stripMargin,
 
     "d13_url_dedup" ->
       """WITH u AS (SELECT doc_id,

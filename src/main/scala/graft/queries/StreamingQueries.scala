@@ -76,6 +76,15 @@ object StreamingQueries {
     // hash shuffle — overlap costs ×2 input rows, never a self-join or
     // re-scan. Streaming parity (same code over readStream) in
     // StreamingSpec.
+    // windowed distinct-entity counts in the streaming-legal shape
+    // (dedup-then-count instead of a distinct agg); the same code runs
+    // over readStream with both stateful stages watermark-bounded —
+    // parity in StreamingSpec.
+    "st9_stream_distinct" -> { (s, dir) =>
+      HealthStream.windowedDistinctUsers(Tables.events(s, dir))
+        .orderBy(col("bucket"), col("event_type"))
+    },
+
     "st7_sliding_rate" -> { (s, dir) =>
       HealthStream.slidingRate(Tables.events(s, dir))
         .orderBy(col("win_start"))
@@ -96,6 +105,11 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "st9_stream_distinct" ->
+      s"""SELECT make_timestamp($tsUs - $tsUs % 300000000) AS bucket, event_type,
+         |  count(DISTINCT user_id) AS n_users
+         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
     "st1_stream_health" ->
       s"""SELECT make_timestamp($tsUs - $tsUs % 300000000) AS bucket, event_type,
          |  count(*) AS n,

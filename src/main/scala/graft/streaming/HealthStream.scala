@@ -63,6 +63,25 @@ object HealthStream {
         col("n_total"), col("n_errors"),
         expr("CAST(n_errors * 100 div n_total AS INT)").as("err_pct"))
 
+  /** Windowed distinct-entity counts, streaming-legal form: a direct
+    * COUNT(DISTINCT) aggregate is unsupported on streams, so the
+    * distinct is expressed as dropDuplicates on the
+    * (window-start, event_type, user) key followed by an ordinary
+    * windowed count — both stateful stages are watermark-bounded
+    * (dedup state drops once the watermark passes the bucket; Spark
+    * chains the two stateful operators natively). Valid on batch and
+    * streaming inputs; parity proven in StreamingSpec. The batch
+    * oracle is a plain COUNT(DISTINCT user_id) per bucket. */
+  def windowedDistinctUsers(events: DataFrame, minutes: Int = 5): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .withColumn("bucket", window(col("ts"), s"$minutes minutes").getField("start"))
+      .dropDuplicates("bucket", "event_type", "user_id")
+      .groupBy(window(col("ts"), s"$minutes minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").cast("timestamp_ntz").as("bucket"),
+        col("event_type"), col("n_users"))
+
   /** Stream-static enrichment: the event stream broadcast-joined to a
     * slowly-changing dimension (user → nation via customer), then
     * windowed per enriched key. In streaming mode Spark re-plans the

@@ -50,6 +50,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("windowed distinct users: chained dedup + agg streaming == batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_distinct")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = HealthStream.readEventStream(spark, dir.toString)
+    val q = HealthStream.windowedDistinctUsers(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("distinct_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("distinct_out")
+      .orderBy("bucket", "event_type").collect().toSeq
+    val batch = HealthStream.windowedDistinctUsers(Tables.events(spark, sf))
+      .orderBy("bucket", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-static enrich: streaming windowed enrich == batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_enrich")
     java.nio.file.Files.copy(
