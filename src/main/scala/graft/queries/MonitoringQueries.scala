@@ -558,6 +558,62 @@ object MonitoringQueries {
         .orderBy(col("user_id"))
     },
 
+    // alert flap detection: entities oscillating in and out of the
+    // error state faster than an operator can act. Per entity, count
+    // adjacent-event transitions where exactly one side is 'error'
+    // (entry or exit); ≥6 flips marks a flapper — the suppression
+    // signal an alerting pipeline feeds back into m25's raiser. Scale
+    // shape: one lag() window per entity (high-cardinality key) and a
+    // partial agg above it; no self-joins, no sessionization state.
+    "m38_flap_detection" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("flip", expr(
+          "CASE WHEN prev_type IS NOT NULL AND " +
+          "((event_type = 'error') != (prev_type = 'error')) THEN 1 ELSE 0 END"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("CAST(sum(flip) AS BIGINT)").as("n_flips"))
+        .withColumn("flapping", (col("n_flips") >= 6).cast("int"))
+        .orderBy(col("user_id"))
+    },
+
+    // cross-metric correlation for root-cause triage: per entity, the
+    // Pearson r between event volume and metric mass across 10-min
+    // buckets. Determinism: ALL moments (Σx Σy Σx² Σy² Σxy) are exact
+    // integer sums (order-free under any partitioning); the finish is
+    // num/√d1/√d2 on those integers — IEEE-754 requires sqrt, ×, ÷ to
+    // be correctly rounded, so the double r is bit-identical in both
+    // engines (the same contract the cosine queries rely on). Constant
+    // series (d=0) are filtered: r is undefined there, not 0. Scale
+    // shape: two chained partial aggs on high-cardinality keys,
+    // no windows.
+    "m37_metric_correlation" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+        .groupBy(col("user_id"), expr("ts_us div 600000000").as("bucket"))
+        .agg(count(lit(1)).as("x"), sum(col("vc")).as("y"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("int").as("n_buckets"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+          sum(expr("x * y")).as("sxy"))
+        .filter(col("n_buckets") >= 3)
+        .withColumn("num", expr("n_buckets * sxy - sx * sy"))
+        .withColumn("d1", expr("n_buckets * sxx - sx * sx"))
+        .withColumn("d2", expr("n_buckets * syy - sy * sy"))
+        .filter(col("d1") > 0 && col("d2") > 0)
+        .select(col("user_id"), col("n_buckets"), col("num"),
+          (col("num").cast("double") / sqrt(col("d1").cast("double"))
+            / sqrt(col("d2").cast("double"))).as("r"))
+        .orderBy(col("user_id"))
+    },
+
     // time-series linear interpolation: resample each entity's metric
     // onto minute marks BETWEEN consecutive observations (the
     // complement of m28's forward-fill — interpolation, not carry).
@@ -657,6 +713,40 @@ object MonitoringQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
          |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b_us = o.b_us
          |ORDER BY g.user_id, bucket_us""".stripMargin,
+
+    "m38_flap_detection" ->
+      s"""SELECT user_id, count(*) AS n_events,
+         |  CAST(sum(flip) AS BIGINT) AS n_flips,
+         |  CAST(CASE WHEN CAST(sum(flip) AS BIGINT) >= 6 THEN 1 ELSE 0 END AS INT) AS flapping
+         |FROM (
+         |  SELECT user_id,
+         |    CASE WHEN prev_type IS NOT NULL AND
+         |      ((event_type = 'error') != (prev_type = 'error')) THEN 1 ELSE 0 END AS flip
+         |  FROM (
+         |    SELECT user_id, event_type,
+         |      lag(event_type) OVER (PARTITION BY user_id ORDER BY $tsUs, event_id) AS prev_type
+         |    FROM events) a) b
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "m37_metric_correlation" ->
+      s"""WITH b AS (SELECT user_id, $tsUs // 600000000 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS x,
+         |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |m AS (SELECT user_id, CAST(count(*) AS INT) AS n_buckets,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM b GROUP BY user_id),
+         |d AS (SELECT user_id, n_buckets,
+         |    CAST(n_buckets * sxy - sx * sy AS BIGINT) AS num,
+         |    CAST(n_buckets * sxx - sx * sx AS BIGINT) AS d1,
+         |    CAST(n_buckets * syy - sy * sy AS BIGINT) AS d2
+         |  FROM m WHERE n_buckets >= 3)
+         |SELECT user_id, n_buckets, num,
+         |  CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE)) / sqrt(CAST(d2 AS DOUBLE)) AS r
+         |FROM d WHERE d1 > 0 AND d2 > 0
+         |ORDER BY user_id""".stripMargin,
 
     "m36_linear_interp" ->
       s"""WITH e AS (SELECT user_id, event_id, $tsUs AS ts_us,
