@@ -177,6 +177,47 @@ object SamplingQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // consistent-hash resharding plan: assign every doc to a shard on
+    // an md5 ring (16 virtual nodes per shard), for cluster sizes 8 AND
+    // 9, and report how much data each shard-8 bucket would hand off —
+    // the elasticity property (≈1/9 of keys move when a node joins,
+    // vs 8/9 under mod-N) that makes 100 TB rebalancing affordable.
+    // Engine-portable integers throughout: ring positions and key
+    // positions are 16-bit md5-hex values; the nearest-vnode argmin is
+    // min(dist*16+node) with the shard recovered by %16 — an exact
+    // integer argmin with a deterministic tie-break, identical in both
+    // engines (never an arg_min whose tie behavior is undefined).
+    // Scale shape: the ring (≤144 rows) broadcasts; assignment is one
+    // partial-agg shuffle carrying one row per key per ring.
+    "p9_consistent_shards" -> { (s, dir) =>
+      def hex4(e: String) =
+        s"((instr('0123456789abcdef', substr($e, 1, 1)) - 1) * 4096 + " +
+        s"(instr('0123456789abcdef', substr($e, 2, 1)) - 1) * 256 + " +
+        s"(instr('0123456789abcdef', substr($e, 3, 1)) - 1) * 16 + " +
+        s"(instr('0123456789abcdef', substr($e, 4, 1)) - 1))"
+      def ring(n: Int): DataFrame = {
+        import s.implicits._
+        (0 until n).flatMap(node => (0 until 16).map(v => (node, v)))
+          .toDF("node", "v")
+          .withColumn("pos", expr(hex4(
+            "md5(concat('ring|', CAST(node AS STRING), '|', CAST(v AS STRING)))")))
+          .select(col("node"), col("pos"))
+      }
+      val keys = Tables.documents(s, dir).select(col("doc_id"),
+        expr(hex4("md5(concat('key|', CAST(doc_id AS STRING)))")).as("kpos"))
+      def assign(n: Int, outCol: String): DataFrame =
+        keys.crossJoin(broadcast(ring(n)))
+          .withColumn("dist", expr("(pos - kpos + 65536) % 65536"))
+          .groupBy(col("doc_id"))
+          .agg(expr("CAST(min(dist * 16 + node) % 16 AS INT)").as(outCol))
+      assign(8, "shard8").join(assign(9, "shard9"), Seq("doc_id"))
+        .groupBy(col("shard8"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("CAST(sum(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) AS BIGINT)")
+            .as("n_moved"))
+        .orderBy(col("shard8"))
+    },
+
     // z-order data layout: interleave the bits of two filter dimensions
     // (customer key, order-day, each masked to 8 bits so the layout is
     // scale-invariant) into one clustering key, then report per-bucket
@@ -287,6 +328,33 @@ object SamplingQueries {
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd
         |    FROM documents) a) b
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "p9_consistent_shards" -> {
+      def hex4(e: String) =
+        s"((strpos('0123456789abcdef', substr($e, 1, 1)) - 1) * 4096 + " +
+        s"(strpos('0123456789abcdef', substr($e, 2, 1)) - 1) * 256 + " +
+        s"(strpos('0123456789abcdef', substr($e, 3, 1)) - 1) * 16 + " +
+        s"(strpos('0123456789abcdef', substr($e, 4, 1)) - 1))"
+      def ringCte(name: String, n: Int) =
+        s"""$name AS (SELECT nn.g AS node,
+           |    ${hex4(s"md5('ring|' || CAST(nn.g AS VARCHAR) || '|' || CAST(vv.g AS VARCHAR))")} AS pos
+           |  FROM generate_series(0, ${n - 1}) nn(g), generate_series(0, 15) vv(g))""".stripMargin
+      s"""WITH ${ringCte("ring8", 8)},
+         |${ringCte("ring9", 9)},
+         |keys AS (SELECT doc_id,
+         |    ${hex4("md5('key|' || CAST(doc_id AS VARCHAR))")} AS kpos
+         |  FROM documents),
+         |a8 AS (SELECT doc_id,
+         |    CAST(min(((pos - kpos + 65536) % 65536) * 16 + node) % 16 AS INT) AS shard8
+         |  FROM keys CROSS JOIN ring8 GROUP BY doc_id),
+         |a9 AS (SELECT doc_id,
+         |    CAST(min(((pos - kpos + 65536) % 65536) * 16 + node) % 16 AS INT) AS shard9
+         |  FROM keys CROSS JOIN ring9 GROUP BY doc_id)
+         |SELECT shard8, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |FROM a8 JOIN a9 USING (doc_id)
+         |GROUP BY shard8 ORDER BY shard8""".stripMargin
+    },
 
     "p8_zorder_layout" -> {
       def spreadSql(e: String): String = {

@@ -76,6 +76,14 @@ object StreamingQueries {
     // hash shuffle — overlap costs ×2 input rows, never a self-join or
     // re-scan. Streaming parity (same code over readStream) in
     // StreamingSpec.
+    // windowed p95 monitor: the full distribution never materializes —
+    // a 16-bucket integer histogram rides one windowed agg as k
+    // columns, p95 derives map-side. Parity in StreamingSpec.
+    "st10_stream_p95" -> { (s, dir) =>
+      HealthStream.windowedP95(Tables.events(s, dir))
+        .orderBy(col("bucket"))
+    },
+
     // windowed distinct-entity counts in the streaming-legal shape
     // (dedup-then-count instead of a distinct agg); the same code runs
     // over readStream with both stateful stages watermark-bounded —
@@ -105,6 +113,22 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "st10_stream_p95" ->
+      s"""WITH base AS (SELECT make_timestamp($tsUs - $tsUs % 300000000) AS bucket,
+         |    CAST(least(15, CAST(round(value * 100) AS BIGINT) // 3200) AS INT) AS vb
+         |  FROM events),
+         |b AS (SELECT bucket, vb, count(*) AS c FROM base GROUP BY 1, 2),
+         |t AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n_total FROM b GROUP BY 1),
+         |cu AS (SELECT bucket, vb,
+         |    CAST(sum(c) OVER (PARTITION BY bucket ORDER BY vb
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM b)
+         |SELECT cu.bucket, t.n_total,
+         |  CAST(min(CASE WHEN cum * 100 >= 95 * n_total THEN vb END) AS INT) AS p95_bucket,
+         |  CAST((min(CASE WHEN cum * 100 >= 95 * n_total THEN vb END) + 1) * 32 AS INT) AS p95_ub
+         |FROM cu JOIN t ON cu.bucket = t.bucket
+         |GROUP BY cu.bucket, t.n_total ORDER BY cu.bucket""".stripMargin,
+
     "st9_stream_distinct" ->
       s"""SELECT make_timestamp($tsUs - $tsUs % 300000000) AS bucket, event_type,
          |  count(DISTINCT user_id) AS n_users

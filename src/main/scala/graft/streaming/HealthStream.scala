@@ -82,6 +82,36 @@ object HealthStream {
       .select(col("w.start").cast("timestamp_ntz").as("bucket"),
         col("event_type"), col("n_users"))
 
+  /** Windowed p95 latency monitor, streaming-legal form: an exact
+    * percentile needs the window's full distribution, which streaming
+    * can't hold — but a BOUNDED value histogram can ride ONE windowed
+    * aggregate as 16 bucket-count COLUMNS (the k-agg-columns shape that
+    * also carries the LSH minhashes), and the p95 bucket then falls out
+    * map-side from a cumulative CASE cascade over those 16 counts.
+    * Bucket arithmetic is integer cents (vb = cents div 3200, capped at
+    * 15) so both engines agree exactly; the reported p95 is the bucket
+    * upper bound — a ≤32-unit overestimate, never under. State per
+    * window: 17 longs, at any event volume. Valid on batch and
+    * streaming inputs; parity in StreamingSpec. */
+  def windowedP95(events: DataFrame, minutes: Int = 5): DataFrame = {
+    val bucketed = events
+      .withWatermark("ts", "1 hour")
+      .withColumn("vb", expr(
+        "CAST(least(15, CAST(round(value * 100) AS BIGINT) div 3200) AS INT)"))
+    val counts = (0 until 16).map(i =>
+      sum(when(col("vb") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val agged = bucketed
+      .groupBy(window(col("ts"), s"$minutes minutes").as("w"))
+      .agg(count(lit(1)).as("n_total"), counts: _*)
+    val cums = (0 until 16).map(i => (0 to i).map(j => col(s"c$j")).reduce(_ + _))
+    val p95 = (0 until 16).foldRight(lit(15)) { (i, acc) =>
+      when(cums(i) * 100 >= col("n_total") * 95, lit(i)).otherwise(acc)
+    }
+    agged.select(col("w.start").cast("timestamp_ntz").as("bucket"),
+      col("n_total"), p95.cast("int").as("p95_bucket"))
+      .withColumn("p95_ub", ((col("p95_bucket") + 1) * 32).cast("int"))
+  }
+
   /** Stream-static enrichment: the event stream broadcast-joined to a
     * slowly-changing dimension (user → nation via customer), then
     * windowed per enriched key. In streaming mode Spark re-plans the

@@ -69,6 +69,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("windowed p95 histogram: streaming == batch (17-long state per window)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_p95")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = HealthStream.readEventStream(spark, dir.toString)
+    val q = HealthStream.windowedP95(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("p95_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("p95_out").orderBy("bucket").collect().toSeq
+    val batch = HealthStream.windowedP95(Tables.events(spark, sf))
+      .orderBy("bucket").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-static enrich: streaming windowed enrich == batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_enrich")
     java.nio.file.Files.copy(
