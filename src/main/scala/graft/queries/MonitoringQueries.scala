@@ -558,6 +558,30 @@ object MonitoringQueries {
         .orderBy(col("user_id"))
     },
 
+    // seasonal-baseline deviation: each entity's latest reading per
+    // hour-of-day against its OWN historical same-hour average — the
+    // baseline that separates "9am is always busy" from a real
+    // anomaly (m31 flags global outliers; this one is seasonality-
+    // aware). ONE groupBy carries all three aggregates: count, integer
+    // cents sum, and the latest value via max_by over a (ts, event_id)
+    // struct (the m29 shape — no row_number sort); deviation is an
+    // integer cross-multiplication (latest·n − Σ)·10⁴ div Σ, so no
+    // float mean exists anywhere. Scale: one partial-agg hash shuffle
+    // on the high-cardinality (user, hour) key.
+    "m39_seasonal_baseline" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+        .withColumn("hod", expr("CAST((ts_us div 3600000000) % 24 AS INT)"))
+        .groupBy(col("user_id"), col("hod"))
+        .agg(count(lit(1)).as("n_obs"),
+          sum(col("vc")).as("sum_cents"),
+          max_by(col("vc"), struct(col("ts_us"), col("event_id"))).as("latest_cents"))
+        .withColumn("dev_bp",
+          expr("(latest_cents * n_obs - sum_cents) * 10000 div sum_cents"))
+        .orderBy(col("user_id"), col("hod"))
+    },
+
     // alert flap detection: entities oscillating in and out of the
     // error state faster than an operator can act. Per entity, count
     // adjacent-event transitions where exactly one side is 'error'
@@ -713,6 +737,21 @@ object MonitoringQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
          |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b_us = o.b_us
          |ORDER BY g.user_id, bucket_us""".stripMargin,
+
+    "m39_seasonal_baseline" ->
+      s"""SELECT user_id, hod, n_obs, sum_cents, latest_cents,
+         |  CAST((latest_cents * n_obs - sum_cents) * 10000 // sum_cents AS BIGINT) AS dev_bp
+         |FROM (
+         |  SELECT user_id, hod, CAST(count(*) OVER pw AS BIGINT) AS n_obs,
+         |    CAST(sum(vc) OVER pw AS BIGINT) AS sum_cents,
+         |    vc AS latest_cents,
+         |    row_number() OVER (PARTITION BY user_id, hod ORDER BY ts_us DESC, event_id DESC) AS rn
+         |  FROM (SELECT user_id, event_id, $tsUs AS ts_us,
+         |      CAST(round(value * 100) AS BIGINT) AS vc,
+         |      CAST(($tsUs // 3600000000) % 24 AS INT) AS hod
+         |    FROM events) e
+         |  WINDOW pw AS (PARTITION BY user_id, hod)) t
+         |WHERE rn = 1 ORDER BY user_id, hod""".stripMargin,
 
     "m38_flap_detection" ->
       s"""SELECT user_id, count(*) AS n_events,

@@ -201,6 +201,38 @@ object PipelineQueries {
         .orderBy(col("cell"))
     },
 
+    // fuzzy entity resolution: edit-distance join of noisy entity names
+    // onto their canonical forms — record linkage where exact keys
+    // fail. Names are a deterministic typo fixture (drop/double/swap a
+    // character, one variant beyond the distance bound so the negative
+    // path is exercised). The join is BLOCKED on the numeric suffix, so
+    // levenshtein runs on block-mates only — at 100 TB the blocking key
+    // bounds candidates per name; an unblocked fuzzy join is quadratic
+    // and never acceptable. Scale shape: equi-join on the block key
+    // (AQE may broadcast the canonical side), codegen'd levenshtein,
+    // one partial-agg shuffle for the census.
+    "d15_fuzzy_join" -> { (s, dir) =>
+      val name =
+        "CASE CAST(doc_id div 30 AS INT) % 4 " +
+        "WHEN 0 THEN concat('node-', CAST(doc_id % 30 AS STRING)) " +
+        "WHEN 1 THEN concat('node', CAST(doc_id % 30 AS STRING)) " +
+        "WHEN 2 THEN concat('node--', CAST(doc_id % 30 AS STRING)) " +
+        "ELSE concat('n0dd', CAST(doc_id % 30 AS STRING)) END"
+      val named = Tables.documents(s, dir)
+        .withColumn("name", expr(name))
+        .withColumn("blk", expr("regexp_extract(name, '[0-9]+$', 0)"))
+      val canon = named.select(col("blk")).distinct()
+        .withColumn("canonical", concat(lit("node-"), col("blk")))
+      named.join(canon, Seq("blk"))
+        .withColumn("lev", levenshtein(col("name"), col("canonical")))
+        .withColumn("matched", (col("lev") <= 2).cast("int"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_names"),
+          expr("CAST(sum(matched) AS BIGINT)").as("n_matched"),
+          max(col("lev")).as("max_lev"))
+        .orderBy(col("canonical"))
+    },
+
     // URL canonicalization dedup — the first pass of any web-crawl
     // pipeline: scheme/host case-folding, default-port stripping,
     // tracking-parameter removal, trailing-slash normalization, then
@@ -854,6 +886,23 @@ object PipelineQueries {
          |  count(DISTINCT e2.label) AS n_labels
          |FROM cells cl JOIN embeddings e2 ON cl.vec_id = e2.vec_id
          |GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "d15_fuzzy_join" ->
+      """WITH named AS (SELECT doc_id,
+        |    CASE CAST(doc_id // 30 AS INT) % 4
+        |      WHEN 0 THEN 'node-' || CAST(doc_id % 30 AS VARCHAR)
+        |      WHEN 1 THEN 'node' || CAST(doc_id % 30 AS VARCHAR)
+        |      WHEN 2 THEN 'node--' || CAST(doc_id % 30 AS VARCHAR)
+        |      ELSE 'n0dd' || CAST(doc_id % 30 AS VARCHAR)
+        |    END AS name
+        |  FROM documents),
+        |b AS (SELECT doc_id, name, regexp_extract(name, '[0-9]+$') AS blk FROM named),
+        |canon AS (SELECT DISTINCT blk, 'node-' || blk AS canonical FROM b)
+        |SELECT canonical, count(*) AS n_names,
+        |  CAST(sum(CASE WHEN levenshtein(name, canonical) <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(max(levenshtein(name, canonical)) AS INT) AS max_lev
+        |FROM b JOIN canon USING (blk)
+        |GROUP BY canonical ORDER BY canonical""".stripMargin,
 
     "d13_url_dedup" ->
       """WITH u AS (SELECT doc_id,

@@ -461,6 +461,28 @@ object RelationalQueries {
         ORDER BY o_orderkey""")
     },
 
+    // RANGE-frame window: trailing 7-day revenue per customer. RANGE
+    // (value-based) frames differ from ROWS frames exactly when the
+    // order key has gaps or ties — the frame is "all peers within 6
+    // days", not "6 preceding rows" — and same-day orders are peers
+    // that see each other's totals. Sums are integer cents inside the
+    // frame (order-free), one division to the reported double. Scale
+    // shape: the window partitions by o_custkey (high cardinality,
+    // parallelizes per customer); one hash exchange + per-key sort.
+    "q33_range_frame" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day")).rangeBetween(-6, 0)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("datediff(CAST(o_orderdate AS DATE), DATE'1992-01-01')").as("day"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("pc"))
+        .withColumn("trailing_7d_cents", sum(col("pc")).over(w))
+        .select(col("o_orderkey"), col("o_custkey"), col("day"),
+          col("trailing_7d_cents"),
+          (col("trailing_7d_cents").cast("double") / 100.0).as("trailing_7d"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // String predicates + transforms (LIKE, regexp, case/substr/concat).
     "q20_string_ops" -> { (s, dir) =>
       import s.implicits._
@@ -476,6 +498,18 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q33_range_frame" ->
+      """SELECT o_orderkey, o_custkey, CAST(day AS INT) AS day,
+        |  CAST(sum(pc) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_7d_cents,
+        |  CAST(CAST(sum(pc) OVER (PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE) / 100.0 AS trailing_7d
+        |FROM (SELECT o_orderkey, o_custkey,
+        |    datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS day,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+        |  FROM orders) t
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q32_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders o

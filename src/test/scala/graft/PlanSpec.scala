@@ -282,6 +282,47 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("m37: correlation is two chained partial aggs — no window, no join") {
+    val p = plan("m37_metric_correlation")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("m38: flap counting reuses the lag window's partitioning for the agg") {
+    val p = plan("m38_flap_detection")
+    // window partitions by user_id; the groupBy(user_id) above it must
+    // NOT re-shuffle — one hash exchange total
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("m36: interpolation is one per-entity window + bounded map-side explode") {
+    val p = plan("m36_linear_interp")
+    assert(p.contains("Generate explode"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("st10: p95 histogram is ONE windowed agg — no join, single hash shuffle") {
+    val p = plan("st10_stream_p95")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("p9: ring assignment broadcasts the ring — never a cartesian shuffle") {
+    val p = plan("p9_consistent_shards")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("d14: cluster census assigns via broadcast codebook + max_by — no window sort") {
+    val p = plan("d14_cluster_dedup")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("s8: pair generation is in-row — the top-k result is never self-joined") {
     val df = SparkEntry.queries("s8_topk_diversity")(spark, sf)
     val analyzed = df.queryExecution.optimizedPlan.toString
