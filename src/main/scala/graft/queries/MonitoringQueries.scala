@@ -558,6 +558,45 @@ object MonitoringQueries {
         .orderBy(col("user_id"))
     },
 
+    // capacity-planning trend forecast: per entity, an OLS line through
+    // its daily metric totals, projected 7 days past its last
+    // observation. The entire regression is integer arithmetic —
+    // ŷ(xf) = (Σy·d1 − num·Σx + num·n·xf) div (n·d1) with
+    // num = nΣxy−ΣxΣy, d1 = nΣx²−(Σx)² — so the forecast is
+    // bit-identical under any partitioning; only the reported slope
+    // takes the one IEEE division. Day indices are RE-BASED per entity
+    // (x = day − min_day) to keep every product inside BIGINT; the
+    // rebase join is co-keyed on user_id. Flat/degenerate series
+    // (d1 = 0, fewer than 3 days) are excluded. Scale shape: daily
+    // pre-agg, a tiny per-user min join, one moments agg — all on the
+    // high-cardinality entity key, no windows.
+    "m40_trend_forecast" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"),
+          expr("CAST(round(value) AS BIGINT)").as("vu"))
+        .groupBy(col("user_id"), col("d"))
+        .agg(sum(col("vu")).as("y"))
+      val base = daily.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+      daily.join(base, Seq("user_id"))
+        .withColumn("x", col("d") - col("d0"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("int").as("n_days"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"),
+          max(col("x")).as("mx"))
+        .filter(col("n_days") >= 3)
+        .withColumn("num", expr("n_days * sxy - sx * sy"))
+        .withColumn("d1", expr("n_days * sxx - sx * sx"))
+        .filter(col("d1") > 0)
+        .withColumn("xf", col("mx") + 7)
+        .select(col("user_id"), col("n_days"),
+          (col("num").cast("double") / col("d1").cast("double")).as("slope"),
+          expr("(sy * d1 - num * sx + num * n_days * xf) div (n_days * d1)")
+            .as("forecast_units"),
+          col("xf").cast("int").as("forecast_x"))
+        .orderBy(col("user_id"))
+    },
+
     // seasonal-baseline deviation: each entity's latest reading per
     // hour-of-day against its OWN historical same-hour average — the
     // baseline that separates "9am is always busy" from a real
@@ -737,6 +776,29 @@ object MonitoringQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
          |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b_us = o.b_us
          |ORDER BY g.user_id, bucket_us""".stripMargin,
+
+    "m40_trend_forecast" ->
+      s"""WITH daily AS (SELECT user_id, $tsUs // 86400000000 AS d,
+         |    CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |based AS (SELECT user_id, d - min(d) OVER (PARTITION BY user_id) AS x, y
+         |  FROM daily),
+         |m AS (SELECT user_id, CAST(count(*) AS INT) AS n_days,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+         |    CAST(max(x) AS BIGINT) AS mx
+         |  FROM based GROUP BY user_id),
+         |f AS (SELECT user_id, n_days,
+         |    CAST(n_days * sxy - sx * sy AS BIGINT) AS num,
+         |    CAST(n_days * sxx - sx * sx AS BIGINT) AS d1,
+         |    sx, sy, mx + 7 AS xf
+         |  FROM m WHERE n_days >= 3)
+         |SELECT user_id, n_days,
+         |  CAST(num AS DOUBLE) / CAST(d1 AS DOUBLE) AS slope,
+         |  CAST((sy * d1 - num * sx + num * n_days * xf) // (n_days * d1) AS BIGINT) AS forecast_units,
+         |  CAST(xf AS INT) AS forecast_x
+         |FROM f WHERE d1 > 0
+         |ORDER BY user_id""".stripMargin,
 
     "m39_seasonal_baseline" ->
       s"""SELECT user_id, hod, n_obs, sum_cents, latest_cents,
