@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Debug harness: execute ONE query key against a testdata dir and
+  * print its row count (forces full evaluation). Usage:
+  *   sbt "runMain graft.RunOne m39_seasonal_baseline /root/testdata/sf0.1"
+  */
+object RunOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = GraftSession.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = SparkEntry.queries(name)(spark, dir).count()
+    println(s"[runone] $name rows=$n")
+    spark.stop()
+  }
+}

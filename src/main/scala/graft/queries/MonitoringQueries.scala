@@ -558,6 +558,36 @@ object MonitoringQueries {
         .orderBy(col("user_id"))
     },
 
+    // interval coalescing (gaps-and-islands over time RANGES): each
+    // event opens a 5-minute activity interval; overlapping or touching
+    // intervals merge into maximal islands per entity — the op behind
+    // "total covered time" and outage-window reports, distinct from
+    // point-gap detection (m21) and streaks (m16) because intervals
+    // EXTEND: an island's end is the running MAX of interval ends, not
+    // the last event. Island boundaries: ts > max(end) of everything
+    // before → cumulative-sum island ids. Integer µs throughout. Scale
+    // shape: two stacked windows on the per-entity key (running max,
+    // then running sum — one partition, one sort) + a partial agg.
+    "m41_interval_coalesce" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val spanUs = 300L * 1000000L
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .withColumn("end_us", col("ts_us") + lit(spanUs))
+        .withColumn("prev_max_end",
+          max(col("end_us")).over(w.rowsBetween(Long.MinValue, -1)))
+        .withColumn("new_island",
+          when(col("prev_max_end").isNull || col("ts_us") > col("prev_max_end"), 1L)
+            .otherwise(0L))
+        .withColumn("island_idx",
+          sum(col("new_island")).over(w.rowsBetween(Long.MinValue, 0)))
+        .groupBy(col("user_id"), col("island_idx"))
+        .agg(min(col("ts_us")).as("start_us"), max(col("end_us")).as("end_us"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("island_idx"))
+    },
+
     // capacity-planning trend forecast: per entity, an OLS line through
     // its daily metric totals, projected 7 days past its last
     // observation. The entire regression is integer arithmetic —
@@ -616,8 +646,13 @@ object MonitoringQueries {
         .agg(count(lit(1)).as("n_obs"),
           sum(col("vc")).as("sum_cents"),
           max_by(col("vc"), struct(col("ts_us"), col("event_id"))).as("latest_cents"))
-        .withColumn("dev_bp",
-          expr("(latest_cents * n_obs - sum_cents) * 10000 div sum_cents"))
+        .withColumn("dev_bp", expr(
+          // a zero-cents baseline (every reading rounds to 0) has no
+          // meaningful deviation — NULL, not a division error; hit at
+          // sf0.1 where single tiny readings produce sum_cents = 0
+          "CASE WHEN sum_cents > 0 " +
+          "THEN (latest_cents * n_obs - sum_cents) * 10000 div sum_cents " +
+          "ELSE CAST(NULL AS BIGINT) END"))
         .orderBy(col("user_id"), col("hod"))
     },
 
@@ -777,6 +812,25 @@ object MonitoringQueries {
          |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b_us = o.b_us
          |ORDER BY g.user_id, bucket_us""".stripMargin,
 
+    "m41_interval_coalesce" ->
+      s"""SELECT user_id, island_idx, CAST(min(ts_us) AS BIGINT) AS start_us,
+         |  CAST(max(end_us) AS BIGINT) AS end_us, count(*) AS n_events
+         |FROM (
+         |  SELECT user_id, ts_us, end_us,
+         |    CAST(sum(new_island) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island_idx
+         |  FROM (
+         |    SELECT user_id, event_id, ts_us, end_us,
+         |      CASE WHEN pme IS NULL OR ts_us > pme THEN 1 ELSE 0 END AS new_island
+         |    FROM (
+         |      SELECT user_id, event_id, $tsUs AS ts_us,
+         |        $tsUs + 300000000 AS end_us,
+         |        max($tsUs + 300000000) OVER (PARTITION BY user_id
+         |          ORDER BY $tsUs, event_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+         |      FROM events) a) b) c
+         |GROUP BY user_id, island_idx ORDER BY user_id, island_idx""".stripMargin,
+
     "m40_trend_forecast" ->
       s"""WITH daily AS (SELECT user_id, $tsUs // 86400000000 AS d,
          |    CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT) AS y
@@ -802,7 +856,9 @@ object MonitoringQueries {
 
     "m39_seasonal_baseline" ->
       s"""SELECT user_id, hod, n_obs, sum_cents, latest_cents,
-         |  CAST((latest_cents * n_obs - sum_cents) * 10000 // sum_cents AS BIGINT) AS dev_bp
+         |  CAST(CASE WHEN sum_cents > 0
+         |    THEN (latest_cents * n_obs - sum_cents) * 10000 // sum_cents
+         |    ELSE NULL END AS BIGINT) AS dev_bp
          |FROM (
          |  SELECT user_id, hod, CAST(count(*) OVER pw AS BIGINT) AS n_obs,
          |    CAST(sum(vc) OVER pw AS BIGINT) AS sum_cents,

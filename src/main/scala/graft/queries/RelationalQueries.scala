@@ -461,6 +461,28 @@ object RelationalQueries {
         ORDER BY o_orderkey""")
     },
 
+    // NULL-aware anti join: NOT IN (subquery) under three-valued logic —
+    // a row whose key is NULL compares NULL to every subquery value, so
+    // it NEVER qualifies (unlike NOT EXISTS / left-anti q6, which keeps
+    // it). A nullable key fixture (every 97th order) exercises exactly
+    // that divergence; both engines share ANSI semantics so the oracle
+    // is the same SQL. Catalyst plans the single-column case as a
+    // broadcast null-aware anti join, not a per-row subquery — asserted
+    // in PlanSpec.
+    "q34_nullaware_anti" -> { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("v_orders")
+      Tables.customer(s, dir).createOrReplaceTempView("v_customer")
+      s.sql("""
+        SELECT o_orderkey, o_custkey
+        FROM (SELECT o_orderkey,
+            CASE WHEN o_orderkey % 97 = 0 THEN CAST(NULL AS BIGINT)
+                 ELSE o_custkey END AS o_custkey
+          FROM v_orders) o
+        WHERE o_custkey NOT IN
+            (SELECT c_custkey FROM v_customer WHERE c_mktsegment = 'BUILDING')
+        ORDER BY o_orderkey""")
+    },
+
     // RANGE-frame window: trailing 7-day revenue per customer. RANGE
     // (value-based) frames differ from ROWS frames exactly when the
     // order key has gaps or ties — the frame is "all peers within 6
@@ -498,6 +520,16 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q34_nullaware_anti" ->
+      """SELECT o_orderkey, o_custkey
+        |FROM (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN CAST(NULL AS BIGINT)
+        |         ELSE o_custkey END AS o_custkey
+        |  FROM orders) o
+        |WHERE o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q33_range_frame" ->
       """SELECT o_orderkey, o_custkey, CAST(day AS INT) AS day,
         |  CAST(sum(pc) OVER (PARTITION BY o_custkey ORDER BY day

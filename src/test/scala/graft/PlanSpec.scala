@@ -323,6 +323,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("q34: NOT IN plans as a broadcast null-aware anti join, not a per-row subquery") {
+    val p = plan("q34_nullaware_anti")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the single-column NOT IN rewrite: BroadcastHashJoin's trailing
+    // boolean operand is isNullAwareAntiJoin — must be true
+    assert(p.contains("LeftAnti, BuildRight, true"), p)
+  }
+
+  test("m41: island merge is per-entity windows + one agg — a single hash exchange") {
+    val p = plan("m41_interval_coalesce")
+    assert(!p.contains("Join"), p)
+    // running-max, island-sum, and the groupBy all share the user_id
+    // partitioning — one exchange total
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
   test("s8: pair generation is in-row — the top-k result is never self-joined") {
     val df = SparkEntry.queries("s8_topk_diversity")(spark, sf)
     val analyzed = df.queryExecution.optimizedPlan.toString
