@@ -558,6 +558,41 @@ object MonitoringQueries {
         .orderBy(col("user_id"))
     },
 
+    // token-bucket rate limiter (admission control replay): 5-token
+    // cap, 1 token/minute refill, each event spends one — a NON-LINEAR
+    // recurrence (the min() cap makes it inexpressible as any window
+    // aggregate), so this is the typed-API showcase: groupByKey +
+    // flatMapSortedGroups gives a deterministic per-entity ordered
+    // scan (Spark sorts each group by (ts, event_id) — no driver
+    // collection, entities process in parallel). Integer µs-equivalent
+    // token accounting; the oracle replays the identical recurrence as
+    // a DuckDB RECURSIVE CTE. Scale shape: one hash shuffle + per-key
+    // sort, O(1) state per entity during the scan.
+    "m42_rate_limiter" -> { (s, dir) =>
+      import s.implicits._
+      val capUs = 300000000L
+      val costUs = 60000000L
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        .as[(Long, Long, Long)]
+      ev.groupByKey(_._1)
+        .flatMapSortedGroups($"ts_us", $"event_id") {
+          (uid: Long, it: Iterator[(Long, Long, Long)]) =>
+            var ta = capUs
+            var prevTs = Long.MinValue
+            it.map { case (_, eid, ts) =>
+              val tb = if (prevTs == Long.MinValue) capUs
+                       else math.min(capUs, ta + (ts - prevTs))
+              val admitted = tb >= costUs
+              ta = if (admitted) tb - costUs else tb
+              prevTs = ts
+              (uid, eid, ts, if (admitted) 1 else 0, ta)
+            }
+        }
+        .toDF("user_id", "event_id", "ts_us", "admitted", "tokens_after")
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+
     // interval coalescing (gaps-and-islands over time RANGES): each
     // event opens a 5-minute activity interval; overlapping or touching
     // intervals merge into maximal islands per entity — the op behind
@@ -811,6 +846,25 @@ object MonitoringQueries {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
          |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.b_us = o.b_us
          |ORDER BY g.user_id, bucket_us""".stripMargin,
+
+    "m42_rate_limiter" ->
+      s"""WITH RECURSIVE seq AS (SELECT user_id, event_id, $tsUs AS ts_us,
+         |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY $tsUs, event_id) AS BIGINT) AS rn
+         |  FROM events),
+         |rec AS (
+         |  SELECT user_id, event_id, ts_us, rn,
+         |    CAST(1 AS INT) AS admitted, CAST(240000000 AS BIGINT) AS ta
+         |  FROM seq WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.user_id, s.event_id, s.ts_us, s.rn,
+         |    CAST(CASE WHEN least(300000000, r.ta + (s.ts_us - r.ts_us)) >= 60000000
+         |      THEN 1 ELSE 0 END AS INT) AS admitted,
+         |    CAST(least(300000000, r.ta + (s.ts_us - r.ts_us)) -
+         |      CASE WHEN least(300000000, r.ta + (s.ts_us - r.ts_us)) >= 60000000
+         |        THEN 60000000 ELSE 0 END AS BIGINT) AS ta
+         |  FROM rec r JOIN seq s ON s.user_id = r.user_id AND s.rn = r.rn + 1)
+         |SELECT user_id, event_id, ts_us, admitted, ta AS tokens_after
+         |FROM rec ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "m41_interval_coalesce" ->
       s"""SELECT user_id, island_idx, CAST(min(ts_us) AS BIGINT) AS start_us,
