@@ -315,6 +315,97 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------------------ tar
+
+  case class TarIndex(doc_id: Long, byte_len: Int, n_members: Int,
+      member_names: String, data_bytes: Long, checksums_ok: Int)
+
+  /** One 512-byte ustar header. Octal text fields (the format's quirk:
+    * sizes are ASCII octal, not binary), checksum computed with the
+    * chksum field blanked to spaces per the spec. */
+  private def tarHeader(name: String, size: Long): Array[Byte] = {
+    val h = Array.fill[Byte](512)(0)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(0, name)
+    put(100, "0000644")               // mode
+    put(108, "0000000"); put(116, "0000000") // uid/gid
+    put(124, f"${size}%011o")         // size: 11 octal digits + NUL
+    put(136, "00000000000")           // mtime
+    h(156) = '0'                      // typeflag: regular file
+    put(257, "ustar"); h(262) = 0     // magic
+    put(263, "00")                    // version
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum blanked
+    val sum = h.map(_ & 0xFF).sum
+    put(148, f"${sum}%06o"); h(154) = 0; h(155) = ' '
+    h
+  }
+
+  /** A 2-member uncompressed tar: doc<id>.txt + meta<id>.json, data
+    * zero-filled and 512-padded, two zero end blocks. */
+  def synthTar(id: Long, s1: Long, s2: Long): Array[Byte] = {
+    def pad512(n: Long): Int = (((n + 511) / 512) * 512).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(tarHeader(s"doc$id.txt", s1)); out.write(new Array[Byte](pad512(s1)))
+    out.write(tarHeader(s"meta$id.json", s2)); out.write(new Array[Byte](pad512(s2)))
+    out.write(new Array[Byte](1024))
+    out.toByteArray
+  }
+
+  /** Walk the real header chain: parse names + octal sizes, verify every
+    * checksum, stop at the zero block. Truncated/garbage archives report
+    * what was walked with checksums_ok = 0. */
+  def decodeTarIndex(id: Long, bytes: Array[Byte]): TarIndex = {
+    var off = 0
+    var names = List.empty[String]
+    var data = 0L
+    var oks = true
+    var done = false
+    while (!done && off + 512 <= bytes.length) {
+      val block = bytes.slice(off, off + 512)
+      if (block.forall(_ == 0)) done = true
+      else {
+        val name = new String(block.takeWhile(_ != 0), "US-ASCII")
+        val sizeStr = new String(block.slice(124, 135), "US-ASCII").trim
+        val size = try java.lang.Long.parseLong(sizeStr, 8) catch { case _: Exception => oks = false; 0L }
+        val stored = try java.lang.Integer.parseInt(
+          new String(block.slice(148, 154), "US-ASCII").trim, 8) catch { case _: Exception => -1 }
+        val blanked = block.clone()
+        java.util.Arrays.fill(blanked, 148, 156, ' '.toByte)
+        if (blanked.map(_ & 0xFF).sum != stored) oks = false
+        names = name :: names
+        data += size
+        off += 512 + (((size + 511) / 512) * 512).toInt
+      }
+    }
+    TarIndex(id, bytes.length, names.length, names.reverse.mkString(","), data,
+      if (oks) 1 else 0)
+  }
+
+  /** Synthesize tar payloads per doc (sizes derived from doc fields). */
+  def synthesizeTar(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, n) =>
+        BinaryDoc(id, synthTar(id, n % 100 + 1, id % 50 + 2))
+      }).toDF()
+  }
+
+  /** Batched tar-index decode (same mapPartitions shape as decodeMeta). */
+  def decodeTar(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[TarIndex] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => decodeTarIndex(d.doc_id, d.payload)))
+      }
+  }
+
   /** Frame sampling plumbing: every `stride`-th byte of the payload is a
     * "frame" (stand-in for video frame extraction). Declarative explode —
     * distributes and prunes like any other lateral view. */

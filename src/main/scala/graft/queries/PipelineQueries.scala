@@ -321,6 +321,21 @@ object PipelineQueries {
         .orderBy(col("query_id"))
     },
 
+    // archive-index extraction from REAL tar bytes: valid 2-member
+    // ustar archives synthesized per doc (ASCII-octal size fields,
+    // spec checksums, 512-byte blocking, zero-block terminator), then
+    // the member index — names, octal-parsed sizes, verified checksums —
+    // walked back out of the actual header chain. The training-data
+    // relevance: web corpora arrive as tar/warc containers, and the
+    // index walk is the first op of any shard reader. The oracle
+    // predicts every decoded field arithmetically, so a parser bug
+    // (octal, checksum blanking, block advance) breaks the hash.
+    "x10_tar_index" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeTar(Tables.documents(s, dir))
+      Multimodal.decodeTar(payloads, "doc_id", "payload").toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // PII redaction: regex scrubbing of emails / IPv4s / long digit runs
     // with per-doc detection counts and a hash of the redacted text.
     // The documents text is digit-free word soup, so a deterministic
@@ -886,6 +901,14 @@ object PipelineQueries {
          |  count(DISTINCT e2.label) AS n_labels
          |FROM cells cl JOIN embeddings e2 ON cl.vec_id = e2.vec_id
          |GROUP BY cell ORDER BY cell""".stripMargin,
+
+    "x10_tar_index" ->
+      """SELECT doc_id, CAST(3072 AS INT) AS byte_len, CAST(2 AS INT) AS n_members,
+        |  'doc' || CAST(doc_id AS VARCHAR) || '.txt,meta' || CAST(doc_id AS VARCHAR) || '.json'
+        |    AS member_names,
+        |  CAST((n_chars % 100 + 1) + (doc_id % 50 + 2) AS BIGINT) AS data_bytes,
+        |  CAST(1 AS INT) AS checksums_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d15_fuzzy_join" ->
       """WITH named AS (SELECT doc_id,

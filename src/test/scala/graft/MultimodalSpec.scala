@@ -97,6 +97,19 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.VideoMeta(3L, 0, "unknown", 0, 0L, 0L))
   }
 
+  test("tar: index walk round-trips, flags corrupted checksums, survives truncation") {
+    val good = Multimodal.decodeTarIndex(7L, Multimodal.synthTar(7L, 42L, 9L))
+    assert(good == Multimodal.TarIndex(7L, 3072, 2, "doc7.txt,meta7.json", 51L, 1))
+    // flip a data-independent header byte (uid field) → checksum mismatch
+    val corrupt = Multimodal.synthTar(7L, 42L, 9L)
+    corrupt(108) = '7'
+    assert(Multimodal.decodeTarIndex(7L, corrupt).checksums_ok == 0)
+    // truncation mid-chain: walk reports what it saw, never throws
+    val trunc = Multimodal.decodeTarIndex(7L, Multimodal.synthTar(7L, 42L, 9L).take(700))
+    assert(trunc.n_members == 1 && trunc.member_names == "doc7.txt")
+    assert(Multimodal.decodeTarIndex(8L, Array.emptyByteArray).n_members == 0)
+  }
+
   test("synthesize: even ids are PNG, odd are JPEG, dims follow the formula") {
     val p = Multimodal.decodeHeader(42L, Multimodal.synthesize(42L, 250))
     assert(p == DecodedMeta(42L, 57 + 50, 42 + 16, 42 + 16, "png"))
