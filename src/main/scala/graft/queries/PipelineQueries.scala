@@ -233,6 +233,27 @@ object PipelineQueries {
         .orderBy(col("canonical"))
     },
 
+    // dedup signal attribution: the audit a multi-signal pipeline runs
+    // before trusting its channels — every pair flagged by the LEXICAL
+    // channel (LSH→Jaccard) or the EMBEDDING channel (blocked cosine),
+    // full-outer reconciled with per-channel flags and scores. On this
+    // corpus the channels are disjoint (text dups and semantic
+    // neighbors are different populations) — exactly what the audit is
+    // for. Scale shape: both inputs are the already-bounded candidate
+    // outputs (d4/d6 shapes); the reconciliation join is tiny.
+    "d16_signal_audit" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.lshCandidates(docs, "doc_id", "text", bands = 4, rows = 2)
+      val lex = Dedup.jaccardVerify(cand, docs, "doc_id", "text", threshold = 0.3)
+      val emb = Similarity.cosineDupPairs(Tables.embeddings(s, dir),
+        "vec_id", "embedding", "label", threshold = 0.35)
+      lex.join(emb, Seq("id_a", "id_b"), "full_outer")
+        .select(col("id_a"), col("id_b"), col("jaccard"), col("sim"),
+          col("jaccard").isNotNull.cast("int").as("in_lex"),
+          col("sim").isNotNull.cast("int").as("in_emb"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // URL canonicalization dedup — the first pass of any web-crawl
     // pipeline: scheme/host case-folding, default-port stripping,
     // tracking-parameter removal, trailing-slash normalization, then
@@ -909,6 +930,25 @@ object PipelineQueries {
         |  CAST((n_chars % 100 + 1) + (doc_id % 50 + 2) AS BIGINT) AS data_bytes,
         |  CAST(1 AS INT) AS checksums_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d16_signal_audit" ->
+      s"""WITH $shingleCte,
+         |$vecCte,
+         |lex AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) AS jaccard
+         |  FROM cand JOIN sh2 x ON id_a = x.doc_id JOIN sh2 y ON id_b = y.doc_id
+         |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) >= 0.3),
+         |emb AS (SELECT id_a, id_b, sim FROM (
+         |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |      round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id) t
+         |  WHERE sim > 0.35)
+         |SELECT coalesce(l.id_a, e.id_a) AS id_a, coalesce(l.id_b, e.id_b) AS id_b,
+         |  l.jaccard, e.sim,
+         |  CAST(CASE WHEN l.jaccard IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_lex,
+         |  CAST(CASE WHEN e.sim IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_emb
+         |FROM lex l FULL OUTER JOIN emb e ON l.id_a = e.id_a AND l.id_b = e.id_b
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "d15_fuzzy_join" ->
       """WITH named AS (SELECT doc_id,

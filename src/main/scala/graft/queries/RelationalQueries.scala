@@ -461,6 +461,36 @@ object RelationalQueries {
         ORDER BY o_orderkey""")
     },
 
+    // Bag-semantics set operations: INTERSECT ALL / EXCEPT ALL keep
+    // MULTIPLICITY (min/difference of per-value counts) where q26/q27's
+    // set forms collapse duplicates — the right algebra for comparing
+    // two shipment half-years where a part shipping 5× then 3× should
+    // count 3 common + 2 extra, not 1 + 0. Catalyst rewrites both to
+    // count-based aggregates + generate (no sort-based dedup of the
+    // fact). Output is the three reconciliation counts.
+    "q35_bag_setops" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("v_lineitem")
+      s.sql("""
+        SELECT op, count(*) AS n FROM (
+          SELECT 'intersect_all' AS op, pk FROM (
+            SELECT l_partkey AS pk FROM v_lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+            INTERSECT ALL
+            SELECT l_partkey FROM v_lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-07-01' AND l_shipdate < TIMESTAMP '1998-01-01') ia
+          UNION ALL
+          SELECT 'except_all' AS op, pk FROM (
+            SELECT l_partkey AS pk FROM v_lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+            EXCEPT ALL
+            SELECT l_partkey FROM v_lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-07-01' AND l_shipdate < TIMESTAMP '1998-01-01') ea
+          UNION ALL
+          SELECT 'union_all' AS op, l_partkey AS pk FROM v_lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        ) u GROUP BY op ORDER BY op""")
+    },
+
     // NULL-aware anti join: NOT IN (subquery) under three-valued logic —
     // a row whose key is NULL compares NULL to every subquery value, so
     // it NEVER qualifies (unlike NOT EXISTS / left-anti q6, which keeps
@@ -520,6 +550,26 @@ object RelationalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q35_bag_setops" ->
+      """SELECT op, count(*) AS n FROM (
+        |  SELECT 'intersect_all' AS op, pk FROM (
+        |    SELECT l_partkey AS pk FROM lineitem
+        |    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+        |    INTERSECT ALL
+        |    SELECT l_partkey FROM lineitem
+        |    WHERE l_shipdate >= TIMESTAMP '1997-07-01' AND l_shipdate < TIMESTAMP '1998-01-01') ia
+        |  UNION ALL
+        |  SELECT 'except_all' AS op, pk FROM (
+        |    SELECT l_partkey AS pk FROM lineitem
+        |    WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+        |    EXCEPT ALL
+        |    SELECT l_partkey FROM lineitem
+        |    WHERE l_shipdate >= TIMESTAMP '1997-07-01' AND l_shipdate < TIMESTAMP '1998-01-01') ea
+        |  UNION ALL
+        |  SELECT 'union_all' AS op, l_partkey AS pk FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |) u GROUP BY op ORDER BY op""".stripMargin,
+
     "q34_nullaware_anti" ->
       """SELECT o_orderkey, o_custkey
         |FROM (SELECT o_orderkey,
