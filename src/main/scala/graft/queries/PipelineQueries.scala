@@ -308,6 +308,51 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // corpus-wide kNN graph (the input to graph-based clustering and
+    // connectivity-based dedup): every vector's top-3 neighbors WITHIN
+    // its sign-LSH bucket, plus degree and reciprocity stats. Scale
+    // guards: buckets over 256 vectors are dropped before pairing (the
+    // d3 maxBucket rule — bucket-mates are bounded, so pair fan-out is
+    // ≤256²/bucket, never corpus²; at real scale the bit width grows
+    // with the corpus so buckets stay under the cap); ranking rides
+    // TopNPerKey bounded
+    // heaps; the edge list (≤3·n rows) is localCheckpoint-materialized
+    // (d9 precedent) so the stats and reciprocity branches don't
+    // re-evaluate the candidate pipeline. Reciprocity is an unordered-
+    // pair groupBy (count=2 ⇒ mutual), not a self-join.
+    "s9_knn_graph" -> { (s, dir) =>
+      import graft.functions.VectorFunctions
+      val vecs = Tables.embeddings(s, dir)
+      val b = vecs.select(col("vec_id"), col("embedding"),
+        Similarity.signBucket("embedding", 4).as("bucket"))
+      val keep = b.groupBy(col("bucket")).agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") <= 256).select(col("bucket"))
+      val bb = b.join(broadcast(keep), Seq("bucket"), "left_semi")
+      val edges = bb.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
+        .join(bb.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb")),
+          Seq("bucket"))
+        .filter(col("id_a") =!= col("id_b"))
+        .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+        .select(col("id_a"), col("id_b"), col("sim"))
+      val top = graft.operators.Relational.topNPerGroupFast(edges, 3,
+          Seq("id_a"), Seq(("sim", false), ("id_b", true)))
+        .select(col("id_a"), col("id_b"), col("sim"))
+        .localCheckpoint(true)
+      val mutualPerVec = top
+        .groupBy(least(col("id_a"), col("id_b")).as("pa"),
+          greatest(col("id_a"), col("id_b")).as("pb"))
+        .agg(count(lit(1)).as("_c")).filter(col("_c") === 2)
+        .select(explode(array(col("pa"), col("pb"))).as("vec_id"))
+        .groupBy(col("vec_id")).agg(count(lit(1)).cast("int").as("n_mutual"))
+      top.groupBy(col("id_a").as("vec_id"))
+        .agg(count(lit(1)).cast("int").as("degree"),
+          max_by(col("id_b"), struct(col("sim"), (-col("id_b")).as("_n"))).as("nn_id"),
+          max(col("sim")).as("nn_sim"))
+        .join(mutualPerVec, Seq("vec_id"), "left")
+        .withColumn("n_mutual", coalesce(col("n_mutual"), lit(0)))
+        .orderBy(col("vec_id"))
+    },
+
     // result-set diversity evaluation: average/max pairwise cosine
     // WITHIN each query's top-k — the redundancy measure an MMR-style
     // diversifier optimizes. Scale shape: pairs are generated IN-ROW
@@ -1032,6 +1077,33 @@ object PipelineQueries {
         |  CAST(CASE WHEN bloom_hit = 1 AND r.k IS NULL THEN 1 ELSE 0 END AS INT) AS is_fp
         |FROM probed p LEFT JOIN ref r ON p.k = r.k
         |ORDER BY doc_id""".stripMargin,
+
+    "s9_knn_graph" ->
+      s"""WITH $vecCte,
+         |vb AS (SELECT *, CAST(list_sum(list_transform(generate_series(0, 3), i ->
+         |    CASE WHEN e[i+1] >= 0 THEN (1 << i) ELSE 0 END)) AS INT) AS bucket FROM v),
+         |keep AS (SELECT bucket FROM vb GROUP BY bucket HAVING count(*) <= 256),
+         |bb AS (SELECT * FROM vb WHERE bucket IN (SELECT bucket FROM keep)),
+         |edges AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |top AS (SELECT id_a, id_b, sim FROM (
+         |    SELECT id_a, id_b, sim,
+         |      row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn
+         |    FROM edges) t WHERE rn <= 3),
+         |mut AS (SELECT least(id_a, id_b) AS pa, greatest(id_a, id_b) AS pb
+         |  FROM top GROUP BY 1, 2 HAVING count(*) = 2),
+         |mpv AS (SELECT id AS vec_id, CAST(count(*) AS INT) AS nm FROM (
+         |    SELECT pa AS id FROM mut UNION ALL SELECT pb AS id FROM mut) u GROUP BY id)
+         |SELECT t.id_a AS vec_id, CAST(count(*) AS INT) AS degree,
+         |  min(CASE WHEN rn2 = 1 THEN id_b END) AS nn_id,
+         |  max(CASE WHEN rn2 = 1 THEN sim END) AS nn_sim,
+         |  CAST(coalesce(any_value(m.nm), 0) AS INT) AS n_mutual
+         |FROM (SELECT id_a, id_b, sim,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn2
+         |  FROM top) t
+         |LEFT JOIN mpv m ON t.id_a = m.vec_id
+         |GROUP BY t.id_a ORDER BY vec_id""".stripMargin,
 
     "s8_topk_diversity" ->
       s"""WITH $vecCte,
