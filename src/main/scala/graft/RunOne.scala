@@ -2,8 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Debug harness: execute ONE query key against a testdata dir and
-  * print its row count (forces full evaluation). Usage:
+/** Debug harness: execute ONE query key against a testdata dir, forcing
+  * FULL evaluation through the noop sink — count() would let Catalyst
+  * prune computed columns (the m39 class of data-dependent ANSI error
+  * lives in the final projection and count() never evaluates it). Usage:
   *   sbt "runMain graft.RunOne m39_seasonal_baseline /root/testdata/sf0.1"
   */
 object RunOne {
@@ -16,8 +18,9 @@ object RunOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val n = SparkEntry.queries(name)(spark, dir).count()
-    println(s"[runone] $name rows=$n")
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    println(s"[runone] $name rows=${df.count()}")
     spark.stop()
   }
 }

@@ -115,7 +115,7 @@ object StreamingQueries {
   def oracles: Map[String, String] = Map(
     "st10_stream_p95" ->
       s"""WITH base AS (SELECT make_timestamp($tsUs - $tsUs % 300000000) AS bucket,
-         |    CAST(least(15, CAST(round(value * 100) AS BIGINT) // 3200) AS INT) AS vb
+         |    CAST(greatest(0, least(15, CAST(round(value * 100) AS BIGINT) // 3200)) AS INT) AS vb
          |  FROM events),
          |b AS (SELECT bucket, vb, count(*) AS c FROM base GROUP BY 1, 2),
          |t AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n_total FROM b GROUP BY 1),

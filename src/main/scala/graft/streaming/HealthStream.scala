@@ -66,18 +66,24 @@ object HealthStream {
   /** Windowed distinct-entity counts, streaming-legal form: a direct
     * COUNT(DISTINCT) aggregate is unsupported on streams, so the
     * distinct is expressed as dropDuplicates on the
-    * (window-start, event_type, user) key followed by an ordinary
-    * windowed count — both stateful stages are watermark-bounded
-    * (dedup state drops once the watermark passes the bucket; Spark
-    * chains the two stateful operators natively). Valid on batch and
-    * streaming inputs; parity proven in StreamingSpec. The batch
-    * oracle is a plain COUNT(DISTINCT user_id) per bucket. */
+    * (window, event_type, user) key followed by an ordinary windowed
+    * count. The dedup key MUST be the window STRUCT itself, not an
+    * extracted field: the struct attribute carries the event-time
+    * watermark metadata, which is what lets Spark evict dedup state
+    * once the watermark passes the window (a `getField("start")` alias
+    * drops that metadata and the state would grow forever — eviction
+    * is asserted in StreamingSpec via state-operator metrics). Both
+    * stateful stages then chain natively and stay watermark-bounded.
+    * Valid on batch and streaming inputs; parity proven in
+    * StreamingSpec. The batch oracle is a plain
+    * COUNT(DISTINCT user_id) per bucket. */
   def windowedDistinctUsers(events: DataFrame, minutes: Int = 5): DataFrame =
     events
       .withWatermark("ts", "1 hour")
-      .withColumn("bucket", window(col("ts"), s"$minutes minutes").getField("start"))
-      .dropDuplicates("bucket", "event_type", "user_id")
-      .groupBy(window(col("ts"), s"$minutes minutes").as("w"), col("event_type"))
+      .select(window(col("ts"), s"$minutes minutes").as("w"),
+        col("event_type"), col("user_id"))
+      .dropDuplicates("w", "event_type", "user_id")
+      .groupBy(col("w"), col("event_type"))
       .agg(count(lit(1)).as("n_users"))
       .select(col("w.start").cast("timestamp_ntz").as("bucket"),
         col("event_type"), col("n_users"))
@@ -88,16 +94,19 @@ object HealthStream {
     * aggregate as 16 bucket-count COLUMNS (the k-agg-columns shape that
     * also carries the LSH minhashes), and the p95 bucket then falls out
     * map-side from a cumulative CASE cascade over those 16 counts.
-    * Bucket arithmetic is integer cents (vb = cents div 3200, capped at
-    * 15) so both engines agree exactly; the reported p95 is the bucket
-    * upper bound — a ≤32-unit overestimate, never under. State per
-    * window: 17 longs, at any event volume. Valid on batch and
-    * streaming inputs; parity in StreamingSpec. */
+    * Bucket arithmetic is integer cents (vb = cents div 3200, clamped
+    * to [0, 15] — the lower clamp keeps a negative value in bucket 0 in
+    * BOTH engines instead of silently falling through every CASE arm
+    * here while DuckDB's cumulative window counts it) so both engines
+    * agree exactly; the reported p95 is the bucket upper bound — a
+    * ≤32-unit overestimate, never under. State per window: 17 longs,
+    * at any event volume. Valid on batch and streaming inputs; parity
+    * in StreamingSpec. */
   def windowedP95(events: DataFrame, minutes: Int = 5): DataFrame = {
     val bucketed = events
       .withWatermark("ts", "1 hour")
       .withColumn("vb", expr(
-        "CAST(least(15, CAST(round(value * 100) AS BIGINT) div 3200) AS INT)"))
+        "CAST(greatest(0, least(15, CAST(round(value * 100) AS BIGINT) div 3200)) AS INT)"))
     val counts = (0 until 16).map(i =>
       sum(when(col("vb") === i, 1L).otherwise(0L)).as(s"c$i"))
     val agged = bucketed

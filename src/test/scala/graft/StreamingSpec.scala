@@ -69,6 +69,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("windowed distinct users: dedup state evicts once the watermark passes the window") {
+    import spark.implicits._
+    // the dedup key must carry event-time metadata (the window STRUCT);
+    // keyed on an extracted window-start alias the state never evicts
+    // and this assertion fails with all 10 stale keys still held
+    def ns(min: Long) = (1704110400000000L + min * 60000000L) * 1000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_devict")
+    def mkBatch(rows: Seq[(Long, Long, Long)], path: String): Unit =
+      rows.map { case (id, t, u) => (id, t, u, "view", 1.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$dir/$path")
+    // batch 1: 10 distinct users in window [12:00,12:05)
+    mkBatch((1L to 10L).map(u => (u, ns(0), u)), "f1")
+    val stream = spark.readStream.schema(HealthStream.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/f*")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = HealthStream.windowedDistinctUsers(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("devict_out").start()
+    q.processAllAvailable()
+    // batch 2 advances the watermark (5h later, 1h delay) past the
+    // 12:00 window; batch 3 runs UNDER that watermark — that is the
+    // micro-batch in which the dedup operator drops the 10 stale keys
+    mkBatch(Seq((100L, ns(300), 100L)), "f2")
+    q.processAllAvailable()
+    mkBatch(Seq((101L, ns(360), 101L)), "f3")
+    q.processAllAvailable()
+    val dedupState = q.recentProgress.flatMap(_.stateOperators)
+      .filter(_.operatorName.toLowerCase.contains("dedup"))
+    q.stop()
+    assert(dedupState.nonEmpty, "dedup state operator must report progress")
+    val finalRows = dedupState.last.numRowsTotal
+    assert(finalRows <= 2,
+      s"dedup state must evict watermark-passed keys, still holds $finalRows rows")
+  }
+
   test("windowed p95 histogram: streaming == batch (17-long state per window)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_p95")
     java.nio.file.Files.copy(
