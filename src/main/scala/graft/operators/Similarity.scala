@@ -43,11 +43,69 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
-  /** Sign-LSH bucket id: one bit per leading dimension's sign. */
+  /** Sign-LSH bucket id: one bit per leading dimension's sign. A
+    * dimension past the vector's length counts as positive
+    * (try_element_at + coalesce) so short vectors bucket rather than
+    * throw under ANSI — the DuckDB mirror is `coalesce(e[i+1], 1)`,
+    * list_extract past the end being NULL there. */
   def signBucket(vecCol: String, bits: Int): Column = expr(
     s"aggregate(transform(sequence(0, ${bits - 1}), i -> " +
-    s"CASE WHEN element_at($vecCol, i + 1) >= 0 THEN shiftleft(1, i) ELSE 0 END), " +
+    s"CASE WHEN coalesce(try_element_at($vecCol, i + 1), CAST(1.0 AS FLOAT)) >= 0 " +
+    s"THEN shiftleft(1, i) ELSE 0 END), " +
     "0, (acc, x) -> acc + x)")
+
+  /** Hierarchical block refinement: assign every vector an effective
+    * block key — the base block when its population is within `cap`,
+    * else the base extended with `bits1` (then `bits2`) sign-LSH bits.
+    * Only when even the finest sub-block exceeds `cap` (identical sign
+    * patterns — e.g. exact-duplicate vectors, which sign bits cannot
+    * separate) is the row dropped, the irreducible final guard. This is
+    * the scale fix for cap-by-drop: at 100× corpus an over-cap block
+    * sub-splits and still produces pairs/neighbors instead of silently
+    * vanishing from the result.
+    *
+    * Scale shape: ONE corpus pass builds the finest census
+    * (groupBy(base, fine-bucket) partial agg — the exchange carries one
+    * narrow row per occupied sub-block, never vectors); the coarser
+    * censuses re-aggregate that tiny result. All three join back as
+    * broadcasts, so the refinement adds zero corpus shuffles. Level
+    * choice is per-block deterministic (population is a function of the
+    * key), so both engines agree exactly.
+    *
+    * Output: input columns + `_base` / `_lvl` / `_sub` (the composite
+    * effective key — join on all three) + `_bn` (effective population;
+    * singleton blocks are dropped since they cannot pair). */
+  def subSplitBlocks(vectors: DataFrame, vecCol: String, blockCol: Column,
+      cap: Int, bits1: Int, bits2: Int): DataFrame = {
+    require(bits1 < bits2, "bits1 must refine coarser than bits2")
+    val mask1 = (1 << bits1) - 1
+    val base = vectors.withColumn("_base", blockCol)
+      .withColumn("_sbf", signBucket(vecCol, bits2))
+    val cf = base.groupBy(col("_base"), col("_sbf"))
+      .agg(count(lit(1)).as("_nf"))
+    val cm = cf.groupBy(col("_base"), col("_sbf").bitwiseAND(lit(mask1)).as("_sbm"))
+      .agg(sum(col("_nf")).as("_nm"))
+    val c0 = cm.groupBy(col("_base")).agg(sum(col("_nm")).as("_n0"))
+    base
+      .withColumn("_sbm", col("_sbf").bitwiseAND(lit(mask1)))
+      .join(broadcast(c0), Seq("_base"))
+      .join(broadcast(cm), Seq("_base", "_sbm"))
+      .join(broadcast(cf), Seq("_base", "_sbf"))
+      .withColumn("_lvl",
+        when(col("_n0") <= cap, lit(0))
+          .when(col("_nm") <= cap, lit(1))
+          .when(col("_nf") <= cap, lit(2)))
+      .withColumn("_sub",
+        when(col("_lvl") === 0, lit(-1))
+          .when(col("_lvl") === 1, col("_sbm"))
+          .otherwise(col("_sbf")))
+      .withColumn("_bn",
+        when(col("_lvl") === 0, col("_n0"))
+          .when(col("_lvl") === 1, col("_nm"))
+          .otherwise(col("_nf")))
+      .filter(col("_lvl").isNotNull && col("_bn") >= 2)
+      .drop("_sbf", "_sbm", "_n0", "_nm", "_nf")
+  }
 
   /** Top-k within the query's sign bucket (scale path). Queries whose
     * bucket holds no other vectors produce no rows. */
@@ -169,27 +227,26 @@ object Similarity {
   /** Embedding near-duplicate pairs, blocked by a key (label, cluster,
     * or LSH bucket) to avoid the full cross product.
     *
-    * Skew guard (mirrors Dedup.lshCandidates' maxBucket): a block of B
-    * vectors fans out to B(B-1)/2 pairs, so one degenerate block (a
-    * catch-all label) goes quadratic at corpus scale. Blocks larger than
-    * `maxBlock` are dropped entirely — a block that large has stopped
-    * being a meaningful near-dup candidate set and should be sub-split
-    * (e.g. by an LSH bucket) before pairing. The size filter is a
-    * broadcast semi-join against a narrow one-column aggregate, so the
-    * guard itself never shuffles the vectors. */
+    * Skew guard (the fixed version of Dedup.lshCandidates' maxBucket): a
+    * block of B vectors fans out to B(B-1)/2 pairs, so one degenerate
+    * block (a catch-all label) goes quadratic at corpus scale. Blocks
+    * larger than `maxBlock` SUB-SPLIT on `splitBits` sign-LSH bits via
+    * subSplitBlocks — pairs within an over-cap block are still found
+    * among sign-compatible vectors instead of the block silently
+    * dropping out of the result. Only a block whose members share one
+    * sign pattern even at `splitBits._2` bits (exact-dup pile) is
+    * dropped as the final guard. The census joins are broadcasts of
+    * narrow aggregates — the guard never shuffles the vectors. */
   def cosineDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double, maxBlock: Int = 1024): DataFrame = {
-    val keep = vectors.groupBy(col(blockCol).as("_blk"))
-      .agg(count(lit(1)).as("_bn"))
-      .filter(col("_bn").between(2, maxBlock))
-      .select(col("_blk"))
-    val v = vectors.select(col(blockCol).as("_blk"), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"))
-      .join(broadcast(keep), Seq("_blk"), "left_semi")
-    val u = vectors.select(col(blockCol).as("_blk"), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"))
-      .join(broadcast(keep), Seq("_blk"), "left_semi")
-    v.join(u, Seq("_blk"))
+      blockCol: String, threshold: Double, maxBlock: Int = 1024,
+      splitBits: (Int, Int) = (4, 8)): DataFrame = {
+    val blocked = subSplitBlocks(vectors, vecCol, col(blockCol), maxBlock,
+      splitBits._1, splitBits._2)
+    val v = blocked.select(col("_base"), col("_lvl"), col("_sub"),
+      col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val u = blocked.select(col("_base"), col("_lvl"), col("_sub"),
+      col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    v.join(u, Seq("_base", "_lvl", "_sub"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), 6))
       .filter(col("sim") > threshold)

@@ -42,6 +42,31 @@ object PipelineQueries {
   private val dotAB =
     "list_sum(list_transform(generate_series(1, len(a.e)), i -> CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))"
 
+  /** DuckDB mirror of Similarity.subSplitBlocks over the `v` CTE:
+    * appends CTEs ending in vkk(vec_id, e, n2, base, lvl, sub) — the
+    * effective-block assignment (base block when ≤ cap, else base +
+    * bits1 then bits2 sign bits; finest-over-cap and singleton blocks
+    * dropped). Sign semantics mirror signBucket: a dimension past the
+    * vector's length counts positive (list_extract past end is NULL →
+    * coalesce(…, 1)). Window counts here replace Spark's broadcast
+    * census joins — the oracle need not be scale-shaped, only exact. */
+  private def subSplitCte(baseSql: String, cap: Int, bits1: Int, bits2: Int): String =
+    s"""vs AS (SELECT *, $baseSql AS base,
+       |    CAST(list_sum(list_transform(generate_series(0, ${bits2 - 1}), i ->
+       |      CASE WHEN coalesce(e[i+1], 1) >= 0 THEN (1 << i) ELSE 0 END)) AS INT) AS sf
+       |  FROM v),
+       |vc AS (SELECT *, sf % ${1 << bits1} AS sm,
+       |    count(*) OVER (PARTITION BY base) AS n0,
+       |    count(*) OVER (PARTITION BY base, sf % ${1 << bits1}) AS nm,
+       |    count(*) OVER (PARTITION BY base, sf) AS nf FROM vs),
+       |vk AS (SELECT *,
+       |    CASE WHEN n0 <= $cap THEN 0 WHEN nm <= $cap THEN 1 WHEN nf <= $cap THEN 2 END AS lvl,
+       |    CASE WHEN n0 <= $cap THEN -1 WHEN nm <= $cap THEN sm ELSE sf END AS sub,
+       |    CASE WHEN n0 <= $cap THEN n0 WHEN nm <= $cap THEN nm ELSE nf END AS bn
+       |  FROM vc),
+       |vkk AS (SELECT vec_id, e, n2, base, lvl, sub FROM vk
+       |  WHERE lvl IS NOT NULL AND bn >= 2)""".stripMargin
+
   /** s6 integer-k-means oracle fragments (mirror of
     * Similarity.trainIvfCodebook at dim=64, scale=64). Assignment of
     * `vsrc` (vec_id, e, n2) to centroid set `csrc` (cent_id, c): two
@@ -310,27 +335,29 @@ object PipelineQueries {
 
     // corpus-wide kNN graph (the input to graph-based clustering and
     // connectivity-based dedup): every vector's top-3 neighbors WITHIN
-    // its sign-LSH bucket, plus degree and reciprocity stats. Scale
-    // guards: buckets over 256 vectors are dropped before pairing (the
-    // d3 maxBucket rule — bucket-mates are bounded, so pair fan-out is
-    // ≤256²/bucket, never corpus²; at real scale the bit width grows
-    // with the corpus so buckets stay under the cap); ranking rides
-    // TopNPerKey bounded
-    // heaps; the edge list (≤3·n rows) is localCheckpoint-materialized
-    // (d9 precedent) so the stats and reciprocity branches don't
-    // re-evaluate the candidate pipeline. Reciprocity is an unordered-
-    // pair groupBy (count=2 ⇒ mutual), not a self-join.
+    // its effective sign-LSH bucket, plus degree and reciprocity stats.
+    // Scale guards: buckets over 256 vectors SUB-SPLIT on further sign
+    // bits (4 base bits → 8 → 12 via subSplitBlocks) instead of being
+    // dropped — at 100× corpus every 4-bit bucket blows the cap, and
+    // drop-semantics would silently return an EMPTY graph; with the
+    // refinement the pair fan-out stays ≤cap²/bucket while every
+    // sign-separable vector keeps its neighbors (only an exact-dup sign
+    // pile is dropped, the irreducible guard). Ranking rides TopNPerKey
+    // bounded heaps; the edge list (≤3·n rows) is localCheckpoint-
+    // materialized (d9 precedent) so the stats and reciprocity branches
+    // don't re-evaluate the candidate pipeline. Reciprocity is an
+    // unordered-pair groupBy (count=2 ⇒ mutual), not a self-join.
     "s9_knn_graph" -> { (s, dir) =>
       import graft.functions.VectorFunctions
       val vecs = Tables.embeddings(s, dir)
-      val b = vecs.select(col("vec_id"), col("embedding"),
-        Similarity.signBucket("embedding", 4).as("bucket"))
-      val keep = b.groupBy(col("bucket")).agg(count(lit(1)).as("_bn"))
-        .filter(col("_bn") <= 256).select(col("bucket"))
-      val bb = b.join(broadcast(keep), Seq("bucket"), "left_semi")
-      val edges = bb.select(col("bucket"), col("vec_id").as("id_a"), col("embedding").as("va"))
-        .join(bb.select(col("bucket"), col("vec_id").as("id_b"), col("embedding").as("vb")),
-          Seq("bucket"))
+      val bb = Similarity.subSplitBlocks(vecs, "embedding",
+          Similarity.signBucket("embedding", 4), cap = 256, bits1 = 8, bits2 = 12)
+        .select(col("_base"), col("_lvl"), col("_sub"), col("vec_id"), col("embedding"))
+      val edges = bb.select(col("_base"), col("_lvl"), col("_sub"),
+          col("vec_id").as("id_a"), col("embedding").as("va"))
+        .join(bb.select(col("_base"), col("_lvl"), col("_sub"),
+          col("vec_id").as("id_b"), col("embedding").as("vb")),
+          Seq("_base", "_lvl", "_sub"))
         .filter(col("id_a") =!= col("id_b"))
         .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
         .select(col("id_a"), col("id_b"), col("sim"))
@@ -911,11 +938,13 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d6_embed_dup" ->
-      s"""WITH $vecCte
+      s"""WITH $vecCte,
+         |${subSplitCte("label", 1024, 4, 8)}
          |SELECT id_a, id_b, sim FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
-         |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id) t
+         |  FROM vkk a JOIN vkk b ON a.base = b.base AND a.lvl = b.lvl
+         |    AND a.sub = b.sub AND a.vec_id < b.vec_id) t
          |WHERE sim > 0.35 ORDER BY id_a, id_b""".stripMargin,
 
     "d7_dedup_apply" ->
@@ -983,10 +1012,12 @@ object PipelineQueries {
          |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) AS jaccard
          |  FROM cand JOIN sh2 x ON id_a = x.doc_id JOIN sh2 y ON id_b = y.doc_id
          |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) >= 0.3),
+         |${subSplitCte("label", 1024, 4, 8)},
          |emb AS (SELECT id_a, id_b, sim FROM (
          |    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |      round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
-         |    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id) t
+         |    FROM vkk a JOIN vkk b ON a.base = b.base AND a.lvl = b.lvl
+         |      AND a.sub = b.sub AND a.vec_id < b.vec_id) t
          |  WHERE sim > 0.35)
          |SELECT coalesce(l.id_a, e.id_a) AS id_a, coalesce(l.id_b, e.id_b) AS id_b,
          |  l.jaccard, e.sim,
@@ -1080,13 +1111,14 @@ object PipelineQueries {
 
     "s9_knn_graph" ->
       s"""WITH $vecCte,
-         |vb AS (SELECT *, CAST(list_sum(list_transform(generate_series(0, 3), i ->
-         |    CASE WHEN e[i+1] >= 0 THEN (1 << i) ELSE 0 END)) AS INT) AS bucket FROM v),
-         |keep AS (SELECT bucket FROM vb GROUP BY bucket HAVING count(*) <= 256),
-         |bb AS (SELECT * FROM vb WHERE bucket IN (SELECT bucket FROM keep)),
+         |${subSplitCte(
+            "CAST(list_sum(list_transform(generate_series(0, 3), i -> " +
+            "CASE WHEN coalesce(e[i+1], 1) >= 0 THEN (1 << i) ELSE 0 END)) AS INT)",
+            256, 8, 12)},
          |edges AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
-         |  FROM bb a JOIN bb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |  FROM vkk a JOIN vkk b ON a.base = b.base AND a.lvl = b.lvl
+         |    AND a.sub = b.sub AND a.vec_id <> b.vec_id),
          |top AS (SELECT id_a, id_b, sim FROM (
          |    SELECT id_a, id_b, sim,
          |      row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn

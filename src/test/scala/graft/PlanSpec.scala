@@ -323,6 +323,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("s9/d6: bucket sub-split censuses join as broadcasts — the pairing join is the only corpus join") {
+    // s9's executed plan starts at the localCheckpoint, so gate the
+    // candidate pipeline (subSplitBlocks + pairing) directly — the same
+    // shape d6/d16 use via cosineDupPairs
+    import org.apache.spark.sql.functions.col
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+    val p = graft.operators.Similarity.cosineDupPairs(vecs, "vec_id",
+      "embedding", "label", threshold = 0.35)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the three census joins (base/mid/fine counts) must be broadcasts of
+    // narrow aggregates, never corpus shuffles — at most the one
+    // block-equi pairing join may be a shuffled join
+    val shuffled = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(shuffled <= 1, s"sub-split must not add shuffled joins (found $shuffled):\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) >= 3, p)
+  }
+
   test("q34: NOT IN plans as a broadcast null-aware anti join, not a per-row subquery") {
     val p = plan("q34_nullaware_anti")
     assert(p.contains("LeftAnti"), p)

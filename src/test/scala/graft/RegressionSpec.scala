@@ -63,6 +63,53 @@ class RegressionSpec extends AnyFunSuite {
     assert(uncapped >= 20L * 19 / 2)
   }
 
+  test("cosineDupPairs sub-splits a sign-separable over-cap block — its true pairs still surface") {
+    import spark.implicits._
+    // 24 vectors share one label (> maxBlock=10) in 4 sign groups of 6
+    // (dims 0-1 sign patterns). Old drop-semantics returned ZERO pairs
+    // from this block; the sub-split refines it on 4 sign bits and each
+    // 6-vector sub-block pairs normally — scale behavior for the
+    // catch-all label a 100× corpus always produces.
+    val big = for (g <- 0 until 4; j <- 0 until 6) yield {
+      val s0 = if ((g & 1) == 0) 1.0f else -1.0f
+      val s1 = if ((g & 2) == 0) 1.0f else -1.0f
+      ((g * 10 + j + 1).toLong, "catchall", Array(s0, s1, 1.0f, 1.0f + 0.001f * j))
+    }
+    val vecs = big.toDF("vec_id", "label", "embedding")
+    val pairs = graft.operators.Similarity.cosineDupPairs(vecs, "vec_id",
+      "embedding", "label", threshold = 0.9, maxBlock = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)), s"near-dup pair inside the over-cap block must survive: ${pairs.toSeq}")
+    assert(pairs.nonEmpty && pairs.forall { case (a, b) => (a - 1) / 10 == (b - 1) / 10 },
+      s"pairs must stay within one sign sub-block: ${pairs.toSeq}")
+    // each of the 4 sub-blocks contributes its 6*5/2 near-identical pairs
+    assert(pairs.length == 4 * 15, s"expected 60 within-group pairs, got ${pairs.length}")
+  }
+
+  test("subSplitBlocks refines an over-cap bucket instead of dropping it; identical-sign piles still drop") {
+    import spark.implicits._
+    // 300 vectors in ONE 4-bit base bucket (cap 256): dims 0-3 positive,
+    // dim 4's sign splits them 150/150 — the s9 scale scenario where
+    // drop-semantics returned an empty kNN graph
+    val vecs = (0 until 300).map { i =>
+      val d4 = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array(1.0f, 1.0f, 1.0f, 1.0f, d4, 1.0f, 1.0f, 1.0f + 0.001f * i))
+    }.toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.subSplitBlocks(vecs, "embedding",
+      graft.operators.Similarity.signBucket("embedding", 4), cap = 256, bits1 = 8, bits2 = 12)
+      .select(col("vec_id"), col("_lvl"), col("_sub"), col("_bn")).collect()
+    assert(out.length == 300, "no vector may drop when sign bits separate the bucket")
+    assert(out.forall(_.getInt(1) == 1), "refinement must stop at the first under-cap level")
+    assert(out.map(_.getInt(2)).distinct.length == 2, "dim-4 sign must yield two sub-blocks")
+    assert(out.forall(_.getLong(3) == 150L))
+    // the irreducible case: identical sign patterns at every width → drop
+    val pile = (0 until 300).map(i => (i.toLong, Array.fill(8)(1.0f + 0.001f * i)))
+      .toDF("vec_id", "embedding")
+    val dropped = graft.operators.Similarity.subSplitBlocks(pile, "embedding",
+      graft.operators.Similarity.signBucket("embedding", 4), cap = 256, bits1 = 8, bits2 = 12)
+    assert(dropped.count() == 0, "an exact-dup sign pile cannot sub-split and must drop")
+  }
+
   test("pivot fills absent (flag, status) combinations with 0, not NULL") {
     import spark.implicits._
     // 'B' never occurs with status 'O' — the q16 shape must count it as 0
