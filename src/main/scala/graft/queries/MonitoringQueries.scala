@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{LogLines, Tables}
 import graft.operators.{AsOf, Monitoring}
@@ -822,6 +822,46 @@ object MonitoringQueries {
           expr("abs(est_distinct - exact_distinct) * 10000 div exact_distinct").as("err_bp"))
     },
 
+    // mergeable QUANTILE sketch — completes the sketch trio (m32
+    // count-min = frequency, m35 HLL = distinct, m43 = quantiles): a
+    // fixed-grid histogram of 64-cent bins over integer cents, built as
+    // PER-DAY partial sketches (the artifact an incremental pipeline
+    // stores) and MERGED by plain count addition — associative and
+    // commutative, so the merge is exact on any partitioning or day
+    // split (the spec proves merge-of-daily == sketch-of-full). The
+    // quantile estimate is the upper bound of the first bin whose
+    // cumulative count reaches rank ceil(p·n/100) — expressed as the
+    // integer guard cum*100 >= n*p — giving a deterministic ≤64-cent
+    // overestimate, never under (bounded error asserted vs exact in the
+    // spec). Scale shape: corpus-sized work is ONE partial-agg groupBy
+    // into ≤768 bins per (type, day); everything after (merge, cumsum
+    // window, estimate) runs on the tiny sketch rows. Doubles appear
+    // once: the final (bin+1)*64/100.0 division of integers.
+    "m43_quantile_sketch" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT) div 64").as("bin"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("event_type"), col("day"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      val merged = daily.groupBy(col("event_type"), col("bin"))
+        .agg(sum(col("c")).as("c"))
+      val byType = Window.partitionBy(col("event_type"))
+      val cum = merged
+        .withColumn("n", sum(col("c")).over(byType))
+        .withColumn("cum", sum(col("c"))
+          .over(byType.orderBy(col("bin"))))
+      def estAt(p: Int): Column =
+        ((min(when(col("cum") * 100 >= col("n") * p, col("bin"))) + 1) * 64)
+          .cast("double") / 100.0
+      cum.groupBy(col("event_type"))
+        .agg(max(col("n")).cast("long").as("n"),
+          count(lit(1)).cast("int").as("n_bins"),
+          estAt(50).as("p50_est"), estAt(95).as("p95_est"), estAt(99).as("p99_est"))
+        .orderBy(col("event_type"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -975,6 +1015,24 @@ object MonitoringQueries {
          |  CAST((vc * (t1 - mark) + v1 * (mark - ts_us)) // (t1 - ts_us) AS BIGINT) AS interp_cents,
          |  CAST(CAST((vc * (t1 - mark) + v1 * (mark - ts_us)) // (t1 - ts_us) AS BIGINT) AS DOUBLE) / 100.0 AS v_interp
          |FROM g ORDER BY user_id, mark_us""".stripMargin,
+
+    // day-split omitted on purpose: the merge is plain count addition,
+    // so merged-by-day == built-on-full by associativity (the property
+    // QuantileSketchSpec asserts); the oracle states the merged sketch.
+    "m43_quantile_sketch" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) // 64 AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY 1),
+        |cu AS (SELECT b.event_type, bin, c, n,
+        |    CAST(sum(c) OVER (PARTITION BY b.event_type ORDER BY bin) AS BIGINT) AS cum
+        |  FROM b JOIN t USING (event_type))
+        |SELECT event_type, CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS INT) AS n_bins,
+        |  CAST((min(CASE WHEN cum * 100 >= n * 50 THEN bin END) + 1) * 64 AS DOUBLE) / 100.0 AS p50_est,
+        |  CAST((min(CASE WHEN cum * 100 >= n * 95 THEN bin END) + 1) * 64 AS DOUBLE) / 100.0 AS p95_est,
+        |  CAST((min(CASE WHEN cum * 100 >= n * 99 THEN bin END) + 1) * 64 AS DOUBLE) / 100.0 AS p99_est
+        |FROM cu GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "m35_hll_distinct" ->
       """WITH h AS (SELECT md5('hll|' || CAST(user_id AS VARCHAR)) AS _h FROM events),

@@ -139,6 +139,22 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // LABEL-FREE embedding dedup — the 100 TB blocking path: a real
+    // corpus has no label column, so the block key is itself a sign-LSH
+    // bucket (4 bits) and cosineDupPairs' sub-split refines any over-cap
+    // bucket on (8, 12) bits. Same guard/pairing machinery as d6, but
+    // nothing about the data model is assumed beyond the vectors —
+    // candidate pairs are sign-compatible by construction (cos > 0.35
+    // pairs overwhelmingly agree on leading-dim signs), and the pair
+    // fan-out is capped per effective bucket exactly as in d6.
+    "d17_embed_dedup_global" -> { (s, dir) =>
+      val vecs = Tables.embeddings(s, dir)
+        .withColumn("sb", Similarity.signBucket("embedding", 4))
+      Similarity.cosineDupPairs(vecs, "vec_id", "embedding", "sb",
+          threshold = 0.35, maxBlock = 1024, splitBits = (8, 12))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // end-to-end near-dup removal: LSH candidates → Jaccard verify →
     // drop the higher id of each verified pair (left-anti join).
     "d7_dedup_apply" -> { (s, dir) =>
@@ -940,6 +956,19 @@ object PipelineQueries {
     "d6_embed_dup" ->
       s"""WITH $vecCte,
          |${subSplitCte("label", 1024, 4, 8)}
+         |SELECT id_a, id_b, sim FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM vkk a JOIN vkk b ON a.base = b.base AND a.lvl = b.lvl
+         |    AND a.sub = b.sub AND a.vec_id < b.vec_id) t
+         |WHERE sim > 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    "d17_embed_dedup_global" ->
+      s"""WITH $vecCte,
+         |${subSplitCte(
+            "CAST(list_sum(list_transform(generate_series(0, 3), i -> " +
+            "CASE WHEN coalesce(e[i+1], 1) >= 0 THEN (1 << i) ELSE 0 END)) AS INT)",
+            1024, 8, 12)}
          |SELECT id_a, id_b, sim FROM (
          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim

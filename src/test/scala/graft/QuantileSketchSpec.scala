@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** m43 mergeable quantile sketch: the two properties that make it a
+  * sketch rather than a query — bounded error against the exact
+  * quantile, and exact mergeability of partial (per-day) sketches.
+  */
+class QuantileSketchSpec extends AnyFunSuite {
+  lazy val spark = GraftSession.local()
+  val sf = "/root/testdata/sf0.001"
+
+  test("m43: estimate is within one 64-cent bin ABOVE the exact quantile, never under") {
+    val out = SparkEntry.queries("m43_quantile_sketch")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byType = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { r =>
+      val t = r.getString(0)
+      val sorted = byType(t)
+      val n = sorted.length
+      assert(r.getLong(1) == n.toLong)
+      for ((p, i) <- Seq(50 -> 3, 95 -> 4, 99 -> 5)) {
+        val est = r.getDouble(i)
+        val rank = (n * p + 99) / 100 // ceil(n*p/100), the query's cum*100 >= n*p guard
+        val exact = sorted(rank - 1) / 100.0
+        assert(est >= exact, s"$t p$p: estimate $est must never undershoot exact $exact")
+        assert(est - exact <= 0.64 + 1e-9,
+          s"$t p$p: estimate $est exceeds the one-bin error bound over exact $exact")
+      }
+    }
+  }
+
+  test("m43: per-day partial sketches merge to the direct full build (count addition is exact)") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT) div 64").as("bin"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val mergedFromDaily = ev
+      .groupBy(col("event_type"), col("day"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("c")).as("c"))
+    val direct = ev.groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val m = asSet(mergedFromDaily)
+    assert(m.nonEmpty && m == asSet(direct))
+  }
+}
