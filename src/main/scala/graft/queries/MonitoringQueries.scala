@@ -795,19 +795,7 @@ object MonitoringQueries {
     // exact count for the error column.
     "m35_hll_distinct" -> { (s, dir) =>
       val keys = Tables.events(s, dir).select(col("user_id").cast("string").as("key"))
-      val hashed = keys
-        .withColumn("_h", md5(concat(lit("hll|"), col("key"))))
-        .withColumn("idx", expr(
-          "((instr('0123456789abcdef', substr(_h, 1, 1)) - 1) * 16 + " +
-          "(instr('0123456789abcdef', substr(_h, 2, 1)) - 1)) % 64"))
-        .withColumn("_tail", expr("substr(_h, 3, 12)"))
-        .withColumn("_lz", expr("length(regexp_extract(_tail, '^0*', 0))"))
-        .withColumn("rnk", expr(
-          "CASE WHEN _lz >= 12 THEN 49 ELSE _lz * 4 + " +
-          "(CASE WHEN instr('0123456789abcdef', substr(_tail, _lz + 1, 1)) - 1 >= 8 THEN 0 " +
-          " WHEN instr('0123456789abcdef', substr(_tail, _lz + 1, 1)) - 1 >= 4 THEN 1 " +
-          " WHEN instr('0123456789abcdef', substr(_tail, _lz + 1, 1)) - 1 >= 2 THEN 2 " +
-          " ELSE 3 END) + 1 END"))
+      val hashed = graft.functions.HllSketch.withIndexRank(keys, col("key"))
       val regs = hashed.groupBy(col("idx")).agg(max(col("rnk")).as("mreg"))
       val sketch = regs.agg(count(lit(1)).cast("int").as("n_hit"),
         expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), CAST(50 - mreg AS INT))) AS BIGINT)")

@@ -93,6 +93,16 @@ object StreamingQueries {
         .orderBy(col("bucket"), col("event_type"))
     },
 
+    // windowed approximate distinct users — the streaming HLL sketch:
+    // 64 registers as 64 max() agg columns, 64 longs of state per
+    // window at any cardinality (st9's exact dedup-then-count holds
+    // per-user state; this is its constant-state sibling, the same
+    // trade m35 makes in batch). Parity in StreamingSpec.
+    "st11_stream_hll" -> { (s, dir) =>
+      HealthStream.windowedHllDistinct(Tables.events(s, dir))
+        .orderBy(col("bucket"))
+    },
+
     "st7_sliding_rate" -> { (s, dir) =>
       HealthStream.slidingRate(Tables.events(s, dir))
         .orderBy(col("win_start"))
@@ -113,6 +123,30 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "st11_stream_hll" ->
+      s"""WITH h AS (SELECT make_timestamp($tsUs - $tsUs % 300000000) AS bucket,
+         |    md5('hll|' || CAST(user_id AS VARCHAR)) AS _h FROM events),
+         |t AS (SELECT bucket, _h, substr(_h, 3, 12) AS tail,
+         |    length(regexp_extract(substr(_h, 3, 12), '^0*')) AS lz FROM h),
+         |rk AS (SELECT bucket,
+         |    ((strpos('0123456789abcdef', substr(_h, 1, 1)) - 1) * 16 +
+         |     (strpos('0123456789abcdef', substr(_h, 2, 1)) - 1)) % 64 AS idx,
+         |    CASE WHEN lz >= 12 THEN 49 ELSE lz * 4 +
+         |      (CASE WHEN strpos('0123456789abcdef', substr(tail, lz + 1, 1)) - 1 >= 8 THEN 0
+         |            WHEN strpos('0123456789abcdef', substr(tail, lz + 1, 1)) - 1 >= 4 THEN 1
+         |            WHEN strpos('0123456789abcdef', substr(tail, lz + 1, 1)) - 1 >= 2 THEN 2
+         |            ELSE 3 END) + 1 END AS rnk
+         |  FROM t),
+         |regs AS (SELECT bucket, idx, max(rnk) AS mreg FROM rk GROUP BY 1, 2),
+         |sk AS (SELECT bucket, CAST(count(*) AS INT) AS n_hit,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(50 - mreg AS INT)) AS BIGINT) AS s_present
+         |  FROM regs GROUP BY 1)
+         |SELECT bucket, n_hit,
+         |  2904064 * CAST(1099511627776 AS BIGINT) //
+         |    (1000 * ((s_present + (64 - n_hit) * CAST(1125899906842624 AS BIGINT)) // 1024))
+         |    AS est_distinct
+         |FROM sk ORDER BY bucket""".stripMargin,
+
     "st10_stream_p95" ->
       s"""WITH base AS (SELECT make_timestamp($tsUs - $tsUs % 300000000) AS bucket,
          |    CAST(greatest(0, least(15, CAST(round(value * 100) AS BIGINT) // 3200)) AS INT) AS vb

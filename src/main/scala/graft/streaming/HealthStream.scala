@@ -121,6 +121,31 @@ object HealthStream {
       .withColumn("p95_ub", ((col("p95_bucket") + 1) * 32).cast("int"))
   }
 
+  /** Windowed approximate distinct users — the STREAMING face of the
+    * m35 HyperLogLog sketch: an exact windowed COUNT(DISTINCT) needs
+    * per-key dedup state that grows with the user population (st9's
+    * dedup-then-count pays exactly that), but the 64 HLL registers ride
+    * ONE windowed aggregate as 64 max() COLUMNS (the st10 k-agg-columns
+    * shape) — 64 longs of state per window at ANY cardinality, and max
+    * is trivially mergeable so partial aggregation and late-arrival
+    * merges are exact. Register index/rank and the integer estimate are
+    * shared with m35 (HllSketch) and reproduce bit-for-bit in DuckDB.
+    * Valid on batch and streaming inputs; parity in StreamingSpec. */
+  def windowedHllDistinct(events: DataFrame, minutes: Int = 5): DataFrame = {
+    import graft.functions.HllSketch
+    val hashed = HllSketch.withIndexRank(
+      events.withWatermark("ts", "1 hour"), col("user_id"))
+    val aggs = HllSketch.registerAggs
+    hashed
+      .groupBy(window(col("ts"), s"$minutes minutes").as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("n_hit", expr(HllSketch.nHitExpr))
+      .withColumn("s_total", expr(HllSketch.sTotalExpr))
+      .withColumn("est_distinct", expr(HllSketch.estimateExpr))
+      .select(col("w.start").cast("timestamp_ntz").as("bucket"),
+        col("n_hit"), col("est_distinct"))
+  }
+
   /** Stream-static enrichment: the event stream broadcast-joined to a
     * slowly-changing dimension (user → nation via customer), then
     * windowed per enriched key. In streaming mode Spark re-plans the

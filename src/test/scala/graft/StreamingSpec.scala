@@ -105,6 +105,36 @@ class StreamingSpec extends AnyFunSuite {
       s"dedup state must evict watermark-passed keys, still holds $finalRows rows")
   }
 
+  test("windowed HLL distinct: streaming == batch (64-long state per window)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = HealthStream.readEventStream(spark, dir.toString)
+    val q = HealthStream.windowedHllDistinct(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("hll_out").orderBy("bucket").collect().toSeq
+    val batch = HealthStream.windowedHllDistinct(Tables.events(spark, sf))
+      .orderBy("bucket").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // sanity: estimates land within a plausible band of the exact
+    // per-window distinct (raw 64-register HLL: wide tolerance)
+    val exact = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(countDistinct(col("user_id")).as("d"))
+      .select(col("window.start").cast("timestamp_ntz"), col("d"))
+      .collect().map(r => (r.get(0), r.getLong(1))).toMap
+    streamed.foreach { r =>
+      val est = r.getLong(2)
+      val ex = exact(r.get(0))
+      assert(est > 0 && est < ex * 3 + 64, s"est $est vs exact $ex")
+    }
+  }
+
   test("windowed p95 histogram: streaming == batch (17-long state per window)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_p95")
     java.nio.file.Files.copy(
