@@ -406,6 +406,115 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------------------ zip
+
+  case class ZipIndex(doc_id: Long, byte_len: Int, n_members: Int,
+      member_names: String, data_bytes: Long, crc_ok: Int, structure_ok: Int)
+
+  /** A 2-member STORED (method 0) zip: doc<id>.txt + meta<id>.json with
+    * deterministic data bytes, real CRC-32s, a central directory, and
+    * an end-of-central-directory record — the container WebDataset-
+    * style training shards actually use. */
+  def synthZip(id: Long, s1: Long, s2: Long): Array[Byte] = {
+    def data(n: Long, seed: Long): Array[Byte] =
+      Array.tabulate(n.toInt)(i => ((seed + i) % 251).toByte)
+    val members = Seq((s"doc$id.txt", data(s1, id)), (s"meta$id.json", data(s2, id + 7)))
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >>> 8) & 0xFF) }
+    def u32(v: Long): Unit = (0 until 4).foreach(i => out.write(((v >>> (8 * i)) & 0xFF).toInt))
+    val entries = members.map { case (name, d) =>
+      val crc = new java.util.zip.CRC32(); crc.update(d, 0, d.length)
+      val off = out.size()
+      u32(0x04034b50L); u16(20); u16(0); u16(0); u16(0); u16(0)
+      u32(crc.getValue); u32(d.length.toLong); u32(d.length.toLong)
+      u16(name.length); u16(0)
+      out.write(name.getBytes("US-ASCII")); out.write(d)
+      (name, d.length.toLong, crc.getValue, off.toLong)
+    }
+    val cdOff = out.size()
+    entries.foreach { case (name, sz, crc, off) =>
+      u32(0x02014b50L); u16(20); u16(20); u16(0); u16(0); u16(0); u16(0)
+      u32(crc); u32(sz); u32(sz); u16(name.length); u16(0); u16(0)
+      u16(0); u16(0); u32(0L); u32(off)
+      out.write(name.getBytes("US-ASCII"))
+    }
+    val cdSize = out.size() - cdOff
+    u32(0x06054b50L); u16(0); u16(0); u16(entries.length); u16(entries.length)
+    u32(cdSize.toLong); u32(cdOff.toLong); u16(0)
+    out.toByteArray
+  }
+
+  /** The real production walk: scan BACKWARD for the end-of-central-
+    * directory signature (its trailing comment is variable-length, so
+    * every real unzip does this), follow cd_offset, parse each central
+    * entry, then cross-check its local header (signature + name) and
+    * recompute the member's CRC-32 against the recorded one. Truncated
+    * or inconsistent archives report what was walked with
+    * structure_ok/crc_ok = 0 instead of throwing. */
+  def decodeZipIndex(id: Long, bytes: Array[Byte]): ZipIndex = {
+    def u16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    def u32(off: Int): Long = (0 until 4).map(i => (bytes(off + i) & 0xFFL) << (8 * i)).sum
+    var eocd = bytes.length - 22
+    while (eocd >= 0 && u32(eocd) != 0x06054b50L) eocd -= 1
+    if (eocd < 0) return ZipIndex(id, bytes.length, 0, "", 0L, 0, 0)
+    val n = u16(eocd + 10)
+    var off = u32(eocd + 16).toInt
+    var names = List.empty[String]
+    var dataSum = 0L
+    var crcOk = true
+    var structOk = true
+    var k = 0
+    while (k < n && off + 46 <= bytes.length && structOk) {
+      if (u32(off) != 0x02014b50L) structOk = false
+      else {
+        val crc = u32(off + 16); val csize = u32(off + 20); val usize = u32(off + 24)
+        val nlen = u16(off + 28); val elen = u16(off + 30); val clen = u16(off + 32)
+        val lfh = u32(off + 42).toInt
+        val name = new String(bytes, off + 46, nlen, "US-ASCII")
+        if (lfh + 30 > bytes.length || u32(lfh) != 0x04034b50L) structOk = false
+        else {
+          val lnlen = u16(lfh + 26); val lelen = u16(lfh + 28)
+          if (new String(bytes, lfh + 30, lnlen, "US-ASCII") != name) structOk = false
+          val dOff = lfh + 30 + lnlen + lelen
+          if (dOff + csize > bytes.length) structOk = false
+          else {
+            val c = new java.util.zip.CRC32(); c.update(bytes, dOff, csize.toInt)
+            if (c.getValue != crc) crcOk = false
+          }
+        }
+        names ::= name; dataSum += usize
+        off += 46 + nlen + elen + clen; k += 1
+      }
+    }
+    if (names.length != n) structOk = false
+    ZipIndex(id, bytes.length, names.length, names.reverse.mkString(","),
+      dataSum, if (crcOk) 1 else 0, if (structOk) 1 else 0)
+  }
+
+  /** Synthesize zip payloads per doc (sizes derived from doc fields —
+    * the tar twins, so x10/x11 index the same logical content). */
+  def synthesizeZip(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, n) =>
+        BinaryDoc(id, synthZip(id, n % 100 + 1, id % 50 + 2))
+      }).toDF()
+  }
+
+  /** Batched zip-index decode (same mapPartitions shape as decodeMeta). */
+  def decodeZip(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[ZipIndex] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => decodeZipIndex(d.doc_id, d.payload)))
+      }
+  }
+
   /** Frame sampling plumbing: every `stride`-th byte of the payload is a
     * "frame" (stand-in for video frame extraction). Declarative explode —
     * distributes and prunes like any other lateral view. */

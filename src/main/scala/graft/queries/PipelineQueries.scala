@@ -445,6 +445,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // zip shard index — x10's twin for the OTHER container training
+    // shards ship in: synthesize a real 2-member STORED zip per doc
+    // (CRC-32s, central directory, EOCD), then index it the way a real
+    // unzip does — backward EOCD scan, central-directory walk, local-
+    // header cross-check, CRC recompute. Same mapPartitions batching
+    // as every x-decoder; payload bytes never shuffle (the index rows
+    // do). Oracle derives every field arithmetically from doc_id /
+    // n_chars (fixed 30/46/22-byte zip overheads + name lengths).
+    "x11_zip_index" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeZip(Tables.documents(s, dir))
+      Multimodal.decodeZip(payloads, "doc_id", "payload").toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // PII redaction: regex scrubbing of emails / IPv4s / long digit runs
     // with per-doc detection counts and a hash of the redacted text.
     // The documents text is digit-free word soup, so a deterministic
@@ -1032,6 +1046,20 @@ object PipelineQueries {
         |    AS member_names,
         |  CAST((n_chars % 100 + 1) + (doc_id % 50 + 2) AS BIGINT) AS data_bytes,
         |  CAST(1 AS INT) AS checksums_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // byte_len: 2 local headers (30+name) + data + 2 central entries
+    // (46+name) + EOCD 22, names doc<id>.txt (7+digits) and
+    // meta<id>.json (9+digits) = 206 + 4*digits + s1 + s2
+    "x11_zip_index" ->
+      """SELECT doc_id,
+        |  CAST(206 + 4 * length(CAST(doc_id AS VARCHAR))
+        |    + (n_chars % 100 + 1) + (doc_id % 50 + 2) AS INT) AS byte_len,
+        |  CAST(2 AS INT) AS n_members,
+        |  'doc' || CAST(doc_id AS VARCHAR) || '.txt,meta' || CAST(doc_id AS VARCHAR) || '.json'
+        |    AS member_names,
+        |  CAST((n_chars % 100 + 1) + (doc_id % 50 + 2) AS BIGINT) AS data_bytes,
+        |  CAST(1 AS INT) AS crc_ok, CAST(1 AS INT) AS structure_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d16_signal_audit" ->

@@ -138,6 +138,47 @@ object SamplingQueries {
         .orderBy(col("doc_id"), col("copy_idx"))
     },
 
+    // TWO-DIMENSIONAL quota sampling — the data-mixture curation move
+    // p2/p3 can't express: each lang gets a 60% budget, distributed
+    // across its (lang, source) cells PROPORTIONALLY to cell size by
+    // the largest-remainder method (floor share per cell, the leftover
+    // +1s to the cells with the largest integer remainders — exact,
+    // deterministic, sums to the budget). Selection within each cell is
+    // the n-smallest salted-md5 draws via the variable-quota TopNPerKey
+    // (bounded heaps; shuffle ≤ Σ quota rows). Scale shape: ALL quota
+    // arithmetic (windows included) runs on the cells AGGREGATE (one
+    // row per distinct (lang, source) — bounded, never corpus-sized);
+    // the corpus itself sees one broadcast join + heap selection, no
+    // window anywhere.
+    "p10_quota_matrix" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("draw",
+          md5(concat_ws("|", lit("q2d"), col("doc_id").cast("string"))))
+      val cells = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val lt = cells.groupBy(col("lang")).agg(sum(col("c")).as("lc"))
+      val alloc = cells.join(lt, Seq("lang"))
+        .withColumn("b", expr("(lc * 60) div 100"))
+        .withColumn("prop", expr("(b * c) div lc"))
+        .withColumn("frac", expr("(b * c) % lc"))
+      val wLang = Window.partitionBy(col("lang"))
+      val ranked = alloc
+        .withColumn("rr", row_number().over(
+          wLang.orderBy(col("frac").desc, col("source"))))
+        .withColumn("rem", col("b") - sum(col("prop")).over(wLang))
+      val quota = ranked.withColumn("q",
+          (col("prop") + when(col("rr") <= col("rem"), 1).otherwise(0)).cast("int"))
+        .select(col("lang"), col("source"), col("c"), col("q"))
+      val kept = graft.operators.Relational.topNPerGroupQuota(
+        docs.join(broadcast(quota), Seq("lang", "source")),
+        limitCol = "q", part = Seq("lang", "source"),
+        order = Seq(("draw", true), ("doc_id", true)))
+      kept.select(col("doc_id"), col("lang"), col("source"),
+          col("c").as("cell_n"), col("q").as("cell_quota"))
+        .orderBy(col("doc_id"))
+    },
+
     // training-mixture materialization: each source carries an explicit
     // mixture weight in 16ths (epochs = w div 16 full passes; the
     // fractional remainder is a per-doc hex-draw so exactly ~frac/16 of
@@ -252,6 +293,26 @@ object SamplingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "p10_quota_matrix" ->
+      s"""WITH d AS (SELECT doc_id, lang, source,
+         |    md5('q2d|' || CAST(doc_id AS VARCHAR)) AS draw FROM documents),
+         |cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2),
+         |lt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS lc FROM cells GROUP BY 1),
+         |alloc AS (SELECT lang, source, c, lc, (lc * 60) // 100 AS b,
+         |    ((lc * 60) // 100) * c // lc AS prop,
+         |    (((lc * 60) // 100) * c) % lc AS frac
+         |  FROM cells JOIN lt USING (lang)),
+         |ranked AS (SELECT *,
+         |    row_number() OVER (PARTITION BY lang ORDER BY frac DESC, source) AS rr,
+         |    b - sum(prop) OVER (PARTITION BY lang) AS rem FROM alloc),
+         |quota AS (SELECT lang, source, c,
+         |    CAST(prop + CASE WHEN rr <= rem THEN 1 ELSE 0 END AS INT) AS q FROM ranked),
+         |kept AS (SELECT d.doc_id, d.lang, d.source, c, q,
+         |    row_number() OVER (PARTITION BY d.lang, d.source ORDER BY draw, doc_id) AS rn
+         |  FROM d JOIN quota USING (lang, source))
+         |SELECT doc_id, lang, source, c AS cell_n, q AS cell_quota
+         |FROM kept WHERE rn <= q ORDER BY doc_id""".stripMargin,
+
     "p1_hash_split" ->
       s"""SELECT split, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
          |FROM (SELECT lang, n_chars,

@@ -110,6 +110,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeTarIndex(8L, Array.emptyByteArray).n_members == 0)
   }
 
+  test("zip: central-directory walk round-trips, flags bad CRCs, survives truncation") {
+    val bytes = Multimodal.synthZip(7L, 42L, 9L)
+    val good = Multimodal.decodeZipIndex(7L, bytes)
+    // 206 + 4*1 digit + 42 + 9 = 261
+    assert(good == Multimodal.ZipIndex(7L, 261, 2, "doc7.txt,meta7.json", 51L, 1, 1))
+    // flip a data byte → the recorded CRC no longer matches the recompute
+    val corrupt = bytes.clone()
+    corrupt(38) = (corrupt(38) ^ 0x5A).toByte // first data byte of doc7.txt (30 hdr + 8 name)
+    val c = Multimodal.decodeZipIndex(7L, corrupt)
+    assert(c.crc_ok == 0 && c.structure_ok == 1)
+    // truncation kills the EOCD → structural failure, never a throw
+    val trunc = Multimodal.decodeZipIndex(7L, bytes.take(bytes.length - 30))
+    assert(trunc.structure_ok == 0)
+    assert(Multimodal.decodeZipIndex(8L, Array.emptyByteArray).n_members == 0)
+  }
+
   test("synthesize: even ids are PNG, odd are JPEG, dims follow the formula") {
     val p = Multimodal.decodeHeader(42L, Multimodal.synthesize(42L, 250))
     assert(p == DecodedMeta(42L, 57 + 50, 42 + 16, 42 + 16, "png"))
