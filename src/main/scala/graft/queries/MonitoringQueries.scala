@@ -850,6 +850,41 @@ object MonitoringQueries {
         .orderBy(col("event_type"))
     },
 
+    // SLO burn-rate alerting (the SRE multi-window rule): a page fires
+    // only when BOTH the short window (5 min — catches the spike) and
+    // the long window (1 h — confirms it is sustained) burn error
+    // budget fast. Thresholds are SELF-CALIBRATING against the global
+    // error rate (5m ≥ 2×, 1h ≥ 1.2× the corpus rate in integer bp) —
+    // no fixture-tuned constants. Scale shape: ONE corpus pass partial-
+    // aggregates into 5-min buckets; the 1-h cadence re-aggregates
+    // those bucket rows (m24's single-scan rollup move), the global
+    // rate is a broadcast 1-row aggregate, and the bucket↔hour join
+    // runs on time-proportional aggregate rows — the corpus is never
+    // touched again. All rates are integer bp (e·10000 div n, n ≥ 1 by
+    // construction); the ×10/×12 integer forms express the 1.2 factor
+    // without floats.
+    "m44_burn_rate" -> { (s, dir) =>
+      val b5 = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) div 300000000").as("b5"),
+          when(col("event_type") === "error", 1L).otherwise(0L).as("is_err"))
+        .groupBy(col("b5"))
+        .agg(count(lit(1)).as("n"), sum(col("is_err")).as("e"))
+      val h = b5.groupBy(expr("b5 div 12").as("bh"))
+        .agg(sum(col("n")).as("nh"), sum(col("e")).as("eh"))
+      val g = b5.agg(expr("sum(e) * 10000 div sum(n)").as("g_bp"))
+      b5.withColumn("bh", expr("b5 div 12"))
+        .join(h, Seq("bh"))
+        .crossJoin(broadcast(g))
+        .withColumn("err5_bp", expr("e * 10000 div n"))
+        .withColumn("err1h_bp", expr("eh * 10000 div nh"))
+        .withColumn("fast_burn",
+          (col("err5_bp") >= lit(2) * col("g_bp") &&
+           col("err1h_bp") * 10 >= lit(12) * col("g_bp")).cast("int"))
+        .select(expr("timestamp_micros(b5 * 300000000)").cast("timestamp_ntz").as("bucket"),
+          col("n"), col("e"), col("err5_bp"), col("err1h_bp"), col("fast_burn"))
+        .orderBy(col("bucket"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -1003,6 +1038,21 @@ object MonitoringQueries {
          |  CAST((vc * (t1 - mark) + v1 * (mark - ts_us)) // (t1 - ts_us) AS BIGINT) AS interp_cents,
          |  CAST(CAST((vc * (t1 - mark) + v1 * (mark - ts_us)) // (t1 - ts_us) AS BIGINT) AS DOUBLE) / 100.0 AS v_interp
          |FROM g ORDER BY user_id, mark_us""".stripMargin,
+
+    "m44_burn_rate" ->
+      s"""WITH b5 AS (SELECT $tsUs // 300000000 AS b5,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS e
+         |  FROM events GROUP BY 1),
+         |h AS (SELECT b5 // 12 AS bh, CAST(sum(n) AS BIGINT) AS nh,
+         |    CAST(sum(e) AS BIGINT) AS eh FROM b5 GROUP BY 1),
+         |g AS (SELECT CAST(sum(e) AS BIGINT) * 10000 // CAST(sum(n) AS BIGINT) AS g_bp FROM b5)
+         |SELECT make_timestamp(b5 * 300000000) AS bucket, n, e,
+         |  e * 10000 // n AS err5_bp, eh * 10000 // nh AS err1h_bp,
+         |  CAST(CASE WHEN e * 10000 // n >= 2 * g_bp
+         |    AND (eh * 10000 // nh) * 10 >= 12 * g_bp THEN 1 ELSE 0 END AS INT) AS fast_burn
+         |FROM b5 JOIN h ON b5 // 12 = bh CROSS JOIN g
+         |ORDER BY bucket""".stripMargin,
 
     // day-split omitted on purpose: the merge is plain count addition,
     // so merged-by-day == built-on-full by associativity (the property

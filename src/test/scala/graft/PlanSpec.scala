@@ -302,6 +302,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
 
+  test("p10: quota windows run on the cells aggregate; the corpus rides broadcast + quota heaps") {
+    val p = plan("p10_quota_matrix")
+    // selection must be the variable-quota TopNPerKey, never a corpus
+    // row_number; the quota table joins back as a broadcast
+    assert(p.contains("TopNPerKey"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // windows are legal here ONLY on the aggregated cells (below them
+    // sits the cells HashAggregate, not the documents scan): every
+    // Window in the plan must sort rows that already passed an agg
+    val lines = p.linesIterator.toList
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0 && lines.drop(winIdx).exists(_.contains("HashAggregate")), p)
+  }
+
+  test("m43: quantile sketch partial-aggregates the corpus once; estimates never touch it again") {
+    val p = plan("m43_quantile_sketch")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("st11: streaming HLL is ONE windowed agg — no join, 64 register columns") {
+    val p = plan("st11_stream_hll")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
   test("st10: p95 histogram is ONE windowed agg — no join, single hash shuffle") {
     val p = plan("st10_stream_p95")
     assert(!p.contains("Join"), p)
