@@ -51,9 +51,11 @@ object HllSketch {
     .map(i => s"CASE WHEN r$i IS NULL THEN 0 ELSE 1 END")
     .mkString("CAST((", " + ", ") AS INT)")
 
-  /** Raw HLL estimate from the harmonic sum: alpha·m²·2^50 ÷ s_total,
-    * as the exact integer form 2904064·2^40 div (1000·(s_total div
-    * 1024)) — matches the m35 oracle digit for digit. */
-  val estimateExpr: String =
-    "2904064 * CAST(1099511627776 AS BIGINT) div (1000 * (s_total div 1024))"
+  /** Raw HLL estimate from a harmonic-sum column: alpha·m²·2^50 ÷ s,
+    * as the exact integer form 2904064·2^40 div (1000·(s div 1024)) —
+    * matches the m35 oracle digit for digit. */
+  def estimateOf(sCol: String): String =
+    s"2904064 * CAST(1099511627776 AS BIGINT) div (1000 * ($sCol div 1024))"
+
+  val estimateExpr: String = estimateOf("s_total")
 }

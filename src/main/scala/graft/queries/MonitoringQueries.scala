@@ -885,6 +885,51 @@ object MonitoringQueries {
         .orderBy(col("bucket"))
     },
 
+    // HLL set ALGEBRA across segments — the reason a 100-TB monitor
+    // keeps sketches at all: per-segment register vectors (here: per
+    // event_type) merge by elementwise MAX into the sketch OF THE
+    // UNION — exactly, not approximately (same hash function, max over
+    // the union of keys), so cross-segment distinct counts come from
+    // stored sketch rows without rescanning the corpus. The union
+    // estimate then yields intersection / Jaccard by inclusion-
+    // exclusion. Scale shape: ONE corpus pass partial-aggregates 64
+    // register columns per segment (64 longs of state each); pairing
+    // runs IN-ROW on one collected row of segment sketches (|types| ×
+    // 64 ints) — never a corpus self-join (branch-reuse trap, CLAUDE
+    // §traps). All arithmetic engine-portable integers: ranks, shifted
+    // harmonic terms, the m35 estimate division, inclusion-exclusion,
+    // truncating Jaccard bp.
+    "m45_hll_algebra" -> { (s, dir) =>
+      import graft.functions.HllSketch
+      val hashed = HllSketch.withIndexRank(
+        Tables.events(s, dir).select(col("event_type"), col("user_id")),
+        col("user_id"))
+      val aggs = HllSketch.registerAggs
+      val perType = hashed.groupBy(col("event_type"))
+        .agg(aggs.head, aggs.tail: _*)
+        .withColumn("s_total", expr(HllSketch.sTotalExpr))
+        .withColumn("est", expr(HllSketch.estimateExpr))
+        .withColumn("regs", array((0 until HllSketch.registers)
+          .map(i => coalesce(col(s"r$i"), lit(0))): _*))
+        .select(col("event_type"), col("regs"), col("est"))
+      perType
+        .agg(expr("array_sort(collect_list(struct(event_type, regs, est)))").as("sk"))
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(sk) - 1), i -> " +
+          "transform(sequence(0, i - 1), j -> struct(sk[j] AS a, sk[i] AS b))))")).as("p"))
+        .select(col("p.a.event_type").as("type_a"), col("p.b.event_type").as("type_b"),
+          col("p.a.est").as("est_a"), col("p.b.est").as("est_b"),
+          expr("aggregate(zip_with(p.a.regs, p.b.regs, (x, y) -> " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(50 - greatest(x, y) AS INT))), " +
+            "CAST(0 AS BIGINT), (acc, t) -> acc + t)").as("s_union"))
+        .withColumn("est_union", expr(HllSketch.estimateOf("s_union")))
+        .withColumn("est_inter",
+          expr("greatest(CAST(0 AS BIGINT), est_a + est_b - est_union)"))
+        .withColumn("jaccard_bp", expr("est_inter * 10000 div est_union"))
+        .drop("s_union")
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     "m14_active_csv" -> { (s, dir) =>
       Tables.supplier(s, dir)
         .groupBy(col("s_nationkey").as("nationkey"))
@@ -1098,6 +1143,42 @@ object MonitoringQueries {
         |  exact_distinct,
         |  CAST(abs(est_distinct - exact_distinct) * 10000 // exact_distinct AS BIGINT) AS err_bp
         |FROM est""".stripMargin,
+
+    "m45_hll_algebra" ->
+      """WITH h AS (SELECT event_type, md5('hll|' || CAST(user_id AS VARCHAR)) AS _h FROM events),
+        |rk AS (SELECT event_type,
+        |    ((strpos('0123456789abcdef', substr(_h, 1, 1)) - 1) * 16 +
+        |     (strpos('0123456789abcdef', substr(_h, 2, 1)) - 1)) % 64 AS idx,
+        |    CASE WHEN lz >= 12 THEN 49 ELSE lz * 4 +
+        |      (CASE WHEN strpos('0123456789abcdef', substr(tail, lz + 1, 1)) - 1 >= 8 THEN 0
+        |            WHEN strpos('0123456789abcdef', substr(tail, lz + 1, 1)) - 1 >= 4 THEN 1
+        |            WHEN strpos('0123456789abcdef', substr(tail, lz + 1, 1)) - 1 >= 2 THEN 2
+        |            ELSE 3 END) + 1 END AS rnk
+        |  FROM (SELECT event_type, _h, substr(_h, 3, 12) AS tail,
+        |      length(regexp_extract(substr(_h, 3, 12), '^0*')) AS lz FROM h) t),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |grid AS (SELECT t.event_type, g.idx
+        |  FROM types t CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS idx) g),
+        |regs AS (SELECT event_type, idx, max(rnk) AS mreg FROM rk GROUP BY 1, 2),
+        |fr AS (SELECT grid.event_type, grid.idx, COALESCE(regs.mreg, 0) AS mreg
+        |  FROM grid LEFT JOIN regs ON grid.event_type = regs.event_type AND grid.idx = regs.idx),
+        |est AS (SELECT event_type,
+        |    2904064 * CAST(1099511627776 AS BIGINT) //
+        |      (1000 * (CAST(sum(CAST(1 AS BIGINT) << CAST(50 - mreg AS INT)) AS BIGINT) // 1024)) AS est
+        |  FROM fr GROUP BY 1),
+        |u AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(50 - greatest(a.mreg, b.mreg) AS INT)) AS BIGINT) AS s_union
+        |  FROM fr a JOIN fr b ON a.idx = b.idx AND a.event_type < b.event_type
+        |  GROUP BY 1, 2),
+        |uu AS (SELECT type_a, type_b,
+        |    2904064 * CAST(1099511627776 AS BIGINT) // (1000 * (s_union // 1024)) AS est_union
+        |  FROM u)
+        |SELECT type_a, type_b, ea.est AS est_a, eb.est AS est_b, est_union,
+        |  greatest(CAST(0 AS BIGINT), ea.est + eb.est - est_union) AS est_inter,
+        |  greatest(CAST(0 AS BIGINT), ea.est + eb.est - est_union) * 10000 // est_union AS jaccard_bp
+        |FROM uu JOIN est ea ON ea.event_type = uu.type_a
+        |JOIN est eb ON eb.event_type = uu.type_b
+        |ORDER BY type_a, type_b""".stripMargin,
 
     "m34_error_uptime" ->
       s"""SELECT user_id,

@@ -546,6 +546,34 @@ object RelationalQueries {
           substring($"p_type", 1, 4).as("type_prefix"),
           concat_ws("|", $"p_brand", $"p_type").as("brand_type"))
         .orderBy($"p_partkey")
+    },
+
+    // bucketed CO-LOCATED join — the storage-layout lever for the
+    // 100-TB fact⋈fact join: both sides are WRITTEN bucketed on the
+    // join key (8 buckets here; thousands on a cluster), so the
+    // sort-merge join reads pre-partitioned buckets and needs NO
+    // exchange on either input (gated in PlanSpec; the only shuffles
+    // left are the post-join segment agg and the final sort, both on
+    // tiny aggregate rows). hint("merge") pins the SMJ so the
+    // co-located shape — not a broadcast — is what executes even at
+    // small SF. The bucketed write is PART of the measured operator:
+    // layout cost is paid once, and every later join on the key is
+    // shuffle-free.
+    "q36_bucketed_join" -> { (s, dir) =>
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_q36")
+      Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/orders").saveAsTable("graft_q36_orders")
+      Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/customer").saveAsTable("graft_q36_customer")
+      s.table("graft_q36_orders").hint("merge")
+        .join(s.table("graft_q36_customer"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(cents($"o_totalprice")) / 100.0).as("total_price"))
+        .orderBy($"c_mktsegment")
     }
   )
 
@@ -857,6 +885,12 @@ object RelationalQueries {
         |  concat_ws('|', p_brand, p_type) AS brand_type
         |FROM part
         |WHERE p_name LIKE '%e%' AND regexp_matches(p_name, '^(red|blue|hot)')
-        |ORDER BY p_partkey""".stripMargin
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q36_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -289,10 +289,40 @@ object SamplingQueries {
           min(col("_x")).as("min_x"), max(col("_x")).as("max_x"),
           min(col("_y")).as("min_y"), max(col("_y")).as("max_y"))
         .orderBy(col("bucket"))
+    },
+
+    // partition-pruned layout scan — the hive-partitioned-by-day layout
+    // a 100-TB event store actually ships, written then read back with
+    // a day predicate that prunes at PLANNING time: non-matching
+    // partition directories are never opened (PartitionFilters gate in
+    // PlanSpec/BucketingSpec — here 3 of 30 days survive, so ~90% of
+    // the corpus is skipped before a single row is read). The write is
+    // part of the measured operator: layout cost is paid once, every
+    // later time-ranged read pays only for the days it needs. Pairs
+    // with p8 (z-order = intra-file skipping) as the two layout levers.
+    "p11_partition_prune" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_p11")
+      Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(s"$base/events")
+      s.read.parquet(s"$base/events")
+        .filter(col("day").between("2024-01-05", "2024-01-07"))
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          (sum(expr("CAST(round(value * 100) AS BIGINT)")) / 100.0).as("total_value"))
+        .withColumn("day", col("day").cast("timestamp_ntz"))
+        .orderBy(col("day"), col("event_type"))
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "p11_partition_prune" ->
+      """SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP) AS day, event_type,
+        |  count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS total_value
+        |FROM events
+        |WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-07'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "p10_quota_matrix" ->
       s"""WITH d AS (SELECT doc_id, lang, source,
          |    md5('q2d|' || CAST(doc_id AS VARCHAR)) AS draw FROM documents),

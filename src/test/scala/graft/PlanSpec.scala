@@ -397,4 +397,32 @@ class PlanSpec extends AnyFunSuite {
     assert(analyzed.linesIterator.count(_.contains("Join Cross")) <= 1, analyzed)
     assert(analyzed.contains("explode"), analyzed)
   }
+
+  test("q36: bucketed join is sort-merge with NO exchange on either input") {
+    val p = plan("q36_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // co-located: neither side re-shuffles on the join key — the only
+    // exchanges are the post-join segment agg and the final sort
+    assert("Exchange hashpartitioning\\(o_custkey".r.findFirstIn(p).isEmpty, p)
+    assert("Exchange hashpartitioning\\(c_custkey".r.findFirstIn(p).isEmpty, p)
+    // the scans report their bucket count
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
+
+  test("m45: sketch algebra partial-aggregates the corpus once; pairing never rejoins it") {
+    val df = SparkEntry.queries("m45_hll_algebra")(spark, sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    // one corpus scan (a single relation leaf), no self-join of the sketch
+    assert(p.linesIterator.count(_.contains("Relation")) == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("p11: day predicate prunes partitions at the scan — no day filter post-scan") {
+    val df = SparkEntry.queries("p11_partition_prune")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(day"), p)
+    // pruning happened at planning: the partition count in the scan is
+    // the 3 matching days, so no Filter node re-checks `day`
+    assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Filter") && l.contains("day")), p)
+  }
 }
