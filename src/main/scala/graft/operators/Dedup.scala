@@ -78,19 +78,30 @@ object Dedup {
       .agg(minCols.head, minCols.drop(1): _*)
   }
 
+  /** (doc id, band key) rows from a signature frame — band key = band id
+    * ":" concat of the band's `rows` signatures, byte-identical to
+    * hashing per band in the oracle's formulation. */
+  private def bandedKeys(mins: DataFrame, idCol: String, bands: Int,
+      rows: Int): DataFrame = {
+    val bandKeys = (0 until bands).map { b =>
+      concat(lit(s"$b:") +: (b * rows until (b + 1) * rows)
+        .map(h => col(s"_m$h")): _*)
+    }
+    mins.select(col(idCol), explode(array(bandKeys: _*)).as("_key"))
+  }
+
+  /** In-bucket pair explode over a sorted `_ids` array column. */
+  private val bucketPairsExpr: String =
+    "flatten(transform(sequence(0, size(_ids) - 2), i -> " +
+    "transform(slice(_ids, i + 2, size(_ids) - i - 1), " +
+    "y -> struct(_ids[i] AS id_a, y AS id_b))))" // [] is 0-based, slice is 1-based
+
   /** LSH candidate pairs: MinHash signatures → band keys → bounded
     * bucket pair explode (no self-join anywhere). */
   def lshCandidates(docs: DataFrame, idCol: String, textCol: String,
       bands: Int, rows: Int, maxBucket: Int = 64): DataFrame = {
     val mins = minhashSignatures(docs, idCol, textCol, bands * rows)
-    // band key = band id ":" concat of the band's `rows` signatures —
-    // byte-identical to hashing per band in the oracle's formulation
-    val bandKeys = (0 until bands).map { b =>
-      concat(lit(s"$b:") +: (b * rows until (b + 1) * rows)
-        .map(h => col(s"_m$h")): _*)
-    }
-    val banded = mins
-      .select(col(idCol), explode(array(bandKeys: _*)).as("_key"))
+    val banded = bandedKeys(mins, idCol, bands, rows)
     // Pair generation WITHOUT a self-join: group band keys into bounded
     // id arrays and explode each bucket's pairs directly. A self-join on
     // the band key would evaluate the whole shingle/hash pipeline twice
@@ -107,11 +118,38 @@ object Dedup {
     banded.groupBy(col("_key"))
       .agg(sort_array(collect_list(col(idCol))).as("_ids"))
       .filter(size(col("_ids")).between(2, maxBucket))
-      .select(explode(expr(
-        "flatten(transform(sequence(0, size(_ids) - 2), i -> " +
-        "transform(slice(_ids, i + 2, size(_ids) - i - 1), " +
-        "y -> struct(_ids[i] AS id_a, y AS id_b))))")).as("p")) // [] is 0-based, slice is 1-based
+      .select(explode(expr(bucketPairsExpr)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+  }
+
+  /** Incremental LSH dedup: candidate pairs for a NEW batch against an
+    * already-indexed corpus — the nightly-crawl shape. One signature
+    * pass covers both sides here (in production the index side's band
+    * keys are precomputed and stored; re-deriving them changes cost,
+    * not semantics), but pair GENERATION is what the incremental
+    * contract bounds: only buckets containing at least one new doc
+    * explode, and only pairs touching a new doc emit — the index is
+    * NEVER re-paired against itself, so a day's increment costs
+    * O(|new|·bucket) instead of re-running corpus-wide dedup.
+    *
+    * `newPred(v)` renders a SQL predicate deciding whether doc id `v`
+    * belongs to the new batch (id-derivable in the fixture; a real
+    * pipeline would carry an is_new column into the bucket structs).
+    */
+  def lshCandidatesIncremental(docs: DataFrame, idCol: String,
+      textCol: String, bands: Int, rows: Int, newPred: String => String,
+      maxBucket: Int = 64): DataFrame = {
+    val mins = minhashSignatures(docs, idCol, textCol, bands * rows)
+    bandedKeys(mins, idCol, bands, rows)
+      .groupBy(col("_key"))
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+      // pure-index buckets never explode: the increment's cost bound
+      .filter(expr(s"exists(_ids, x -> ${newPred("x")})"))
+      .select(explode(expr(bucketPairsExpr)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .filter(expr(newPred("id_a")) || expr(newPred("id_b")))
       .distinct()
   }
 

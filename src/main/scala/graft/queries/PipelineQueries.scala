@@ -12,9 +12,33 @@ import graft.multimodal.Multimodal
   */
 object PipelineQueries {
 
+  /** Directed kNN edges (k=3): s9's sub-split sign-LSH bucket pairing,
+    * top-3 by cosine per vector via bounded heaps, checkpointed so
+    * downstream graph passes (s9 census, s10 PageRank iterations)
+    * never re-evaluate the candidate pipeline. */
+  private def knnTopEdges(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val vecs = Tables.embeddings(s, dir)
+    val bb = Similarity.subSplitBlocks(vecs, "embedding",
+        Similarity.signBucket("embedding", 4), cap = 256, bits1 = 8, bits2 = 12)
+      .select(col("_base"), col("_lvl"), col("_sub"), col("vec_id"), col("embedding"))
+    val edges = bb.select(col("_base"), col("_lvl"), col("_sub"),
+        col("vec_id").as("id_a"), col("embedding").as("va"))
+      .join(bb.select(col("_base"), col("_lvl"), col("_sub"),
+        col("vec_id").as("id_b"), col("embedding").as("vb")),
+        Seq("_base", "_lvl", "_sub"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
+      .select(col("id_a"), col("id_b"), col("sim"))
+    graft.operators.Relational.topNPerGroupFast(edges, 3,
+        Seq("id_a"), Seq(("sim", false), ("id_b", true)))
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .localCheckpoint(true)
+  }
+
   /** DuckDB CTE producing per-doc distinct word-3-gram shingle lists —
     * the exact mirror of Dedup.shingles. */
-  private val shingleCte =
+  private val shingleBase =
     """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),
       |sh AS (SELECT doc_id,
       |  list_distinct(CASE WHEN len(wd) >= 3
@@ -28,7 +52,10 @@ object PipelineQueries {
       |  FROM sh2),
       |bands AS (SELECT doc_id, CAST(b AS VARCHAR) || ':' || g[2*b+1] || g[2*b+2] AS k
       |  FROM sig, generate_series(0, 3) t(b)),
-      |bandsk AS (SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY k) <= 64),
+      |bandsk AS (SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY k) <= 64)""".stripMargin
+
+  private val shingleCte = shingleBase +
+    """,
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
       |  FROM bandsk a JOIN bandsk c USING (k) WHERE a.doc_id < c.doc_id)""".stripMargin
 
@@ -66,6 +93,32 @@ object PipelineQueries {
        |  FROM vc),
        |vkk AS (SELECT vec_id, e, n2, base, lvl, sub FROM vk
        |  WHERE lvl IS NOT NULL AND bn >= 2)""".stripMargin
+
+  /** DuckDB mirror of knnTopEdges: the s9 sub-split pairing + top-3
+    * per vector — shared by the s9 census and s10 PageRank oracles. */
+  private lazy val knnTopCte: String =
+    s"""$vecCte,
+       |${subSplitCte(
+          "CAST(list_sum(list_transform(generate_series(0, 3), i -> " +
+          "CASE WHEN coalesce(e[i+1], 1) >= 0 THEN (1 << i) ELSE 0 END)) AS INT)",
+          256, 8, 12)},
+       |edges AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+       |  FROM vkk a JOIN vkk b ON a.base = b.base AND a.lvl = b.lvl
+       |    AND a.sub = b.sub AND a.vec_id <> b.vec_id),
+       |top AS (SELECT id_a, id_b, sim FROM (
+       |    SELECT id_a, id_b, sim,
+       |      row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn
+       |    FROM edges) t WHERE rn <= 3)""".stripMargin
+
+  /** One integer-PageRank iteration as a CTE: rank in millionths,
+    * per-edge contribution r // outdeg, damping 85·Σ // 100. */
+  private def prIterCte(prev: String, cur: String): String =
+    s"""$cur AS (SELECT n.id, CAST(150000 + (85 * COALESCE(s.x, 0)) // 100 AS BIGINT) AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT t.id_b AS id, CAST(sum(r.r // o.outdeg) AS BIGINT) AS x
+       |    FROM top t JOIN outd o ON t.id_a = o.id_a
+       |    JOIN $prev r ON r.id = t.id_a GROUP BY 1) s ON n.id = s.id)""".stripMargin
 
   /** s6 integer-k-means oracle fragments (mirror of
     * Similarity.trainIvfCodebook at dim=64, scale=64). Assignment of
@@ -152,6 +205,26 @@ object PipelineQueries {
         .withColumn("sb", Similarity.signBucket("embedding", 4))
       Similarity.cosineDupPairs(vecs, "vec_id", "embedding", "sb",
           threshold = 0.35, maxBlock = 1024, splitBits = (8, 12))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // INCREMENTAL dedup — the nightly-crawl shape: the day's new batch
+    // (doc_id ≡ 4 mod 5, ~20%) is deduped against the already-indexed
+    // corpus without EVER re-pairing the index against itself — pure-
+    // index LSH buckets never explode and index×index pairs never emit
+    // (asserted in RegressionSpec), so a day's increment costs
+    // O(|new|·bucket), not a corpus-wide re-dedup. Verified candidates
+    // carry which channel they came from (new-new vs new-index) — the
+    // split an ingest monitor alerts on (new-new spikes = a duplicated
+    // crawl frontier; new-index spikes = re-crawling known content).
+    "d18_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.lshCandidatesIncremental(docs, "doc_id", "text",
+        bands = 4, rows = 2, v => s"$v % 5 = 4")
+      Dedup.jaccardVerify(cand, docs, "doc_id", "text", threshold = 0.3)
+        .withColumn("kind",
+          when(col("id_a") % 5 === 4 && col("id_b") % 5 === 4, "new-new")
+            .otherwise("new-index"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -364,23 +437,7 @@ object PipelineQueries {
     // don't re-evaluate the candidate pipeline. Reciprocity is an
     // unordered-pair groupBy (count=2 ⇒ mutual), not a self-join.
     "s9_knn_graph" -> { (s, dir) =>
-      import graft.functions.VectorFunctions
-      val vecs = Tables.embeddings(s, dir)
-      val bb = Similarity.subSplitBlocks(vecs, "embedding",
-          Similarity.signBucket("embedding", 4), cap = 256, bits1 = 8, bits2 = 12)
-        .select(col("_base"), col("_lvl"), col("_sub"), col("vec_id"), col("embedding"))
-      val edges = bb.select(col("_base"), col("_lvl"), col("_sub"),
-          col("vec_id").as("id_a"), col("embedding").as("va"))
-        .join(bb.select(col("_base"), col("_lvl"), col("_sub"),
-          col("vec_id").as("id_b"), col("embedding").as("vb")),
-          Seq("_base", "_lvl", "_sub"))
-        .filter(col("id_a") =!= col("id_b"))
-        .withColumn("sim", round(VectorFunctions.cosine(col("va"), col("vb")), 6))
-        .select(col("id_a"), col("id_b"), col("sim"))
-      val top = graft.operators.Relational.topNPerGroupFast(edges, 3,
-          Seq("id_a"), Seq(("sim", false), ("id_b", true)))
-        .select(col("id_a"), col("id_b"), col("sim"))
-        .localCheckpoint(true)
+      val top = knnTopEdges(s, dir)
       val mutualPerVec = top
         .groupBy(least(col("id_a"), col("id_b")).as("pa"),
           greatest(col("id_a"), col("id_b")).as("pb"))
@@ -394,6 +451,44 @@ object PipelineQueries {
         .join(mutualPerVec, Seq("vec_id"), "left")
         .withColumn("n_mutual", coalesce(col("n_mutual"), lit(0)))
         .orderBy(col("vec_id"))
+    },
+
+    // graph centrality over the kNN graph — integer PageRank, the
+    // standard "which samples anchor dense semantic regions" signal
+    // (curation keeps/weights central exemplars, prunes satellites).
+    // 3 damped iterations in EXACT integer arithmetic (ranks in
+    // millionths; per-edge contribution = rank div outdeg, damping as
+    // 85·Σ div 100) so partial-agg order can't change a digit. Scale
+    // shape: the edge list is built ONCE (s9's bucketed pipeline,
+    // bounded heaps) and checkpointed — each iteration is one
+    // broadcast-size join + one partial-agg groupBy on the EDGE table
+    // (3 rows per vector), never back to the embedding corpus; dangling
+    // nodes (in-edges only) hold the damping floor by construction.
+    "s10_graph_rank" -> { (s, dir) =>
+      val top = knnTopEdges(s, dir).select(col("id_a"), col("id_b"))
+      val outd = top.groupBy(col("id_a")).agg(count(lit(1)).as("outdeg"))
+      val edges = top.join(outd, Seq("id_a"))
+      val nodes = top.select(col("id_a").as("vec_id"))
+        .union(top.select(col("id_b"))).distinct()
+      var ranks = nodes.withColumn("r", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val contribs = edges
+          .join(ranks, edges("id_a") === ranks("vec_id"))
+          .select(col("id_b").as("vec_id"), expr("r div outdeg").as("c"))
+          .groupBy(col("vec_id")).agg(sum(col("c")).as("in_sum"))
+        ranks = nodes.join(contribs, Seq("vec_id"), "left")
+          .withColumn("r", expr("150000 + (85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100"))
+          .select(col("vec_id"), col("r"))
+      }
+      val ind = top.groupBy(col("id_b").as("vec_id"))
+        .agg(count(lit(1)).cast("int").as("in_deg"))
+      ranks
+        .join(ind, Seq("vec_id"), "left")
+        .join(outd.select(col("id_a").as("vec_id"),
+          col("outdeg").cast("int").as("out_deg")), Seq("vec_id"), "left")
+        .select(col("vec_id"), coalesce(col("in_deg"), lit(0)).as("in_deg"),
+          coalesce(col("out_deg"), lit(0)).as("out_deg"), col("r").as("rank_e6"))
+        .orderBy(col("rank_e6").desc, col("vec_id"))
     },
 
     // result-set diversity evaluation: average/max pairwise cosine
@@ -990,6 +1085,18 @@ object PipelineQueries {
          |    AND a.sub = b.sub AND a.vec_id < b.vec_id) t
          |WHERE sim > 0.35 ORDER BY id_a, id_b""".stripMargin,
 
+    "d18_incremental_dedup" ->
+      s"""WITH $shingleBase,
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM bandsk a JOIN bandsk c USING (k)
+         |  WHERE a.doc_id < c.doc_id AND (a.doc_id % 5 = 4 OR c.doc_id % 5 = 4)),
+         |j AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / len(list_distinct(x.s || y.s)) AS jaccard
+         |  FROM cand JOIN sh2 x ON id_a = x.doc_id JOIN sh2 y ON id_b = y.doc_id)
+         |SELECT id_a, id_b, jaccard,
+         |  CASE WHEN id_a % 5 = 4 AND id_b % 5 = 4 THEN 'new-new' ELSE 'new-index' END AS kind
+         |FROM j WHERE jaccard >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
     "d7_dedup_apply" ->
       s"""WITH $shingleCte,
          |dups AS (SELECT DISTINCT id_b AS drop_id
@@ -1167,19 +1274,7 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "s9_knn_graph" ->
-      s"""WITH $vecCte,
-         |${subSplitCte(
-            "CAST(list_sum(list_transform(generate_series(0, 3), i -> " +
-            "CASE WHEN coalesce(e[i+1], 1) >= 0 THEN (1 << i) ELSE 0 END)) AS INT)",
-            256, 8, 12)},
-         |edges AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
-         |  FROM vkk a JOIN vkk b ON a.base = b.base AND a.lvl = b.lvl
-         |    AND a.sub = b.sub AND a.vec_id <> b.vec_id),
-         |top AS (SELECT id_a, id_b, sim FROM (
-         |    SELECT id_a, id_b, sim,
-         |      row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rn
-         |    FROM edges) t WHERE rn <= 3),
+      s"""WITH $knnTopCte,
          |mut AS (SELECT least(id_a, id_b) AS pa, greatest(id_a, id_b) AS pb
          |  FROM top GROUP BY 1, 2 HAVING count(*) = 2),
          |mpv AS (SELECT id AS vec_id, CAST(count(*) AS INT) AS nm FROM (
@@ -1193,6 +1288,23 @@ object PipelineQueries {
          |  FROM top) t
          |LEFT JOIN mpv m ON t.id_a = m.vec_id
          |GROUP BY t.id_a ORDER BY vec_id""".stripMargin,
+
+    "s10_graph_rank" ->
+      s"""WITH $knnTopCte,
+         |outd AS (SELECT id_a, CAST(count(*) AS BIGINT) AS outdeg FROM top GROUP BY 1),
+         |ind AS (SELECT id_b, CAST(count(*) AS INT) AS indeg FROM top GROUP BY 1),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT id_a AS id FROM top UNION ALL SELECT id_b FROM top) u),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |${prIterCte("r0", "r1")},
+         |${prIterCte("r1", "r2")},
+         |${prIterCte("r2", "r3")}
+         |SELECT n.id AS vec_id, CAST(COALESCE(ind.indeg, 0) AS INT) AS in_deg,
+         |  CAST(COALESCE(outd.outdeg, 0) AS INT) AS out_deg, r3.r AS rank_e6
+         |FROM nodes n LEFT JOIN ind ON n.id = ind.id_b
+         |LEFT JOIN outd ON n.id = outd.id_a
+         |JOIN r3 ON n.id = r3.id
+         |ORDER BY rank_e6 DESC, vec_id""".stripMargin,
 
     "s8_topk_diversity" ->
       s"""WITH $vecCte,

@@ -110,6 +110,28 @@ class RegressionSpec extends AnyFunSuite {
     assert(dropped.count() == 0, "an exact-dup sign pile cannot sub-split and must drop")
   }
 
+  test("incremental LSH never emits index-index pairs; new-index dups still surface") {
+    import spark.implicits._
+    // ids 1,2: identical INDEXED docs (a true near-dup pair that a full
+    // dedup would find — the increment must NOT re-find it); id 4 is
+    // NEW (≡4 mod 5) and near-identical to them; id 9 is NEW and
+    // unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (9L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.lshCandidatesIncremental(
+        docs, "doc_id", "text", bands = 4, rows = 2, v => s"$v % 5 = 4")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.contains((1L, 2L)), "index-index pair must never emit")
+    assert(pairs.contains((1L, 4L)) && pairs.contains((2L, 4L)),
+      s"new doc must pair with its index near-dups, got $pairs")
+    assert(!pairs.exists { case (a, b) => a == 9L || b == 9L },
+      "unrelated new doc must produce no candidates")
+  }
+
   test("HLL max-merge of segment sketches IS the sketch of the union — exactly") {
     import spark.implicits._
     import graft.functions.HllSketch
