@@ -515,6 +515,76 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------------------ utf-8
+
+  case class Utf8Audit(doc_id: Long, n_bytes: Int, n_ascii: Int,
+      n_multi: Int, n_invalid: Int, is_valid: Int)
+
+  /** Raw-byte corpus with deterministic encoding damage — the ingest
+    * reality a crawler delivers: per doc_id mod 7, append (3) a C3-lead
+    * byte with a non-continuation follower, (5) a valid 2-byte char in
+    * context, (0) a lone continuation byte, (6) a valid 3-byte char.
+    * The base text is ASCII, so every expected count is arithmetic in
+    * length(text) + doc_id — the oracle predicts the audit exactly. */
+  def synthesizeRawText(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val base = text.getBytes("UTF-8")
+        val suffix: Array[Byte] = (id % 7) match {
+          case 3 => Array(' '.toByte, 0xC3.toByte, '('.toByte)
+          case 5 => " café".getBytes("UTF-8")
+          case 0 => Array(' '.toByte, 0x80.toByte)
+          case 6 => "✓".getBytes("UTF-8")
+          case _ => Array.emptyByteArray
+        }
+        BinaryDoc(id, base ++ suffix)
+      }).toDF()
+  }
+
+  /** Structural UTF-8 scan of `bytes`: classifies every position as
+    * ASCII, a well-formed multi-byte sequence (lead C2-DF/E0-EF/F0-F4
+    * with the right number of continuation bytes), or invalid (bad
+    * lead, missing continuation, or truncation at the buffer end).
+    * Resync-on-error advances ONE byte — the trailing bytes of a broken
+    * sequence are re-classified on their own, the behavior a mojibake
+    * counter needs (one error per broken lead, not per byte). */
+  def utf8Scan(id: Long, bytes: Array[Byte]): Utf8Audit = {
+    var i = 0
+    var ascii = 0; var multi = 0; var invalid = 0
+    def cont(j: Int): Boolean =
+      j < bytes.length && (bytes(j) & 0xC0) == 0x80
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xFF
+      if (b < 0x80) { ascii += 1; i += 1 }
+      else if (b >= 0xC2 && b <= 0xDF) {
+        if (cont(i + 1)) { multi += 1; i += 2 } else { invalid += 1; i += 1 }
+      } else if (b >= 0xE0 && b <= 0xEF) {
+        if (cont(i + 1) && cont(i + 2)) { multi += 1; i += 3 }
+        else { invalid += 1; i += 1 }
+      } else if (b >= 0xF0 && b <= 0xF4) {
+        if (cont(i + 1) && cont(i + 2) && cont(i + 3)) { multi += 1; i += 4 }
+        else { invalid += 1; i += 1 }
+      } else { invalid += 1; i += 1 } // 80-BF lone continuation, C0/C1 overlong, F5-FF
+    }
+    Utf8Audit(id, bytes.length, ascii, multi, invalid,
+      if (invalid == 0) 1 else 0)
+  }
+
+  /** Batched UTF-8 audit (same mapPartitions shape as decodeMeta). */
+  def utf8Audit(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[Utf8Audit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => utf8Scan(d.doc_id, d.payload)))
+      }
+  }
+
   /** Frame sampling plumbing: every `stride`-th byte of the payload is a
     * "frame" (stand-in for video frame extraction). Declarative explode —
     * distributes and prunes like any other lateral view. */

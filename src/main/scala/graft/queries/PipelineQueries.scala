@@ -648,6 +648,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // encoding QA — byte-level UTF-8 audit over raw crawl payloads: a
+    // structural state machine (valid lead + the right continuation
+    // count, resync-on-error advancing one byte) classifies every byte
+    // as ASCII / multi-byte / invalid — the mojibake gate a corpus runs
+    // before any tokenizer sees the bytes. The fixture plants
+    // deterministic damage per doc (bad continuation, lone continuation
+    // byte, plus VALID 2- and 3-byte chars that must NOT count as
+    // damage), and the oracle predicts every count arithmetically — a
+    // scanner bug (resync, range bounds, truncation) breaks the hash.
+    // Scale shape: map-only mapPartitions over payload bytes (x-family
+    // batching), no shuffle before the output sort.
+    "t12_utf8_audit" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeRawText(Tables.documents(s, dir))
+      Multimodal.utf8Audit(payloads, "doc_id", "payload").toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // tokenizer-vocabulary construction: top-200 terms by corpus
     // frequency with cumulative coverage in basis points. Scale shape:
     // term counts are ONE partial-agg hash shuffle; the top-K is a
@@ -1379,6 +1396,17 @@ object PipelineQueries {
         |    // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS BIGINT) AS simpson_bp,
         |  CAST((10000 * count(*)) // CAST(sum(c) AS BIGINT) AS BIGINT) AS ttr_bp
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t12_utf8_audit" ->
+      """SELECT doc_id,
+        |  CAST(length(text) + CASE WHEN doc_id % 7 = 3 THEN 3 WHEN doc_id % 7 = 5 THEN 6
+        |    WHEN doc_id % 7 = 0 THEN 2 WHEN doc_id % 7 = 6 THEN 3 ELSE 0 END AS INT) AS n_bytes,
+        |  CAST(length(text) + CASE WHEN doc_id % 7 = 3 THEN 2 WHEN doc_id % 7 = 5 THEN 4
+        |    WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS n_ascii,
+        |  CAST(CASE WHEN doc_id % 7 IN (5, 6) THEN 1 ELSE 0 END AS INT) AS n_multi,
+        |  CAST(CASE WHEN doc_id % 7 IN (0, 3) THEN 1 ELSE 0 END AS INT) AS n_invalid,
+        |  CAST(CASE WHEN doc_id % 7 IN (0, 3) THEN 0 ELSE 1 END AS INT) AS is_valid
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d11_minhash_accuracy" ->
       s"""WITH $shingleCte

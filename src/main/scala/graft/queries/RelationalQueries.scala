@@ -574,6 +574,43 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"),
           (sum(cents($"o_totalprice")) / 100.0).as("total_price"))
         .orderBy($"c_mktsegment")
+    },
+
+    // multi-format source/sink fidelity: the same fact slice written as
+    // ORC, CSV, and JSON, read back through each reader (explicit
+    // schema — no inference), and aggregated — the three rows MUST
+    // carry identical values, so any writer/reader mangling (quoting,
+    // date parsing, double round-trip, header handling) breaks the
+    // hash against the parquet-derived oracle. This is the ingest
+    // reality of a 100-TB pipeline: upstream drops mixed formats, and
+    // the engine must read them all without value drift. Each format is
+    // scanned independently (three bounded scans of the written slice,
+    // one partial agg each — no shuffle beyond the 3-row union).
+    "q37_format_roundtrip" -> { (s, dir) =>
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_q37")
+      // cmt embeds commas AND double quotes so the CSV writer must
+      // quote-and-escape; any mangling shifts the length/min/max aggs
+      val li = Tables.lineitem(s, dir)
+        .select($"l_orderkey", $"l_quantity", $"l_shipdate", $"l_returnflag",
+          concat($"l_returnflag", lit(",\""), $"l_linestatus", lit("\","),
+            $"l_orderkey".cast("string")).as("cmt"))
+      li.write.mode("overwrite").orc(s"$base/orc")
+      li.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+      li.write.mode("overwrite").json(s"$base/json")
+      val schema = li.schema
+      def aggOf(df: DataFrame, fmt: String): DataFrame =
+        df.agg(count(lit(1)).as("n"),
+          (sum(cents($"l_quantity")) / 100.0).as("qty"),
+          countDistinct($"l_returnflag").as("n_flags"),
+          min($"l_shipdate").cast("timestamp_ntz").as("min_ship"),
+          max($"l_shipdate").cast("timestamp_ntz").as("max_ship"),
+          sum(length($"cmt")).as("cmt_chars"), max($"cmt").as("max_cmt"))
+          .select(lit(fmt).as("format"), col("*"))
+      aggOf(s.read.option("header", "true").schema(schema).csv(s"$base/csv"), "csv")
+        .union(aggOf(s.read.schema(schema).json(s"$base/json"), "json"))
+        .union(aggOf(s.read.orc(s"$base/orc"), "orc"))
+        .orderBy($"format")
     }
   )
 
@@ -891,6 +928,20 @@ object RelationalQueries {
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0 AS total_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q37_format_roundtrip" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |    sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0 AS qty,
+        |    CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_flags,
+        |    CAST(min(l_shipdate) AS TIMESTAMP) AS min_ship,
+        |    CAST(max(l_shipdate) AS TIMESTAMP) AS max_ship,
+        |    CAST(sum(length(cmt)) AS BIGINT) AS cmt_chars,
+        |    max(cmt) AS max_cmt
+        |  FROM (SELECT *, l_returnflag || ',"' || l_linestatus || '",' ||
+        |      CAST(l_orderkey AS VARCHAR) AS cmt FROM lineitem) t)
+        |SELECT f.format, a.* FROM a
+        |CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) f(format)
+        |ORDER BY f.format""".stripMargin
   )
 }

@@ -126,6 +126,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeZipIndex(8L, Array.emptyByteArray).n_members == 0)
   }
 
+  test("utf8Scan: valid sequences, broken leads, truncation, and resync") {
+    import Multimodal.{utf8Scan, Utf8Audit}
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // "a€b" — valid 3-byte char amid ASCII
+    assert(utf8Scan(1, "a€b".getBytes("UTF-8")) == Utf8Audit(1, 5, 2, 1, 0, 1))
+    // 4-byte emoji is one multi sequence
+    assert(utf8Scan(2, "🎉".getBytes("UTF-8")) == Utf8Audit(2, 4, 0, 1, 0, 1))
+    // lone continuation byte: invalid, resync continues to 'x'
+    assert(utf8Scan(3, bytes(0x80, 'x')) == Utf8Audit(3, 2, 1, 0, 1, 0))
+    // C3 followed by non-continuation: ONE invalid, follower re-reads as ASCII
+    assert(utf8Scan(4, bytes(0xC3, 0x28)) == Utf8Audit(4, 2, 1, 0, 1, 0))
+    // 3-byte lead truncated at buffer end: invalid, then its one
+    // continuation byte also invalid (resync-by-one semantics)
+    assert(utf8Scan(5, bytes(0xE2, 0x9C)) == Utf8Audit(5, 2, 0, 0, 2, 0))
+    // C0 overlong lead and F5 out-of-range lead are invalid outright
+    assert(utf8Scan(6, bytes(0xC0, 0xAF)) == Utf8Audit(6, 2, 0, 0, 2, 0))
+    assert(utf8Scan(7, bytes(0xF5, 0x90, 0x90, 0x90)) == Utf8Audit(7, 4, 0, 0, 4, 0))
+    // empty payload is trivially valid
+    assert(utf8Scan(8, Array.emptyByteArray) == Utf8Audit(8, 0, 0, 0, 0, 1))
+  }
+
   test("synthesize: even ids are PNG, odd are JPEG, dims follow the formula") {
     val p = Multimodal.decodeHeader(42L, Multimodal.synthesize(42L, 250))
     assert(p == DecodedMeta(42L, 57 + 50, 42 + 16, 42 + 16, "png"))
