@@ -224,6 +224,88 @@ object Similarity {
     cents.select(col("cent_id").as(idCol), col("c_vec").as(vecCol))
   }
 
+  // ------------------------------------------------------ product quant
+
+  /** PQ subvector rows: (_vid, s, sv) where sv is the s-th width-dim
+    * slice of the vector after int8 quantization ×64 — every component
+    * a small exact long, so assignment (integer L2), centroid update
+    * (floor-div), and ADC dots are bit-identical on any partitioning
+    * and in DuckDB. The ×8 projection-collapse recompute of the
+    * element-wise quantization is deliberate: it is 64 cheap arithmetic
+    * ops, far below the cost of materializing through a shuffle. */
+  def pqSubRows(vectors: DataFrame, idCol: String, vecCol: String,
+      subs: Int, width: Int): DataFrame =
+    vectors
+      .withColumn("_v64", expr(s"transform($vecCol, x -> " +
+        "CAST(greatest(-127.0D, least(127.0D, floor(CAST(x AS DOUBLE) * 127.0D + 0.5D))) " +
+        "AS BIGINT) * 64)"))
+      .select(col(idCol).cast("long").as("_vid"), explode(expr(
+        s"transform(sequence(0, ${subs - 1}), s -> " +
+        s"struct(s AS s, slice(_v64, s * $width + 1, $width) AS sv))")).as("p"))
+      .select(col("_vid"), col("p.s").as("s"), col("p.sv").as("sv"))
+
+  /** Nearest-centroid assignment per (vector, subspace): exact integer
+    * L2, deterministic tie-break on cent_id, centroids broadcast
+    * (subs·k rows). Returns (_vid, s, sv, cell). */
+  def assignPq(subRows: DataFrame, cents: DataFrame): DataFrame =
+    subRows.join(broadcast(cents), Seq("s"))
+      .withColumn("_d", expr(
+        "aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+      .groupBy(col("_vid"), col("s"))
+      // sv is functionally dependent on (_vid, s): first() is value-deterministic
+      .agg(min(struct(col("_d"), col("cent_id"))).as("_m"),
+        first(col("sv")).as("sv"))
+      .select(col("_vid"), col("s"), col("sv"), col("_m.cent_id").as("cell"))
+
+  /** Per-subspace integer k-means (`subs` independent codebooks trained
+    * in ONE partitioned dataframe): exact integer L2 assignment +
+    * floor-div centroid update at scale 64 — training is bit-identical
+    * on any partitioning, and centroids never touch the driver. */
+  def trainPqCodebooks(subRows: DataFrame, width: Int, k: Int,
+      iters: Int): DataFrame = {
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long") // floor div, exact: |a| << 2^53
+    var cents = subRows.filter(col("_vid") < k)
+      .select(col("s"), col("_vid").as("cent_id"), col("sv").as("c"))
+    (1 to iters).foreach { _ =>
+      val sums = (1 to width).map(i => sum(element_at(col("sv"), i)).as(s"_s$i"))
+      cents = assignPq(subRows, cents)
+        .groupBy(col("s"), col("cell").as("cent_id"))
+        .agg(count(lit(1)).as("_n"), sums: _*)
+        .select(col("s"), col("cent_id"),
+          array((1 to width).map(i => fdiv(col(s"_s$i"), col("_n"))): _*).as("c"))
+    }
+    cents
+  }
+
+  /** ADC (asymmetric distance computation) top-k: vectors live as
+    * `subs` one-byte codes; each query dots its subvectors against the
+    * broadcast codebook ONCE (queries·subs·k lookup rows), and scoring
+    * a vector is `subs` table lookups + an integer sum — the
+    * compressed-domain scan that makes a 100-TB ANN index fit in
+    * memory (8 bytes/vector instead of 256). Candidate PRUNING is
+    * orthogonal (IVF, s3/s6); like s1/s4 this baseline scans all
+    * codes. Exact long arithmetic end to end. */
+  def pqTopK(codes: DataFrame, queryRows: DataFrame, cents: DataFrame,
+      k: Int): DataFrame = {
+    val lut = queryRows.join(broadcast(cents), Seq("s"))
+      .select(col("_vid").as("query_id"), col("s"), col("cent_id"),
+        expr("aggregate(zip_with(sv, c, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (acc, t) -> acc + t)").as("dot"))
+    val scores = codes
+      .join(broadcast(lut), Seq("s", "cent_id"))
+      .groupBy(col("query_id"), col("_vid").as("vec_id"))
+      .agg(sum(col("dot")).as("score"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val top = graft.operators.Relational.topNPerGroupFast(scores, k,
+      Seq("query_id"), Seq(("score", false), ("vec_id", true)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("score"))
+  }
+
   /** Embedding near-duplicate pairs, blocked by a key (label, cluster,
     * or LSH bucket) to avoid the full cross product.
     *

@@ -120,6 +120,27 @@ object PipelineQueries {
        |    FROM top t JOIN outd o ON t.id_a = o.id_a
        |    JOIN $prev r ON r.id = t.id_a GROUP BY 1) s ON n.id = s.id)""".stripMargin
 
+  /** s11 PQ oracle fragments: assignment of `sr` subrows to `cin`
+    * centroids by exact integer L2 (tie-break cent_id) → `$asg(_vid,
+    * s, sv, cell)`; pqIterCteSql adds the floor-div centroid update at
+    * the same ×64 scale → `$cout(s, cent_id, c)`. */
+  private def pqAssignCte(cin: String, asg: String): String =
+    s"""$asg AS (SELECT _vid, s, sv, cell FROM (
+       |    SELECT r.vec_id AS _vid, r.s, r.sv, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY r.vec_id, r.s ORDER BY
+       |        list_sum(list_transform(generate_series(1, 8), i ->
+       |          (r.sv[i] - c.c[i]) * (r.sv[i] - c.c[i]))), c.cent_id) AS rn
+       |    FROM sr r JOIN $cin c ON r.s = c.s) t WHERE rn = 1)""".stripMargin
+
+  private def pqIterCte(cin: String, asg: String, cout: String): String =
+    s"""${pqAssignCte(cin, asg)},
+       |${cout}g AS (SELECT s, cell, CAST(count(*) AS BIGINT) AS n, list(sv) AS vl
+       |  FROM $asg GROUP BY 1, 2),
+       |$cout AS (SELECT s, cell AS cent_id, list_transform(generate_series(1, 8), i ->
+       |    CAST((list_sum(list_transform(vl, v -> v[i])) -
+       |      ((list_sum(list_transform(vl, v -> v[i])) % n + n) % n)) // n AS BIGINT)) AS c
+       |  FROM ${cout}g)""".stripMargin
+
   /** s6 integer-k-means oracle fragments (mirror of
     * Similarity.trainIvfCodebook at dim=64, scale=64). Assignment of
     * `vsrc` (vec_id, e, n2) to centroid set `csrc` (cent_id, c): two
@@ -910,6 +931,28 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // product quantization — the memory-side ANN scale lever (s4 int8
+    // = 64 B/vector; PQ = 8 one-byte codes): 8 per-subspace integer
+    // k-means codebooks trained in ONE partitioned dataframe (exact
+    // integer L2 assignment + floor-div update — bit-identical on any
+    // partitioning, codebooks never on the driver), vectors encoded as
+    // 8 codes, queries scored via ADC: a per-query dot table against
+    // the broadcast codebook, then 8 lookups + an integer sum per
+    // vector. Candidate pruning is orthogonal (IVF, s3/s6); like s1/s4
+    // the compressed-domain scan is the declared baseline. Ranking
+    // rides TopNPerKey bounded heaps; every number exact long.
+    "s11_ann_pq" -> { (s, dir) =>
+      val sub = Similarity.pqSubRows(Tables.embeddings(s, dir), "vec_id", "embedding",
+        subs = 8, width = 8)
+      val book = Similarity.trainPqCodebooks(sub, width = 8, k = 16, iters = 2)
+        .localCheckpoint()
+      val codes = Similarity.assignPq(sub, book)
+        .select(col("s"), col("cell").as("cent_id"), col("_vid"))
+      val qs = sub.filter(pmod(col("_vid"), lit(50)) === 0)
+      Similarity.pqTopK(codes, qs, book, k = 3)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // two-stage retrieval: quantized coarse top-10 → full-precision
     // rerank top-3 (the production ANN serving shape: compressed scan,
     // exact rerank of survivors only).
@@ -1657,6 +1700,31 @@ object PipelineQueries {
          |  FROM sims)
          |SELECT query_id, rnk, neighbor_id, sim FROM ranked
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "s11_ann_pq" ->
+      s"""WITH v AS (SELECT vec_id, list_transform(embedding, x ->
+         |    64 * CAST(greatest(-127.0, least(127.0,
+         |      floor(CAST(x AS DOUBLE) * 127.0 + 0.5))) AS BIGINT)) AS v64
+         |  FROM embeddings),
+         |sr AS (SELECT vec_id, s,
+         |    list_transform(generate_series(1, 8), i -> v64[s * 8 + i]) AS sv
+         |  FROM v, generate_series(0, 7) t(s)),
+         |c0 AS (SELECT s, vec_id AS cent_id, sv AS c FROM sr WHERE vec_id < 16),
+         |${pqIterCte("c0", "a1", "c1")},
+         |${pqIterCte("c1", "a2", "c2")},
+         |${pqAssignCte("c2", "cod")},
+         |lut AS (SELECT q.vec_id AS query_id, q.s, c.cent_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+         |      q.sv[i] * c.c[i])) AS BIGINT) AS dot
+         |  FROM (SELECT * FROM sr WHERE vec_id % 50 = 0) q JOIN c2 c ON q.s = c.s),
+         |sc AS (SELECT l.query_id, d._vid AS vec_id, CAST(sum(l.dot) AS BIGINT) AS score
+         |  FROM cod d JOIN lut l ON d.s = l.s AND d.cell = l.cent_id
+         |  WHERE d._vid <> l.query_id GROUP BY 1, 2)
+         |SELECT query_id, CAST(rn AS INT) AS rnk, vec_id, score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+         |  FROM sc) t
+         |WHERE rn <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     "t1_langid" -> {
       val en = TextFunctions.enStop.map(w => s"'$w'").mkString(", ")

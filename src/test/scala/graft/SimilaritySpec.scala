@@ -60,6 +60,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(train(7) == book)
   }
 
+  test("PQ: codebooks partitioning-invariant; identical vectors share codes; self is ADC argmax") {
+    import spark.implicits._
+    // deterministic pseudo-random 64-dim floats in [-0.5, 0.5); vec 30
+    // duplicates vec 7 exactly
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 73 + i * 37) % 101) - 50) / 100.0f)
+    val data = (0L until 30L).map(id => (id, vec(id))) :+ (30L, vec(7L))
+    def subsOf(parts: Int) = Similarity.pqSubRows(
+      spark.createDataset(data).toDF("vec_id", "embedding").repartition(parts),
+      "vec_id", "embedding", subs = 8, width = 8)
+    def train(parts: Int) = Similarity.trainPqCodebooks(subsOf(parts), width = 8,
+        k = 16, iters = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toList))
+      .sortBy(t => (t._1, t._2)).toList
+    val book = train(1)
+    assert(book.forall(_._3.length == 8))
+    // exact integer arithmetic ⇒ bit-identical under any partitioning
+    assert(train(5) == book)
+    // identical vectors encode to identical codes
+    val sub = subsOf(3)
+    val bookDf = Similarity.trainPqCodebooks(sub, 8, 16, 2).localCheckpoint()
+    val codes = Similarity.assignPq(sub, bookDf)
+      .select(col("_vid"), col("s"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert((0 until 8).forall(s => codes((7L, s)) == codes((30L, s))))
+    // the exact duplicate is vec 7's ADC top hit
+    val qs = sub.filter(col("_vid") === 7L)
+    val codesDf = Similarity.assignPq(sub, bookDf)
+      .select(col("s"), col("cell").as("cent_id"), col("_vid"))
+    val top = Similarity.pqTopK(codesDf, qs, bookDf, k = 1).collect()
+    assert(top.length == 1 && top.head.getLong(2) == 30L,
+      s"expected the exact duplicate as top-1, got ${top.mkString}")
+  }
+
   test("cosineDupPairs respects blocking and threshold") {
     import spark.implicits._
     val df = Seq(
