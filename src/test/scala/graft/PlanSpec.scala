@@ -398,6 +398,17 @@ class PlanSpec extends AnyFunSuite {
     assert(analyzed.contains("explode"), analyzed)
   }
 
+  test("s11: PQ codebook and LUT ride broadcasts — no shuffle join anywhere") {
+    val df = SparkEntry.queries("s11_ann_pq")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // encode + ADC joins are broadcasts of the tiny codebook/LUT; the
+    // only exchanges are the per-(vec,s)/per-(query,vec) partial aggs
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // ranking rides the bounded-heap operator, not a global sort
+    assert(p.contains("TopNPerKey"), p)
+  }
+
   test("q36: bucketed join is sort-merge with NO exchange on either input") {
     val p = plan("q36_bucketed_join")
     assert(p.contains("SortMergeJoin"), p)
