@@ -19,8 +19,10 @@ object RunOne {
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, dir)
+    val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
-    println(s"[runone] $name rows=${df.count()}")
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[runone] $name rows=${df.count()} noop_sec=$sec%.3f")
     spark.stop()
   }
 }

@@ -942,6 +942,10 @@ object PipelineQueries {
     // the compressed-domain scan is the declared baseline. Ranking
     // rides TopNPerKey bounded heaps; every number exact long.
     "s11_ann_pq" -> { (s, dir) =>
+      // sub is re-referenced 4× (2 train iterations, encode, queries);
+      // the re-derived scan+quant+explode lineage measured CHEAPER than
+      // an eager localCheckpoint materialization — map-side arithmetic
+      // over a columnar scan beats pinning 8N array rows
       val sub = Similarity.pqSubRows(Tables.embeddings(s, dir), "vec_id", "embedding",
         subs = 8, width = 8)
       val book = Similarity.trainPqCodebooks(sub, width = 8, k = 16, iters = 2)
