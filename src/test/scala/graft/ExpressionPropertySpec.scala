@@ -27,6 +27,51 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("utf8Scan: valid strings decode clean and char counts match the JDK") {
+    import graft.multimodal.Multimodal.utf8Scan
+    // mixed ASCII / 2-byte / 3-byte / 4-byte code points
+    val pool = "abc ,.1€éß中✓😀🎉".toCharArray
+    (1 to 300).foreach { _ =>
+      val sb = new StringBuilder
+      (0 until rng.nextInt(80)).foreach { _ =>
+        val c = pool(rng.nextInt(pool.length))
+        // never emit a lone surrogate half
+        if (!Character.isSurrogate(c)) sb.append(c) else sb.append("😀")
+      }
+      val s = sb.toString
+      val a = utf8Scan(0L, s.getBytes("UTF-8"))
+      assert(a.n_invalid == 0 && a.is_valid == 1, s"'$s' -> $a")
+      // every code point is exactly one ASCII or one multi sequence
+      assert(a.n_ascii + a.n_multi == s.codePointCount(0, s.length), s"'$s' -> $a")
+    }
+  }
+
+  test("utf8Scan: structural invariants hold on 500 random byte soups") {
+    import graft.multimodal.Multimodal.utf8Scan
+    (1 to 500).foreach { _ =>
+      val bytes = Array.fill(rng.nextInt(120))(rng.nextInt(256).toByte)
+      val a = utf8Scan(0L, bytes)
+      assert(a.n_bytes == bytes.length)
+      // classified byte conservation: ascii=1B, invalid=1B, multi=2..4B
+      assert(a.n_ascii + a.n_invalid + 2 * a.n_multi <= a.n_bytes)
+      assert(a.n_ascii + a.n_invalid + 4 * a.n_multi >= a.n_bytes)
+      assert(a.is_valid == (if (a.n_invalid == 0) 1 else 0))
+      // a valid verdict means the JDK decoder accepts the bytes too
+      if (a.is_valid == 1) {
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        try dec.decode(java.nio.ByteBuffer.wrap(bytes))
+        catch { case e: Exception =>
+          // structural validator admits overlong/surrogate encodings the
+          // JDK rejects only for E0/ED/F0/F4 second-byte constraints
+          val lead = bytes.map(_ & 0xFF).find(b => b == 0xE0 || b == 0xED ||
+            b == 0xF0 || b == 0xF4)
+          assert(lead.isDefined,
+            s"JDK rejected bytes the scanner validated: ${bytes.mkString(",")}")
+        }
+      }
+    }
+  }
+
   test("polyHash equals the positional-weight reference on 500 random strings") {
     (1 to 500).foreach { _ =>
       val s = randText()
