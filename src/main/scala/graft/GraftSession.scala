@@ -22,8 +22,10 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
-    // events.parquet carries TIMESTAMP(NANOS); Spark's TimestampType is µs.
-    // Read nanos as Long and normalize in Tables.events.
+    // events.parquet has shipped as TIMESTAMP(NANOS) (older generators) and
+    // TIMESTAMP(MICROS, isAdjustedToUTC=false) (current). Keep nanosAsLong
+    // so a NANOS column arrives as Long; Tables.events normalizes either
+    // form to µs TimestampType.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.filterPushdown", "true")
     // write µs (not INT96) so emitted timestamps match DuckDB's TIMESTAMP

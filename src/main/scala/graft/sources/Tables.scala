@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Typed loaders for the test star schema + pipeline tables.
   *
@@ -24,16 +24,22 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** Events stream table. The source parquet stores TIMESTAMP(NANOS);
-    * with `spark.sql.legacy.parquet.nanosAsLong` the column arrives as a
-    * Long which we floor-convert to µs TimestampType (matching DuckDB's
-    * `CAST(ts_ns AS TIMESTAMP)` truncation).
+  /** Events stream table, normalized so `ts` is always µs TimestampType.
+    *
+    * The generator has shipped two on-disk forms: TIMESTAMP(NANOS) (read
+    * as Long under `spark.sql.legacy.parquet.nanosAsLong`, floor-converted
+    * to µs — matching DuckDB's `CAST(ts_ns AS TIMESTAMP)` truncation) and
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ; the
+    * session is pinned to UTC, so the cast below is identity on the micros
+    * value). Downstream code — `unix_micros`, watermarks, window() — wants
+    * TimestampType; outputs cast back to timestamp_ntz at the edge.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
-      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case _        => raw
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
     }
   }
 }

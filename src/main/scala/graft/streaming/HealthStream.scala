@@ -16,17 +16,19 @@ import org.apache.spark.sql.expressions.Window
   */
 object HealthStream {
 
-  /** events.parquet on-disk schema (ts is TIMESTAMP(NANOS) → read as
-    * Long under nanosAsLong, normalized below). */
+  /** events.parquet on-disk schema (ts is TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) → TIMESTAMP_NTZ, normalized to µs
+    * TimestampType below; the session is UTC so the cast is identity on
+    * the micros value — same contract as Tables.events). */
   val eventSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Continuous source over an events directory/file. */
   def readEventStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast("timestamp"))
 
   /** Windowed health aggregation; valid on both batch and streaming
     * inputs (watermark is a no-op in batch). */

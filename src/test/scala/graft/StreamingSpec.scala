@@ -74,17 +74,20 @@ class StreamingSpec extends AnyFunSuite {
     // the dedup key must carry event-time metadata (the window STRUCT);
     // keyed on an extracted window-start alias the state never evicts
     // and this assertion fails with all 10 stale keys still held
-    def ns(min: Long) = (1704110400000000L + min * 60000000L) * 1000L
+    def ns(min: Long) = 1704110400000000L + min * 60000000L
     val dir = java.nio.file.Files.createTempDirectory("graft_devict")
     def mkBatch(rows: Seq[(Long, Long, Long)], path: String): Unit =
       rows.map { case (id, t, u) => (id, t, u, "view", 1.0, "{}") }
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        .select($"event_id",
+          expr("timestamp_micros(ts_us)").cast("timestamp_ntz").as("ts"),
+          $"user_id", $"event_type", $"value", $"props")
         .coalesce(1).write.parquet(s"$dir/$path")
     // batch 1: 10 distinct users in window [12:00,12:05)
     mkBatch((1L to 10L).map(u => (u, ns(0), u)), "f1")
     val stream = spark.readStream.schema(HealthStream.eventSchema)
       .option("maxFilesPerTrigger", "1").parquet(s"$dir/f*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast("timestamp"))
     val q = HealthStream.windowedDistinctUsers(stream)
       .writeStream.outputMode("append")
       .format("memory").queryName("devict_out").start()
@@ -306,12 +309,15 @@ class StreamingSpec extends AnyFunSuite {
 
   test("late data beyond the watermark is dropped from append-mode windows") {
     import spark.implicits._
-    // 2024-01-01 12:00 UTC in ns; windowedHealth = 5-min windows, 1h watermark
-    def ns(min: Long) = (1704110400000000L + min * 60000000L) * 1000L
+    // 2024-01-01 12:00 UTC in µs; windowedHealth = 5-min windows, 1h watermark
+    def ns(min: Long) = 1704110400000000L + min * 60000000L
     val dir = java.nio.file.Files.createTempDirectory("graft_late")
     def mkBatch(rows: Seq[(Long, Long)], path: String): Unit =
       rows.map { case (id, t) => (id, t, 1L, "view", 1.0, "{}") }
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+        .select($"event_id",
+          expr("timestamp_micros(ts_us)").cast("timestamp_ntz").as("ts"),
+          $"user_id", $"event_type", $"value", $"props")
         .write.parquet(s"$dir/$path")
 
     // batch 1: two events in window [12:00,12:05) + one at 14:00 that
@@ -319,7 +325,7 @@ class StreamingSpec extends AnyFunSuite {
     mkBatch(Seq((1L, ns(0)), (2L, ns(1)), (3L, ns(120))), "f1")
     val stream = spark.readStream.schema(HealthStream.eventSchema)
       .parquet(s"$dir/f*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", col("ts").cast("timestamp"))
     val q = HealthStream.windowedHealth(stream)
       .writeStream.outputMode("append")
       .format("memory").queryName("late_out").start()
