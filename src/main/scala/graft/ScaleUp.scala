@@ -12,7 +12,8 @@ import graft.sources.Tables
   * keys shifted by copy·10^8 — joins stay aligned, key domains stay
   * below 2^31, and time columns are untouched (densities grow, the
   * window count stays — the realistic mix). events.ts passes through
-  * RAW (nanos-as-long) so Tables.events' normalization still applies.
+  * RAW (whatever on-disk form the generator shipped) so Tables.events'
+  * normalization still applies on read-back.
   * Usage:
   *   sbt "runMain graft.ScaleUp /root/testdata/sf0.1 /tmp/sf1 10"
   */

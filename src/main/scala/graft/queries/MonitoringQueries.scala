@@ -936,10 +936,49 @@ object MonitoringQueries {
         .agg(array_join(array_sort(collect_set(col("s_suppkey").cast("string"))), ",")
           .as("active_members"))
         .orderBy(col("nationkey"))
+    },
+
+    // Variant-domain ingest — the reverse of m6's PH_SYSTEM emit: the
+    // 100-TB log store parses each semi-structured line ONCE into Spark
+    // 4's binary VariantType; every later field access is a typed path
+    // read on the shredded encoding, vs get_json_object re-parsing the
+    // string per extraction (m13's shape — fine for one field, quadratic
+    // in fields). The line is synthesized by string concat (the m6
+    // LogLines contract), so parse_json does real work — no
+    // from_json(to_json) elision. Nested-object and array-index paths
+    // extracted typed; one partial-agg shuffle on the (zone, type) grid.
+    "m46_variant_ingest" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val line = concat(
+        lit("{\"node\":{\"id\":"), col("user_id"),
+        lit(",\"zone\":\"z"), pmod(col("user_id"), lit(4)),
+        lit("\"},\"metrics\":[{\"t\":\""), col("event_type"),
+        lit("\",\"v\":"), Monitoring.cents(col("value")), lit("}]}"))
+      ev.select(parse_json(line).as("v"))
+        .select(
+          variant_get(col("v"), "$.node.zone", "string").as("zone"),
+          variant_get(col("v"), "$.metrics[0].t", "string").as("mtype"),
+          variant_get(col("v"), "$.metrics[0].v", "bigint").as("cents"))
+        .groupBy(col("zone"), col("mtype"))
+        .agg(count(lit(1)).as("n"), (sum(col("cents")) / 100.0).as("total_value"))
+        .orderBy(col("zone"), col("mtype"))
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "m46_variant_ingest" ->
+      """WITH lines AS (
+        |  SELECT '{"node":{"id":' || user_id || ',"zone":"z' || (user_id % 4) ||
+        |    '"},"metrics":[{"t":"' || event_type || '","v":' ||
+        |    CAST(round(value * 100) AS BIGINT) || '}]}' AS line
+        |  FROM events)
+        |SELECT json_extract_string(line, '$.node.zone') AS zone,
+        |  json_extract_string(line, '$.metrics[0].t') AS mtype,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract(line, '$.metrics[0].v') AS BIGINT)) AS BIGINT) / 100.0
+        |    AS total_value
+        |FROM lines GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "m28_gap_fill" ->
       s"""WITH e AS (SELECT user_id,
          |    $tsUs - $tsUs % 3600000000 AS b_us, value

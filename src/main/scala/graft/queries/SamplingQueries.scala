@@ -312,10 +312,49 @@ object SamplingQueries {
           (sum(expr("CAST(round(value * 100) AS BIGINT)")) / 100.0).as("total_value"))
         .withColumn("day", col("day").cast("timestamp_ntz"))
         .orderBy(col("day"), col("event_type"))
+    },
+
+    // DYNAMIC partition pruning — p11's static prune needs the day
+    // literal IN the query; real marts filter through a DIMENSION whose
+    // qualifying days are only known after evaluating the dim's own
+    // predicate. Spark turns the broadcast dim into a RUNTIME partition
+    // filter on the fact scan (PartitionFilters: ... dynamicpruning#N —
+    // gated in PlanSpec), so here 25 of 30 day directories are never
+    // opened even though no day literal appears anywhere. At 100 TB this
+    // is the difference between scanning the store and scanning the five
+    // days the dim selects; the dim (5 rows) broadcasts, the DPP
+    // subquery reuses that same broadcast exchange.
+    "p12_dynamic_prune" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_p12")
+      Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+        .write.mode("overwrite").partitionBy("day").parquet(s"$base/events")
+      val fact = s.read.parquet(s"$base/events")
+      // "audit days" dim: one day per region-1 nation (runtime-only set)
+      val dim = Tables.nation(s, dir)
+        .filter(col("n_regionkey") === 1)
+        .select(date_add(to_date(lit("2024-01-01")),
+          col("n_nationkey").cast("int")).as("day"))
+      fact.join(broadcast(dim), "day")
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          (sum(expr("CAST(round(value * 100) AS BIGINT)")) / 100.0).as("total_value"))
+        .withColumn("day", col("day").cast("timestamp_ntz"))
+        .orderBy(col("day"), col("event_type"))
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "p12_dynamic_prune" ->
+      """SELECT CAST(d.day AS TIMESTAMP) AS day, e.event_type,
+        |  count(*) AS n, count(DISTINCT e.user_id) AS n_users,
+        |  sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS total_value
+        |FROM events e
+        |JOIN (SELECT DATE '2024-01-01' + CAST(n_nationkey AS INT) AS day
+        |      FROM nation WHERE n_regionkey = 1) d
+        |  ON CAST(CAST(e.ts AS TIMESTAMP) AS DATE) = d.day
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "p11_partition_prune" ->
       """SELECT CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) AS TIMESTAMP) AS day, event_type,
         |  count(*) AS n, count(DISTINCT user_id) AS n_users,

@@ -436,4 +436,16 @@ class PlanSpec extends AnyFunSuite {
     // the 3 matching days, so no Filter node re-checks `day`
     assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Filter") && l.contains("day")), p)
   }
+
+  test("p12: dim join injects a RUNTIME dynamicpruning partition filter on the fact scan") {
+    val df = SparkEntry.queries("p12_dynamic_prune")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // no day literal exists in the query, yet the fact scan carries a
+    // runtime partition filter fed by the broadcast dim (DPP)
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("PartitionFilters"), p)
+    // the dim side is broadcast (5 rows), never a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
