@@ -14,6 +14,32 @@ import graft.sources.LogLines
 class RegressionSpec extends AnyFunSuite {
   lazy val spark = GraftSession.local()
 
+  test("Tables.events normalizes every on-disk ts form to identical µs timestamps") {
+    import spark.implicits._
+    // the generator has flipped events.ts between TIMESTAMP(NANOS)
+    // (arriving as Long under nanosAsLong) and TIMESTAMP(MICROS, NTZ)
+    // across rounds; both forms must load to the same µs TimestampType
+    // values or every unix_micros/watermark consumer silently breaks
+    val us = 1704110400000000L // 2024-01-01 12:00:00 UTC
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsforms")
+    Seq((1L, us * 1000L + 999L, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/ns/events.parquet") // Long column = the ns form
+    Seq((1L, us, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select($"event_id", expr("timestamp_micros(ts_us)").cast("timestamp_ntz").as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .write.parquet(s"$dir/ntz/events.parquet")
+    val fromNs = graft.sources.Tables.events(spark, s"$dir/ns")
+    val fromNtz = graft.sources.Tables.events(spark, s"$dir/ntz")
+    assert(fromNs.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(fromNtz.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val a = fromNs.select(unix_micros($"ts")).head().getLong(0)
+    val b = fromNtz.select(unix_micros($"ts")).head().getLong(0)
+    assert(a == us, s"ns form must floor-truncate to µs: $a")
+    assert(b == us, s"NTZ form must be identity on µs under UTC: $b")
+  }
+
   test("sampleFrames emits no frames for an empty document") {
     import spark.implicits._
     val docs = Seq((1L, ""), (2L, "abcdef")).toDF("doc_id", "text")
