@@ -515,6 +515,112 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------------------ warc
+
+  case class WarcIndex(doc_id: Long, byte_len: Int, n_records: Int,
+      n_responses: Int, uris: String, content_bytes: Long, structure_ok: Int)
+
+  /** A minimal valid WARC/1.0 shard (ISO 28500 — the CommonCrawl
+    * container, i.e. THE on-disk format of web-scale training text):
+    * one warcinfo record + two response records with deterministic
+    * payload bytes. Headers are CRLF lines, bodies are length-delimited
+    * by Content-Length, records terminate with CRLF CRLF — exactly what
+    * a real WARC reader walks. */
+  def synthWarc(id: Long, s1: Long, s2: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def data(n: Long, seed: Long): Array[Byte] =
+      Array.tabulate(n.toInt)(i => ((seed + i) % 251).toByte)
+    w("WARC/1.0\r\n"); w("WARC-Type: warcinfo\r\n")
+    w("Content-Length: 4\r\n\r\n"); w("info"); w("\r\n\r\n")
+    def response(uri: String, d: Array[Byte]): Unit = {
+      w("WARC/1.0\r\n"); w("WARC-Type: response\r\n")
+      w(s"WARC-Target-URI: $uri\r\n")
+      w(s"Content-Length: ${d.length}\r\n\r\n")
+      out.write(d); w("\r\n\r\n")
+    }
+    response(s"http://ex.org/doc$id", data(s1, id))
+    response(s"http://ex.org/meta$id", data(s2, id + 7))
+    out.toByteArray
+  }
+
+  /** The real reader walk: expect the version line, scan CRLF header
+    * lines to the blank separator collecting WARC-Type /
+    * WARC-Target-URI / Content-Length, skip exactly Content-Length
+    * payload bytes, require the CRLF CRLF terminator, repeat to EOF.
+    * Malformed input (bad version line, unparseable length, missing
+    * terminator, truncation) reports what was walked with
+    * structure_ok = 0 instead of throwing. */
+  def decodeWarcIndex(id: Long, bytes: Array[Byte]): WarcIndex = {
+    var off = 0
+    var nRec = 0
+    var nResp = 0
+    var uris = List.empty[String]
+    var content = 0L
+    var ok = true
+    def line(): String = { // consume one CRLF-terminated ASCII line
+      val start = off
+      while (off + 1 < bytes.length && !(bytes(off) == '\r' && bytes(off + 1) == '\n')) off += 1
+      if (off + 1 >= bytes.length) { ok = false; off = bytes.length; "" }
+      else { val s = new String(bytes, start, off - start, "US-ASCII"); off += 2; s }
+    }
+    while (ok && off < bytes.length) {
+      if (line() != "WARC/1.0") ok = false
+      else {
+        var wtype = ""; var uri = ""; var clen = -1L
+        var h = line()
+        while (ok && h.nonEmpty) {
+          val i = h.indexOf(": ")
+          if (i < 0) ok = false
+          else h.substring(0, i) match {
+            case "WARC-Type"       => wtype = h.substring(i + 2)
+            case "WARC-Target-URI" => uri = h.substring(i + 2)
+            case "Content-Length" =>
+              clen = try h.substring(i + 2).toLong catch { case _: Exception => ok = false; -1L }
+            case _ => ()
+          }
+          if (ok) h = line()
+        }
+        if (ok && (clen < 0 || off + clen + 4 > bytes.length)) ok = false
+        if (ok) {
+          off += clen.toInt
+          if (!(bytes(off) == '\r' && bytes(off + 1) == '\n' &&
+                bytes(off + 2) == '\r' && bytes(off + 3) == '\n')) ok = false
+          else {
+            off += 4; nRec += 1
+            if (wtype == "response") { nResp += 1; uris ::= uri; content += clen }
+          }
+        }
+      }
+    }
+    WarcIndex(id, bytes.length, nRec, nResp, uris.reverse.mkString(","),
+      content, if (ok) 1 else 0)
+  }
+
+  /** Synthesize WARC payloads per doc (the tar/zip triplet — x10/x11/
+    * x12 index the same logical content in the three shard containers). */
+  def synthesizeWarc(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, n) =>
+        BinaryDoc(id, synthWarc(id, n % 100 + 1, id % 50 + 2))
+      }).toDF()
+  }
+
+  /** Batched WARC-index decode (same mapPartitions shape as decodeMeta). */
+  def decodeWarc(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[WarcIndex] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => decodeWarcIndex(d.doc_id, d.payload)))
+      }
+  }
+
   // ------------------------------------------------------------ utf-8
 
   case class Utf8Audit(doc_id: Long, n_bytes: Int, n_ascii: Int,

@@ -575,6 +575,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // WARC shard index — the tar/zip TRIPLET's third container, and the
+    // one web-scale training text actually ships in (CommonCrawl's
+    // ISO 28500 format): synthesize a real WARC/1.0 shard per doc
+    // (warcinfo + two response records, CRLF headers, Content-Length
+    // delimited bodies, CRLF CRLF terminators), then walk it the way a
+    // real WARC reader does — version line, header scan, exact payload
+    // skip, terminator check. Same mapPartitions batching as every
+    // x-decoder; payload bytes never shuffle. Oracle predicts every
+    // field arithmetically (243 + 2·digits + len(s1) + len(s2) + s1 +
+    // s2 byte length), so an off-by-one in the walk breaks the hash.
+    "x12_warc_index" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeWarc(Tables.documents(s, dir))
+      Multimodal.decodeWarc(payloads, "doc_id", "payload").toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // PII redaction: regex scrubbing of emails / IPv4s / long digit runs
     // with per-doc detection counts and a hash of the redacted text.
     // The documents text is digit-free word soup, so a deterministic
@@ -1231,6 +1247,21 @@ object PipelineQueries {
         |    AS member_names,
         |  CAST((n_chars % 100 + 1) + (doc_id % 50 + 2) AS BIGINT) AS data_bytes,
         |  CAST(1 AS INT) AS crc_ok, CAST(1 AS INT) AS structure_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // byte_len: warcinfo 60 + two responses at 74 + len(uri) +
+    // len(str(size)) + size, uris 17+digits and 18+digits
+    "x12_warc_index" ->
+      """SELECT doc_id,
+        |  CAST(243 + 2 * length(CAST(doc_id AS VARCHAR))
+        |    + length(CAST(n_chars % 100 + 1 AS VARCHAR))
+        |    + length(CAST(doc_id % 50 + 2 AS VARCHAR))
+        |    + (n_chars % 100 + 1) + (doc_id % 50 + 2) AS INT) AS byte_len,
+        |  CAST(3 AS INT) AS n_records, CAST(2 AS INT) AS n_responses,
+        |  'http://ex.org/doc' || CAST(doc_id AS VARCHAR) ||
+        |    ',http://ex.org/meta' || CAST(doc_id AS VARCHAR) AS uris,
+        |  CAST((n_chars % 100 + 1) + (doc_id % 50 + 2) AS BIGINT) AS content_bytes,
+        |  CAST(1 AS INT) AS structure_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "d16_signal_audit" ->

@@ -611,10 +611,45 @@ object RelationalQueries {
         .union(aggOf(s.read.schema(schema).json(s"$base/json"), "json"))
         .union(aggOf(s.read.orc(s"$base/orc"), "orc"))
         .orderBy($"format")
+    },
+
+    // schema EVOLUTION read — the 100-TB reality q37 doesn't cover: a
+    // corpus written in waves over years, where later shards carry
+    // columns earlier ones don't (here wave 2 adds `quality`). One
+    // mergeSchema read unions the physical schemas; legacy rows surface
+    // the new column as NULL, and the aggregation must treat them
+    // first-class (count them, null-safe-sum the rest). No rewrite of
+    // the old shards, no per-wave branching in the query — the exact
+    // contract a long-lived training corpus needs from its engine.
+    "q38_schema_evolution" -> { (s, dir) =>
+      import s.implicits._
+      val base = java.nio.file.Files.createTempDirectory("graft_q38")
+      val docs = Tables.documents(s, dir)
+      docs.filter($"doc_id" % 2 === 0)
+        .select($"doc_id", $"lang", $"n_chars")
+        .write.mode("overwrite").parquet(s"$base/wave1")
+      docs.filter($"doc_id" % 2 === 1)
+        .select($"doc_id", $"lang", $"n_chars", ($"doc_id" % 100).as("quality"))
+        .write.mode("overwrite").parquet(s"$base/wave2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/wave1", s"$base/wave2")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_chars").as("sum_chars"),
+          sum(when($"quality".isNull, 1L).otherwise(0L)).as("n_legacy"),
+          sum(coalesce($"quality", lit(0L))).as("sum_quality"))
+        .orderBy($"lang")
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "q38_schema_evolution" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_legacy,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN doc_id % 100 ELSE 0 END) AS BIGINT)
+        |    AS sum_quality
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q35_bag_setops" ->
       """SELECT op, count(*) AS n FROM (
         |  SELECT 'intersect_all' AS op, pk FROM (
