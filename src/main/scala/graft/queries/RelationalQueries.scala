@@ -638,10 +638,43 @@ object RelationalQueries {
           sum(when($"quality".isNull, 1L).otherwise(0L)).as("n_legacy"),
           sum(coalesce($"quality", lit(0L))).as("sum_quality"))
         .orderBy($"lang")
+    },
+
+    // RUNTIME bloom-filter join pruning — p12's DPP sibling for
+    // NON-partition join keys: a selective slice of one fact side
+    // becomes a bloom filter evaluated INSIDE the other side's scan
+    // stage (might_contain — gated in PlanSpec), so most fact rows die
+    // before the join shuffle instead of after it. This is the
+    // production shape of a selective fact⋈fact join at 100 TB, where
+    // the filtered side is far too big to broadcast: an SMJ whose
+    // shuffle carries only probable matches. Demonstrated in an
+    // isolated child session with broadcast off + the application-side
+    // size threshold floored, because at bench SF the filtered side
+    // would broadcast and the fact scan is below the 10 GB default —
+    // the mechanism, not the thresholds, is what must scale.
+    "q39_runtime_filter" -> { (s0, dir) =>
+      val s = s0.newSession()
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import s.implicits._
+      val urgent = Tables.orders(s, dir)
+        .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+      Tables.lineitem(s, dir)
+        .join(urgent, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), (sum(cents($"l_quantity")) / 100.0).as("qty"))
+        .orderBy($"l_returnflag")
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "q39_runtime_filter" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q38_schema_evolution" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,

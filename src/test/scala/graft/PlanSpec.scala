@@ -437,6 +437,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Filter") && l.contains("day")), p)
   }
 
+  test("q39: selective join side injects a runtime bloom filter into the fact scan stage") {
+    val df = SparkEntry.queries("q39_runtime_filter")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the bloom probe runs in the application side's scan stage, so
+    // non-matching fact rows die before the join shuffle
+    assert(p.contains("might_contain"), p)
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
   test("p12: dim join injects a RUNTIME dynamicpruning partition filter on the fact scan") {
     val df = SparkEntry.queries("p12_dynamic_prune")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
