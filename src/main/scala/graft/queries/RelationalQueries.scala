@@ -664,10 +664,44 @@ object RelationalQueries {
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"), (sum(cents($"l_quantity")) / 100.0).as("qty"))
         .orderBy($"l_returnflag")
+    },
+
+    // native recursive CTE (Spark 4 WITH RECURSIVE → UnionLoopExec,
+    // PlanSpec-gated): transitive closure over a parent-link hierarchy —
+    // the topology-walk class (shard → node → replica trees, dependency
+    // chains, org rollups) that previously needed driver-side iteration
+    // (d9/s10's loop shape) or an external engine. The hierarchy is
+    // deterministic from the key (parent = id div 4, roots ≤ 3), so the
+    // per-(root, depth) census is exactly reproducible in DuckDB's
+    // recursive CTE. Each recursion level is one join against the
+    // previous frontier — never the closure so far — and levels are
+    // bounded by log4(maxkey), so the loop terminates at any corpus
+    // size with per-level work proportional to that level's frontier.
+    "q40_recursive_cte" -> { (s, dir) =>
+      Tables.supplier(s, dir).createOrReplaceTempView("rc_supplier")
+      s.sql("""
+        WITH RECURSIVE h(id, root, depth) AS (
+          SELECT s_suppkey, s_suppkey, 0 FROM rc_supplier WHERE s_suppkey <= 3
+          UNION ALL
+          SELECT s.s_suppkey, h.root, h.depth + 1
+          FROM rc_supplier s JOIN h ON s.s_suppkey div 4 = h.id
+          WHERE s.s_suppkey >= 4)
+        SELECT root, depth, count(*) AS n_nodes, CAST(sum(id) AS BIGINT) AS sum_ids
+        FROM h GROUP BY root, depth ORDER BY root, depth""")
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "q40_recursive_cte" ->
+      """WITH RECURSIVE h(id, root, depth) AS (
+        |  SELECT s_suppkey, s_suppkey, 0 FROM supplier WHERE s_suppkey <= 3
+        |  UNION ALL
+        |  SELECT s.s_suppkey, h.root, h.depth + 1
+        |  FROM supplier s JOIN h ON s.s_suppkey // 4 = h.id
+        |  WHERE s.s_suppkey >= 4)
+        |SELECT root, depth, count(*) AS n_nodes, CAST(sum(id) AS BIGINT) AS sum_ids
+        |FROM h GROUP BY root, depth ORDER BY root, depth""".stripMargin,
+
     "q39_runtime_filter" ->
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0 AS qty

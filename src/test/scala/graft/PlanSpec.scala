@@ -437,6 +437,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.linesIterator.exists(l => l.trim.startsWith("+- Filter") && l.contains("day")), p)
   }
 
+  test("q40: WITH RECURSIVE plans as the native UnionLoop operator") {
+    val df = SparkEntry.queries("q40_recursive_cte")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("UnionLoop"), p)
+  }
+
   test("q39: selective join side injects a runtime bloom filter into the fact scan stage") {
     val df = SparkEntry.queries("q39_runtime_filter")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
