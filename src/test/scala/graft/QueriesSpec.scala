@@ -27,6 +27,29 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
+  test("Observation metrics ride the job — no second pass, values match a direct agg") {
+    import org.apache.spark.sql.functions._
+    // the production telemetry hook: a 100-TB ingest accounts rows /
+    // nulls / value mass DURING the job via observe(), instead of
+    // re-scanning the corpus for a metrics pass. Values must equal a
+    // direct aggregation of the same input.
+    val obs = new org.apache.spark.sql.Observation("ingest_metrics")
+    val ev = graft.sources.Tables.events(spark, sf)
+    val out = ev.observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("n_null_users"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    out.collect() // one job; metrics observed on the side
+    val m = obs.get
+    val direct = ev.agg(count(lit(1)),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)),
+      sum(round(col("value") * 100).cast("long"))).head()
+    assert(m("n_rows") == direct.getLong(0))
+    assert(m("n_null_users") == direct.getLong(1))
+    assert(m("value_cents") == direct.getLong(2))
+  }
+
   test("q1 aggregates are internally consistent") {
     val r = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
     assert(r.length == 6) // 3 returnflags x 2 linestatus
