@@ -168,6 +168,17 @@ object Dedup {
     * sum(component) means fixpoint — never by collecting the labels.
     * Dedup clusters are near-cliques, so this converges in 2-3 rounds;
     * maxIters is a runaway bound, not a correctness knob.
+    *
+    * Why not the native recursive CTE (q40's UnionLoop path): connected
+    * components needs UNION **DISTINCT** recursion — under UNION ALL,
+    * min-label propagation around a cycle re-emits the same (node,
+    * label) row forever (a 2-cycle ping-pongs `(b,l)→(c,l)→(b,l)…`
+    * because no accumulated-set dedup exists to retire it), and dedup
+    * graphs are cyclic near-cliques by construction. Spark 4.1 rejects
+    * UNION inside a recursive CTE (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE
+    * — probed empirically, not assumed). A canary in RegressionSpec
+    * pins that error: the day it fails, Spark has shipped distinct
+    * recursion and this loop should migrate to it.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIters: Int = 50): DataFrame = {

@@ -234,29 +234,33 @@ object Similarity {
     * element-wise quantization is deliberate: it is 64 cheap arithmetic
     * ops, far below the cost of materializing through a shuffle. */
   def pqSubRows(vectors: DataFrame, idCol: String, vecCol: String,
-      subs: Int, width: Int): DataFrame =
+      subs: Int, width: Int, keep: Seq[String] = Nil): DataFrame =
     vectors
       .withColumn("_v64", expr(s"transform($vecCol, x -> " +
         "CAST(greatest(-127.0D, least(127.0D, floor(CAST(x AS DOUBLE) * 127.0D + 0.5D))) " +
         "AS BIGINT) * 64)"))
-      .select(col(idCol).cast("long").as("_vid"), explode(expr(
+      .select(col(idCol).cast("long").as("_vid") +: keep.map(col) :+ explode(expr(
         s"transform(sequence(0, ${subs - 1}), s -> " +
-        s"struct(s AS s, slice(_v64, s * $width + 1, $width) AS sv))")).as("p"))
-      .select(col("_vid"), col("p.s").as("s"), col("p.sv").as("sv"))
+        s"struct(s AS s, slice(_v64, s * $width + 1, $width) AS sv))")).as("p"): _*)
+      .select(col("_vid") +: keep.map(col) :+ col("p.s").as("s") :+
+        col("p.sv").as("sv"): _*)
 
   /** Nearest-centroid assignment per (vector, subspace): exact integer
     * L2, deterministic tie-break on cent_id, centroids broadcast
     * (subs·k rows). Returns (_vid, s, sv, cell). */
-  def assignPq(subRows: DataFrame, cents: DataFrame): DataFrame =
+  def assignPq(subRows: DataFrame, cents: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
     subRows.join(broadcast(cents), Seq("s"))
       .withColumn("_d", expr(
         "aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), " +
         "CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
       .groupBy(col("_vid"), col("s"))
-      // sv is functionally dependent on (_vid, s): first() is value-deterministic
+      // sv (and any kept column) is functionally dependent on (_vid, s):
+      // first() is value-deterministic
       .agg(min(struct(col("_d"), col("cent_id"))).as("_m"),
-        first(col("sv")).as("sv"))
-      .select(col("_vid"), col("s"), col("sv"), col("_m.cent_id").as("cell"))
+        first(col("sv")).as("sv") +: keep.map(c => first(col(c)).as(c)): _*)
+      .select(col("_vid") +: col("s") +: col("sv") +:
+        col("_m.cent_id").as("cell") +: keep.map(col): _*)
 
   /** Per-subspace integer k-means (`subs` independent codebooks trained
     * in ONE partitioned dataframe): exact integer L2 assignment +
@@ -299,6 +303,52 @@ object Similarity {
       .agg(sum(col("dot")).as("score"))
       .filter(col("vec_id") =!= col("query_id"))
     val top = graft.operators.Relational.topNPerGroupFast(scores, k,
+      Seq("query_id"), Seq(("score", false), ("vec_id", true)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("score"))
+  }
+
+  /** Composed IVF×PQ retrieval — the production 100-TB ANN serving
+    * shape (prune-then-ADC): every vector gets an IVF cell (broadcast
+    * centroid argmax, the s3 path) AND `subs` one-byte PQ codes (the
+    * s11 path); a query then ADC-scores ONLY vectors in its own cell.
+    * The broadcast LUT carries each query's cell, so the
+    * (s, cent_id, ivf_cell) hash probe drops other-cell code rows
+    * MAP-SIDE — the score aggregate receives same-cell pairs only,
+    * ~1/|cells| of s11's all-pairs input, and non-matching corpus rows
+    * never reach a shuffle. No corpus⋈corpus shuffle join anywhere:
+    * cell assignment is the one argmax groupBy, the codes ride the same
+    * sub-row frame (the cell column travels with the rows instead of
+    * joining back on id), and both the codebook and the LUT broadcast.
+    *
+    * `queryPred` selects query sub-rows by `_vid`. Scoring is exact
+    * long arithmetic end to end; ranking is score desc, vec_id asc. */
+  def ivfPqTopK(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryPred: Column, subs: Int, width: Int,
+      pqK: Int, iters: Int, k: Int): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("c_vec"))
+    // unlike s11's cheap re-derivable scan lineage, this prefix holds
+    // the argmax shuffle — checkpoint so four downstream uses (2 train
+    // iterations, encode, queries) don't re-run the assignment
+    val assigned = nearestCell(vectors, cents, idCol, vecCol, "_aid", "_v")
+      .withColumnRenamed("cell", "ivf_cell")
+      .localCheckpoint()
+    val sub = pqSubRows(assigned, "_aid", "_v", subs, width, keep = Seq("ivf_cell"))
+    val book = trainPqCodebooks(sub, width, pqK, iters).localCheckpoint()
+    val codes = assignPq(sub, book, keep = Seq("ivf_cell"))
+      .select(col("s"), col("cell").as("cent_id"), col("_vid"), col("ivf_cell"))
+    val lut = sub.filter(queryPred).join(broadcast(book), Seq("s"))
+      .select(col("_vid").as("query_id"), col("ivf_cell"), col("s"), col("cent_id"),
+        expr("aggregate(zip_with(sv, c, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (acc, t) -> acc + t)").as("dot"))
+    val scores = codes
+      .join(broadcast(lut), Seq("s", "cent_id", "ivf_cell"))
+      .filter(col("_vid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("_vid").as("vec_id"))
+      .agg(sum(col("dot")).as("score"))
+    val top = Relational.topNPerGroupFast(scores, k,
       Seq("query_id"), Seq(("score", false), ("vec_id", true)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("vec_id"))

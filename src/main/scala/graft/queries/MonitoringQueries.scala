@@ -949,10 +949,16 @@ object MonitoringQueries {
     // extracted typed; one partial-agg shuffle on the (zone, type) grid.
     "m46_variant_ingest" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
+      // event_type is sanitized to JSON-safe word chars before the line
+      // is synthesized: a quote/backslash in a raw type tag would make
+      // Spark's parse_json THROW where DuckDB's json_extract_string
+      // returns NULL — divergent failure modes. Stripping is mirrored in
+      // the oracle ('g' flag), so both engines embed identical tokens.
+      val safeType = regexp_replace(col("event_type"), "[^A-Za-z0-9_-]", "")
       val line = concat(
         lit("{\"node\":{\"id\":"), col("user_id"),
         lit(",\"zone\":\"z"), pmod(col("user_id"), lit(4)),
-        lit("\"},\"metrics\":[{\"t\":\""), col("event_type"),
+        lit("\"},\"metrics\":[{\"t\":\""), safeType,
         lit("\",\"v\":"), Monitoring.cents(col("value")), lit("}]}"))
       ev.select(parse_json(line).as("v"))
         .select(
@@ -969,8 +975,8 @@ object MonitoringQueries {
     "m46_variant_ingest" ->
       """WITH lines AS (
         |  SELECT '{"node":{"id":' || user_id || ',"zone":"z' || (user_id % 4) ||
-        |    '"},"metrics":[{"t":"' || event_type || '","v":' ||
-        |    CAST(round(value * 100) AS BIGINT) || '}]}' AS line
+        |    '"},"metrics":[{"t":"' || regexp_replace(event_type, '[^A-Za-z0-9_-]', '', 'g') ||
+        |    '","v":' || CAST(round(value * 100) AS BIGINT) || '}]}' AS line
         |  FROM events)
         |SELECT json_extract_string(line, '$.node.zone') AS zone,
         |  json_extract_string(line, '$.metrics[0].t') AS mtype,

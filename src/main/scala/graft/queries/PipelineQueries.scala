@@ -973,6 +973,24 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // composed IVF×PQ — the production prune-then-ADC serving shape:
+    // s3's cell pruning and s11's compressed-domain ADC scoring in ONE
+    // retrieval. A query scores only its own IVF cell's codes (the
+    // broadcast LUT carries the query's cell, so other-cell code rows
+    // drop at the map-side hash probe — the score aggregate sees
+    // ~1/|cells| of s11's all-pairs input). Fixed-seed centroids
+    // (vec_id < 8, s3's codebook) + 8×8 PQ codebooks k=16 trained 2
+    // Lloyd iterations (s11's) — both halves identical to their
+    // standalone keys; the composition is the only new moving part.
+    "s12_ann_ivfpq" -> { (s, dir) =>
+      val vecs = Tables.embeddings(s, dir)
+      val cents = vecs.filter(col("vec_id") < 8)
+      Similarity.ivfPqTopK(vecs, "vec_id", "embedding", cents,
+        pmod(col("_vid"), lit(50)) === 0, subs = 8, width = 8,
+        pqK = 16, iters = 2, k = 3)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // two-stage retrieval: quantized coarse top-10 → full-precision
     // rerank top-3 (the production ANN serving shape: compressed scan,
     // exact rerank of survivors only).
@@ -1754,6 +1772,43 @@ object PipelineQueries {
          |  FROM (SELECT * FROM sr WHERE vec_id % 50 = 0) q JOIN c2 c ON q.s = c.s),
          |sc AS (SELECT l.query_id, d._vid AS vec_id, CAST(sum(l.dot) AS BIGINT) AS score
          |  FROM cod d JOIN lut l ON d.s = l.s AND d.cell = l.cent_id
+         |  WHERE d._vid <> l.query_id GROUP BY 1, 2)
+         |SELECT query_id, CAST(rn AS INT) AS rnk, vec_id, score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+         |  FROM sc) t
+         |WHERE rn <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "s12_ann_ivfpq" ->
+      s"""WITH $vecCte,
+         |c AS (SELECT vec_id AS cent_id, e AS c_vec, n2 AS c_n2 FROM v WHERE vec_id < 8),
+         |asg0 AS (SELECT a.vec_id, c.cent_id,
+         |    round(list_sum(list_transform(generate_series(1, len(a.e)), i ->
+         |      CAST(a.e[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE))) / sqrt(a.n2 * c.c_n2), 6) AS csim
+         |  FROM v a CROSS JOIN c),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn
+         |    FROM asg0) t WHERE arn = 1),
+         |p64 AS (SELECT vec_id, list_transform(embedding, x ->
+         |    64 * CAST(greatest(-127.0, least(127.0,
+         |      floor(CAST(x AS DOUBLE) * 127.0 + 0.5))) AS BIGINT)) AS v64
+         |  FROM embeddings),
+         |sr AS (SELECT vec_id, s,
+         |    list_transform(generate_series(1, 8), i -> v64[s * 8 + i]) AS sv
+         |  FROM p64, generate_series(0, 7) t(s)),
+         |c0 AS (SELECT s, vec_id AS cent_id, sv AS c FROM sr WHERE vec_id < 16),
+         |${pqIterCte("c0", "a1", "c1")},
+         |${pqIterCte("c1", "a2", "c2")},
+         |${pqAssignCte("c2", "cod")},
+         |lut AS (SELECT q.vec_id AS query_id, qc.cell AS q_cell, q.s, c.cent_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+         |      q.sv[i] * c.c[i])) AS BIGINT) AS dot
+         |  FROM (SELECT * FROM sr WHERE vec_id % 50 = 0) q
+         |  JOIN cells qc ON q.vec_id = qc.vec_id
+         |  JOIN c2 c ON q.s = c.s),
+         |sc AS (SELECT l.query_id, d._vid AS vec_id, CAST(sum(l.dot) AS BIGINT) AS score
+         |  FROM cod d JOIN cells dc ON d._vid = dc.vec_id
+         |  JOIN lut l ON d.s = l.s AND d.cell = l.cent_id AND dc.cell = l.q_cell
          |  WHERE d._vid <> l.query_id GROUP BY 1, 2)
          |SELECT query_id, CAST(rn AS INT) AS rnk, vec_id, score FROM (
          |  SELECT query_id, vec_id, score,

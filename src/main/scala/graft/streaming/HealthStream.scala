@@ -16,19 +16,34 @@ import org.apache.spark.sql.expressions.Window
   */
 object HealthStream {
 
-  /** events.parquet on-disk schema (ts is TIMESTAMP(MICROS,
-    * isAdjustedToUTC=false) → TIMESTAMP_NTZ, normalized to µs
-    * TimestampType below; the session is UTC so the cast is identity on
-    * the micros value — same contract as Tables.events). */
+  /** events.parquet on-disk schema in its CURRENT generator form (ts is
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ, the
+    * session is UTC so the cast below is identity on the micros value —
+    * same contract as Tables.events). Fixture-writing tests pin this
+    * form; `readEventStream` does NOT — it sniffs the footer and, like
+    * Tables.events, also accepts the legacy TIMESTAMP(NANOS) form
+    * (surfacing as Long under nanosAsLong). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Continuous source over an events directory/file. */
-  def readEventStream(spark: SparkSession, path: String): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(path)
-      .withColumn("ts", col("ts").cast("timestamp"))
+  /** Continuous source over an events directory/file, normalized so `ts`
+    * is always µs TimestampType. A streaming source needs a user schema
+    * up front, so the on-disk ts form is sniffed from the parquet footer
+    * with one driver-side batch-schema read at stream-construction time,
+    * then branched exactly like Tables.events — a stream pinned to one
+    * hardcoded form would fail on shards written by the other
+    * generator vintage. */
+  def readEventStream(spark: SparkSession, path: String): DataFrame = {
+    val onDisk = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(onDisk).parquet(path)
+    onDisk("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
+  }
 
   /** Windowed health aggregation; valid on both batch and streaming
     * inputs (watermark is a no-op in batch). */
@@ -173,6 +188,32 @@ object HealthStream {
       .select(col("w.start").cast("timestamp_ntz").as("bucket"), col("nation"),
         col("n_events"), col("n_errors"))
   }
+
+  /** Stream enrichment against a REFRESHABLE dimension — the reference
+    * hot-reloads its cluster config every 30 min / on SIGHUP
+    * (chStats.py:517-558 refresh_variables/auto_refresh), and a monitor
+    * that cannot pick up a new node without restart fails its core job.
+    *
+    * A plain stream-static join cannot express that: the static side's
+    * parquet file listing is resolved ONCE at stream start, so
+    * overwriting the dim path kills the query with
+    * FAILED_READ_FILE.FILE_NOT_EXIST on the next micro-batch (probed
+    * empirically; pinned in StreamingSpec). The working shape is
+    * foreachBatch with the dim re-read per batch: `spark.read.parquet`
+    * builds a fresh file index on every invocation, so a config
+    * overwrite lands at the next micro-batch boundary with no restart —
+    * the dim is tiny (it broadcasts), so the per-batch re-list is noise.
+    *
+    * `enrich(batchDf, dimDf)` declares the per-batch join; `sink` is the
+    * idempotent writer (foreachBatch may replay a batch id on recovery).
+    */
+  def enrichRefreshable(stream: DataFrame, dimPath: String,
+      enrich: (DataFrame, DataFrame) => DataFrame)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+      val dim = batch.sparkSession.read.parquet(dimPath)
+      sink(enrich(batch.toDF(), broadcast(dim)), batchId)
+    }
 
   /** Event-sequence correlation (funnel): every (click, error) pair for
     * the same user with the error inside [click, click + window). In

@@ -452,6 +452,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), p)
   }
 
+  test("s12: composed IVF×PQ — the ADC LUT joins broadcast WITH the cell key, no full-code scan") {
+    val df = SparkEntry.queries("s12_ann_ivfpq")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the scoring join carries the IVF cell as an equi-key next to the
+    // PQ code key: other-cell code rows die at the map-side hash probe
+    // (the prune), and the LUT side is a broadcast — never a shuffle
+    val lutJoin = p.linesIterator.filter(_.contains("BroadcastHashJoin"))
+      .filter(l => l.contains("cent_id") && l.contains("ivf_cell"))
+    assert(lutJoin.nonEmpty, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // ranking rides the bounded-heap operator, not a global sort
+    assert(p.contains("TopNPerKey"), p)
+  }
+
   test("p12: dim join injects a RUNTIME dynamicpruning partition filter on the fact scan") {
     val df = SparkEntry.queries("p12_dynamic_prune")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

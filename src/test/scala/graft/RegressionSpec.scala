@@ -19,7 +19,13 @@ class RegressionSpec extends AnyFunSuite {
     // the generator has flipped events.ts between TIMESTAMP(NANOS)
     // (arriving as Long under nanosAsLong) and TIMESTAMP(MICROS, NTZ)
     // across rounds; both forms must load to the same µs TimestampType
-    // values or every unix_micros/watermark consumer silently breaks
+    // values or every unix_micros/watermark consumer silently breaks.
+    // NOTE: the "ns" leg below writes a plain INT64 column — Spark
+    // cannot author a TIMESTAMP(NANOS) parquet file — so it exercises
+    // only the LongType branch of Tables.events (what nanosAsLong
+    // surfaces), not the parquet nanos logical-type read path itself;
+    // a regression in Spark's nanos footer handling would not be
+    // caught here
     val us = 1704110400000000L // 2024-01-01 12:00:00 UTC
     val dir = java.nio.file.Files.createTempDirectory("graft_tsforms")
     Seq((1L, us * 1000L + 999L, 7L, "view", 1.0, "{}"))
@@ -226,6 +232,30 @@ class RegressionSpec extends AnyFunSuite {
     val parsed = Seq(json).toDF("j")
       .select(get_json_object($"j", "$.deviceName")).head().getString(0)
     assert(parsed == """node "7" \ rack""")
+  }
+
+  test("canary: recursive-CTE connected components stays blocked on UNION support — migrate d9 when this fails") {
+    // Connected components needs UNION **DISTINCT** recursion: under
+    // UNION ALL, min-label propagation around a cycle re-emits the same
+    // (node, label) row forever — no accumulated-set dedup exists to
+    // retire it — and d9's dedup graphs are cyclic near-cliques by
+    // construction, so the native path cannot terminate on them. Spark
+    // 4.1 rejects UNION inside a recursive CTE. The day this assertion
+    // FAILS, Spark has shipped distinct recursion: replace
+    // Dedup.connectedComponents' driver loop with the native recursion
+    // (q40's UnionLoop path) — the query below is exactly that shape.
+    import spark.implicits._
+    Seq((1, 2), (2, 3)).toDF("src", "dst").createOrReplaceTempView("cc_canary_e")
+    val ex = intercept[Exception] {
+      spark.sql(
+        """WITH RECURSIVE cc(id, l) AS (
+          |  SELECT src, src FROM cc_canary_e
+          |  UNION
+          |  SELECT e.dst, c.l FROM cc c JOIN cc_canary_e e ON e.src = c.id
+          |  WHERE c.l < e.dst)
+          |SELECT id, min(l) AS component FROM cc GROUP BY id""".stripMargin).collect()
+    }
+    assert(ex.getMessage.contains("UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"), ex.getMessage)
   }
 
   test("polyHash iterates code points, matching SQL character indexing") {

@@ -31,6 +31,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stream-static dim refresh: foreachBatch re-read picks up an overwritten dim at the next micro-batch") {
+    // the reference hot-reloads its config every 30 min / on SIGHUP
+    // (chStats.py:517-558); this asserts the Spark shape that delivers
+    // it — enrichRefreshable re-reads the dim per batch, so batch N+1
+    // reflects a dim overwrite with no stream restart
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dimref")
+    val srcDir = s"$base/src"; val dimDir = s"$base/dim"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    Seq((101L, "node-a")).toDF("node_id", "node_name")
+      .write.mode("overwrite").parquet(dimDir)
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val stream = spark.readStream.schema("event_id LONG, user_id LONG").parquet(srcDir)
+    val q = HealthStream.enrichRefreshable(stream, dimDir,
+      (b, d) => b.join(d, b("user_id") === d("node_id"), "left")
+        .select(b("event_id"), coalesce(d("node_name"), lit("UNKNOWN")).as("nation"))) {
+      (df, _) => out.synchronized {
+        out ++= df.collect().map(r => (r.getLong(0), r.getString(1)))
+      }
+    }.start()
+    Seq((1L, 101L)).toDF("event_id", "user_id").write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    // hot-swap the dim between micro-batches: rename a node, add one
+    Seq((101L, "node-b"), (102L, "node-c")).toDF("node_id", "node_name")
+      .write.mode("overwrite").parquet(dimDir)
+    Seq((2L, 101L), (3L, 102L)).toDF("event_id", "user_id")
+      .write.mode("append").parquet(srcDir)
+    q.processAllAvailable(); q.stop()
+    val byEvent = out.toMap
+    assert(byEvent(1L) == "node-a", s"batch 1 must see the original dim: $out")
+    assert(byEvent(2L) == "node-b", s"batch 2 must see the RENAMED node: $out")
+    assert(byEvent(3L) == "node-c", s"batch 2 must see the ADDED node: $out")
+  }
+
+  test("canary: a start-time-resolved stream-static join DIES on dim overwrite (why enrichRefreshable exists)") {
+    // pins the failure mode: the static side's file listing is resolved
+    // once at stream start, so an overwrite (new file UUIDs, old files
+    // deleted) kills the query. If Spark ever re-resolves the static
+    // side per batch, this fails — then the foreachBatch re-read in
+    // enrichRefreshable can be retired for the plain join.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dimstale")
+    val srcDir = s"$base/src"; val dimDir = s"$base/dim"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    Seq((101L, "node-a")).toDF("node_id", "node_name")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir) // resolved ONCE, listing cached
+    val stream = spark.readStream.schema("event_id LONG, user_id LONG").parquet(srcDir)
+    val q = stream.join(dim, col("user_id") === col("node_id"), "left")
+      .select(col("event_id"), col("node_name"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dimstale_out").start()
+    Seq((1L, 101L)).toDF("event_id", "user_id").write.mode("append").parquet(srcDir)
+    q.processAllAvailable()
+    Seq((101L, "node-b")).toDF("node_id", "node_name")
+      .write.mode("overwrite").parquet(dimDir)
+    Seq((2L, 101L)).toDF("event_id", "user_id").write.mode("append").parquet(srcDir)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      throw new IllegalStateException("stream survived the dim overwrite — " +
+        "Spark now re-resolves the static side; retire the canary and " +
+        "consider the plain join for refresh")
+    }
+    assert(ex.getMessage.contains("FILE_NOT_EXIST"), ex.getMessage)
+    q.stop()
+  }
+
   test("sliding-window rate: streaming == batch (overlapping windows)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_slide")
     java.nio.file.Files.copy(
