@@ -850,6 +850,54 @@ object MonitoringQueries {
         .orderBy(col("event_type"))
     },
 
+    // DOMAIN-FREE quantile sketch — m43's fixed 64-cent grid assumes a
+    // bounded, known value domain; this is the unbounded-domain sibling
+    // (the HdrHistogram/DDSketch shape monitoring systems actually
+    // ship): LOG-scaled bins with 16 sub-buckets per octave, built from
+    // pure integer bit arithmetic — the octave is length(bin(v))-1
+    // (integer floor-log2 via the binary-string length, identical in
+    // DuckDB; log2() itself is libm and never cross-engine-safe) and
+    // the sub-bucket is a 4-bit mantissa shift. Bins grow with the LOG
+    // of the domain (~16/octave), so the demonstration metric spreads
+    // cents across 24 octaves of per-user unit scale (ns-to-hours
+    // mixed-unit reality, ~2^39 max) — a domain where m43's grid would
+    // need ~6e9 bins and this sketch uses a few hundred. Estimates are
+    // the bin's inclusive max: never under the true quantile, at most
+    // 1/16 (6.25%) relative error above — rank selection and merge are
+    // the same integer cum-sum guard and count addition as m43
+    // (per-day partials merged exactly; proven in QuantileSketchSpec).
+    "m47_log_quantile" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val binned = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT) * " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 24 AS INT))").as("v"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .select(col("event_type"), col("day"),
+          expr("CASE WHEN v < 16 THEN v ELSE 16 * (length(bin(v)) - 1) + " +
+            "v div shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 5) - 64 END").as("qbin"))
+      val daily = binned.groupBy(col("event_type"), col("day"), col("qbin"))
+        .agg(count(lit(1)).as("c"))
+      val merged = daily.groupBy(col("event_type"), col("qbin"))
+        .agg(sum(col("c")).as("c"))
+      val byType = Window.partitionBy(col("event_type"))
+      val cum = merged
+        .withColumn("n", sum(col("c")).over(byType))
+        .withColumn("cum", sum(col("c")).over(byType.orderBy(col("qbin"))))
+      val ranks = cum.groupBy(col("event_type"))
+        .agg(max(col("n")).cast("long").as("n"),
+          count(lit(1)).cast("int").as("n_bins"),
+          min(when(col("cum") * 100 >= col("n") * 50, col("qbin"))).as("b50"),
+          min(when(col("cum") * 100 >= col("n") * 95, col("qbin"))).as("b95"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("qbin"))).as("b99"))
+      def ub(c: String) = expr(s"CASE WHEN $c < 16 THEN $c ELSE " +
+        s"shiftleft(CAST(17 + $c % 16 AS BIGINT), CAST($c div 16 - 1 AS INT)) - 1 END")
+      ranks.select(col("event_type"), col("n"), col("n_bins"),
+          ub("b50").as("p50_max_cents"), ub("b95").as("p95_max_cents"),
+          ub("b99").as("p99_max_cents"))
+        .orderBy(col("event_type"))
+    },
+
     // SLO burn-rate alerting (the SRE multi-window rule): a page fires
     // only when BOTH the short window (5 min — catches the spike) and
     // the long window (1 h — confirms it is sustained) burn error
@@ -1161,6 +1209,32 @@ object MonitoringQueries {
         |  CAST((min(CASE WHEN cum * 100 >= n * 95 THEN bin END) + 1) * 64 AS DOUBLE) / 100.0 AS p95_est,
         |  CAST((min(CASE WHEN cum * 100 >= n * 99 THEN bin END) + 1) * 64 AS DOUBLE) / 100.0 AS p99_est
         |FROM cu GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "m47_log_quantile" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) *
+        |      (CAST(1 AS BIGINT) << CAST(user_id % 24 AS INT)) AS v
+        |  FROM events),
+        |b AS (SELECT event_type,
+        |    CASE WHEN v < 16 THEN v
+        |         ELSE 16 * (length(bin(v)) - 1) +
+        |              v // (CAST(1 AS BIGINT) << CAST(length(bin(v)) - 5 AS INT)) - 64 END AS qbin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM ev GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM b GROUP BY 1),
+        |cu AS (SELECT b.event_type, qbin, c, n,
+        |    CAST(sum(c) OVER (PARTITION BY b.event_type ORDER BY qbin) AS BIGINT) AS cum
+        |  FROM b JOIN t USING (event_type)),
+        |r AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n, CAST(count(*) AS INT) AS n_bins,
+        |    min(CASE WHEN cum * 100 >= n * 50 THEN qbin END) AS b50,
+        |    min(CASE WHEN cum * 100 >= n * 95 THEN qbin END) AS b95,
+        |    min(CASE WHEN cum * 100 >= n * 99 THEN qbin END) AS b99
+        |  FROM cu GROUP BY event_type)
+        |SELECT event_type, n, n_bins,
+        |  CASE WHEN b50 < 16 THEN b50 ELSE (CAST(17 + b50 % 16 AS BIGINT) << CAST(b50 // 16 - 1 AS INT)) - 1 END AS p50_max_cents,
+        |  CASE WHEN b95 < 16 THEN b95 ELSE (CAST(17 + b95 % 16 AS BIGINT) << CAST(b95 // 16 - 1 AS INT)) - 1 END AS p95_max_cents,
+        |  CASE WHEN b99 < 16 THEN b99 ELSE (CAST(17 + b99 % 16 AS BIGINT) << CAST(b99 // 16 - 1 AS INT)) - 1 END AS p99_max_cents
+        |FROM r ORDER BY event_type""".stripMargin,
 
     "m35_hll_distinct" ->
       """WITH h AS (SELECT md5('hll|' || CAST(user_id AS VARCHAR)) AS _h FROM events),

@@ -51,4 +51,68 @@ class QuantileSketchSpec extends AnyFunSuite {
     val m = asSet(mergedFromDaily)
     assert(m.nonEmpty && m == asSet(direct))
   }
+
+  // m47 — the domain-free (log-binned) sibling. Same fixture metric as
+  // the query: cents spread across 24 octaves of per-user unit scale.
+  private def m47Metric = graft.sources.Tables.events(spark, sf)
+    .select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT) * " +
+        "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 24 AS INT))").as("v"))
+
+  test("m47: estimate never undershoots, and relative error is bounded by 1/16 on a 24-octave domain") {
+    val out = SparkEntry.queries("m47_log_quantile")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byType = m47Metric.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { r =>
+      val t = r.getString(0)
+      val sorted = byType(t)
+      val n = sorted.length
+      assert(r.getLong(1) == n.toLong)
+      for ((p, i) <- Seq(50 -> 3, 95 -> 4, 99 -> 5)) {
+        val est = r.getLong(i)
+        val rank = (n * p + 99) / 100 // ceil(n*p/100) — the cum*100 >= n*p guard
+        val exact = sorted(rank - 1)
+        assert(est >= exact, s"$t p$p: estimate $est must never undershoot exact $exact")
+        // inclusive bin max over a 16-sub-bucket octave: ≤ 1/16 relative
+        assert(est <= exact + exact / 16 + 1,
+          s"$t p$p: estimate $est exceeds the 1/16 relative bound over exact $exact")
+      }
+    }
+  }
+
+  test("m47: bin count grows with the LOG of the domain — hundreds of bins where the fixed grid needs billions") {
+    val out = SparkEntry.queries("m47_log_quantile")(spark, sf).collect()
+    val stats = m47Metric.agg(max(col("v")).as("mx")).collect()(0).getLong(0)
+    assert(stats > (1L << 26), s"fixture domain must be genuinely wide, got max $stats")
+    out.foreach { r =>
+      val bins = r.getInt(2)
+      // 16 sub-buckets per octave over ≤ 64 octaves of BIGINT domain
+      assert(bins > 0 && bins <= 16 * 64, s"${r.getString(0)}: $bins bins")
+    }
+    // m43's 64-cent grid over the same domain would need max/64 bins
+    assert(stats / 64 > 1000000L, "the fixed grid would exceed 1e6 bins here")
+  }
+
+  test("m47: per-day partial log sketches merge to the direct full build") {
+    val binned = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT) * " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(user_id % 24 AS INT))").as("v"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .select(col("event_type"), col("day"),
+        expr("CASE WHEN v < 16 THEN v ELSE 16 * (length(bin(v)) - 1) + " +
+          "v div shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 5) - 64 END").as("qbin"))
+    val mergedFromDaily = binned
+      .groupBy(col("event_type"), col("day"), col("qbin"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"), col("qbin"))
+      .agg(sum(col("c")).as("c"))
+    val direct = binned.groupBy(col("event_type"), col("qbin"))
+      .agg(count(lit(1)).as("c"))
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val m = asSet(mergedFromDaily)
+    assert(m.nonEmpty && m == asSet(direct))
+  }
 }

@@ -94,6 +94,33 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected the exact duplicate as top-1, got ${top.mkString}")
   }
 
+  test("ivfPqTopK: partitioning-invariant, prunes to the query's cell, finds the exact duplicate") {
+    import spark.implicits._
+    // same deterministic fixture as the PQ test: vec 30 duplicates vec 7
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 73 + i * 37) % 101) - 50) / 100.0f)
+    val data = (0L until 30L).map(id => (id, vec(id))) :+ (30L, vec(7L))
+    def run(parts: Int) = {
+      val df = spark.createDataset(data).toDF("vec_id", "embedding").repartition(parts)
+      Similarity.ivfPqTopK(df, "vec_id", "embedding",
+          df.filter($"vec_id" < 4), col("_vid") === 7L,
+          subs = 8, width = 8, pqK = 16, iters = 2, k = 3)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toList
+    }
+    val r1 = run(1)
+    // integer-exact end to end ⇒ bit-identical on any partitioning
+    assert(run(5) == r1, s"partitioning changed the result: $r1 vs ${run(5)}")
+    // the exact duplicate shares vec 7's cell AND codes: it must be top-1
+    assert(r1.nonEmpty && r1.head._3 == 30L, s"expected the duplicate first, got $r1")
+    // pruning semantics: every returned neighbor is in the query's cell
+    val df = spark.createDataset(data).toDF("vec_id", "embedding")
+    val cells = Similarity.assignCells(df, df.filter($"vec_id" < 4), "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(r1.forall { case (_, _, n, _) => cells(n) == cells(7L) },
+      s"neighbor outside the query's IVF cell: $r1 / $cells")
+  }
+
   test("cosineDupPairs respects blocking and threshold") {
     import spark.implicits._
     val df = Seq(

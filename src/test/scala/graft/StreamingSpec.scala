@@ -506,6 +506,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(readBack().filter($"batch_id" === lastBatch).count() == expected.size)
   }
 
+  test("sink replay under PARTIAL failure: a batch killed mid-insert converges after restart (exactly-once)") {
+    // r5 verdict ask #5: the idempotence test above replays CLEAN
+    // batches; this one kills the writer mid-insert — after a committed
+    // prefix of rows, the state a real executor death leaves behind
+    // (writeBatch commits every insertBatchSize rows) — restarts from
+    // the checkpoint, and asserts the replayed delete-then-insert heals
+    // the partial garbage to exactly-once state.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_partial")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val chk = java.nio.file.Files.createTempDirectory("graft_partial_chk")
+    val db = java.nio.file.Files.createTempDirectory("graft_partial_derby").resolve("db")
+    val url = s"jdbc:derby:$db;create=true"
+    val table = "graft_partial_payloads"
+    graft.streaming.JdbcSink.ensureTable(url, table)
+
+    val expected = graft.streaming.EventSink.toKeyedPayloads(
+        HealthStream.windowedHealth(Tables.events(spark, sf)))
+      .orderBy($"k").collect().toSeq
+
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def startQuery() = {
+      val stream = HealthStream.readEventStream(spark, dir.toString)
+      graft.streaming.EventSink.toKeyedPayloads(HealthStream.windowedHealth(stream))
+        .writeStream.outputMode("complete")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (failOnce.getAndSet(false)) {
+            // crash AFTER a committed insert prefix lands on disk
+            graft.streaming.JdbcSink.writeBatch(b.toDF().limit(3), id, url, table)
+            throw new RuntimeException("injected crash mid-insert")
+          }
+          graft.streaming.JdbcSink.writeBatch(b.toDF(), id, url, table)
+        }
+        .option("checkpointLocation", chk.toString)
+        .start()
+    }
+    def readBack() = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver").load()
+
+    val q1 = startQuery()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+      throw new IllegalStateException("injected crash did not surface")
+    }
+    q1.stop()
+    // the partial prefix is on disk — the mid-crash state to be healed
+    assert(readBack().count() == 3, "crash must leave the committed partial prefix")
+
+    val q2 = startQuery() // same checkpoint: the engine replays the batch
+    q2.processAllAvailable(); q2.stop()
+    val lastBatch = readBack().agg(max($"batch_id")).collect()(0).getLong(0)
+    val sunk = readBack().filter($"batch_id" === lastBatch)
+      .select($"k", $"payload").orderBy($"k").collect().toSeq
+    assert(sunk == expected, "replay must produce the full batch")
+    assert(readBack().count() == expected.size,
+      "delete-then-insert must wipe the partial garbage — no duplicates, no strays")
+  }
+
   test("stateful sessionization: cross-batch state + event-time expiry of a silent user") {
     import spark.implicits._
     // base well above epoch so watermark arithmetic never clamps
