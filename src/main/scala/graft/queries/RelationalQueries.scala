@@ -561,15 +561,22 @@ object RelationalQueries {
     // shuffle-free.
     "q36_bucketed_join" -> { (s, dir) =>
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_q36")
-      Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
-        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .option("path", s"$base/orders").saveAsTable("graft_q36_orders")
-      Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
-        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .option("path", s"$base/customer").saveAsTable("graft_q36_customer")
-      s.table("graft_q36_orders").hint("merge")
-        .join(s.table("graft_q36_customer"), $"o_custkey" === $"c_custkey")
+      // the bucketed layout is genuinely paid ONCE (per JVM + source
+      // dir, DerivedLayouts) — matching the stated cost model above and
+      // avoiding an orphaned table dir per invocation; table names
+      // carry the source-dir tag so multiple SFs in one JVM never
+      // cross-read
+      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      graft.sources.DerivedLayouts.once(s"bucketed_oc|$dir") { p =>
+        Tables.orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+          .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$p/orders").saveAsTable(s"graft_q36_orders_$tag")
+        Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+          .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$p/customer").saveAsTable(s"graft_q36_customer_$tag")
+      }
+      s.table(s"graft_q36_orders_$tag").hint("merge")
+        .join(s.table(s"graft_q36_customer_$tag"), $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
           (sum(cents($"o_totalprice")) / 100.0).as("total_price"))
@@ -588,7 +595,11 @@ object RelationalQueries {
     // one partial agg each — no shuffle beyond the 3-row union).
     "q37_format_roundtrip" -> { (s, dir) =>
       import s.implicits._
-      val base = java.nio.file.Files.createTempDirectory("graft_q37")
+      // stable dir per (JVM, source dir): the 3 writes + 3 reads ARE
+      // the measured op and run on EVERY invocation (mode overwrite) —
+      // only the directory is reused, so bench passes stop accumulating
+      // format copies in /tmp
+      val base = graft.sources.DerivedLayouts.once(s"q37_roundtrip|$dir")(_ => ())
       // cmt embeds commas AND double quotes so the CSV writer must
       // quote-and-escape; any mangling shifts the length/min/max aggs
       val li = Tables.lineitem(s, dir)

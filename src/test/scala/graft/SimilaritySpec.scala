@@ -121,6 +121,25 @@ class SimilaritySpec extends AnyFunSuite {
       s"neighbor outside the query's IVF cell: $r1 / $cells")
   }
 
+  test("ivfPqTopK composes with a TRAINED codebook (s6's integer Lloyd) — same contract, learned cells") {
+    import spark.implicits._
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 73 + i * 37) % 101) - 50) / 100.0f)
+    val data = (0L until 30L).map(id => (id, vec(id))) :+ (30L, vec(7L))
+    val df = spark.createDataset(data).toDF("vec_id", "embedding")
+    // int8-quantize (trainIvfCodebook's input contract), train 4 cells
+    val quant = expr("transform(embedding, x -> " +
+      "cast(greatest(-127.0D, least(127.0D, floor(cast(x as double) * 127.0D + 0.5D))) as float))")
+    val qdf = df.withColumn("embedding", quant)
+    val book = Similarity.trainIvfCodebook(qdf, "vec_id", "embedding",
+      dim = 64, k = 4, iters = 2).localCheckpoint()
+    val r = Similarity.ivfPqTopK(qdf, "vec_id", "embedding", book,
+        col("_vid") === 7L, subs = 8, width = 8, pqK = 16, iters = 2, k = 3)
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2)))
+    // the exact duplicate lands in the same learned cell and same codes
+    assert(r.nonEmpty && r.head._3 == 30L, s"expected the duplicate top-1, got ${r.toList}")
+  }
+
   test("cosineDupPairs respects blocking and threshold") {
     import spark.implicits._
     val df = Seq(
