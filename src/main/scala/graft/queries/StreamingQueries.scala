@@ -103,6 +103,17 @@ object StreamingQueries {
         .orderBy(col("bucket"))
     },
 
+    // windowed DOMAIN-FREE p95 — m47's streaming face: octave bins
+    // (integer floor-log2 of cents) as 63 fixed count columns, so the
+    // per-window state is 63 longs at ANY value magnitude — st10's
+    // grid assumes values < 512, this assumes only BIGINT. Estimate =
+    // octave inclusive max (never under, ≤2× over). Parity in
+    // StreamingSpec.
+    "st12_stream_log_p95" -> { (s, dir) =>
+      HealthStream.windowedLogP95(Tables.events(s, dir))
+        .orderBy(col("bucket"))
+    },
+
     "st7_sliding_rate" -> { (s, dir) =>
       HealthStream.slidingRate(Tables.events(s, dir))
         .orderBy(col("win_start"))
@@ -160,6 +171,23 @@ object StreamingQueries {
          |SELECT cu.bucket, t.n_total,
          |  CAST(min(CASE WHEN cum * 100 >= 95 * n_total THEN vb END) AS INT) AS p95_bucket,
          |  CAST((min(CASE WHEN cum * 100 >= 95 * n_total THEN vb END) + 1) * 32 AS INT) AS p95_ub
+         |FROM cu JOIN t ON cu.bucket = t.bucket
+         |GROUP BY cu.bucket, t.n_total ORDER BY cu.bucket""".stripMargin,
+
+    "st12_stream_log_p95" ->
+      s"""WITH base AS (SELECT make_timestamp($tsUs - $tsUs % 300000000) AS bucket,
+         |    CASE WHEN CAST(round(value * 100) AS BIGINT) <= 0 THEN 0
+         |         ELSE CAST(least(62, length(bin(CAST(round(value * 100) AS BIGINT)))) AS INT) END AS ob
+         |  FROM events),
+         |b AS (SELECT bucket, ob, count(*) AS c FROM base GROUP BY 1, 2),
+         |t AS (SELECT bucket, CAST(sum(c) AS BIGINT) AS n_total FROM b GROUP BY 1),
+         |cu AS (SELECT bucket, ob,
+         |    CAST(sum(c) OVER (PARTITION BY bucket ORDER BY ob
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM b)
+         |SELECT cu.bucket, t.n_total,
+         |  CAST(min(CASE WHEN cum * 100 >= 95 * n_total THEN ob END) AS INT) AS p95_octave,
+         |  CAST((CAST(1 AS BIGINT) << CAST(min(CASE WHEN cum * 100 >= 95 * n_total THEN ob END) AS INT)) - 1 AS BIGINT) AS p95_ub_cents
          |FROM cu JOIN t ON cu.bucket = t.bucket
          |GROUP BY cu.bucket, t.n_total ORDER BY cu.bucket""".stripMargin,
 

@@ -223,6 +223,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("windowed domain-free p95: streaming == batch (63-long octave state per window)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_logp95")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = HealthStream.readEventStream(spark, dir.toString)
+    val q = HealthStream.windowedLogP95(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("logp95_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("logp95_out").orderBy("bucket").collect().toSeq
+    val batch = HealthStream.windowedLogP95(Tables.events(spark, sf))
+      .orderBy("bucket").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // never-under / ≤2× bound against the CEIL-RANK order statistic —
+    // the same rank convention the query's cum*100 >= 95*n guard uses
+    // (percentile() interpolates between values and can sit below it)
+    val byWindow = Tables.events(spark, sf)
+      .select(window(col("ts"), "5 minutes")("start").cast("timestamp_ntz").as("b"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    streamed.foreach { r =>
+      val ub = r.getLong(3)
+      val sorted = byWindow(r.get(0))
+      val n = sorted.length
+      val exact = sorted(((n * 95 + 99) / 100) - 1) // ceil(n*95/100)-th value
+      assert(ub >= exact, s"ub $ub under exact rank value $exact")
+      // octave [2^(k-1), 2^k): inclusive max 2^k - 1 ≤ 2·v - 1
+      assert(ub <= math.max(2 * exact - 1, 0L),
+        s"ub $ub above the 2x octave bound over exact rank value $exact")
+    }
+  }
+
   test("stream-static enrich: streaming windowed enrich == batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_enrich")
     java.nio.file.Files.copy(
