@@ -466,6 +466,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TopNPerKey"), p)
   }
 
+  test("m47: log sketch is a pure partial-agg pipeline — no join, corpus work in one groupBy") {
+    val p = plan("m47_log_quantile")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("st12: domain-free p95 aggregates map-side — one window groupBy, no join, no per-event sort") {
+    val p = plan("st12_stream_log_p95")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+  }
+
   test("p12: dim join injects a RUNTIME dynamicpruning partition filter on the fact scan") {
     val df = SparkEntry.queries("p12_dynamic_prune")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
