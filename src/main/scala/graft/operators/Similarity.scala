@@ -165,6 +165,38 @@ object Similarity {
     rankTopK(sims, k)
   }
 
+  /** Multi-probe IVF — the recall knob a production IVF index always
+    * exposes (nprobe): the corpus keeps ONE cell per vector, but each
+    * query searches its `nprobe` NEAREST cells instead of only the
+    * first, recovering neighbors that fell just across a Voronoi
+    * boundary. Cost scales linearly in nprobe (each probe cell's
+    * population), never back toward brute force. The query side stays
+    * tiny: queries×|centroids| scored rows reduce through TopNPerKey
+    * bounded heaps to queries×nprobe (cell, vector) rows, which
+    * broadcast onto the cell-partitioned corpus — the corpus is
+    * assigned and joined exactly as in ivfTopK. A corpus vector can
+    * match a query at most once: its single cell equals at most one of
+    * the query's distinct probe cells. */
+  def ivfTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String, nprobe: Int,
+      k: Int): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("c_vec"))
+    val corpusCells = nearestCell(corpus, cents, idCol, vecCol, "neighbor_id", "n_vec")
+    val qScored = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_csim", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .select(col("query_id"), col("q_vec"), col("cent_id"), col("_csim"))
+    val qCells = Relational.topNPerGroupFast(qScored, nprobe,
+        Seq("query_id"), Seq(("_csim", false), ("cent_id", true)))
+      .select(col("query_id"), col("q_vec"), col("cent_id").as("cell"))
+    val sims = corpusCells.join(broadcast(qCells), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    rankTopK(sims, k)
+  }
+
   /** Two-stage retrieval: coarse top-`coarseK` over int8-quantized
     * vectors (the 4×-memory-bandwidth scan a production index does),
     * then exact full-precision rerank of ONLY the coarse survivors down

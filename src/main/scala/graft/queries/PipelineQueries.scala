@@ -973,6 +973,21 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // multi-probe IVF — the production recall knob (nprobe=2): each
+    // query searches its 2 nearest cells, recovering cross-boundary
+    // neighbors s3's single probe misses; cost grows with the probed
+    // population only (SimilaritySpec proves recall(2-probe) ≥
+    // recall(1-probe) against brute-force truth on the fixture).
+    "s13_ann_multiprobe" -> { (s, dir) =>
+      val vecs = Tables.embeddings(s, dir)
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val cents = vecs.filter(col("vec_id") < 8)
+      Similarity.ivfTopKMultiProbe(vecs, q, cents, "vec_id", "embedding",
+          nprobe = 2, k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // composed IVF×PQ — the production prune-then-ADC serving shape:
     // s3's cell pruning and s11's compressed-domain ADC scoring in ONE
     // retrieval. A query scores only its own IVF cell's codes (the
@@ -1778,6 +1793,27 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
          |  FROM sc) t
          |WHERE rn <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "s13_ann_multiprobe" ->
+      s"""WITH $vecCte,
+         |c AS (SELECT vec_id AS cent_id, e AS c_vec, n2 AS c_n2 FROM v WHERE vec_id < 8),
+         |asg0 AS (SELECT a.vec_id, a.e, a.n2, c.cent_id,
+         |    round(list_sum(list_transform(generate_series(1, len(a.e)), i ->
+         |      CAST(a.e[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE))) / sqrt(a.n2 * c.c_n2), 6) AS csim
+         |  FROM v a CROSS JOIN c),
+         |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn
+         |  FROM asg0),
+         |cells AS (SELECT vec_id, e, n2, cent_id AS cell FROM asg WHERE arn = 1),
+         |qcells AS (SELECT vec_id, e, n2, cent_id AS cell FROM asg
+         |  WHERE arn <= 2 AND vec_id % 50 = 0),
+         |sims AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM cells a JOIN qcells b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |  FROM sims)
+         |SELECT query_id, rnk, neighbor_id, sim FROM ranked
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     "s12_ann_ivfpq" ->
       s"""WITH $vecCte,

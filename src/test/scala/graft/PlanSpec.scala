@@ -466,6 +466,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TopNPerKey"), p)
   }
 
+  test("s13: multi-probe query cells ride TopNPerKey heaps and broadcast onto the corpus") {
+    val p = plan("s13_ann_multiprobe")
+    assert(p.contains("TopNPerKey"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("m47: log sketch is a pure partial-agg pipeline — no join, corpus work in one groupBy") {
     val p = plan("m47_log_quantile")
     assert(p.contains("partial_"), p)
