@@ -94,6 +94,34 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(stats / 64 > 1000000L, "the fixed grid would exceed 1e6 bins here")
   }
 
+  test("m47: bin function properties hold at every octave edge — monotone, ub >= v, ub <= v + v/16") {
+    import spark.implicits._
+    // exhaustive power-of-two edges across 50 octaves plus in-octave
+    // probes: v, its bin, and the bin's inclusive max evaluated by the
+    // SAME SQL expressions the query uses
+    val edges = (0 until 50).flatMap { k =>
+      val base = 1L << k
+      Seq(base - 1, base, base + 1, base + base / 2, 2 * base - 1)
+    }.filter(v => v >= 0).distinct :+ 0L
+    val df = edges.toDF("v")
+      .withColumn("qbin", expr("CASE WHEN v < 16 THEN v ELSE 16 * (length(bin(v)) - 1) + " +
+        "v div shiftleft(CAST(1 AS BIGINT), length(bin(v)) - 5) - 64 END"))
+      .withColumn("ub", expr("CASE WHEN qbin < 16 THEN qbin ELSE " +
+        "shiftleft(CAST(17 + qbin % 16 AS BIGINT), CAST(qbin div 16 - 1 AS INT)) - 1 END"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    rows.foreach { case (v, _, ub) =>
+      assert(ub >= v, s"ub $ub under v $v")
+      assert(ub <= v + v / 16 + 1, s"ub $ub exceeds 1/16 bound for v $v")
+    }
+    // bins are monotone in v: sorting by v sorts by bin
+    val byV = rows.sortBy(_._1)
+    byV.sliding(2).foreach {
+      case Array((v1, b1, _), (v2, b2, _)) =>
+        assert(b1 <= b2, s"bin not monotone: v=$v1 bin=$b1 vs v=$v2 bin=$b2")
+      case _ =>
+    }
+  }
+
   test("m47: per-day partial log sketches merge to the direct full build") {
     val binned = graft.sources.Tables.events(spark, sf)
       .select(col("event_type"),
