@@ -122,6 +122,37 @@ object Similarity {
     rankTopK(sims, k)
   }
 
+  /** FILTERED ANN — metadata-predicate vector search (the "only
+    * neighbors with my tenant/language/license" production shape). The
+    * filter attribute becomes part of the LSH equi-join key
+    * (bucket, attr), so non-qualifying candidates are dropped by the
+    * hash probe MAP-SIDE — they are never cosine-scored and never reach
+    * the ranking. The alternative, POST-filtering an unfiltered top-k,
+    * both wastes the score work and silently under-fills k (a query
+    * whose true same-attr neighbors rank below k cross-attr ones
+    * returns fewer than k rows); pre-filter keeps k genuine
+    * within-predicate neighbors. Cost is the same one broadcast hash
+    * join as lshTopK — the composite key only SHRINKS each probe's
+    * candidate set (bucket∩attr instead of bucket). */
+  def lshTopKFiltered(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, filterCol: String, bits: Int, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col(filterCol), signBucket(vecCol, bits).as("bucket"))
+    val cand = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      col(filterCol), signBucket(vecCol, bits).as("bucket"))
+    val sims = cand.join(broadcast(q), Seq("bucket", filterCol))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .select(col("query_id"), col(filterCol), col("neighbor_id"), col("sim"))
+    val top = Relational.topNPerGroupFast(sims, k, Seq("query_id"),
+      Seq(("sim", false), ("neighbor_id", true)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    top.withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"),
+        col(filterCol))
+  }
+
   /** Nearest-centroid assignment. Argmax via max_by (map-side partial
     * aggregate): the ×|centroids| fan-out collapses per input partition
     * BEFORE the shuffle — a row_number window would instead shuffle and

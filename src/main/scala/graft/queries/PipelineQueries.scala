@@ -770,6 +770,33 @@ object PipelineQueries {
         .limit(20)
     },
 
+    // corpus-likelihood quality filter — the KenLM-proxy rarity score a
+    // training pipeline runs where a real LM filter would need libm
+    // logs (never oracle-safe): a doc whose tokens are mostly corpus-
+    // rare is the gibberish/OCR-noise candidate, flagged by (a) mean
+    // corpus frequency of its tokens and (b) the basis-point share of
+    // near-hapax tokens (cf < 3). One (doc,term) hash agg; the corpus
+    // frequency comes from a sum-over-term window on the SAME aggregate
+    // (t6's plan-reuse move — a tf⋈cf self-join would evaluate the tf
+    // pipeline twice); the doc scores are a second partial agg over the
+    // (doc,term) rows. All integer arithmetic, truncating divisions.
+    "t13_rarity_score" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) >= 1)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      tf.withColumn("cf", sum(col("tf")).over(Window.partitionBy(col("term"))))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(col("tf") * col("cf")).as("_cfm"),
+          sum(when(col("cf") < 3, col("tf")).otherwise(0L)).as("_nr"))
+        .withColumn("mean_cf", expr("_cfm div n_tokens"))
+        .withColumn("rare_bp", expr("_nr * 10000 div n_tokens"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_cf"), col("rare_bp"))
+        .orderBy(col("doc_id"))
+    },
+
     // integer-scaled TF-IDF top terms per doc, one pass: tf is a single
     // (doc,term) hash agg; df comes from a count-over-term window on the
     // SAME aggregate (a tf⋈df self-join would re-evaluate the whole tf
@@ -984,6 +1011,28 @@ object PipelineQueries {
       val cents = vecs.filter(col("vec_id") < 8)
       Similarity.ivfTopKMultiProbe(vecs, q, cents, "vec_id", "embedding",
           nprobe = 2, k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // FILTERED vector search — the metadata-predicate serving shape
+    // every production vector store exposes (tenant / language /
+    // license filters): neighbors must share the query's document
+    // language, with the language living in a DIFFERENT table than the
+    // vectors (documents is the metadata store, embeddings the index —
+    // one co-keyed id join attaches it). The predicate joins the LSH
+    // probe as part of the equi-key (bucket, lang), so cross-lang
+    // candidates die at the map-side hash probe — never cosine-scored —
+    // instead of being post-filtered out of a fixed-k result (which
+    // both wastes score work and under-fills k; SimilaritySpec proves
+    // the under-fill on a planted fixture).
+    "s14_ann_filtered" -> { (s, dir) =>
+      val meta = Tables.documents(s, dir)
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val vecs = Tables.embeddings(s, dir).join(meta, Seq("vec_id"))
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.lshTopKFiltered(vecs, q, "vec_id", "embedding", "lang",
+          bits = 4, k = 3)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     },
@@ -1544,6 +1593,21 @@ object PipelineQueries {
         |  FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS wd FROM documents) a) b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
 
+    "t13_rarity_score" ->
+      """WITH terms AS (
+        |  SELECT doc_id, t AS term
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd
+        |    FROM documents) a, unnest(wd) u(t)
+        |  WHERE length(t) >= 1),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM terms GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, term, tf,
+        |    CAST(sum(tf) OVER (PARTITION BY term) AS BIGINT) AS cf FROM tf)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(tf * cf) // sum(tf) AS BIGINT) AS mean_cf,
+        |  CAST(sum(CASE WHEN cf < 3 THEN tf ELSE 0 END) * 10000 // sum(tf) AS BIGINT) AS rare_bp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t6_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, t AS term
@@ -1813,6 +1877,22 @@ object PipelineQueries {
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
          |  FROM sims)
          |SELECT query_id, rnk, neighbor_id, sim FROM ranked
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "s14_ann_filtered" ->
+      s"""WITH $vecCte,
+         |vm AS (SELECT v.*, d.lang FROM v JOIN documents d ON v.vec_id = d.doc_id),
+         |vb AS (SELECT *, CAST(list_sum(list_transform(generate_series(0, 3), i ->
+         |    CASE WHEN e[i+1] >= 0 THEN (1 << i) ELSE 0 END)) AS INT) AS bucket FROM vm),
+         |q AS (SELECT * FROM vb WHERE vec_id % 50 = 0),
+         |sims AS (SELECT b.vec_id AS query_id, b.lang, a.vec_id AS neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM vb a JOIN q b ON a.bucket = b.bucket AND a.lang = b.lang
+         |  WHERE a.vec_id <> b.vec_id),
+         |ranked AS (SELECT query_id, lang, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |  FROM sims)
+         |SELECT query_id, rnk, neighbor_id, sim, lang FROM ranked
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
     "s12_ann_ivfpq" ->

@@ -345,10 +345,57 @@ object SamplingQueries {
           (sum(expr("CAST(round(value * 100) AS BIGINT)")) / 100.0).as("total_value"))
         .withColumn("day", col("day").cast("timestamp_ntz"))
         .orderBy(col("day"), col("event_type"))
+    },
+
+    // ZONE-MAP skipping manifest — the third scan-pruning lever after
+    // partition pruning (p11/p12) and clustering (p8): per-shard
+    // min/max stats (the Delta/Iceberg per-file stats a lakehouse
+    // collects at write time) plus the skip decision a planner makes
+    // for a cents∈[10000,20000] predicate. The same stats are built
+    // for TWO candidate layouts — time-sharded (day×hour) and
+    // value-clustered — from ONE corpus pass: each row explodes to its
+    // two (layout, shard) keys map-side and a single partial agg
+    // collapses them (a union of two re-aggs would rescan the fact
+    // twice — CLAUDE.md branch-rescan pitfall). The result makes the
+    // layout lesson measurable: every time shard spans the full value
+    // range (zone maps useless, all scanned), while the value-clustered
+    // layout scans only the shards the band touches.
+    "p13_zonemap_skip" -> { (s, dir) =>
+      val lay = Tables.events(s, dir)
+        .select(expr("unix_micros(ts)").as("us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .select(col("c"), explode(array(
+          struct(lit("time").as("layout"),
+            expr("(us div 86400000000) * 24 + (us % 86400000000) div 3600000000")
+              .as("shard_key")),
+          struct(lit("value").as("layout"),
+            expr("c div 3200").as("shard_key")))).as("sh"))
+        .select(col("sh.layout").as("layout"), col("sh.shard_key").as("shard_key"),
+          col("c"))
+      lay.groupBy(col("layout"), col("shard_key"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("c")).as("min_c"), max(col("c")).as("max_c"))
+        .withColumn("scanned",
+          (col("max_c") >= 10000 && col("min_c") <= 20000).cast("int"))
+        .orderBy(col("layout"), col("shard_key"))
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "p13_zonemap_skip" ->
+      """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |sh AS (
+        |  SELECT 'time' AS layout,
+        |    (us // 86400000000) * 24 + (us % 86400000000) // 3600000000 AS shard_key, c
+        |  FROM e
+        |  UNION ALL
+        |  SELECT 'value' AS layout, c // 3200 AS shard_key, c FROM e)
+        |SELECT layout, shard_key, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(c) AS BIGINT) AS min_c, CAST(max(c) AS BIGINT) AS max_c,
+        |  CAST(CASE WHEN max(c) >= 10000 AND min(c) <= 20000 THEN 1 ELSE 0 END AS INT) AS scanned
+        |FROM sh GROUP BY 1, 2 ORDER BY layout, shard_key""".stripMargin,
+
     "p12_dynamic_prune" ->
       """SELECT CAST(d.day AS TIMESTAMP) AS day, e.event_type,
         |  count(*) AS n, count(DISTINCT e.user_id) AS n_users,

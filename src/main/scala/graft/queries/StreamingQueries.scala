@@ -114,6 +114,19 @@ object StreamingQueries {
         .orderBy(col("bucket"))
     },
 
+    // windowed count-min frequency watchlist — m32's streaming face
+    // (sketch family's third streaming member after st11 HLL and st12
+    // log-p95): per-key windowed counts over an unbounded key space as
+    // a 2×64 CMS riding 128 sum columns = 128 longs of state per
+    // window at ANY cardinality; frequencies answered for a fixed
+    // 8-key watchlist via two O(1) bucket lookups, one-sided error
+    // (cms_n ≥ true) asserted in StreamingSpec. Parity in StreamingSpec.
+    "st13_stream_cms" -> { (s, dir) =>
+      HealthStream.windowedCmsWatchlist(Tables.events(s, dir),
+          probes = (0L until 8L).map(_ * 10))
+        .orderBy(col("bucket"), col("key"))
+    },
+
     "st7_sliding_rate" -> { (s, dir) =>
       HealthStream.slidingRate(Tables.events(s, dir))
         .orderBy(col("win_start"))
@@ -157,6 +170,31 @@ object StreamingQueries {
          |    (1000 * ((s_present + (64 - n_hit) * CAST(1125899906842624 AS BIGINT)) // 1024))
          |    AS est_distinct
          |FROM sk ORDER BY bucket""".stripMargin,
+
+    "st13_stream_cms" ->
+      s"""WITH ev AS (SELECT make_timestamp($tsUs - $tsUs % 300000000) AS bucket,
+         |    CAST(user_id AS VARCHAR) AS key FROM events),
+         |b AS (SELECT bucket,
+         |    ((strpos('0123456789abcdef', substr(md5('cms0|' || key), 1, 1)) - 1) * 16 +
+         |     strpos('0123456789abcdef', substr(md5('cms0|' || key), 2, 1)) - 1) % 64 AS b0,
+         |    ((strpos('0123456789abcdef', substr(md5('cms1|' || key), 1, 1)) - 1) * 16 +
+         |     strpos('0123456789abcdef', substr(md5('cms1|' || key), 2, 1)) - 1) % 64 AS b1
+         |  FROM ev),
+         |c0 AS (SELECT bucket, b0 AS b, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         |c1 AS (SELECT bucket, b1 AS b, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         |w AS (SELECT DISTINCT bucket FROM ev),
+         |pk AS (SELECT CAST(u * 10 AS VARCHAR) AS key,
+         |    ((strpos('0123456789abcdef', substr(md5('cms0|' || CAST(u * 10 AS VARCHAR)), 1, 1)) - 1) * 16 +
+         |     strpos('0123456789abcdef', substr(md5('cms0|' || CAST(u * 10 AS VARCHAR)), 2, 1)) - 1) % 64 AS b0,
+         |    ((strpos('0123456789abcdef', substr(md5('cms1|' || CAST(u * 10 AS VARCHAR)), 1, 1)) - 1) * 16 +
+         |     strpos('0123456789abcdef', substr(md5('cms1|' || CAST(u * 10 AS VARCHAR)), 2, 1)) - 1) % 64 AS b1
+         |  FROM generate_series(0, 7) t(u))
+         |SELECT w.bucket, pk.key,
+         |  least(coalesce(c0.c, 0), coalesce(c1.c, 0)) AS cms_n
+         |FROM w CROSS JOIN pk
+         |LEFT JOIN c0 ON c0.bucket = w.bucket AND c0.b = pk.b0
+         |LEFT JOIN c1 ON c1.bucket = w.bucket AND c1.b = pk.b1
+         |ORDER BY 1, 2""".stripMargin,
 
     "st10_stream_p95" ->
       s"""WITH base AS (SELECT make_timestamp($tsUs - $tsUs % 300000000) AS bucket,

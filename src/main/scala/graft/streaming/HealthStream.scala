@@ -206,6 +206,52 @@ object HealthStream {
         col("n_hit"), col("est_distinct"))
   }
 
+  /** Windowed count-min frequency watchlist — m32's STREAMING face and
+    * the sketch family's third streaming member (st11 = HLL distinct,
+    * st12 = log-histogram percentile, this = CMS frequency): per-key
+    * windowed counts on an UNBOUNDED key space would hold one state row
+    * per observed key; the 2×64 count-min sketch rides ONE windowed
+    * aggregate as 128 sum() COLUMNS — 128 longs of state per window at
+    * ANY key cardinality — and sums are trivially mergeable, so partial
+    * aggregation and late-arrival merges stay exact. The monitor then
+    * answers frequencies for a fixed WATCHLIST of probe keys (the only
+    * query shape a bounded-state stream monitor can offer) by two O(1)
+    * bucket lookups per key: est = min over rows of that row's bucket
+    * count, ≥ the true count always (one-sided CMS error; asserted vs
+    * exact in StreamingSpec). Bucket index = first two md5 nibbles mod
+    * 64 (engine-portable integer arithmetic, m32's scheme); probe
+    * lookups are a post-aggregation STATELESS explode+projection over
+    * the window rows — never a join, streaming-legal in append mode. */
+  def windowedCmsWatchlist(events: DataFrame, probes: Seq[Long],
+      minutes: Int = 5): DataFrame = {
+    def bucketOf(mCol: String): String =
+      s"((instr('0123456789abcdef', substr($mCol, 1, 1)) - 1) * 16 + " +
+      s"instr('0123456789abcdef', substr($mCol, 2, 1)) - 1) % 64"
+    val keyed = events.withWatermark("ts", "1 hour")
+      .select(col("ts"), col("user_id").cast("string").as("key"))
+      .withColumn("_m0", md5(concat(lit("cms0|"), col("key"))))
+      .withColumn("_m1", md5(concat(lit("cms1|"), col("key"))))
+      .withColumn("b0", expr(bucketOf("_m0")))
+      .withColumn("b1", expr(bucketOf("_m1")))
+    val sums =
+      (0 until 64).map(i => sum(when(col("b0") === i, 1L).otherwise(0L)).as(s"c0_$i")) ++
+      (0 until 64).map(i => sum(when(col("b1") === i, 1L).otherwise(0L)).as(s"c1_$i"))
+    keyed
+      .groupBy(window(col("ts"), s"$minutes minutes").as("w"))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("_c0", array((0 until 64).map(i => col(s"c0_$i")): _*))
+      .withColumn("_c1", array((0 until 64).map(i => col(s"c1_$i")): _*))
+      .select(col("w.start").cast("timestamp_ntz").as("bucket"),
+        explode(array(probes.map(p => lit(p.toString)): _*)).as("key"),
+        col("_c0"), col("_c1"))
+      .withColumn("_m0", md5(concat(lit("cms0|"), col("key"))))
+      .withColumn("_m1", md5(concat(lit("cms1|"), col("key"))))
+      .withColumn("cms_n", least(
+        expr(s"element_at(_c0, ${bucketOf("_m0")} + 1)"),
+        expr(s"element_at(_c1, ${bucketOf("_m1")} + 1)")))
+      .select(col("bucket"), col("key"), col("cms_n"))
+  }
+
   /** Stream-static enrichment: the event stream broadcast-joined to a
     * slowly-changing dimension (user → nation via customer), then
     * windowed per enriched key. In streaming mode Spark re-plans the

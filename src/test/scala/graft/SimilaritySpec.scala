@@ -60,6 +60,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(train(7) == book)
   }
 
+  test("filtered ANN: pre-filter fills k with within-predicate neighbors a post-filter loses") {
+    import spark.implicits._
+    // one sign bucket, two langs: the two MOST similar neighbors of the
+    // query are 'fr', the only 'en' neighbor ranks below them
+    val data = Seq(
+      (0L, Array(1.0f, 0.10f, 0f, 0f), "en"), // query
+      (1L, Array(1.0f, 0.11f, 0f, 0f), "fr"),
+      (2L, Array(1.0f, 0.12f, 0f, 0f), "fr"),
+      (3L, Array(0.9f, 0.50f, 0f, 0f), "en")
+    ).toDF("vec_id", "embedding", "lang")
+    val q = data.filter($"vec_id" === 0)
+    val filtered = Similarity.lshTopKFiltered(data, q, "vec_id", "embedding",
+      "lang", bits = 2, k = 2).collect()
+    // pre-filter: the en neighbor IS found, and nothing cross-lang leaks
+    assert(filtered.map(_.getAs[Long]("neighbor_id")).toSet == Set(3L))
+    assert(filtered.forall(_.getAs[String]("lang") == "en"))
+    // post-filter of the unfiltered top-k at the same k: both slots are
+    // burned on 'fr' rows, so the qualifying neighbor vanishes entirely
+    val post = Similarity.lshTopK(data, q, "vec_id", "embedding", bits = 2, k = 2)
+      .join(data.select($"vec_id".as("neighbor_id"), $"lang"), Seq("neighbor_id"))
+      .filter($"lang" === "en").collect()
+    assert(post.isEmpty)
+  }
+
   test("PQ: codebooks partitioning-invariant; identical vectors share codes; self is ADC argmax") {
     import spark.implicits._
     // deterministic pseudo-random 64-dim floats in [-0.5, 0.5); vec 30

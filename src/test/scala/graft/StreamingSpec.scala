@@ -205,6 +205,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("windowed CMS watchlist: streaming == batch; estimate never under the true count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val probes = (0L until 8L).map(_ * 10)
+    val stream = HealthStream.readEventStream(spark, dir.toString)
+    val q = HealthStream.windowedCmsWatchlist(stream, probes)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("cms_out").orderBy("bucket", "key").collect().toSeq
+    val batch = HealthStream.windowedCmsWatchlist(Tables.events(spark, sf), probes)
+      .orderBy("bucket", "key").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // one-sided CMS error: the estimate is ≥ the exact per-window count
+    // for every probe key (collisions only ever inflate)
+    val exact = Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "5 minutes"),
+        col("user_id").cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("timestamp_ntz"), col("key"), col("n"))
+      .collect().map(r => ((r.get(0), r.getString(1)), r.getLong(2))).toMap
+    streamed.foreach { r =>
+      val est = r.getLong(2)
+      val ex = exact.getOrElse((r.get(0), r.getString(1)), 0L)
+      assert(est >= ex, s"CMS must never undercount: est $est < exact $ex")
+    }
+    // and at least one probe key actually occurs, so the bound is not
+    // vacuously 0 ≥ 0 everywhere
+    assert(streamed.exists(_.getLong(2) > 0))
+  }
+
   test("windowed p95 histogram: streaming == batch (17-long state per window)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_p95")
     java.nio.file.Files.copy(
