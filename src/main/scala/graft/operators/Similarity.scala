@@ -179,22 +179,45 @@ object Similarity {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** Public (id, vec, cell) assignment keeping the vector — the
+    * MATERIALIZED-INDEX row shape: what an IVF index persists so that
+    * serving never re-runs the argmax over the corpus (s15 writes this
+    * as a layout; the nightly delta is the only thing ever assigned
+    * again). Column names pass through unchanged so the output can be
+    * written and unioned with later batches. */
+  def indexWithCells(corpus: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("c_vec"))
+    nearestCell(corpus, cents, idCol, vecCol, idCol, vecCol)
+  }
+
+  /** Cell-partitioned search over PRE-ASSIGNED rows (both sides carry
+    * a `cell` column): the serving half of IVF, split out so a
+    * materialized index (indexWithCells written to disk) can be
+    * searched without re-assignment. Queries broadcast; ranking rides
+    * TopNPerKey bounded heaps. */
+  def searchAssigned(corpusCells: DataFrame, queryCells: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cand = corpusCells.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("n_vec"), col("cell"))
+    val q = queryCells.select(col(idCol).as("query_id"),
+      col(vecCol).as("q_vec"), col("cell"))
+    val sims = cand.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+    rankTopK(sims, k)
+  }
+
   /** IVF-style ANN: assign every vector to its nearest centroid cell
     * (broadcast centroid set), then search only within the query's cell.
     * `centroids` is the codebook — a fixed seed set, or the output of
     * `trainIvfCodebook`. Deterministic assignment: max cosine, centroid
     * id as tie-break. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("c_vec"))
-    val corpusCells = nearestCell(corpus, cents, idCol, vecCol, "neighbor_id", "n_vec")
-    val queryCells = nearestCell(queries, cents, idCol, vecCol, "query_id", "q_vec")
-    val sims = corpusCells.join(broadcast(queryCells), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
-      .select(col("query_id"), col("neighbor_id"), col("sim"))
-    rankTopK(sims, k)
-  }
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    searchAssigned(indexWithCells(corpus, centroids, idCol, vecCol),
+      indexWithCells(queries, centroids, idCol, vecCol), idCol, vecCol, k)
 
   /** Multi-probe IVF — the recall knob a production IVF index always
     * exposes (nprobe): the corpus keeps ONE cell per vector, but each

@@ -1037,6 +1037,37 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // INCREMENTAL ANN index maintenance — d18's serving-side analog
+    // (the nightly-embedding-batch shape): the 90% "indexed" corpus is
+    // assigned ONCE and persisted as a materialized (id, vec, cell)
+    // layout (DerivedLayouts — the index build is paid once, exactly a
+    // real index's cost model); the 10% delta batch is the ONLY thing
+    // the nightly run assigns (O(delta) argmax, checkpointed so its
+    // two uses — corpus append and query set — never recompute), and
+    // search runs over index ∪ delta with NO re-assignment of the
+    // stored side (PlanSpec: the search plan reads the index layout
+    // and contains no argmax aggregate at all). The frozen codebook
+    // (vec_id < 8, s3's) makes stored assignment == recompute, which
+    // the oracle proves by recomputing everything.
+    "s15_ann_index_append" -> { (s, dir) =>
+      val vecs = Tables.embeddings(s, dir)
+      val cents = vecs.filter(col("vec_id") < 8)
+      val base = graft.sources.DerivedLayouts.once(s"ivf_index|$dir") { p =>
+        Similarity.indexWithCells(vecs.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+            cents, "vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$p/index")
+      }
+      val index = s.read.parquet(s"$base/index")
+      val delta = Similarity.indexWithCells(
+          vecs.filter(pmod(col("vec_id"), lit(10)) === 0), cents,
+          "vec_id", "embedding")
+        .localCheckpoint()
+      Similarity.searchAssigned(index.unionByName(delta), delta,
+          "vec_id", "embedding", k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // composed IVF×PQ — the production prune-then-ADC serving shape:
     // s3's cell pruning and s11's compressed-domain ADC scoring in ONE
     // retrieval. A query scores only its own IVF cell's codes (the
@@ -1873,6 +1904,26 @@ object PipelineQueries {
          |sims AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
          |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
          |  FROM cells a JOIN qcells b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |ranked AS (SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |  FROM sims)
+         |SELECT query_id, rnk, neighbor_id, sim FROM ranked
+         |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "s15_ann_index_append" ->
+      s"""WITH $vecCte,
+         |c AS (SELECT vec_id AS cent_id, e AS c_vec, n2 AS c_n2 FROM v WHERE vec_id < 8),
+         |asg0 AS (SELECT a.vec_id, a.e, a.n2, c.cent_id,
+         |    round(list_sum(list_transform(generate_series(1, len(a.e)), i ->
+         |      CAST(a.e[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE))) / sqrt(a.n2 * c.c_n2), 6) AS csim
+         |  FROM v a CROSS JOIN c),
+         |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn
+         |  FROM asg0),
+         |cells AS (SELECT vec_id, e, n2, cent_id AS cell FROM asg WHERE arn = 1),
+         |q AS (SELECT * FROM cells WHERE vec_id % 10 = 0),
+         |sims AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM cells a JOIN q b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
          |ranked AS (SELECT query_id, neighbor_id, sim,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
          |  FROM sims)

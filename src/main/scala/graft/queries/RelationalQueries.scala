@@ -702,10 +702,50 @@ object RelationalQueries {
           WHERE s.s_suppkey >= 4)
         SELECT root, depth, count(*) AS n_nodes, CAST(sum(id) AS BIGINT) AS sum_ids
         FROM h GROUP BY root, depth ORDER BY root, depth""")
+    },
+
+    // native UNPIVOT (melt) — the inverse of q16's pivot, completing
+    // the reshape pair: four fact measures unpivot to (measure, cents)
+    // LONG rows, then aggregate per (flag, measure). Plans as ONE
+    // Expand over ONE scan (q29's grouping-sets shape — ×4 rows
+    // map-side, partial agg collapses before the shuffle; PlanSpec-
+    // gated), vs m26's hand-rolled struct-explode melt of an already-
+    // aggregated row — this is the operator form on the raw fact.
+    // Measures pre-scaled to integer cents so sums are exact; the
+    // inputs are never NULL, sidestepping unpivot's null-row semantics.
+    "q41_unpivot" -> { (s, dir) =>
+      val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qty_c"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("disc_c"),
+        expr("CAST(round(l_tax * 100) AS BIGINT)").as("tax_c"))
+      li.unpivot(Array(col("l_returnflag")),
+          Array(col("qty_c"), col("price_c"), col("disc_c"), col("tax_c")),
+          "measure", "cents")
+        .groupBy(col("l_returnflag"), col("measure"))
+        .agg((sum(col("cents")) / 100.0).as("total"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("measure"))
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "q41_unpivot" ->
+      """WITH base AS (SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT l_returnflag, 'qty_c' AS measure, qty_c AS cents FROM base
+        |  UNION ALL SELECT l_returnflag, 'price_c', price_c FROM base
+        |  UNION ALL SELECT l_returnflag, 'disc_c', disc_c FROM base
+        |  UNION ALL SELECT l_returnflag, 'tax_c', tax_c FROM base)
+        |SELECT l_returnflag, measure,
+        |  CAST(sum(cents) AS BIGINT) / 100.0 AS total,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q40_recursive_cte" ->
       """WITH RECURSIVE h(id, root, depth) AS (
         |  SELECT s_suppkey, s_suppkey, 0 FROM supplier WHERE s_suppkey <= 3

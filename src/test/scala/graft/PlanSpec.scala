@@ -485,6 +485,64 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
   }
 
+  test("s14: the filter attribute is INSIDE the LSH probe's broadcast equi-key") {
+    val p = plan("s14_ann_filtered")
+    // the probe join hashes on (bucket, lang): cross-predicate
+    // candidates die map-side, before any cosine is computed
+    val probe = p.linesIterator.filter(_.contains("BroadcastHashJoin"))
+      .filter(l => l.contains("bucket") && l.contains("lang"))
+    assert(probe.nonEmpty, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TopNPerKey"), p)
+  }
+
+  test("st13: CMS watchlist is ONE windowed agg — no join, probe lookup is a post-agg explode") {
+    val p = plan("st13_stream_cms")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    // the watchlist probe is a stateless generate above the aggregate
+    assert(p.contains("Generate"), p)
+  }
+
+  test("t13: corpus frequency reuses the tf aggregate's window — the fact is scanned once") {
+    val p = plan("t13_rarity_score")
+    // one parquet scan of documents: a tf⋈cf self-join would show two
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    assert(scans == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p13: both layout manifests come from ONE fact scan via map-side explode") {
+    val p = plan("p13_zonemap_skip")
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("events"))
+    assert(scans == 1, p)
+    assert(p.contains("Generate"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("s15: search reads the MATERIALIZED index — no argmax re-assignment of the stored side") {
+    val p = plan("s15_ann_index_append")
+    // the index side is a FileScan of the persisted (id, vec, cell)
+    // layout; the delta's argmax is checkpointed out — serving never
+    // recomputes any assignment
+    assert(p.contains("graft_ivf_index"), p)
+    assert(!p.contains("max_by"), p)
+    assert(p.contains("TopNPerKey"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q41: unpivot plans as ONE Expand over ONE scan with partial aggregation") {
+    val p = plan("q41_unpivot")
+    assert(p.contains("Expand"), p)
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("lineitem"))
+    assert(scans == 1, p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("p12: dim join injects a RUNTIME dynamicpruning partition filter on the fact scan") {
     val df = SparkEntry.queries("p12_dynamic_prune")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
