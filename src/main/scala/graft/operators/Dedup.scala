@@ -223,6 +223,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT verification for candidate pairs — the
+    * subset-duplication metric Jaccard structurally misses: a short doc
+    * wholly quoted inside a long one has containment |A∩B|/min(|A|,|B|)
+    * = 1.0 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B| → 0, so a Jaccard-
+    * thresholded dedup keeps both copies (CCNet/C4 filter this case
+    * explicitly). Emits both metrics in integer basis points
+    * (containment ≥ jaccard always — equality iff |A|=|B| sets) so the
+    * asymmetric pairs are visible next to the symmetric ones. Same
+    * scale shape as jaccardVerify: exact set arithmetic runs on the
+    * bounded candidate set only, never the corpus cross product; both
+    * sides of every candidate are banded docs, so shingle sets are
+    * non-empty and the min() divisor is never zero. */
+  def containmentVerify(candidates: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, minContainBp: Long): DataFrame = {
+    val sets = docs.select(col(idCol).as("_id"), shingles(textCol).as("_set"))
+    candidates
+      .join(sets.toDF("_id", "set_a"), col("id_a") === col("_id")).drop("_id")
+      .join(sets.toDF("_id", "set_b"), col("id_b") === col("_id")).drop("_id")
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .withColumn("n_a", size(col("set_a")).cast("long"))
+      .withColumn("n_b", size(col("set_b")).cast("long"))
+      .withColumn("cont_bp", expr("inter * 10000 div least(n_a, n_b)"))
+      .withColumn("jac_bp", expr("inter * 10000 div (n_a + n_b - inter)"))
+      .filter(col("cont_bp") >= minContainBp)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("cont_bp"), col("jac_bp"))
+  }
+
   /** 16-bit SimHash over distinct tokens, md5-nibble bit source.
     *
     * Row-oriented for scale: tokens explode to rows, md5 runs once per

@@ -207,6 +207,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // asymmetric CONTAINMENT dedup — the subset-duplication metric d4's
+    // Jaccard structurally misses: a short doc wholly quoted inside a
+    // long one has containment 1.0 but Jaccard ≈ |A|/|B| → 0, so a
+    // Jaccard threshold keeps both copies (the quote/boilerplate-
+    // inclusion case CCNet/C4 filter explicitly; DedupSpec plants the
+    // asymmetric fixture). Same bounded candidate set as d4; both
+    // metrics emitted in integer bp so symmetric vs contained pairs are
+    // distinguishable downstream.
+    "d19_containment" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val cand = Dedup.lshCandidates(docs, "doc_id", "text", bands = 4, rows = 2)
+      Dedup.containmentVerify(cand, docs, "doc_id", "text", minContainBp = 6000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     "d6_embed_dup" -> { (s, dir) =>
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
           "label", threshold = 0.35)
@@ -1235,6 +1250,18 @@ object PipelineQueries {
     "d3_minhash_lsh" ->
       s"""WITH $shingleCte
          |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+
+    "d19_containment" ->
+      s"""WITH $shingleCte,
+         |m AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(x.s, y.s)) AS BIGINT) AS inter,
+         |    CAST(len(x.s) AS BIGINT) AS n_a, CAST(len(y.s) AS BIGINT) AS n_b
+         |  FROM cand JOIN sh2 x ON id_a = x.doc_id JOIN sh2 y ON id_b = y.doc_id)
+         |SELECT id_a, id_b, n_a, n_b,
+         |  CAST(inter * 10000 // least(n_a, n_b) AS BIGINT) AS cont_bp,
+         |  CAST(inter * 10000 // (n_a + n_b - inter) AS BIGINT) AS jac_bp
+         |FROM m WHERE inter * 10000 // least(n_a, n_b) >= 6000
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "d4_ngram_jaccard" ->
       s"""WITH $shingleCte

@@ -38,6 +38,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("containment catches a wholly-quoted doc that Jaccard misses") {
+    import spark.implicits._
+    // doc 1 = a short passage; doc 2 = a long doc QUOTING doc 1 whole.
+    // Every 3-gram of doc 1 appears in doc 2, but doc 2 has many more.
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val host = "one two three four five six seven eight nine ten " +
+      quote + " eleven twelve thirteen fourteen fifteen sixteen seventeen"
+    val docs = Seq((1L, quote), (2L, host)).toDF("doc_id", "text")
+    val cand = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val r = Dedup.containmentVerify(cand, docs, "doc_id", "text",
+      minContainBp = 6000L).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("cont_bp") == 10000L) // fully contained
+    // Jaccard on the same pair is small — a 30%-Jaccard dedup keeps both
+    assert(row.getAs[Long]("jac_bp") < 3000L)
+    // invariant: containment ≥ jaccard for every pair
+    assert(row.getAs[Long]("cont_bp") >= row.getAs[Long]("jac_bp"))
+  }
+
   test("brute-force ANN: nearest neighbor of a vector is its duplicate") {
     import spark.implicits._
     val vecs = Seq(
