@@ -83,6 +83,30 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("containment/jaccard invariants hold on 100 random doc pairs") {
+    lazy val spark = GraftSession.local()
+    import spark.implicits._
+    import graft.operators.Dedup
+    // random 5-30 word docs over a 12-word vocabulary (forces overlap)
+    val vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(" ")
+    def doc(): String =
+      Seq.fill(5 + rng.nextInt(26))(vocab(rng.nextInt(vocab.length))).mkString(" ")
+    val docs = (0L until 200L).map(i => (i, doc())).toDF("doc_id", "text")
+    val cand = (0 until 100).map(i => (2L * i, 2L * i + 1)).toDF("id_a", "id_b")
+    val rows = Dedup.containmentVerify(cand, docs, "doc_id", "text",
+      minContainBp = 0L).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (cont, jac) = (r.getAs[Long]("cont_bp"), r.getAs[Long]("jac_bp"))
+      // inter/min ≥ inter/union, both in [0, 10000]
+      assert(cont >= jac, s"containment $cont < jaccard $jac")
+      assert(cont >= 0 && cont <= 10000 && jac >= 0 && jac <= 10000, r)
+      // equal set sizes ⇒ containment == 10000 iff jaccard == 10000
+      if (r.getAs[Long]("n_a") == r.getAs[Long]("n_b"))
+        assert((cont == 10000) == (jac == 10000), r)
+    }
+  }
+
   test("packKey string order == (ts, id) tuple order on 200 random pairs") {
     lazy val spark = GraftSession.local()
     import spark.implicits._
