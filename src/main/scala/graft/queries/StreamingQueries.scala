@@ -175,19 +175,19 @@ object StreamingQueries {
       s"""WITH ev AS (SELECT make_timestamp($tsUs - $tsUs % 300000000) AS bucket,
          |    CAST(user_id AS VARCHAR) AS key FROM events),
          |b AS (SELECT bucket,
-         |    ((strpos('0123456789abcdef', substr(md5('cms0|' || key), 1, 1)) - 1) * 16 +
-         |     strpos('0123456789abcdef', substr(md5('cms0|' || key), 2, 1)) - 1) % 64 AS b0,
-         |    ((strpos('0123456789abcdef', substr(md5('cms1|' || key), 1, 1)) - 1) * 16 +
-         |     strpos('0123456789abcdef', substr(md5('cms1|' || key), 2, 1)) - 1) % 64 AS b1
+         |    ((strpos('0123456789abcdef', substr(md5('cms|' || key), 1, 1)) - 1) * 16 +
+         |     strpos('0123456789abcdef', substr(md5('cms|' || key), 2, 1)) - 1) % 64 AS b0,
+         |    ((strpos('0123456789abcdef', substr(md5('cms|' || key), 3, 1)) - 1) * 16 +
+         |     strpos('0123456789abcdef', substr(md5('cms|' || key), 4, 1)) - 1) % 64 AS b1
          |  FROM ev),
          |c0 AS (SELECT bucket, b0 AS b, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
          |c1 AS (SELECT bucket, b1 AS b, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
          |w AS (SELECT DISTINCT bucket FROM ev),
          |pk AS (SELECT CAST(u * 10 AS VARCHAR) AS key,
-         |    ((strpos('0123456789abcdef', substr(md5('cms0|' || CAST(u * 10 AS VARCHAR)), 1, 1)) - 1) * 16 +
-         |     strpos('0123456789abcdef', substr(md5('cms0|' || CAST(u * 10 AS VARCHAR)), 2, 1)) - 1) % 64 AS b0,
-         |    ((strpos('0123456789abcdef', substr(md5('cms1|' || CAST(u * 10 AS VARCHAR)), 1, 1)) - 1) * 16 +
-         |     strpos('0123456789abcdef', substr(md5('cms1|' || CAST(u * 10 AS VARCHAR)), 2, 1)) - 1) % 64 AS b1
+         |    ((strpos('0123456789abcdef', substr(md5('cms|' || CAST(u * 10 AS VARCHAR)), 1, 1)) - 1) * 16 +
+         |     strpos('0123456789abcdef', substr(md5('cms|' || CAST(u * 10 AS VARCHAR)), 2, 1)) - 1) % 64 AS b0,
+         |    ((strpos('0123456789abcdef', substr(md5('cms|' || CAST(u * 10 AS VARCHAR)), 3, 1)) - 1) * 16 +
+         |     strpos('0123456789abcdef', substr(md5('cms|' || CAST(u * 10 AS VARCHAR)), 4, 1)) - 1) % 64 AS b1
          |  FROM generate_series(0, 7) t(u))
          |SELECT w.bucket, pk.key,
          |  least(coalesce(c0.c, 0), coalesce(c1.c, 0)) AS cms_n
