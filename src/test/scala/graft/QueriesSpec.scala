@@ -27,6 +27,24 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
+  test("results are partitioning-invariant: shuffle-partition count never changes output") {
+    // the determinism contract behind every oracle claim: float finishes
+    // (m37), integer trainers (s6), sketches (m47), window reuse (t13),
+    // candidate metrics (d19), Expand reshape (q41) — each must produce
+    // IDENTICAL rows whether the shuffle fans to 3 or 16 partitions
+    val keys = Seq("m37_metric_correlation", "t13_rarity_score",
+      "s6_ann_trained", "m47_log_quantile", "d19_containment", "q41_unpivot")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    def run(n: Int, k: String) = {
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      try SparkEntry.queries(k)(spark, sf).collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    keys.foreach { k =>
+      assert(run(3, k) == run(16, k), s"$k output changed with partitioning")
+    }
+  }
+
   test("Observation metrics ride the job — no second pass, values match a direct agg") {
     import org.apache.spark.sql.functions._
     // the production telemetry hook: a 100-TB ingest accounts rows /
