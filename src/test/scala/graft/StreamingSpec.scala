@@ -240,6 +240,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exists(_.getLong(2) > 0))
   }
 
+  test("CMS state is per-WINDOW, not per-key: 500 distinct users, 2 state rows") {
+    import spark.implicits._
+    // the bounded-state claim made concrete: st9's dedup-then-count
+    // holds one state row per (window, type, user); the CMS sketch must
+    // hold exactly one row per WINDOW no matter how many distinct keys
+    // stream through it
+    def ns(min: Long) = 1704110400000000L + min * 60000000L
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmsstate")
+    (1L to 500L).map(u => (u, ns(u % 10), u, "view", 1.0, "{}"))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select($"event_id",
+        expr("timestamp_micros(ts_us)").cast("timestamp_ntz").as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .coalesce(1).write.parquet(s"$dir/f1")
+    val stream = spark.readStream.schema(HealthStream.eventSchema)
+      .parquet(s"$dir/f*")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val q = HealthStream.windowedCmsWatchlist(stream, probes = Seq(1L, 2L))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_state_out").start()
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    // 500 users land in minutes 0-9 → exactly two 5-minute windows
+    assert(stateRows == 2L,
+      s"CMS state must be one row per window (2), held $stateRows")
+  }
+
   test("windowed p95 histogram: streaming == batch (17-long state per window)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_p95")
     java.nio.file.Files.copy(
