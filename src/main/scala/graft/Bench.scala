@@ -83,13 +83,16 @@ object Bench {
     // (s1/s4/s5 truth+eval, s7's coarse stage, s8's diversity input),
     // s11's all-codes ADC scan, q37's 3-write/3-read roundtrip, and
     // d18's output-quadratic pair growth under ScaleUp's 10× cloning.
-    // d11/d18 are here for OUTPUT-driven growth, not plan decay:
+    // d11/d18/d20 are here for OUTPUT-driven growth, not plan decay:
     // ScaleUp clones every doc 10×, so true near-dup pairs grow
-    // ~quadratically and both keys ride the pair set (d11 measured
-    // 19.9× at 10× data purely from the cloned fixture).
+    // ~quadratically and these keys ride the pair set (d11 measured
+    // 19.9× at 10× data purely from the cloned fixture; d20's
+    // completeness contract REQUIRES verifying every one of the
+    // ~quadratic exact-dup-family candidates — 250k output rows at sf1).
     val declaredBaselines = Set("s1_ann_brute", "s4_ann_quantized",
       "s5_ann_recall", "s7_ann_rerank", "s8_topk_diversity", "s11_ann_pq",
-      "q37_format_roundtrip", "d18_incremental_dedup", "d11_minhash_accuracy")
+      "q37_format_roundtrip", "d18_incremental_dedup", "d11_minhash_accuracy",
+      "d20_prefix_simjoin")
     val skipBaselines = sys.env.get("SPARK_GRAFT_BENCH_SKIP_BASELINES")
       .exists(v => v == "1" || v.equalsIgnoreCase("true"))
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)

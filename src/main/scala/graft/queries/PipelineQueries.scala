@@ -228,6 +228,22 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // EXACT set-similarity self-join via prefix filtering (AllPairs/
+    // PPJoin) — the zero-false-negative guarantee d3's probabilistic
+    // LSH banding cannot give (an eval-decontamination or compliance
+    // dedup cannot tolerate missed pairs): EVERY doc pair with
+    // shingle-set Jaccard ≥ 0.8 is found, proven by PipelineSpec
+    // against brute-force all-pairs truth. Rarest-first global token
+    // order keeps prefixes selective — 977 candidates of 124,750
+    // possible pairs at sf0.01, max bucket 7 — and the skew guard is
+    // inherent (common tokens fall out of prefixes), so no cap is
+    // needed and none breaks the contract.
+    "d20_prefix_simjoin" -> { (s, dir) =>
+      Dedup.prefixSimJoin(Tables.documents(s, dir), "doc_id", "text",
+          tBp = 8000L)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // LABEL-FREE embedding dedup — the 100 TB blocking path: a real
     // corpus has no label column, so the block key is itself a sign-LSH
     // bucket (4 bits) and cosineDupPairs' sub-split refines any over-cap
@@ -1250,6 +1266,29 @@ object PipelineQueries {
     "d3_minhash_lsh" ->
       s"""WITH $shingleCte
          |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+
+    "d20_prefix_simjoin" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(wd) >= 3
+        |    THEN list_transform(generate_series(1, len(wd)-2), i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])
+        |    ELSE [] END) AS tk FROM w),
+        |t2 AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n FROM sh WHERE len(tk) > 0),
+        |tok AS (SELECT doc_id, n, unnest(tk) AS t FROM t2),
+        |df AS (SELECT t, count(*) AS dfreq FROM tok GROUP BY t),
+        |rk AS (SELECT doc_id, n, t,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY dfreq, t) AS r
+        |  FROM tok JOIN df USING (t)),
+        |pref AS (SELECT doc_id, n, t FROM rk WHERE r <= n - (8000 * n + 9999) // 10000 + 1),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
+        |  WHERE least(a.n, b.n) * 10000 >= 8000 * greatest(a.n, b.n)),
+        |v AS (SELECT id_a, id_b,
+        |    CAST(len(list_intersect(x.tk, y.tk)) AS BIGINT) AS inter,
+        |    CAST(len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk)) AS BIGINT) AS uni
+        |  FROM cand JOIN t2 x ON id_a = x.doc_id JOIN t2 y ON id_b = y.doc_id)
+        |SELECT id_a, id_b, CAST(inter * 10000 // uni AS BIGINT) AS jac_bp
+        |FROM v WHERE inter * 10000 >= 8000 * uni
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "d19_containment" ->
       s"""WITH $shingleCte,

@@ -38,6 +38,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.length == 1 && r(0).getAs[Double]("jaccard") == 1.0)
   }
 
+  test("prefix sim-join is COMPLETE: equals brute-force all-pairs truth at sf0.001") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val result = Dedup.prefixSimJoin(docs, "doc_id", "text", tBp = 8000L)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force ground truth: exact Jaccard over ALL pairs
+    val sets = docs.select(col("doc_id"), Dedup.shingles("text").as("tk"))
+      .filter(size(col("tk")) > 0)
+    val truth = sets.toDF("id_a", "tk_a")
+      .crossJoin(sets.toDF("id_b", "tk_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("inter", size(array_intersect(col("tk_a"), col("tk_b"))).cast("long"))
+      .withColumn("uni", size(array_union(col("tk_a"), col("tk_b"))).cast("long"))
+      .filter(col("inter") * lit(10000L) >= lit(8000L) * col("uni"))
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture must contain at least one similar pair")
+    assert(result == truth,
+      s"missed=${truth -- result} extra=${result -- truth}")
+  }
+
   test("containment catches a wholly-quoted doc that Jaccard misses") {
     import spark.implicits._
     // doc 1 = a short passage; doc 2 = a long doc QUOTING doc 1 whole.

@@ -543,6 +543,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("d20: prefix pairs come from bucket explode — no corpus self-join, no cartesian") {
+    val p = plan("d20_prefix_simjoin")
+    assert(p.contains("Generate"), p) // in-row pair explode of token buckets
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("p12: dim join injects a RUNTIME dynamicpruning partition filter on the fact scan") {
     val df = SparkEntry.queries("p12_dynamic_prune")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
