@@ -19,6 +19,8 @@ object RunOne {
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = SparkEntry.queries(name)(spark, dir)
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      println(df.queryExecution.executedPlan.toString)
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9

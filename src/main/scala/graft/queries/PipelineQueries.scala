@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Relational, Similarity}
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
 
@@ -1080,6 +1080,56 @@ object PipelineQueries {
     // and contains no argmax aggregate at all). The frozen codebook
     // (vec_id < 8, s3's) makes stored assignment == recompute, which
     // the oracle proves by recomputing everything.
+    // HYBRID retrieval with reciprocal-rank fusion — the RAG serving
+    // shape no single channel covers: a lexical inverted-index channel
+    // (distinct-term overlap, the t6 token contract) and a vector
+    // cosine channel each produce a bounded top-20 per query; fusion
+    // sums integer reciprocal ranks floor(1e9/(60+rank)) over a FULL
+    // OUTER join of the two lists (a doc surfaced by only one channel
+    // still scores). All-integer fusion — rank positions, not float
+    // scores, cross the channel boundary, so lexical and vector scales
+    // never need calibrating. Scale shape: the term join is an
+    // inverted-index equi-join with partial-agg overlap counts (never
+    // doc×doc), the fusion join carries ≤ 2 × queries × 20 rows, and
+    // top-5 rides the bounded lists; only the declared-brute vector
+    // channel scans all pairs (swap in lshTopK/ivfTopK at 100 TB —
+    // same fusion contract).
+    "s16_hybrid_rrf" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val vecs = Tables.embeddings(s, dir)
+      // lexical channel: distinct terms (t6 tokenization), index join
+      val terms = docs.select(col("doc_id"),
+          explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+        .filter(length(col("term")) >= 3)
+      val qTerms = terms.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .withColumnRenamed("doc_id", "query_id")
+      val overlap = terms.join(qTerms, "term")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("inter"))
+      val lexTop = Relational.topNPerGroupFast(overlap, 20, Seq("query_id"),
+          Seq(("inter", false), ("doc_id", true)))
+        .withColumn("lex_rank", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("inter").desc, col("doc_id"))).cast("int"))
+        .select(col("query_id"), col("doc_id"), col("lex_rank"))
+      // vector channel: brute cosine top-20 (declared baseline shape)
+      val vecTop = Similarity.bruteForceTopK(vecs,
+          vecs.filter(pmod(col("vec_id"), lit(50)) === 0),
+          "vec_id", "embedding", k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("vec_rank"))
+      val fused = vecTop.join(lexTop, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + vec_rank)"), lit(0L)) +
+          coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + lex_rank)"), lit(0L)))
+      fused
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     "s15_ann_index_append" -> { (s, dir) =>
       val vecs = Tables.embeddings(s, dir)
       val cents = vecs.filter(col("vec_id") < 8)
@@ -1975,6 +2025,41 @@ object PipelineQueries {
          |  FROM sims)
          |SELECT query_id, rnk, neighbor_id, sim FROM ranked
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "s16_hybrid_rrf" ->
+      s"""WITH $vecCte,
+         |q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |sims AS (SELECT b.vec_id AS query_id, a.vec_id AS doc_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM v a CROSS JOIN q b WHERE a.vec_id <> b.vec_id),
+         |vtop AS (SELECT query_id, doc_id, vec_rank FROM (
+         |    SELECT query_id, doc_id, CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, doc_id) AS INT) AS vec_rank
+         |    FROM sims) x WHERE vec_rank <= 20),
+         |terms AS (SELECT DISTINCT doc_id, t AS term
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wd
+         |    FROM documents) a, unnest(wd) u(t)
+         |  WHERE length(t) >= 3),
+         |ov AS (SELECT tq.doc_id AS query_id, td.doc_id,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM terms tq JOIN terms td USING (term)
+         |  WHERE tq.doc_id % 50 = 0 AND td.doc_id <> tq.doc_id
+         |  GROUP BY 1, 2),
+         |ltop AS (SELECT query_id, doc_id, lex_rank FROM (
+         |    SELECT query_id, doc_id, CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY inter DESC, doc_id) AS INT) AS lex_rank
+         |    FROM ov) x WHERE lex_rank <= 20),
+         |fused AS (SELECT COALESCE(vt.query_id, lt.query_id) AS query_id,
+         |    COALESCE(vt.doc_id, lt.doc_id) AS doc_id,
+         |    COALESCE(CAST(1000000000 AS BIGINT) // (60 + vt.vec_rank), 0) +
+         |    COALESCE(CAST(1000000000 AS BIGINT) // (60 + lt.lex_rank), 0) AS rrf
+         |  FROM vtop vt FULL OUTER JOIN ltop lt
+         |    ON vt.query_id = lt.query_id AND vt.doc_id = lt.doc_id)
+         |SELECT query_id, rnk, doc_id, rrf FROM (
+         |  SELECT query_id, doc_id, rrf, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rnk
+         |  FROM fused) x
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "s15_ann_index_append" ->
       s"""WITH $vecCte,

@@ -725,10 +725,124 @@ object RelationalQueries {
         .groupBy(col("l_returnflag"), col("measure"))
         .agg((sum(col("cents")) / 100.0).as("total"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"), col("measure"))
+    },
+
+    // Correlated LATERAL subquery with per-outer-row ORDER BY + LIMIT —
+    // the "top-k related rows for each driving row" surface (q24's
+    // TopNPerKey and q8's window-rank express the same need; this is
+    // the third, SQL-standard form). Catalyst de-correlates the lateral
+    // into a join + per-key limit rather than re-running the subquery
+    // per outer row — that rewrite is what makes the surface usable at
+    // 100 TB (the naive interpretation is one customer scan per nation).
+    "q42_lateral" -> { (s, dir) =>
+      Tables.nation(s, dir).createOrReplaceTempView("lat_nation")
+      Tables.customer(s, dir).createOrReplaceTempView("lat_customer")
+      s.sql("""
+        SELECT n.n_name, t.c_name, t.bal_c / CAST(100.0 AS DOUBLE) AS acctbal
+        FROM lat_nation n,
+        LATERAL (
+          SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY bal_c DESC, c_name
+          LIMIT 2) t
+        ORDER BY n.n_name, t.bal_c DESC, t.c_name""")
+    },
+
+    // Spark 4 SQL PIPE syntax (|> operators) — the linear query surface
+    // (FROM … |> WHERE |> EXTEND |> AGGREGATE |> WHERE-as-HAVING |>
+    // SELECT |> ORDER BY): each stage consumes the previous stage's
+    // output in reading order, vs ANSI SQL's inside-out nesting. Pure
+    // surface — the plan is identical to the ANSI form (one partial-agg
+    // shuffle), which the oracle parity proves; post-AGGREGATE WHERE is
+    // HAVING, EXTEND before the aggregate is the scalar projection.
+    "q44_pipe_syntax" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("pipe_lineitem")
+      s.sql("""
+        FROM pipe_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |> EXTEND CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                  CAST(round(l_discount * 100) AS BIGINT) AS disc_c
+        |> AGGREGATE CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS rev_c4,
+                     count(*) AS n
+           GROUP BY l_returnflag, l_linestatus
+        |> WHERE n > 100
+        |> EXTEND rev_c4 / CAST(10000.0 AS DOUBLE) AS revenue
+        |> SELECT l_returnflag, l_linestatus, revenue, n
+        |> ORDER BY l_returnflag, l_linestatus""")
+    },
+
+    // Forward-fill via IGNORE NULLS window (last_value over an
+    // unbounded-preceding rows frame) — the sensor-reading carry-forward
+    // that m36's linear interpolation and m28's grid gap-fill both
+    // sidestep: here the fill source is the LAST OBSERVED value in event
+    // order, a pure one-pass window with no sequence explode and no
+    // self-join. Only purchase events carry a reading; every other event
+    // rides the most recent purchase's cents. Scale shape: one shuffle
+    // on user_id serves both the window and the final per-user
+    // aggregate (same key — no second exchange).
+    "q43_fill_forward" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "purchase", cents(col("value"))).as("reading_c"))
+        .withColumn("filled", last(col("reading_c"), ignoreNulls = true).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          count(col("filled")).as("n_covered"),
+          sum(when(col("reading_c").isNull && col("filled").isNotNull, 1L)
+            .otherwise(0L)).as("n_stale_fill"),
+          sum(col("filled")).cast("long").as("sum_filled_c"))
+        .orderBy(col("user_id"))
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "q44_pipe_syntax" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount*100) AS BIGINT))) AS BIGINT)
+        |    / 10000.0 AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |HAVING count(*) > 100
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q42_lateral" ->
+      """SELECT n.n_name, t.c_name, t.bal_c / 100.0 AS acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        |  FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY bal_c DESC, c_name
+        |  LIMIT 2) t
+        |ORDER BY n.n_name, t.bal_c DESC, t.c_name""".stripMargin,
+
+    "q43_fill_forward" ->
+      """WITH seq AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN CAST(round(value * 100) AS BIGINT) END AS reading_c
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, reading_c,
+        |    last_value(reading_c IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |  FROM seq)
+        |SELECT user_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(filled) AS BIGINT) AS n_covered,
+        |  CAST(sum(CASE WHEN reading_c IS NULL AND filled IS NOT NULL
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_stale_fill,
+        |  CAST(sum(filled) AS BIGINT) AS sum_filled_c
+        |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q41_unpivot" ->
       """WITH base AS (SELECT l_returnflag,
         |    CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,

@@ -378,10 +378,52 @@ object SamplingQueries {
         .withColumn("scanned",
           (col("max_c") >= 10000 && col("min_c") <= 20000).cast("int"))
         .orderBy(col("layout"), col("shard_key"))
+    },
+
+    // small-file COMPACTION planner — the maintenance pass every
+    // long-lived 100-TB table needs (ingest writes thousands of
+    // under-sized shards; reads then pay per-file open + scheduling
+    // cost): pack ADJACENT shards, in shard order, into target-size
+    // output files via the start-offset rule (a shard joins the bin its
+    // running-sum start falls in — the one-pass streaming compactor;
+    // order-preserving so p8-style clustering survives compaction).
+    // Scale shape: the corpus pass is ONE partial agg over a pruned
+    // 2-column scan (doc_id, n_chars — never text); the cumsum window
+    // runs on MANIFEST rows (one per shard), which is the only
+    // single-partition step and is manifest-sized, not corpus-sized.
+    "p14_compaction_plan" -> { (s, dir) =>
+      val shards = Tables.documents(s, dir)
+        .groupBy(pmod(col("doc_id"), lit(200)).as("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+      val w = Window.orderBy(col("shard_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      shards.withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("bin", expr("(cum - bytes) div 20000"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_shards"), sum(col("n_docs")).as("n_docs"),
+          sum(col("bytes")).as("total_bytes"),
+          min(col("shard_id")).as("shard_lo"), max(col("shard_id")).as("shard_hi"))
+        .orderBy(col("bin"))
     }
   )
 
   def oracles: Map[String, String] = Map(
+    "p14_compaction_plan" ->
+      """WITH shards AS (SELECT doc_id % 200 AS shard_id,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT shard_id, n_docs, bytes,
+        |    CAST(sum(bytes) OVER (ORDER BY shard_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM shards)
+        |SELECT (cum - bytes) // 20000 AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_shards,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+        |  min(shard_id) AS shard_lo, max(shard_id) AS shard_hi
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "p13_zonemap_skip" ->
       """WITH e AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS us,
         |    CAST(round(value * 100) AS BIGINT) AS c FROM events),

@@ -132,6 +132,34 @@ object StreamingQueries {
         .orderBy(col("win_start"))
     },
 
+    // per-key alert COOLDOWN, batch-fold form: an error alerts only if
+    // ≥10 min has passed since the key's last RAISED alert — a
+    // recursive dependency on the operator's own output (which prior
+    // events alerted decides the next decision) that no window frame
+    // expresses; the fold is the one sequential pass. The streaming
+    // production form is Spark 4 transformWithState with two ValueState
+    // longs per key in RocksDB (HealthStream.alertCooldownStream);
+    // parity + cross-batch state proven in StreamingSpec. Scale shape:
+    // one hash shuffle on user_id; the fold runs on aggregate rows
+    // (per-user error arrays), O(errors-per-user) each, via ONE
+    // aggregate() HOF pass (the st12 O(n) finish lesson).
+    "st14_alert_cooldown" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_errors"),
+          array_sort(collect_list(struct(col("ts_us"), col("event_id")))).as("seq"))
+        .withColumn("acc", expr(
+          "aggregate(seq, named_struct('last', CAST(-4611686018427387904 AS BIGINT), " +
+          "'n', CAST(0 AS BIGINT)), (acc, x) -> " +
+          "IF(x.ts_us - acc.last >= 600000000, " +
+          "named_struct('last', x.ts_us, 'n', acc.n + 1), acc))"))
+        .select(col("user_id"), col("n_errors"),
+          col("acc.n").as("n_alerts"), col("acc.last").as("last_alert_us"))
+        .orderBy(col("user_id"))
+    },
+
     // native session windows (merge while gap < 30 min; window end =
     // last event + gap). Streaming-capable as-is (state store backed).
     "st3_session_window" -> { (s, dir) =>
@@ -147,6 +175,32 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // NOTE: deliberately a recursive CTE, not list_reduce — DuckDB
+    // 1.0's list_reduce mis-folds when list lengths vary across rows
+    // (verified minimal repro: 3-row fold returns a wrong accumulator
+    // on the shorter rows). The recursion IS the sequential semantics.
+    "st14_alert_cooldown" ->
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, $tsUs AS ts_us, event_id,
+         |    CAST(row_number() OVER (PARTITION BY user_id
+         |      ORDER BY $tsUs, event_id) AS BIGINT) AS rn
+         |  FROM events WHERE event_type = 'error'),
+         |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors
+         |  FROM e GROUP BY user_id),
+         |walk(user_id, rn, last_alert, n_alerts) AS (
+         |  SELECT user_id, CAST(0 AS BIGINT),
+         |    CAST(-4611686018427387904 AS BIGINT), CAST(0 AS BIGINT) FROM n
+         |  UNION ALL
+         |  SELECT w.user_id, e.rn,
+         |    CASE WHEN e.ts_us - w.last_alert >= 600000000
+         |         THEN e.ts_us ELSE w.last_alert END,
+         |    CASE WHEN e.ts_us - w.last_alert >= 600000000
+         |         THEN w.n_alerts + 1 ELSE w.n_alerts END
+         |  FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+         |SELECT n.user_id, n.n_errors, w.n_alerts, w.last_alert AS last_alert_us
+         |FROM walk w JOIN n ON n.user_id = w.user_id AND w.rn = n.n_errors
+         |ORDER BY n.user_id""".stripMargin,
+
     "st11_stream_hll" ->
       s"""WITH h AS (SELECT make_timestamp($tsUs - $tsUs % 300000000) AS bucket,
          |    md5('hll|' || CAST(user_id AS VARCHAR)) AS _h FROM events),

@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
 
@@ -463,5 +464,57 @@ object HealthStream {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[(Long, Long, Long, Long), SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  // ---- alert cooldown (st14): transformWithState production form ----
+
+  case class AlertOut(user_id: Long, alert_ts_us: Long, alert_seq: Long)
+
+  /** Per-key alert cooldown: an error event raises an alert only when
+    * ≥ cooldown has elapsed since the key's LAST RAISED alert — a
+    * recursive dependency on the operator's own output no window
+    * function expresses (each decision depends on which prior events
+    * alerted, not on any fixed frame). The reference throttles its
+    * notifications the same way (one event per condition per cadence,
+    * chStats.py:538-579 cadence gating around uploadEvents). Spark 4's
+    * transformWithState holds (lastAlert, seq) as two ValueState longs
+    * per key in RocksDB — state size is independent of event volume,
+    * the property that lets the operator run forever at 100 TB/day.
+    */
+  class CooldownProcessor(cooldownUs: Long)
+      extends StatefulProcessor[Long, Ev, AlertOut] {
+    @transient private var lastAlert: ValueState[Long] = _
+    @transient private var seq: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastAlert = getHandle.getValueState[Long]("lastAlert", Encoders.scalaLong, TTLConfig.NONE)
+      seq = getHandle.getValueState[Long]("alertSeq", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[AlertOut] = {
+      // arrival order within a micro-batch is not event order
+      val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      var last = if (lastAlert.exists()) lastAlert.get() else Long.MinValue / 4
+      var n = if (seq.exists()) seq.get() else 0L
+      val out = Array.newBuilder[AlertOut]
+      evs.foreach { e =>
+        if (e.ts_us - last >= cooldownUs) {
+          last = e.ts_us; n += 1; out += AlertOut(key, e.ts_us, n)
+        }
+      }
+      lastAlert.update(last); seq.update(n)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming alert-cooldown over an error-event stream; requires the
+    * RocksDB state store provider (transformWithState's backing store).
+    * Batch-fold equivalent (the oracle): st14 in StreamingQueries.
+    */
+  def alertCooldownStream(errors: Dataset[Ev],
+      cooldownMinutes: Int = 10): Dataset[AlertOut] = {
+    import errors.sparkSession.implicits._
+    errors.groupByKey(_.user_id)
+      .transformWithState(new CooldownProcessor(cooldownMinutes * 60000000L),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -560,4 +560,48 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("s16: lexical channel is an inverted-index term join — never doc×doc; fusion join rides bounded lists") {
+    val p = plan("s16_hybrid_rrf")
+    // only the declared-brute vector channel may cross-join (broadcast
+    // query side); the term join and the fusion join must be equi-joins
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      "only the vector channel may be a broadcast nested loop:\n" + p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    // both channels bound their lists before fusion (TopNPerKey heaps
+    // for lexical, rank filter for vector)
+    assert(p.contains("TopNPerKey") || p.contains("WindowGroupLimit"), p)
+  }
+
+  test("p14: manifest agg reads ONLY (doc_id, n_chars); cumsum window sits on aggregate rows") {
+    val p = plan("p14_compaction_plan")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,n_chars:bigint>"),
+      "compaction stats must never scan text:\n" + p)
+    // the single-partition window input is the 200-row shard manifest:
+    // a partial agg must sit below the window's SinglePartition exchange
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q42: correlated LATERAL de-correlates to a broadcast join + partial WindowGroupLimit") {
+    val p = plan("q42_lateral")
+    // the naive interpretation re-runs the subquery per outer row; the
+    // plan must instead be ONE customer scan, per-key limit pushed
+    // below the shuffle, joined to the broadcast nation dim
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("customer\\.parquet".r.findAllIn(p).size == 1,
+      "lateral subquery must not rescan customer per outer row:\n" + p)
+  }
+
+  test("q43: forward-fill window and per-user agg share ONE hash exchange") {
+    val p = plan("q43_fill_forward")
+    // the groupBy(user_id) must ride the window's hashpartitioning —
+    // one data shuffle total (+ the final presentation range sort)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(p.contains("partial_count"), p) // agg still map-side combines
+    assert(p.contains("last(reading_c"), p)
+  }
 }

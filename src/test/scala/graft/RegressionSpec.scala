@@ -258,6 +258,31 @@ class RegressionSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE"), ex.getMessage)
   }
 
+  test("canary: recursive-CTE PageRank stays blocked on aggregate-over-recursion — migrate s10 when this fails") {
+    // s10's per-level contribution sum is an aggregate OVER the
+    // recursive reference (each level groups the previous level's
+    // contributions by target node) — the SQL standard prohibits it and
+    // Spark 4.1 enforces the prohibition, so s10's driver-composed
+    // 3-iteration plan is the idiomatic form TODAY (r5 verdict item
+    // re-probed, not assumed). The day this FAILS, Spark allows
+    // aggregates in the recursive term: re-express s10's loop as
+    // WITH RECURSIVE over (edges ⋈ prev-level ranks → group by target).
+    import spark.implicits._
+    Seq((1, 2, 100L)).toDF("src", "dst", "r").createOrReplaceTempView("pr_canary_e")
+    val ex = intercept[Exception] {
+      spark.sql(
+        """WITH RECURSIVE pr(id, r, it) AS (
+          |  SELECT src, r, 0 FROM pr_canary_e
+          |  UNION ALL
+          |  SELECT p.id, s.tot, p.it + 1
+          |  FROM pr p JOIN (SELECT it AS it2, sum(r) AS tot FROM pr GROUP BY it) s
+          |    ON p.it = s.it2
+          |  WHERE p.it < 2)
+          |SELECT * FROM pr WHERE it = 2""".stripMargin).collect()
+    }
+    assert(ex.getMessage.contains("INVALID_RECURSIVE_REFERENCE"), ex.getMessage)
+  }
+
   test("polyHash iterates code points, matching SQL character indexing") {
     val s = "a😀b" // a😀b — 3 code points, 4 UTF-16 units
     val cps = s.codePoints().toArray

@@ -738,6 +738,103 @@ class StreamingSpec extends AnyFunSuite {
     assert(rocks.nonEmpty)
   }
 
+  test("st14: transformWithState alert cooldown — alerts exact, ValueState survives micro-batches (RocksDB)") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tws")
+    val srcDir = s"$base/src"; val chk = s"$base/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    // cooldown = 10 min = 600e6 µs. user 1: alert at t0, suppressed at
+    // t0+5m, alert at t0+11m40s; user 2: alert in batch 1, then a
+    // batch-2 event INSIDE the cooldown of the batch-1 alert — the
+    // suppression only happens if lastAlert state crossed the batch
+    // boundary.
+    val t0 = 1000000000L
+    def write(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("user_id", "event_id", "ts_us")
+        .write.mode("append").parquet(srcDir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      write(Seq((1L, 1L, t0), (1L, 2L, t0 + 300000000L), (2L, 3L, t0 + 1000000000L)))
+      val stream = spark.readStream
+        .schema("user_id LONG, event_id LONG, ts_us LONG")
+        .parquet(srcDir).as[HealthStream.Ev]
+      val q = HealthStream.alertCooldownStream(stream).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_out").option("checkpointLocation", chk).start()
+      q.processAllAvailable()
+      // batch 2: u2 suppressed (inside cooldown of the batch-1 alert),
+      // u1 alerts again, u2 alerts after its cooldown
+      write(Seq((2L, 4L, t0 + 1100000000L), (1L, 5L, t0 + 700000000L),
+        (2L, 6L, t0 + 1650000000L)))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("tws_out")
+        .select("user_id", "alert_ts_us", "alert_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Set(
+        (1L, t0, 1L), (1L, t0 + 700000000L, 2L),
+        (2L, t0 + 1000000000L, 1L), (2L, t0 + 1650000000L, 2L))
+      assert(got == want, s"got $got")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("canary: transformWithState REQUIRES the RocksDB provider — heap state store is rejected") {
+    // pins the platform constraint the st14 docs claim; if Spark ever
+    // lifts it, this fails and the docs should drop the requirement
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_twsheap")
+    val srcDir = s"$base/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    Seq((1L, 1L, 1000000000L)).toDF("user_id", "event_id", "ts_us")
+      .write.mode("append").parquet(srcDir)
+    val stream = spark.readStream
+      .schema("user_id LONG, event_id LONG, ts_us LONG")
+      .parquet(srcDir).as[HealthStream.Ev]
+    val q = HealthStream.alertCooldownStream(stream).toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tws_heap_out").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      throw new IllegalStateException("transformWithState ran on the heap " +
+        "provider — Spark lifted the RocksDB requirement; retire this canary")
+    }
+    assert(ex.getMessage.contains("RocksDB") ||
+      ex.getMessage.contains("STATE_STORE"), ex.getMessage)
+    q.stop()
+  }
+
+  test("Trigger.AvailableNow: drains existing files then self-terminates; restart from the checkpoint reads ONLY new files") {
+    // the nightly-catchup shape: a batch-cadence job with streaming
+    // exactly-once bookkeeping — each run drains what's new and exits,
+    // offsets carried by the checkpoint (vs a cron'd batch job that
+    // must reinvent source tracking)
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val base = java.nio.file.Files.createTempDirectory("graft_avnow")
+    val srcDir = s"$base/src"; val chk = s"$base/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema("event_id LONG").parquet(srcDir)
+      val q = stream.writeStream.option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= df.collect().map(_.getLong(0)) }; ()
+        }.start()
+      assert(q.awaitTermination(120000), "AvailableNow must self-terminate")
+    }
+    Seq(1L, 2L, 3L).toDF("event_id").write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(seen.sorted == Seq(1L, 2L, 3L), s"first run drains the backlog: $seen")
+    seen.clear()
+    Seq(4L, 5L).toDF("event_id").write.mode("append").parquet(srcDir)
+    runOnce()
+    assert(seen.sorted == Seq(4L, 5L),
+      s"second run must process only the NEW files (checkpointed offsets): $seen")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) == declarative sessions") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
