@@ -866,6 +866,30 @@ object MonitoringQueries {
     // 1/16 (6.25%) relative error above — rank selection and merge are
     // the same integer cum-sum guard and count addition as m43
     // (per-day partials merged exactly; proven in QuantileSketchSpec).
+    // EWMA smoothing with α = 1/2 — the monitor's classic trend filter
+    // (m31's z-score sibling: that detects outliers, this damps them).
+    // Integer-exact and oracle-safe: e_n = (e_{n-1} + c_n) div 2 is
+    // pure integer halving — the binary-α analogue of the libm-free
+    // stats rule (a float α would compound libm drift cross-engine).
+    // Like st14, the recurrence depends on its own output, so the batch
+    // form is ONE aggregate() HOF fold over per-user ordered arrays
+    // (one user_id shuffle, fold on aggregate rows); the DuckDB oracle
+    // walks the same recurrence as a recursive CTE.
+    "m48_ewma_smooth" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), Monitoring.cents(col("value")).as("c"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("c"))))
+            .as("seq"))
+        .withColumn("ewma_c", expr(
+          "aggregate(seq, CAST(-4611686018427387904 AS BIGINT), (acc, x) -> " +
+          "IF(acc = -4611686018427387904, x.c, (acc + x.c) div 2))"))
+        .select(col("user_id"), col("n_events"), col("ewma_c"))
+        .orderBy(col("user_id"))
+    },
+
     "m47_log_quantile" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val binned = Tables.events(s, dir)
@@ -1209,6 +1233,25 @@ object MonitoringQueries {
         |  CAST((min(CASE WHEN cum * 100 >= n * 95 THEN bin END) + 1) * 64 AS DOUBLE) / 100.0 AS p95_est,
         |  CAST((min(CASE WHEN cum * 100 >= n * 99 THEN bin END) + 1) * 64 AS DOUBLE) / 100.0 AS p99_est
         |FROM cu GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // recursive CTE, not list_reduce — DuckDB 1.0's list_reduce
+    // mis-folds on varying list lengths (st14's repro)
+    "m48_ewma_smooth" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS BIGINT) AS rn
+        |  FROM events),
+        |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY user_id),
+        |walk(user_id, rn, ew) AS (
+        |  SELECT user_id, rn, c FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT w.user_id, e.rn, (w.ew + e.c) // 2
+        |  FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+        |SELECT n.user_id, n.n_events, w.ew AS ewma_c
+        |FROM walk w JOIN n ON n.user_id = w.user_id AND w.rn = n.n_events
+        |ORDER BY n.user_id""".stripMargin,
 
     "m47_log_quantile" ->
       """WITH ev AS (SELECT event_type,

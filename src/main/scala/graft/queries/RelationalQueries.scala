@@ -772,6 +772,30 @@ object RelationalQueries {
         |> ORDER BY l_returnflag, l_linestatus""")
     },
 
+    // try_* ANSI-safety semantics — the m39 lesson (data-dependent ANSI
+    // failures only firing at larger SF) institutionalized as an
+    // operator: a 100-TB ingest ALWAYS contains malformed values, and
+    // under ANSI mode one bad row kills the job hours in. try_cast maps
+    // malformed → NULL row-locally (vs the CASE-guard idiom, which
+    // needs the failure enumerated in advance); aggregation then counts
+    // and sums the survivors. The messy column is synthesized
+    // deterministically (numeric / garbage-suffixed / empty by
+    // user_id%3) so DuckDB's TRY_CAST sees identical inputs.
+    "q45_try_semantics" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("c", cents(col("value")))
+        .withColumn("raw", expr(
+          "CASE user_id % 3 WHEN 0 THEN CAST(c AS STRING) " +
+          "WHEN 1 THEN concat(CAST(c AS STRING), 'x') ELSE '' END"))
+        .withColumn("parsed", expr("try_cast(raw AS BIGINT)"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("parsed")).as("n_valid"),
+          sum(when(col("parsed").isNull, 1L).otherwise(0L)).as("n_reject"),
+          sum(col("parsed")).cast("long").as("sum_valid_c"))
+        .orderBy(col("event_type"))
+    },
+
     // Forward-fill via IGNORE NULLS window (last_value over an
     // unbounded-preceding rows frame) — the sensor-reading carry-forward
     // that m36's linear interpolation and m28's grid gap-fill both
@@ -811,6 +835,20 @@ object RelationalQueries {
         |GROUP BY l_returnflag, l_linestatus
         |HAVING count(*) > 100
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q45_try_semantics" ->
+      """WITH e AS (SELECT event_type,
+        |    CASE user_id % 3
+        |      WHEN 0 THEN CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+        |      WHEN 1 THEN CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR) || 'x'
+        |      ELSE '' END AS raw
+        |  FROM events),
+        |p AS (SELECT event_type, TRY_CAST(raw AS BIGINT) AS parsed FROM e)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(count(parsed) AS BIGINT) AS n_valid,
+        |  CAST(sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reject,
+        |  CAST(sum(parsed) AS BIGINT) AS sum_valid_c
+        |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q42_lateral" ->
       """SELECT n.n_name, t.c_name, t.bal_c / 100.0 AS acctbal

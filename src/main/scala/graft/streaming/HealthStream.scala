@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
@@ -516,5 +516,56 @@ object HealthStream {
     errors.groupByKey(_.user_id)
       .transformWithState(new CooldownProcessor(cooldownMinutes * 60000000L),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  // ---- silent-node watchdog: event-time TIMERS (handleExpiredTimer) --
+
+  case class NodeDown(node_id: Long, last_seen_us: Long, expiry_ms: Long)
+
+  /** Absent-node detection as a PUSH, not a poll: m23's batch anti-join
+    * asks "who is missing from this window" on every run; this
+    * registers one event-time timer per live key at last_seen + gap —
+    * when the watermark passes it with no newer heartbeat, the expired
+    * timer EMITS the down event and frees the key's state (state and
+    * timer count = live keys, not history). The reference's absent-
+    * replica path (chStats.py error-record emission) is exactly this
+    * contract, minus the rescan. */
+  class WatchdogProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, EvW, NodeDown] {
+    @transient private var lastSeen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long]("lastSeen", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EvW],
+        timerValues: TimerValues): Iterator[NodeDown] = {
+      var mx = if (lastSeen.exists()) lastSeen.get() else Long.MinValue
+      rows.foreach(e => mx = math.max(mx, e.ts_us))
+      // slide the key's single deadline forward to last_seen + gap
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      lastSeen.update(mx)
+      getHandle.registerTimer(mx / 1000L + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[NodeDown] = {
+      val ls = lastSeen.get()
+      lastSeen.clear() // expiry frees the key entirely
+      Iterator.single(NodeDown(key, ls, expiredTimerInfo.getExpiryTimeInMs))
+    }
+  }
+
+  /** Streaming watchdog over a heartbeat stream (RocksDB-backed, like
+    * alertCooldownStream). The watermark drives timer expiry, so
+    * "down" is an event-time fact — reproducible from the log, not a
+    * wall-clock race. */
+  def watchdogStream(events: Dataset[Ev], gapMinutes: Int): Dataset[NodeDown] = {
+    import events.sparkSession.implicits._
+    events.toDF()
+      .withColumn("event_ts", expr("timestamp_micros(ts_us)"))
+      .withWatermark("event_ts", "1 second")
+      .as[EvW]
+      .groupByKey(_.user_id)
+      .transformWithState(new WatchdogProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

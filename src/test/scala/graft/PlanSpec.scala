@@ -561,6 +561,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("st14/m48: sequential folds ride ONE user_id exchange — the recurrence runs on aggregate rows") {
+    for (k <- Seq("st14_alert_cooldown", "m48_ewma_smooth")) {
+      val p = plan(k)
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, s"$k:\n$p")
+      assert(p.contains("partial_count"), s"$k must map-side combine:\n$p")
+      // the fold input is the per-key collected array (the HOF itself is
+      // fused into the aggregate's result expressions — not printed)
+      assert(p.contains("collect_list"), s"$k folds over collected arrays:\n$p")
+    }
+  }
+
   test("s16: lexical channel is an inverted-index term join — never doc×doc; fusion join rides bounded lists") {
     val p = plan("s16_hybrid_rrf")
     // only the declared-brute vector channel may cross-join (broadcast

@@ -835,6 +835,71 @@ class StreamingSpec extends AnyFunSuite {
       s"second run must process only the NEW files (checkpointed offsets): $seen")
   }
 
+  test("watchdog: an event-time TIMER fires when the watermark passes a silent node's deadline — state freed") {
+    // m23's absent-node semantics as a PUSH: node 2 heartbeats once and
+    // goes silent; node 1 keeps beating. When the watermark (driven by
+    // node 1's later beats) passes node 2's last_seen + gap, the
+    // expired timer emits NodeDown(2) — node 1, still inside its
+    // deadline, must NOT emit.
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_wdog")
+    val srcDir = s"$base/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val t0 = 1700000000000000L // µs
+    def write(rows: Seq[(Long, Long, Long)]): Unit =
+      rows.toDF("user_id", "event_id", "ts_us").write.mode("append").parquet(srcDir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      write(Seq((1L, 1L, t0), (2L, 2L, t0)))
+      val stream = spark.readStream
+        .schema("user_id LONG, event_id LONG, ts_us LONG")
+        .parquet(srcDir).as[HealthStream.Ev]
+      val q = HealthStream.watchdogStream(stream, gapMinutes = 10).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("wdog_out").start()
+      q.processAllAvailable()
+      // node 1 beats 30 min later → watermark jumps past node 2's
+      // t0+10min deadline; one more batch lets the expired timer fire
+      write(Seq((1L, 3L, t0 + 1800000000L)))
+      q.processAllAvailable()
+      write(Seq((1L, 4L, t0 + 1860000000L)))
+      q.processAllAvailable(); q.stop()
+      val down = spark.table("wdog_out")
+        .select("node_id", "last_seen_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(down == Set((2L, t0)),
+        s"exactly node 2, last seen at its only heartbeat: $down")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("maxFilesPerTrigger=1 backpressure: N files become N micro-batches — per-batch input is bounded") {
+    // the ingest-control knob that keeps a catch-up run from loading an
+    // unbounded backlog into one batch (per-batch state/shuffle must be
+    // sized for the trigger, not for however long the stream was down)
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_mfpt")
+    val srcDir = s"$base/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    (1 to 3).foreach { i =>
+      Seq(i.toLong).toDF("event_id").write.mode("append").parquet(srcDir)
+    }
+    val batches = scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream.schema("event_id LONG")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.collect().map(_.getLong(0)).toSeq }; ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    val nonEmpty = batches.filter(_.nonEmpty)
+    assert(nonEmpty.size == 3, s"3 single-file batches expected: $batches")
+    assert(nonEmpty.forall(_.size == 1), s"each batch carries ONE file's rows: $batches")
+    assert(nonEmpty.flatten.sorted == Seq(1L, 2L, 3L), s"no loss, no dupes: $batches")
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) == declarative sessions") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
