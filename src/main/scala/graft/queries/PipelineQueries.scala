@@ -1082,27 +1082,39 @@ object PipelineQueries {
     // the oracle proves by recomputing everything.
     // HYBRID retrieval with reciprocal-rank fusion — the RAG serving
     // shape no single channel covers: a lexical inverted-index channel
-    // (distinct-term overlap, the t6 token contract) and a vector
-    // cosine channel each produce a bounded top-20 per query; fusion
-    // sums integer reciprocal ranks floor(1e9/(60+rank)) over a FULL
-    // OUTER join of the two lists (a doc surfaced by only one channel
-    // still scores). All-integer fusion — rank positions, not float
-    // scores, cross the channel boundary, so lexical and vector scales
-    // never need calibrating. Scale shape: the term join is an
-    // inverted-index equi-join with partial-agg overlap counts (never
-    // doc×doc), the fusion join carries ≤ 2 × queries × 20 rows, and
-    // top-5 rides the bounded lists; only the declared-brute vector
-    // channel scans all pairs (swap in lshTopK/ivfTopK at 100 TB —
-    // same fusion contract).
+    // (distinct RARE-term overlap, the t6 token contract) and a
+    // sign-LSH vector channel each produce a bounded top-20 per query;
+    // fusion sums integer reciprocal ranks floor(1e9/(60+rank)) over a
+    // FULL OUTER join of the two lists (a doc surfaced by only one
+    // channel still scores). All-integer fusion — rank positions, not
+    // float scores, cross the channel boundary, so lexical and vector
+    // scales never need calibrating. Scale shape (each lever measured
+    // in §6j — the first cut was brute + uncapped and read 43× at 10×
+    // data): (1) the query set is bounded to first-copy ids — the
+    // serving question is what a QUERY costs as the index grows, not
+    // corpus×corpus; (2) the vector channel is s2's bucket-pruned
+    // lshTopK, not brute; (3) posting lists are df-capped (terms in
+    // >10% of docs are template boilerplate carrying no overlap
+    // signal — the classic stop-posting prune), and the capped terms
+    // table is localCheckpoint'ed for its two consumers (d20's
+    // re-derivation tradeoff). Fusion join carries ≤ 2×queries×20 rows.
     "s16_hybrid_rrf" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, dir)
       val vecs = Tables.embeddings(s, dir)
-      // lexical channel: distinct terms (t6 tokenization), index join
+      val isQ = (c: org.apache.spark.sql.Column) =>
+        pmod(c, lit(50)) === 0 && c < 100000000L
+      // lexical channel: distinct rare terms (df ≤ n/10), index join
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val terms = docs.select(col("doc_id"),
           explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
         .filter(length(col("term")) >= 3)
-      val qTerms = terms.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * 10 <= col("n_docs"))
+        .select(col("doc_id"), col("term"))
+        .localCheckpoint()
+      val qTerms = terms.filter(isQ(col("doc_id")))
         .withColumnRenamed("doc_id", "query_id")
       val overlap = terms.join(qTerms, "term")
         .filter(col("doc_id") =!= col("query_id"))
@@ -1112,10 +1124,10 @@ object PipelineQueries {
         .withColumn("lex_rank", row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("inter").desc, col("doc_id"))).cast("int"))
         .select(col("query_id"), col("doc_id"), col("lex_rank"))
-      // vector channel: brute cosine top-20 (declared baseline shape)
-      val vecTop = Similarity.bruteForceTopK(vecs,
-          vecs.filter(pmod(col("vec_id"), lit(50)) === 0),
-          "vec_id", "embedding", k = 20)
+      // vector channel: sign-LSH bucket-pruned top-20 (s2's scale path)
+      val vecTop = Similarity.lshTopK(vecs,
+          vecs.filter(isQ(col("vec_id"))),
+          "vec_id", "embedding", bits = 4, k = 20)
         .select(col("query_id"), col("neighbor_id").as("doc_id"),
           col("rank").as("vec_rank"))
       val fused = vecTop.join(lexTop, Seq("query_id", "doc_id"), "full_outer")
@@ -2028,22 +2040,30 @@ object PipelineQueries {
 
     "s16_hybrid_rrf" ->
       s"""WITH $vecCte,
-         |q AS (SELECT * FROM v WHERE vec_id % 50 = 0),
+         |vb AS (SELECT *, CAST(list_sum(list_transform(generate_series(0, 3), i ->
+         |    CASE WHEN coalesce(e[i+1], 1) >= 0 THEN (1 << i) ELSE 0 END)) AS INT)
+         |    AS bucket FROM v),
+         |q AS (SELECT * FROM vb WHERE vec_id % 50 = 0 AND vec_id < 100000000),
          |sims AS (SELECT b.vec_id AS query_id, a.vec_id AS doc_id,
          |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
-         |  FROM v a CROSS JOIN q b WHERE a.vec_id <> b.vec_id),
+         |  FROM vb a JOIN q b ON a.bucket = b.bucket WHERE a.vec_id <> b.vec_id),
          |vtop AS (SELECT query_id, doc_id, vec_rank FROM (
          |    SELECT query_id, doc_id, CAST(row_number() OVER (
          |      PARTITION BY query_id ORDER BY sim DESC, doc_id) AS INT) AS vec_rank
          |    FROM sims) x WHERE vec_rank <= 20),
-         |terms AS (SELECT DISTINCT doc_id, t AS term
+         |terms0 AS (SELECT DISTINCT doc_id, t AS term
          |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wd
          |    FROM documents) a, unnest(wd) u(t)
          |  WHERE length(t) >= 3),
+         |terms AS (SELECT doc_id, term FROM (
+         |    SELECT doc_id, term, count(*) OVER (PARTITION BY term) AS df
+         |    FROM terms0) x
+         |  WHERE df * 10 <= (SELECT count(*) FROM documents)),
          |ov AS (SELECT tq.doc_id AS query_id, td.doc_id,
          |    CAST(count(*) AS BIGINT) AS inter
          |  FROM terms tq JOIN terms td USING (term)
-         |  WHERE tq.doc_id % 50 = 0 AND td.doc_id <> tq.doc_id
+         |  WHERE tq.doc_id % 50 = 0 AND tq.doc_id < 100000000
+         |    AND td.doc_id <> tq.doc_id
          |  GROUP BY 1, 2),
          |ltop AS (SELECT query_id, doc_id, lex_rank FROM (
          |    SELECT query_id, doc_id, CAST(row_number() OVER (
