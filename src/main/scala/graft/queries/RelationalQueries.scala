@@ -772,6 +772,26 @@ object RelationalQueries {
         |> ORDER BY l_returnflag, l_linestatus""")
     },
 
+    // Join STRATEGY hints — the optimizer-override surface for the
+    // fact⋈fact joins the size heuristics get wrong at 100 TB (stale
+    // stats, post-filter selectivity the planner can't see):
+    // SHUFFLE_HASH forces a shuffled hash join — partition-local hash
+    // build, NO sort phase on either side — where the default would
+    // sort-merge (or broadcast at toy SF). The hint changes the
+    // PHYSICAL strategy only; the PlanSpec gate asserts
+    // ShuffledHashJoin with zero sorts below the join, and the oracle
+    // proves result-identity with the unhinted semantics.
+    "q46_join_hints" -> { (s, dir) =>
+      import s.implicits._
+      val orders = Tables.orders(s, dir).hint("SHUFFLE_HASH")
+      Tables.lineitem(s, dir)
+        .join(orders, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg((sum(cents($"l_extendedprice")) / 100.0).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+
     // try_* ANSI-safety semantics — the m39 lesson (data-dependent ANSI
     // failures only firing at larger SF) institutionalized as an
     // operator: a 100-TB ingest ALWAYS contains malformed values, and
@@ -835,6 +855,14 @@ object RelationalQueries {
         |GROUP BY l_returnflag, l_linestatus
         |HAVING count(*) > 100
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q46_join_hints" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    / 100.0 AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q45_try_semantics" ->
       """WITH e AS (SELECT event_type,

@@ -561,6 +561,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q46: SHUFFLE_HASH hint forces a ShuffledHashJoin — no sort phase, no silent broadcast fallback") {
+    val p = plan("q46_join_hints")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
+
   test("st14/m48: sequential folds ride ONE user_id exchange — the recurrence runs on aggregate rows") {
     for (k <- Seq("st14_alert_cooldown", "m48_ewma_smooth")) {
       val p = plan(k)

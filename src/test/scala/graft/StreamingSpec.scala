@@ -465,6 +465,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("checkpoint recovery holds under RocksDB CHANGELOG checkpointing (the large-state production mode)") {
+    // with changelog checkpointing, a commit uploads the batch's state
+    // DELTA instead of a full RocksDB snapshot — the knob that keeps
+    // commit latency flat as state grows to 100-TB scale. Recovery then
+    // REPLAYS the changelog onto the last snapshot; this test kills and
+    // restarts mid-stream and proves the replayed state is exact (same
+    // contract as the heap-provider recovery test above).
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_chlog")
+    val chk = java.nio.file.Files.createTempDirectory("graft_chlog_chk")
+    val schema = org.apache.spark.sql.types.StructType(
+      graft.streaming.HealthStream.eventSchema.map {
+        case f if f.name == "ts" => f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+        case f => f
+      })
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      def startQuery() = {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$dir/f*")
+        HealthStream.windowedHealth(stream)
+          .writeStream.outputMode("complete")
+          .option("checkpointLocation", chk.toString)
+          .format("memory").queryName("chlog_out").start()
+      }
+      ev.filter($"event_id" % 2 === 0).write.parquet(s"$dir/f1")
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+      ev.filter($"event_id" % 2 =!= 0).write.parquet(s"$dir/f2")
+      val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+      val streamed = spark.table("chlog_out")
+        .orderBy("bucket", "event_type").collect().toSeq
+      val batch = HealthStream.windowedHealth(ev)
+        .orderBy("bucket", "event_type").collect().toSeq
+      assert(streamed == batch)
+    } finally {
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("streaming ingest dedup: dropDuplicatesWithinWatermark emits each key once") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup")
