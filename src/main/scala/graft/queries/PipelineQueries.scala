@@ -16,6 +16,46 @@ object PipelineQueries {
     * top-3 by cosine per vector via bounded heaps, checkpointed so
     * downstream graph passes (s9 census, s10 PageRank iterations)
     * never re-evaluate the candidate pipeline. */
+  /** The two hybrid-retrieval channels (s16 serving, s17 eval), each a
+    * bounded top-20 per query over the first-copy query set:
+    *  - lexical: distinct RARE-term overlap (df-capped postings at 10%
+    *    of the corpus — the stop-posting prune; the capped terms table
+    *    is localCheckpoint'ed for its two consumers);
+    *  - vector: s2's sign-LSH bucket-pruned cosine (the scale path).
+    * Levers measured in SURVEY §6j: the brute/uncapped first cut read
+    * 43× at 10× data; this shape reads 1.0×. */
+  private def hybridChannels(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val vecs = Tables.embeddings(s, dir)
+    val isQ = (c: org.apache.spark.sql.Column) =>
+      pmod(c, lit(50)) === 0 && c < 100000000L
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val terms = docs.select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+      .filter(length(col("term")) >= 3)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 10 <= col("n_docs"))
+      .select(col("doc_id"), col("term"))
+      .localCheckpoint()
+    val qTerms = terms.filter(isQ(col("doc_id")))
+      .withColumnRenamed("doc_id", "query_id")
+    val overlap = terms.join(qTerms, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("inter"))
+    val lexTop = Relational.topNPerGroupFast(overlap, 20, Seq("query_id"),
+        Seq(("inter", false), ("doc_id", true)))
+      .withColumn("lex_rank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("inter").desc, col("doc_id"))).cast("int"))
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val vecTop = Similarity.lshTopK(vecs, vecs.filter(isQ(col("vec_id"))),
+        "vec_id", "embedding", bits = 4, k = 20)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    (lexTop, vecTop)
+  }
+
   private def knnTopEdges(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions
     val vecs = Tables.embeddings(s, dir)
@@ -1100,36 +1140,7 @@ object PipelineQueries {
     // re-derivation tradeoff). Fusion join carries ≤ 2×queries×20 rows.
     "s16_hybrid_rrf" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, dir)
-      val vecs = Tables.embeddings(s, dir)
-      val isQ = (c: org.apache.spark.sql.Column) =>
-        pmod(c, lit(50)) === 0 && c < 100000000L
-      // lexical channel: distinct rare terms (df ≤ n/10), index join
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val terms = docs.select(col("doc_id"),
-          explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
-        .filter(length(col("term")) >= 3)
-        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
-        .crossJoin(broadcast(nDocs))
-        .filter(col("df") * 10 <= col("n_docs"))
-        .select(col("doc_id"), col("term"))
-        .localCheckpoint()
-      val qTerms = terms.filter(isQ(col("doc_id")))
-        .withColumnRenamed("doc_id", "query_id")
-      val overlap = terms.join(qTerms, "term")
-        .filter(col("doc_id") =!= col("query_id"))
-        .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("inter"))
-      val lexTop = Relational.topNPerGroupFast(overlap, 20, Seq("query_id"),
-          Seq(("inter", false), ("doc_id", true)))
-        .withColumn("lex_rank", row_number().over(Window.partitionBy(col("query_id"))
-          .orderBy(col("inter").desc, col("doc_id"))).cast("int"))
-        .select(col("query_id"), col("doc_id"), col("lex_rank"))
-      // vector channel: sign-LSH bucket-pruned top-20 (s2's scale path)
-      val vecTop = Similarity.lshTopK(vecs,
-          vecs.filter(isQ(col("vec_id"))),
-          "vec_id", "embedding", bits = 4, k = 20)
-        .select(col("query_id"), col("neighbor_id").as("doc_id"),
-          col("rank").as("vec_rank"))
+      val (lexTop, vecTop) = hybridChannels(s, dir)
       val fused = vecTop.join(lexTop, Seq("query_id", "doc_id"), "full_outer")
         .withColumn("rrf",
           coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + vec_rank)"), lit(0L)) +
@@ -1140,6 +1151,49 @@ object PipelineQueries {
         .filter(col("rnk") <= 5)
         .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf"))
         .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // the eval half of the hybrid story (s5's contract applied to
+    // s16): recall@5 vs BRUTE ground truth for the lexical channel
+    // alone, the LSH vector channel alone, and the RRF fusion — the
+    // measurement that justifies running two channels at all. One
+    // summary row per variant, all-integer (hit counts, truncating
+    // basis points). Ground truth is the declared-brute shape over the
+    // bounded query set, so this key joins the SF≥1 baseline skip set
+    // with s5.
+    "s17_hybrid_recall" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val vecs = Tables.embeddings(s, dir)
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0 &&
+        col("vec_id") < 100000000L)
+      val truth = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"))
+        .localCheckpoint()
+      // scalar as a broadcast 1-row side, never a driver action
+      val nQ = truth.agg(countDistinct(col("query_id")).as("n_queries"))
+      val (lexTop, vecTop) = hybridChannels(s, dir)
+      val lex5 = lexTop.filter(col("lex_rank") <= 5)
+        .select(col("query_id"), col("doc_id"))
+      val vec5 = vecTop.filter(col("vec_rank") <= 5)
+        .select(col("query_id"), col("doc_id"))
+      val fused5 = vecTop.join(lexTop, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + vec_rank)"), lit(0L)) +
+          coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + lex_rank)"), lit(0L)))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+        .filter(col("rnk") <= 5)
+        .select(col("query_id"), col("doc_id"))
+      def recallRow(name: String, cand: DataFrame): DataFrame =
+        truth.join(cand, Seq("query_id", "doc_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(nQ))
+          .select(lit(name).as("variant"), col("n_queries"), col("n_hits"),
+            expr("n_hits * 10000 div (5 * n_queries)").as("recall_bp"))
+      recallRow("fused", fused5)
+        .unionByName(recallRow("lexical", lex5))
+        .unionByName(recallRow("vector", vec5))
+        .orderBy(col("variant"))
     },
 
     "s15_ann_index_append" -> { (s, dir) =>
@@ -2037,6 +2091,69 @@ object PipelineQueries {
          |  FROM sims)
          |SELECT query_id, rnk, neighbor_id, sim FROM ranked
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "s17_hybrid_recall" ->
+      s"""WITH $vecCte,
+         |vb AS (SELECT *, CAST(list_sum(list_transform(generate_series(0, 3), i ->
+         |    CASE WHEN coalesce(e[i+1], 1) >= 0 THEN (1 << i) ELSE 0 END)) AS INT)
+         |    AS bucket FROM v),
+         |q AS (SELECT * FROM vb WHERE vec_id % 50 = 0 AND vec_id < 100000000),
+         |tsims AS (SELECT b.vec_id AS query_id, a.vec_id AS doc_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM v a CROSS JOIN q b WHERE a.vec_id <> b.vec_id),
+         |truth AS (SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, doc_id) AS r
+         |    FROM tsims) x WHERE r <= 5),
+         |nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+         |  FROM truth),
+         |lsims AS (SELECT b.vec_id AS query_id, a.vec_id AS doc_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM vb a JOIN q b ON a.bucket = b.bucket WHERE a.vec_id <> b.vec_id),
+         |vtop AS (SELECT query_id, doc_id, vec_rank FROM (
+         |    SELECT query_id, doc_id, CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, doc_id) AS INT) AS vec_rank
+         |    FROM lsims) x WHERE vec_rank <= 20),
+         |vec5 AS (SELECT query_id, doc_id FROM vtop WHERE vec_rank <= 5),
+         |terms0 AS (SELECT DISTINCT doc_id, t AS term
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wd
+         |    FROM documents) a, unnest(wd) u(t)
+         |  WHERE length(t) >= 3),
+         |terms AS (SELECT doc_id, term FROM (
+         |    SELECT doc_id, term, count(*) OVER (PARTITION BY term) AS df
+         |    FROM terms0) x
+         |  WHERE df * 10 <= (SELECT count(*) FROM documents)),
+         |ov AS (SELECT tq.doc_id AS query_id, td.doc_id,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM terms tq JOIN terms td USING (term)
+         |  WHERE tq.doc_id % 50 = 0 AND tq.doc_id < 100000000
+         |    AND td.doc_id <> tq.doc_id
+         |  GROUP BY 1, 2),
+         |ltop AS (SELECT query_id, doc_id, lex_rank FROM (
+         |    SELECT query_id, doc_id, CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY inter DESC, doc_id) AS INT) AS lex_rank
+         |    FROM ov) x WHERE lex_rank <= 20),
+         |lex5 AS (SELECT query_id, doc_id FROM ltop WHERE lex_rank <= 5),
+         |fus AS (SELECT COALESCE(vt.query_id, lt.query_id) AS query_id,
+         |    COALESCE(vt.doc_id, lt.doc_id) AS doc_id,
+         |    COALESCE(CAST(1000000000 AS BIGINT) // (60 + vt.vec_rank), 0) +
+         |    COALESCE(CAST(1000000000 AS BIGINT) // (60 + lt.lex_rank), 0) AS rrf
+         |  FROM vtop vt FULL OUTER JOIN ltop lt
+         |    ON vt.query_id = lt.query_id AND vt.doc_id = lt.doc_id),
+         |fused5 AS (SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+         |    FROM fus) x WHERE rnk <= 5),
+         |hits AS (
+         |  SELECT 'fused' AS variant, CAST(count(*) AS BIGINT) AS n_hits
+         |    FROM truth JOIN fused5 USING (query_id, doc_id)
+         |  UNION ALL SELECT 'lexical', CAST(count(*) AS BIGINT)
+         |    FROM truth JOIN lex5 USING (query_id, doc_id)
+         |  UNION ALL SELECT 'vector', CAST(count(*) AS BIGINT)
+         |    FROM truth JOIN vec5 USING (query_id, doc_id))
+         |SELECT variant, n_queries, n_hits,
+         |  n_hits * 10000 // (5 * n_queries) AS recall_bp
+         |FROM hits, nq ORDER BY variant""".stripMargin,
 
     "s16_hybrid_rrf" ->
       s"""WITH $vecCte,

@@ -380,6 +380,41 @@ object SamplingQueries {
         .orderBy(col("layout"), col("shard_key"))
     },
 
+    // CAPSTONE composition — the four stages a training-data build
+    // actually chains, as ONE declarative DAG: exact dedup (d1's
+    // min-id-per-hash) → quality floors (t2's signal class) → the
+    // deterministic md5 train split (p1's draw, train slice) → token
+    // packing (p4's sub-sharded cumsum bins). The point is that the
+    // family operators COMPOSE without materialization barriers: ONE
+    // corpus scan; a PARTIAL WindowGroupLimit prunes dup candidates
+    // map-side below the dedup shuffle; the rn=1 dedup filter, both
+    // quality floors, and the split draw all FUSE into a single Filter
+    // (PlanSpec-gated); three shuffles total (dedup hash, pack window,
+    // bin agg) and every intermediate "table" is a plan fragment, not
+    // a write. At 100 TB this is the difference between one job and
+    // four jobs with three intermediate datasets on disk.
+    "p15_pipeline_e2e" -> { (s, dir) =>
+      val keepW = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+      val deduped = Tables.documents(s, dir)
+        .withColumn("h", md5(col("text")))
+        .withColumn("rn", row_number().over(keepW))
+        .filter(col("rn") === 1)
+      val kept = deduped
+        .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")))
+        .filter(col("n_chars") >= 100 && col("n_tokens") >= 20)
+      val train = kept.filter(drawHex("split") >= "33")
+      val w = Window.partitionBy(col("lang"), col("blk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      train
+        .withColumn("blk", expr("doc_id div 128"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", expr("blk * 1000000 + (cum - n_tokens) div 2048"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("bin"))
+    },
+
     // small-file COMPACTION planner — the maintenance pass every
     // long-lived 100-TB table needs (ingest writes thousands of
     // under-sized shards; reads then pay per-file open + scheduling
@@ -408,6 +443,25 @@ object SamplingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "p15_pipeline_e2e" ->
+      s"""WITH dd AS (SELECT * FROM (
+         |    SELECT d.*, row_number() OVER (PARTITION BY md5(text)
+         |      ORDER BY doc_id) AS rn FROM documents d) x WHERE rn = 1),
+         |tk AS (SELECT doc_id, lang, n_chars,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_tokens
+         |  FROM dd),
+         |train AS (SELECT * FROM tk
+         |  WHERE n_chars >= 100 AND n_tokens >= 20
+         |    AND ${drawHexSql("split")} >= '33'),
+         |c AS (SELECT lang, doc_id, n_tokens, doc_id // 128 AS blk,
+         |    sum(n_tokens) OVER (PARTITION BY lang, doc_id // 128 ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM train)
+         |SELECT lang, CAST(blk * 1000000 + (cum - n_tokens) // 2048 AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "p14_compaction_plan" ->
       """WITH shards AS (SELECT doc_id % 200 AS shard_id,
         |    CAST(count(*) AS BIGINT) AS n_docs,

@@ -561,6 +561,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("p15: four pipeline stages fuse into ONE scan — partial dedup limit, one fused filter, no joins") {
+    val p = plan("p15_pipeline_e2e")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      "the composed pipeline must scan the corpus once:\n" + p)
+    // dedup candidates pruned map-side before the hash shuffle
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p)
+    // dedup rank, quality floors, and split draw fuse into one Filter
+    assert("\\(rn#\\d+ = 1\\)".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), "stage chaining must not introduce joins:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3,
+      "dedup + pack window + bin agg are the only shuffles:\n" + p)
+  }
+
   test("q46: SHUFFLE_HASH hint forces a ShuffledHashJoin — no sort phase, no silent broadcast fallback") {
     val p = plan("q46_join_hints")
     assert(p.contains("ShuffledHashJoin"), p)
