@@ -283,6 +283,28 @@ class RegressionSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("INVALID_RECURSIVE_REFERENCE"), ex.getMessage)
   }
 
+  test("empty-input resilience: st14 with zero error events and p15 on an empty corpus return empty, not errors") {
+    // the 100-TB failure mode: a healthy day has no errors, a fresh
+    // table has no rows — operators must degrade to empty output, not
+    // throw (aggregate() HOF on a never-built array, window over zero
+    // rows, a split draw on nothing)
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_empty")
+    // events with NO error rows (st14 filters to errors first)
+    Seq((1L, 1706000000000000L, 7L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value", "props")
+      .select($"event_id", expr("timestamp_micros(ts_us)").cast("timestamp_ntz").as("ts"),
+        $"user_id", $"event_type", $"value", $"props")
+      .write.parquet(s"$base/noerr/events.parquet")
+    assert(SparkEntry.queries("st14_alert_cooldown")(spark, s"$base/noerr").count() == 0)
+    // documents with zero rows
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.sources.Tables.documents(spark, "/root/testdata/sf0.001").schema)
+      .write.parquet(s"$base/empty/documents.parquet")
+    assert(SparkEntry.queries("p15_pipeline_e2e")(spark, s"$base/empty").count() == 0)
+    assert(SparkEntry.queries("p14_compaction_plan")(spark, s"$base/empty").count() == 0)
+  }
+
   test("polyHash iterates code points, matching SQL character indexing") {
     val s = "a😀b" // a😀b — 3 code points, 4 UTF-16 units
     val cps = s.codePoints().toArray
