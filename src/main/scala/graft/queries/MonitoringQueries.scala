@@ -866,6 +866,36 @@ object MonitoringQueries {
     // 1/16 (6.25%) relative error above — rank selection and merge are
     // the same integer cum-sum guard and count addition as m43
     // (per-day partials merged exactly; proven in QuantileSketchSpec).
+    // IPv4 parse + /24 subnet rollup — the SIEM ingest path the
+    // reference's domain (FortiSIEM network telemetry) lives on: IPs
+    // arrive as TEXT and every aggregation needs them back as
+    // integers. The address is synthesized deterministically from the
+    // key (the m6 LogLines contract — so the parse does real work and
+    // both engines see identical strings), then split/cast back to
+    // octets, rolled up per /24 with host cardinality and error
+    // counts. Pure integer + string ops; one partial-agg shuffle on
+    // the subnet key. Octet indexing note: Spark getItem is 0-based,
+    // DuckDB list extract is 1-based (CLAUDE.md trap) — both sides
+    // written against their own convention.
+    "m49_subnet_rollup" -> { (s, dir) =>
+      val ip = concat_ws(".", lit(10), pmod(col("user_id"), lit(200)),
+        pmod(expr("user_id div 200"), lit(250)),
+        pmod(col("event_id"), lit(254)) + 1)
+      val parts = split(col("ip"), "\\.")
+      Tables.events(s, dir)
+        .withColumn("ip", ip)
+        .withColumn("o1", parts.getItem(1).cast("long"))
+        .withColumn("o2", parts.getItem(2).cast("long"))
+        .withColumn("o3", parts.getItem(3).cast("long"))
+        .withColumn("subnet",
+          concat(lit("10."), col("o1"), lit("."), col("o2"), lit(".0/24")))
+        .groupBy(col("subnet"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("o3")).as("n_hosts"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+        .orderBy(col("subnet"))
+    },
+
     // EWMA smoothing with α = 1/2 — the monitor's classic trend filter
     // (m31's z-score sibling: that detects outliers, this damps them).
     // Integer-exact and oracle-safe: e_n = (e_{n-1} + c_n) div 2 is
@@ -1233,6 +1263,25 @@ object MonitoringQueries {
         |  CAST((min(CASE WHEN cum * 100 >= n * 95 THEN bin END) + 1) * 64 AS DOUBLE) / 100.0 AS p95_est,
         |  CAST((min(CASE WHEN cum * 100 >= n * 99 THEN bin END) + 1) * 64 AS DOUBLE) / 100.0 AS p99_est
         |FROM cu GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "m49_subnet_rollup" ->
+      """WITH e AS (SELECT event_type,
+        |    '10.' || CAST(user_id % 200 AS VARCHAR) || '.' ||
+        |    CAST((user_id // 200) % 250 AS VARCHAR) || '.' ||
+        |    CAST(event_id % 254 + 1 AS VARCHAR) AS ip
+        |  FROM events),
+        |p AS (SELECT event_type, string_split(ip, '.') AS parts FROM e),
+        |o AS (SELECT event_type,
+        |    CAST(parts[2] AS BIGINT) AS o1, CAST(parts[3] AS BIGINT) AS o2,
+        |    CAST(parts[4] AS BIGINT) AS o3
+        |  FROM p)
+        |SELECT '10.' || CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR)
+        |    || '.0/24' AS subnet,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT o3) AS BIGINT) AS n_hosts,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_errors
+        |FROM o GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // recursive CTE, not list_reduce — DuckDB 1.0's list_reduce
     // mis-folds on varying list lengths (st14's repro)
