@@ -18,12 +18,15 @@ object RunOne {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = SparkEntry.queries(name)(spark, dir)
-    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
-      println(df.queryExecution.executedPlan.toString)
+    // timer starts BEFORE construction: eager work inside the query
+    // builder (localCheckpoint'ed subplans) must not escape the
+    // measurement (Bench.runOnce already times fn + sink together)
     val t0 = System.nanoTime()
+    val df = SparkEntry.queries(name)(spark, dir)
     df.write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      println(df.queryExecution.executedPlan.toString)
     println(f"[runone] $name rows=${df.count()} noop_sec=$sec%.3f")
     spark.stop()
   }

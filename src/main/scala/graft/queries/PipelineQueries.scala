@@ -284,6 +284,44 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // the dedup analog of s17's eval: PRICE the probabilistic/exact
+    // trade with numbers instead of theory. d20's prefix join is the
+    // zero-false-negative truth (every Jaccard ≥ 0.8 pair); d3's
+    // MinHash banding is the cheap probabilistic path (misses a pair
+    // with probability (1-t^r)^b). This key measures banding's
+    // pair-DISCOVERY recall against the exact truth, and its precision
+    // (share of candidates that verify at ≥ 0.8, integer
+    // cross-multiplication — no division before the filter). One
+    // all-integer summary row. Runs both pipelines ⇒ joins the SF≥1
+    // baseline skip set with d20.
+    "d21_lsh_recall" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val truth = Dedup.prefixSimJoin(docs, "doc_id", "text", tBp = 8000L)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val cand = Dedup.lshCandidates(docs, "doc_id", "text", bands = 4, rows = 2)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val sets = docs.select(col("doc_id").as("_id"), Dedup.shingles("text").as("_set"))
+      val precise = cand
+        .join(sets.toDF("_id", "set_a"), col("id_a") === col("_id")).drop("_id")
+        .join(sets.toDF("_id", "set_b"), col("id_b") === col("_id")).drop("_id")
+        .withColumn("inter",
+          size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+        .withColumn("uni",
+          (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
+        .filter(col("inter") * 10000 >= col("uni") * 8000)
+      val nT = truth.agg(count(lit(1)).as("n_true"))
+      val nC = cand.agg(count(lit(1)).as("n_candidates"))
+      val nF = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+        .agg(count(lit(1)).as("n_found"))
+      val nP = precise.agg(count(lit(1)).as("n_precise"))
+      nT.crossJoin(broadcast(nC)).crossJoin(broadcast(nF)).crossJoin(broadcast(nP))
+        .select(col("n_true"), col("n_candidates"), col("n_found"), col("n_precise"),
+          expr("CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT) " +
+            "ELSE n_found * 10000 div n_true END").as("recall_bp"),
+          expr("CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_precise * 10000 div n_candidates END").as("precision_bp"))
+    },
+
     // LABEL-FREE embedding dedup — the 100 TB blocking path: a real
     // corpus has no label column, so the block key is itself a sign-LSH
     // bucket (4 bits) and cosineDupPairs' sub-split refines any over-cap
@@ -1382,6 +1420,41 @@ object PipelineQueries {
     "d3_minhash_lsh" ->
       s"""WITH $shingleCte
          |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+
+    "d21_lsh_recall" ->
+      s"""WITH $shingleCte,
+         |t2 AS (SELECT doc_id, s AS tk, CAST(len(s) AS BIGINT) AS n FROM sh2),
+         |tok AS (SELECT doc_id, n, unnest(tk) AS t FROM t2),
+         |dfq AS (SELECT t, count(*) AS dfreq FROM tok GROUP BY t),
+         |rk AS (SELECT doc_id, n, t,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY dfreq, t) AS r
+         |  FROM tok JOIN dfq USING (t)),
+         |pref AS (SELECT doc_id, n, t FROM rk
+         |  WHERE r <= n - (8000 * n + 9999) // 10000 + 1),
+         |pcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  WHERE least(a.n, b.n) * 10000 >= 8000 * greatest(a.n, b.n)),
+         |truth AS (SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      CAST(len(list_intersect(x.tk, y.tk)) AS BIGINT) AS inter,
+         |      CAST(len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk)) AS BIGINT) AS uni
+         |    FROM pcand JOIN t2 x ON id_a = x.doc_id JOIN t2 y ON id_b = y.doc_id) z
+         |  WHERE inter * 10000 >= 8000 * uni),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates FROM cand),
+         |found AS (SELECT CAST(count(*) AS BIGINT) AS n_found
+         |  FROM truth JOIN cand USING (id_a, id_b)),
+         |prec AS (SELECT CAST(count(*) AS BIGINT) AS n_precise FROM (
+         |    SELECT CAST(len(list_intersect(x.tk, y.tk)) AS BIGINT) AS inter,
+         |      CAST(len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk)) AS BIGINT) AS uni
+         |    FROM cand JOIN t2 x ON id_a = x.doc_id JOIN t2 y ON id_b = y.doc_id) z
+         |  WHERE inter * 10000 >= 8000 * uni)
+         |SELECT n_true, n_candidates, n_found, n_precise,
+         |  CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT)
+         |       ELSE n_found * 10000 // n_true END AS recall_bp,
+         |  CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE n_precise * 10000 // n_candidates END AS precision_bp
+         |FROM nt, nc, found, prec""".stripMargin,
 
     "d20_prefix_simjoin" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),
