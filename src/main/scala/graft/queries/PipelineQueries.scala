@@ -811,6 +811,43 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher-style repetition quality signals (Rae et al. 2021, §A1):
+    // the share of a document covered by its single most-frequent
+    // bigram and by duplicated trigrams — the boilerplate /
+    // loop-generated-text gates a training pipeline applies before
+    // packing. Scale shape: ONE corpus scan explodes BOTH gram sizes
+    // (tagged 2/3) into one partial-agg hash shuffle; everything after
+    // the (doc,g,gram) count is aggregate-row-sized. Integer bp ratios
+    // (floor div); docs with <2 words have no grams and are absent in
+    // both engines; trigram columns guard the 2-word case to 0.
+    "t14_repetition" -> { (s, dir) =>
+      val tagged = Tables.documents(s, dir).select(col("doc_id"),
+          explode(concat(
+            transform(Dedup.ngrams("text", 2, distinct = false),
+              b => struct(lit(2).as("g"), b.as("gram"))),
+            transform(Dedup.ngrams("text", 3, distinct = false),
+              t => struct(lit(3).as("g"), t.as("gram"))))).as("ng"))
+        .select(col("doc_id"), col("ng.g").as("g"), col("ng.gram").as("gram"))
+      tagged.groupBy(col("doc_id"), col("g"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_n"),
+          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_n"))
+        .groupBy(col("doc_id"))
+        .agg(
+          coalesce(max(when(col("g") === 2, col("n_grams"))), lit(0L)).as("n_bi"),
+          coalesce(max(when(col("g") === 2, col("top_n"))), lit(0L)).as("top_bi_n"),
+          coalesce(max(when(col("g") === 3, col("n_grams"))), lit(0L)).as("n_tri"),
+          coalesce(max(when(col("g") === 3, col("dup_n"))), lit(0L)).as("dup_tri_n"))
+        .select(col("doc_id"), col("n_bi"), col("top_bi_n"),
+          expr("CAST(CASE WHEN n_bi > 0 THEN top_bi_n * 10000 div n_bi ELSE 0 END AS INT)")
+            .as("top_bi_bp"),
+          col("n_tri"), col("dup_tri_n"),
+          expr("CAST(CASE WHEN n_tri > 0 THEN dup_tri_n * 10000 div n_tri ELSE 0 END AS INT)")
+            .as("dup_tri_bp"))
+        .orderBy(col("doc_id"))
+    },
+
     // tokenizer-vocabulary construction: top-200 terms by corpus
     // frequency with cumulative coverage in basis points. Scale shape:
     // term counts are ONE partial-agg hash shuffle; the top-K is a
@@ -1853,6 +1890,36 @@ object PipelineQueries {
         |  CAST(CASE WHEN doc_id % 7 IN (0, 3) THEN 1 ELSE 0 END AS INT) AS n_invalid,
         |  CAST(CASE WHEN doc_id % 7 IN (0, 3) THEN 0 ELSE 1 END AS INT) AS is_valid
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t14_repetition" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),
+        |g AS (
+        |  SELECT doc_id, 2 AS g, unnest(CASE WHEN len(wd) >= 2
+        |      THEN list_transform(generate_series(1, len(wd)-1), i -> wd[i] || ' ' || wd[i+1])
+        |      ELSE [] END) AS gram FROM w
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS g, unnest(CASE WHEN len(wd) >= 3
+        |      THEN list_transform(generate_series(1, len(wd)-2), i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])
+        |      ELSE [] END) AS gram FROM w),
+        |c AS (SELECT doc_id, g, gram, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1, 2, 3),
+        |p AS (SELECT doc_id, g, CAST(sum(c) AS BIGINT) AS n_grams,
+        |    CAST(max(c) AS BIGINT) AS top_n,
+        |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_n
+        |  FROM c GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(coalesce(max(CASE WHEN g = 2 THEN n_grams END), 0) AS BIGINT) AS n_bi,
+        |  CAST(coalesce(max(CASE WHEN g = 2 THEN top_n END), 0) AS BIGINT) AS top_bi_n,
+        |  CAST(CASE WHEN coalesce(max(CASE WHEN g = 2 THEN n_grams END), 0) > 0
+        |    THEN coalesce(max(CASE WHEN g = 2 THEN top_n END), 0) * 10000
+        |      // max(CASE WHEN g = 2 THEN n_grams END)
+        |    ELSE 0 END AS INT) AS top_bi_bp,
+        |  CAST(coalesce(max(CASE WHEN g = 3 THEN n_grams END), 0) AS BIGINT) AS n_tri,
+        |  CAST(coalesce(max(CASE WHEN g = 3 THEN dup_n END), 0) AS BIGINT) AS dup_tri_n,
+        |  CAST(CASE WHEN coalesce(max(CASE WHEN g = 3 THEN n_grams END), 0) > 0
+        |    THEN coalesce(max(CASE WHEN g = 3 THEN dup_n END), 0) * 10000
+        |      // max(CASE WHEN g = 3 THEN n_grams END)
+        |    ELSE 0 END AS INT) AS dup_tri_bp
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "d11_minhash_accuracy" ->
       s"""WITH $shingleCte
