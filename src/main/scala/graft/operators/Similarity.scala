@@ -251,6 +251,60 @@ object Similarity {
     rankTopK(sims, k)
   }
 
+  /** Probe-sweep recall eval — the tuning curve behind multi-probe's
+    * `nprobe` knob: for every probe level in `probes`, recall@k of
+    * multi-probe IVF against brute-force truth, per query. The sweep is
+    * ONE index search, not |probes|: the corpus is assigned and scored
+    * once against the UNION probe set (max nprobe), each candidate
+    * tagged with the probe rank `arn` of the query cell that reached
+    * it; the nprobe=p result is then the arn≤p slice re-ranked — a
+    * probe-level explode over the already-bounded candidate rows (the
+    * corpus is scanned and cosine-scored exactly once). Every
+    * (nprobe, query) pair emits, including empty-candidate ones
+    * (recall 0 — what an index tuner must see). Integer recall
+    * (n_hits*100 div k); all ranking deterministic (round(·,6) +
+    * id tie-breaks). */
+  def probeSweepRecall(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      probes: Seq[Int], k: Int): DataFrame = {
+    val maxP = probes.max
+    val probesArr = array(probes.map(lit): _*)
+    val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("c_vec"))
+    val corpusCells = indexWithCells(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"), col("cell"))
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("_csim").desc, col("cent_id"))
+    val qCells = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(cents))
+      .withColumn("_csim", round(cosine(col("q_vec"), col("c_vec")), 6))
+      .withColumn("arn", row_number().over(qw))
+      .filter(col("arn") <= maxP)
+      .select(col("query_id"), col("q_vec"), col("cent_id").as("cell"), col("arn"))
+    val cand = corpusCells.join(broadcast(qCells), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("arn"))
+    val leveled = cand.select(col("query_id"), col("neighbor_id"), col("sim"),
+      explode(filter(probesArr, p => p >= col("arn"))).as("nprobe"))
+    val lw = Window.partitionBy(col("nprobe"), col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val top = leveled.withColumn("rnk", row_number().over(lw))
+      .filter(col("rnk") <= k)
+      .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+    val truth = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = top.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("nprobe"), col("query_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val base = queries.select(col(idCol).as("query_id"))
+      .select(col("query_id"), explode(probesArr).as("nprobe"))
+    base.join(hits, Seq("nprobe", "query_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall_pct", expr(s"CAST(n_hits * 100 div $k AS INT)"))
+      .select(col("nprobe"), col("query_id"), col("n_hits"), col("recall_pct"))
+  }
+
   /** Two-stage retrieval: coarse top-`coarseK` over int8-quantized
     * vectors (the 4×-memory-bandwidth scan a production index does),
     * then exact full-precision rerank of ONLY the coarse survivors down

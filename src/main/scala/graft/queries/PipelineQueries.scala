@@ -1161,6 +1161,24 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // the nprobe TUNING CURVE — s13 fixes nprobe=2 by declaration; a
+    // production index is tuned by sweeping it and reading the
+    // recall-vs-cost trade. One index search serves the whole sweep:
+    // candidates carry the probe rank of the query cell that reached
+    // them, so each probe level is a slice-and-rerank of the SAME
+    // bounded candidate rows (the corpus is assigned and cosine-scored
+    // exactly once — cost does not multiply by |sweep|). Answers the
+    // r7 self-assessment gap: the recall knob now has a measured curve,
+    // not a fixed setting.
+    "s18_probe_sweep" -> { (s, dir) =>
+      val vecs = Tables.embeddings(s, dir)
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      val cents = vecs.filter(col("vec_id") < 8)
+      Similarity.probeSweepRecall(vecs, q, cents, "vec_id", "embedding",
+          probes = Seq(1, 2, 4), k = 3)
+        .orderBy(col("nprobe"), col("query_id"))
+    },
+
     // FILTERED vector search — the metadata-predicate serving shape
     // every production vector store exposes (tenant / language /
     // license filters): neighbors must share the query's document
@@ -2231,6 +2249,48 @@ object PipelineQueries {
          |  FROM sims)
          |SELECT query_id, rnk, neighbor_id, sim FROM ranked
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "s18_probe_sweep" ->
+      s"""WITH $vecCte,
+         |c AS (SELECT vec_id AS cent_id, e AS c_vec, n2 AS c_n2 FROM v WHERE vec_id < 8),
+         |asg0 AS (SELECT a.vec_id, a.e, a.n2, c.cent_id,
+         |    round(list_sum(list_transform(generate_series(1, len(a.e)), i ->
+         |      CAST(a.e[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE))) / sqrt(a.n2 * c.c_n2), 6) AS csim
+         |  FROM v a CROSS JOIN c),
+         |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn
+         |  FROM asg0),
+         |cells AS (SELECT vec_id, e, n2, cent_id AS cell FROM asg WHERE arn = 1),
+         |qc AS (SELECT vec_id, e, n2, cent_id AS cell, arn FROM asg
+         |  WHERE arn <= 4 AND vec_id % 50 = 0),
+         |probes AS (SELECT unnest([1, 2, 4]) AS nprobe),
+         |cand AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim, b.arn
+         |  FROM cells a JOIN qc b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |lv AS (SELECT p.nprobe, cand.query_id, cand.neighbor_id, cand.sim
+         |  FROM cand JOIN probes p ON cand.arn <= p.nprobe),
+         |topk AS (SELECT nprobe, query_id, neighbor_id FROM (
+         |    SELECT nprobe, query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY nprobe, query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |    FROM lv) t WHERE rnk <= 3),
+         |tsims AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM v a CROSS JOIN (SELECT * FROM v WHERE vec_id % 50 = 0) b
+         |  WHERE a.vec_id <> b.vec_id),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+         |    FROM tsims) t WHERE rnk <= 3),
+         |hits AS (SELECT k.nprobe, k.query_id, count(*) AS n_hits
+         |  FROM topk k JOIN truth tr
+         |    ON k.query_id = tr.query_id AND k.neighbor_id = tr.neighbor_id
+         |  GROUP BY 1, 2)
+         |SELECT CAST(p.nprobe AS INT) AS nprobe, q0.vec_id AS query_id,
+         |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(n_hits, 0) * 100 // 3 AS INT) AS recall_pct
+         |FROM (SELECT vec_id FROM v WHERE vec_id % 50 = 0) q0
+         |CROSS JOIN probes p
+         |LEFT JOIN hits ON hits.nprobe = p.nprobe AND hits.query_id = q0.vec_id
+         |ORDER BY nprobe, query_id""".stripMargin,
 
     "s17_hybrid_recall" ->
       s"""WITH $vecCte,

@@ -184,6 +184,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r2 > r1, s"fixture shows no cross-boundary neighbors (r1=$r1 r2=$r2) — weaken to >= only with evidence")
   }
 
+  test("probeSweepRecall: per-query monotone in nprobe and consistent with the standalone operators") {
+    import spark.implicits._
+    val vecs = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = vecs.filter(pmod($"vec_id", lit(50)) === 0)
+    val cents = vecs.filter($"vec_id" < 8)
+    val sweep = Similarity.probeSweepRecall(vecs, q, cents, "vec_id", "embedding",
+        probes = Seq(1, 2, 4), k = 3)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val queries = sweep.keys.map(_._2).toSet
+    // monotone: more probes never lose truth hits for ANY query
+    for (qid <- queries) {
+      val h = Seq(1, 2, 4).map(p => sweep((p, qid)))
+      assert(h(0) <= h(1) && h(1) <= h(2),
+        s"query $qid recall not monotone across probes: $h")
+    }
+    // the sweep's nprobe=1 / nprobe=2 slices equal what the standalone
+    // single-probe and multi-probe operators recover (same truth set)
+    def hitTotal(df: org.apache.spark.sql.DataFrame): Long = {
+      val truth = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", k = 3)
+        .select($"query_id", $"neighbor_id")
+      df.select($"query_id", $"neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi").count()
+    }
+    val p1 = hitTotal(Similarity.ivfTopK(vecs, q, cents, "vec_id", "embedding", k = 3))
+    val p2 = hitTotal(Similarity.ivfTopKMultiProbe(vecs, q, cents, "vec_id", "embedding",
+      nprobe = 2, k = 3))
+    assert(sweep.collect { case ((1, _), h) => h }.sum == p1,
+      "sweep nprobe=1 total hits != standalone ivfTopK hits")
+    assert(sweep.collect { case ((2, _), h) => h }.sum == p2,
+      "sweep nprobe=2 total hits != standalone ivfTopKMultiProbe hits")
+  }
+
   test("cosineDupPairs respects blocking and threshold") {
     import spark.implicits._
     val df = Seq(
