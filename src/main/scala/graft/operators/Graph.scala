@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-analytics primitives over edge-list DataFrames. The iterative
+  * passes (connected components, PageRank) live with their domains
+  * (Dedup.dedupGroups, s10); this object holds the one-shot
+  * combinatorial ops.
+  */
+object Graph {
+
+  /** Triangle census of an undirected graph, in the DEGREE-ORIENTED
+    * form that scales: each edge is oriented low-(degree,name) → high,
+    * so every triangle is enumerated exactly once and each node's
+    * out-list is O(√m) — the wedge join never squares a hub's degree
+    * (the naive undirected three-way join does). Input `edges` must be
+    * distinct undirected pairs (a, b) with a < b and no self-loops; it
+    * is localCheckpointed internally because degrees, orientation, and
+    * the two wedge joins re-reference it (self-joins never reuse
+    * subtrees — the §6 Catalyst trap). Output: ONE all-integer row
+    * (n_nodes, n_edges, n_wedges, n_triangles, global_cc_bp =
+    * floor(3T/W · 10⁴)).
+    */
+  def triangleStats(edgesIn: DataFrame): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val deg = edges.select(explode(array(col("a"), col("b"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val oriented = edges
+      .join(broadcast(deg.select(col("w").as("a"), col("deg").as("da"))), Seq("a"))
+      .join(broadcast(deg.select(col("w").as("b"), col("deg").as("db"))), Seq("b"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("src"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("dst"))
+    val e1 = oriented.select(col("src").as("x"), col("dst").as("y"))
+    val tri = e1
+      .join(oriented.select(col("src").as("y"), col("dst").as("z")), Seq("y"))
+      .join(oriented.select(col("src").as("x"), col("dst").as("z")),
+        Seq("x", "z"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodeAgg = deg.agg(count(lit(1)).as("n_nodes"),
+      sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    val edgeAgg = edges.agg(count(lit(1)).as("n_edges"))
+    nodeAgg.crossJoin(broadcast(edgeAgg)).crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("CASE WHEN n_wedges > 0 THEN 3 * n_triangles * 10000 div n_wedges ELSE 0 END")
+          .as("global_cc_bp"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Relational, Similarity}
+import graft.operators.{Dedup, Graph, Relational, Similarity}
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
 
@@ -809,6 +809,33 @@ object PipelineQueries {
       val payloads = Multimodal.synthesizeRawText(Tables.documents(s, dir))
       Multimodal.utf8Audit(payloads, "doc_id", "payload").toDF()
         .orderBy(col("doc_id"))
+    },
+
+    // triangle counting over the word-collocation graph — the graph-
+    // analytics primitive behind community/cohesion metrics, in the
+    // DEGREE-ORIENTED form that scales: each undirected edge is
+    // oriented low-(degree,name) → high, so every triangle is found
+    // exactly once and each node's out-list is O(√m) — the wedge join
+    // never explodes on hubs (the naive undirected join squares the
+    // hottest degree). Corpus → edge list is ONE bigram pass (support
+    // ≥ 3 on the unordered pair); the edge list is vocabulary-sized
+    // and localCheckpointed — degrees, orientation, and the two wedge
+    // joins never touch the corpus again. Output: one all-integer
+    // summary row (nodes/edges/wedges/triangles + global clustering
+    // coefficient 3T/W in bp, floor).
+    "t15_colloc_triangles" -> { (s, dir) =>
+      val bi = Tables.documents(s, dir)
+        .select(explode(Dedup.ngrams("text", 2, distinct = false)).as("b"))
+        .select(substring_index(col("b"), " ", 1).as("w1"),
+          substring_index(col("b"), " ", -1).as("w2"))
+        .filter(col("w1") =!= col("w2"))
+      val edges = bi
+        .select(least(col("w1"), col("w2")).as("a"),
+          greatest(col("w1"), col("w2")).as("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .select(col("a"), col("b"))
+      Graph.triangleStats(edges)
     },
 
     // Gopher-style repetition quality signals (Rae et al. 2021, §A1):
@@ -1908,6 +1935,34 @@ object PipelineQueries {
         |  CAST(CASE WHEN doc_id % 7 IN (0, 3) THEN 1 ELSE 0 END AS INT) AS n_invalid,
         |  CAST(CASE WHEN doc_id % 7 IN (0, 3) THEN 0 ELSE 1 END AS INT) AS is_valid
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t15_colloc_triangles" ->
+      """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),
+        |bg AS (SELECT unnest(CASE WHEN len(wd) >= 2
+        |    THEN list_transform(generate_series(1, len(wd)-1), i -> [wd[i], wd[i+1]])
+        |    ELSE [] END) AS pr FROM w),
+        |e0 AS (SELECT CASE WHEN pr[1] < pr[2] THEN pr[1] ELSE pr[2] END AS a,
+        |    CASE WHEN pr[1] < pr[2] THEN pr[2] ELSE pr[1] END AS b
+        |  FROM bg WHERE pr[1] <> pr[2]),
+        |edges AS (SELECT a, b FROM e0 GROUP BY a, b HAVING count(*) >= 3),
+        |deg AS (SELECT w, CAST(count(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS w FROM edges UNION ALL SELECT b AS w FROM edges) u GROUP BY 1),
+        |orient AS (SELECT
+        |    CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+        |      THEN e.a ELSE e.b END AS src,
+        |    CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+        |      THEN e.b ELSE e.a END AS dst
+        |  FROM edges e JOIN deg da ON e.a = da.w JOIN deg db ON e.b = db.w),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM orient e1 JOIN orient e2 ON e1.dst = e2.src
+        |  JOIN orient e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+        |ea AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM edges)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CAST(CASE WHEN n_wedges > 0 THEN 3 * n_triangles * 10000 // n_wedges
+        |    ELSE 0 END AS BIGINT) AS global_cc_bp
+        |FROM na, ea, tri""".stripMargin,
 
     "t14_repetition" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),

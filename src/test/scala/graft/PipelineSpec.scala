@@ -2,13 +2,34 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Graph, Similarity}
 import graft.sources.Tables
 import graft.multimodal.Multimodal
 
 class PipelineSpec extends AnyFunSuite {
   lazy val spark = GraftSession.local()
   val sf = "/root/testdata/sf0.001"
+
+  test("triangleStats counts planted graphs exactly: K4, a path, and a hub star") {
+    import spark.implicits._
+    def stats(edges: Seq[(String, String)]) =
+      Graph.triangleStats(edges.toDF("a", "b")).collect().head
+    // K4: 4 triangles, 12 wedges, cc = 1
+    val k4 = for { x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+                   if x < y } yield (x, y)
+    val rk4 = stats(k4)
+    assert((rk4.getLong(0), rk4.getLong(1), rk4.getLong(2), rk4.getLong(3), rk4.getLong(4))
+      == ((4L, 6L, 12L, 4L, 10000L)))
+    // path a-b-c-d: 0 triangles, 2 wedges
+    val rp = stats(Seq(("a", "b"), ("b", "c"), ("c", "d")))
+    assert((rp.getLong(3), rp.getLong(2), rp.getLong(4)) == ((0L, 2L, 0L)))
+    // star hub + one rim edge: exactly 1 triangle; degree orientation
+    // must point INTO the hub so the hub's out-list stays small
+    val star = Seq(("h", "r1"), ("h", "r2"), ("h", "r3"), ("h", "r4"), ("r1", "r2"))
+      .map { case (x, y) => (if (x < y) x else y, if (x < y) y else x) }
+    val rs = stats(star)
+    assert(rs.getLong(3) == 1L, s"star+rim must have exactly 1 triangle, got $rs")
+  }
 
   test("exact dedup folds duplicate ingest onto min id") {
     import spark.implicits._
