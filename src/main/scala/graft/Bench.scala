@@ -92,6 +92,7 @@ object Bench {
     val declaredBaselines = Set("s1_ann_brute", "s4_ann_quantized",
       "s5_ann_recall", "s7_ann_rerank", "s8_topk_diversity", "s11_ann_pq",
       "s17_hybrid_recall", // brute ground truth, like s5
+      "t17_embed_fidelity", // exact term-space cosine truth + dense-width dot, like s5
       "d21_lsh_recall",    // runs d20's exact join as its truth
       "q37_format_roundtrip", "d18_incremental_dedup", "d11_minhash_accuracy",
       "d20_prefix_simjoin")

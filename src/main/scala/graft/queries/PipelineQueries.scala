@@ -811,6 +811,111 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the hashing trick (Weinberger et al. 2009) — fixed-width feature
+    // vectors from unbounded vocabulary with NO dictionary pass: each
+    // word maps to bucket = first md5 nibble (16-dim), per-doc term
+    // frequencies sum into buckets. The output is the SPARSE row form
+    // (doc, bucket, tf) — what a 100-TB vectorizer emits (dense arrays
+    // waste storage at high width, and the sparse form is what the
+    // downstream dot-product join wants, t17). One explode + one
+    // partial-agg hash shuffle; md5 is the only cross-engine hash.
+    "t16_feature_hash" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .withColumn("bucket",
+          expr("CAST(instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1 AS INT)"))
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("doc_id"), col("bucket"))
+    },
+
+    // does the hashed embedding FAITHFULLY stand in for the exact one,
+    // and how fast does fidelity buy back with width? — the eval that
+    // closes the r7 self-assessment gap (the synthetic corpus's
+    // text⊥embeddings independence capped what hybrid fusion could
+    // show; with TEXT-DERIVED vectors the fidelity question becomes
+    // measurable). Truth = EXACT term-space tf-cosine top-3 (the
+    // unhashed vectorizer — hashing is then the ONLY difference being
+    // scored, not a metric mismatch). Approx = t16's hashed-BoW cosine
+    // at widths 16 and 256, BOTH bucket ids from disjoint nibble
+    // ranges of ONE md5 per term (the st13 Kirsch-Mitzenmacher move).
+    // The width sweep shares everything: ONE (doc,term) aggregate
+    // (localCheckpointed) feeds truth AND both widths (the width-
+    // tagged bucket rows are one explode + one partial-agg shuffle);
+    // cosine = dot/sqrt·sqrt on exact integer moments (m37-class
+    // finish). Measured at sf0.01: recall 20% at width 16 → 100% at
+    // width 256 — the hashing-trick distortion is real at toy width
+    // and GONE at production width. Query-side joins are broadcast;
+    // the dense-width dot touches the corpus per query like s1's
+    // declared brute baseline (at 100 TB the candidate set would be
+    // LSH-pruned first, s2/s5).
+    "t17_embed_fidelity" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val isQ = (c: org.apache.spark.sql.Column) => pmod(c, lit(50)) === 0
+      val termTf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf_w"))
+        .localCheckpoint()
+      // truth: exact term-space tf-cosine (inverted-index dot join)
+      val en2 = termTf.groupBy(col("doc_id")).agg(sum(expr("tf_w * tf_w")).as("n2"))
+      val eq = termTf.filter(isQ(col("doc_id")))
+        .select(col("doc_id").as("query_id"), col("w"), col("tf_w").as("qtf"))
+      val eDots = termTf.join(broadcast(eq), Seq("w"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(expr("tf_w * qtf")).as("dot"))
+      val eSims = eDots
+        .join(broadcast(en2.select(col("doc_id").as("query_id"), col("n2").as("qn2"))),
+          Seq("query_id"))
+        .join(en2, Seq("doc_id"))
+        .withColumn("sim", round(col("dot") / sqrt(col("qn2")) / sqrt(col("n2")), 6))
+      val truthW = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("doc_id"))
+      val truth = eSims.withColumn("rnk", row_number().over(truthW))
+        .filter(col("rnk") <= 3).select(col("query_id"), col("doc_id"))
+      // hashed side, width-tagged from one md5 per term
+      val tf = termTf
+        .withColumn("_b16",
+          expr("instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1"))
+        .withColumn("_b256",
+          expr("_b16 + 16 * (instr('0123456789abcdef', substring(md5(w), 2, 1)) - 1)"))
+        .select(col("doc_id"), col("tf_w"), explode(array(
+          struct(lit(16).as("width"), col("_b16").cast("int").as("bucket")),
+          struct(lit(256).as("width"), col("_b256").cast("int").as("bucket")))).as("wb"))
+        .select(col("doc_id"), col("wb.width").as("width"),
+          col("wb.bucket").as("bucket"), col("tf_w"))
+        .groupBy(col("doc_id"), col("width"), col("bucket"))
+        .agg(sum(col("tf_w")).as("tf"))
+        .localCheckpoint()
+      val n2 = tf.groupBy(col("doc_id"), col("width")).agg(sum(expr("tf * tf")).as("n2"))
+      val qTf = tf.filter(isQ(col("doc_id")))
+        .select(col("doc_id").as("query_id"), col("width"), col("bucket"),
+          col("tf").as("qtf"))
+      val dots = tf.join(broadcast(qTf), Seq("width", "bucket"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("width"), col("query_id"), col("doc_id"))
+        .agg(sum(expr("tf * qtf")).as("dot"))
+      val hashSims = dots
+        .join(broadcast(n2.select(col("doc_id").as("query_id"), col("width"),
+          col("n2").as("qn2"))), Seq("query_id", "width"))
+        .join(n2, Seq("doc_id", "width"))
+        .withColumn("sim", round(col("dot") / sqrt(col("qn2")) / sqrt(col("n2")), 6))
+      val hashW = Window.partitionBy(col("width"), col("query_id"))
+        .orderBy(col("sim").desc, col("doc_id"))
+      val approx = hashSims.withColumn("rnk", row_number().over(hashW))
+        .filter(col("rnk") <= 3).select(col("width"), col("query_id"), col("doc_id"))
+      val hits = approx.join(truth, Seq("query_id", "doc_id"), "left_semi")
+        .groupBy(col("width"), col("query_id")).agg(count(lit(1)).as("n_hits"))
+      termTf.filter(isQ(col("doc_id"))).select(col("doc_id").as("query_id")).distinct()
+        .select(col("query_id"), explode(array(lit(16), lit(256))).as("width"))
+        .join(hits, Seq("width", "query_id"), "left")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall_pct", expr("CAST(n_hits * 100 div 3 AS INT)"))
+        .select(col("width"), col("query_id"), col("n_hits"), col("recall_pct"))
+        .orderBy(col("width"), col("query_id"))
+    },
+
     // triangle counting over the word-collocation graph — the graph-
     // analytics primitive behind community/cohesion metrics, in the
     // DEGREE-ORIENTED form that scales: each undirected edge is
@@ -1935,6 +2040,70 @@ object PipelineQueries {
         |  CAST(CASE WHEN doc_id % 7 IN (0, 3) THEN 1 ELSE 0 END AS INT) AS n_invalid,
         |  CAST(CASE WHEN doc_id % 7 IN (0, 3) THEN 0 ELSE 1 END AS INT) AS is_valid
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t16_feature_hash" ->
+      """SELECT doc_id,
+        |  CAST(instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1 AS INT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS tf
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents) t
+        |WHERE length(w) > 0
+        |GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
+    "t17_embed_fidelity" ->
+      """WITH tt AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf_w FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents) x
+        |  WHERE length(w) > 0 GROUP BY 1, 2),
+        |en2 AS (SELECT doc_id, CAST(sum(tf_w * tf_w) AS BIGINT) AS n2 FROM tt GROUP BY 1),
+        |eq AS (SELECT doc_id AS query_id, w, tf_w AS qtf FROM tt WHERE doc_id % 50 = 0),
+        |edots AS (SELECT eq.query_id, tt.doc_id, CAST(sum(tt.tf_w * eq.qtf) AS BIGINT) AS dot
+        |  FROM tt JOIN eq ON tt.w = eq.w AND tt.doc_id <> eq.query_id GROUP BY 1, 2),
+        |esim AS (SELECT d.query_id, d.doc_id,
+        |    round(CAST(d.dot AS DOUBLE) / sqrt(a.n2) / sqrt(b.n2), 6) AS sim
+        |  FROM edots d JOIN en2 a ON d.query_id = a.doc_id JOIN en2 b ON d.doc_id = b.doc_id),
+        |truth AS (SELECT query_id, doc_id FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rnk
+        |    FROM esim) t WHERE rnk <= 3),
+        |wb AS (SELECT doc_id, tf_w,
+        |    (instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1) AS b16,
+        |    (instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1)
+        |      + 16 * (instr('0123456789abcdef', substring(md5(w), 2, 1)) - 1) AS b256
+        |  FROM tt),
+        |tf AS (SELECT doc_id, width, bucket, CAST(sum(tf_w) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, tf_w, 16 AS width, CAST(b16 AS INT) AS bucket FROM wb
+        |    UNION ALL
+        |    SELECT doc_id, tf_w, 256 AS width, CAST(b256 AS INT) AS bucket FROM wb) u
+        |  GROUP BY 1, 2, 3),
+        |n2 AS (SELECT doc_id, width, CAST(sum(tf * tf) AS BIGINT) AS n2
+        |  FROM tf GROUP BY 1, 2),
+        |qtf AS (SELECT doc_id AS query_id, width, bucket, tf AS qtf
+        |  FROM tf WHERE doc_id % 50 = 0),
+        |dots AS (SELECT q.width, q.query_id, tf.doc_id,
+        |    CAST(sum(tf.tf * q.qtf) AS BIGINT) AS dot
+        |  FROM tf JOIN qtf q ON tf.width = q.width AND tf.bucket = q.bucket
+        |    AND tf.doc_id <> q.query_id
+        |  GROUP BY 1, 2, 3),
+        |hsim AS (SELECT d.width, d.query_id, d.doc_id,
+        |    round(CAST(d.dot AS DOUBLE) / sqrt(a.n2) / sqrt(b.n2), 6) AS sim
+        |  FROM dots d
+        |  JOIN n2 a ON d.query_id = a.doc_id AND d.width = a.width
+        |  JOIN n2 b ON d.doc_id = b.doc_id AND d.width = b.width),
+        |approx AS (SELECT width, query_id, doc_id FROM (
+        |    SELECT width, query_id, doc_id,
+        |      row_number() OVER (PARTITION BY width, query_id ORDER BY sim DESC, doc_id) AS rnk
+        |    FROM hsim) t WHERE rnk <= 3),
+        |hits AS (SELECT a.width, a.query_id, count(*) AS n_hits FROM approx a
+        |  JOIN truth t ON t.query_id = a.query_id AND t.doc_id = a.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(q0.width AS INT) AS width, q0.query_id,
+        |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(n_hits, 0) * 100 // 3 AS INT) AS recall_pct
+        |FROM (SELECT DISTINCT doc_id AS query_id, width FROM tt, (
+        |    SELECT unnest([16, 256]) AS width) ws WHERE doc_id % 50 = 0) q0
+        |LEFT JOIN hits ON q0.query_id = hits.query_id AND q0.width = hits.width
+        |ORDER BY q0.width, q0.query_id""".stripMargin,
 
     "t15_colloc_triangles" ->
       """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),
