@@ -635,4 +635,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p) // agg still map-side combines
     assert(p.contains("last(reading_c"), p)
   }
+
+  test("t15: triangle stage runs entirely on the checkpointed edge list — zero corpus rescans") {
+    val p = plan("t15_colloc_triangles")
+    // the corpus → edge-list pass materializes via localCheckpoint at
+    // construction; degrees, orientation, and both wedge joins must
+    // read the checkpoint (ExistingRDD), never documents.parquet again
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("parquet"), p)
+  }
+
+  test("t17: truth and both hash widths share the ONE checkpointed (doc,term) aggregate") {
+    val p = plan("t17_embed_fidelity")
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("parquet"), p)
+  }
+
+  test("s18: the probe sweep runs ONE corpus cell-assignment, not one per probe level") {
+    val p = plan("s18_probe_sweep")
+    // nearestCell's argmax is a max_by partial+final agg pair over the
+    // corpus — the sweep must plan exactly one such pair (the brute
+    // truth side has none; a per-level re-search would plan three)
+    val asgAggs = "partial_max_by".r.findAllIn(p).size
+    assert(asgAggs == 1, s"expected 1 partial max_by corpus assignment, saw $asgAggs\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
