@@ -426,6 +426,31 @@ object SamplingQueries {
     // 2-column scan (doc_id, n_chars — never text); the cumsum window
     // runs on MANIFEST rows (one per shard), which is the only
     // single-partition step and is manifest-sized, not corpus-sized.
+    // Horvitz–Thompson importance sampling — quality-WEIGHTED curation
+    // (the continuous sibling of p2's per-stratum constants): each doc's
+    // keep probability is derived from its own content (distinct-token
+    // ratio in bp → a 256-scale threshold, floored at 16/256 so every
+    // row keeps p > 0 — the unbiasedness precondition), the draw is the
+    // usual salted-md5 byte, and kept rows carry the inverse-probability
+    // weight (×10⁴) that makes downstream weighted aggregates unbiased
+    // estimates of the full corpus (SamplingSpec proves the HT corpus-
+    // size estimate lands near truth). Map-only: no shuffle before the
+    // output sort at any SF.
+    "p16_importance_sample" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("_w", split(trim(col("text")), "\\s+"))
+        .withColumn("q_bp", expr("size(array_distinct(_w)) * 10000 div size(_w)"))
+        .withColumn("t256", greatest(expr("q_bp * 256 div 10000"), lit(16L)))
+        .withColumn("_h", md5(concat_ws("|", lit("imp"), col("doc_id").cast("string"))))
+        .withColumn("_d", expr(
+          "(instr('0123456789abcdef', substring(_h, 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(_h, 2, 1)) - 1)"))
+        .filter(col("_d") < col("t256"))
+        .withColumn("inv_w_sc", expr("256 * 10000 div t256"))
+        .select(col("doc_id"), col("q_bp"), col("t256"), col("inv_w_sc"))
+        .orderBy(col("doc_id"))
+    },
+
     "p14_compaction_plan" -> { (s, dir) =>
       val shards = Tables.documents(s, dir)
         .groupBy(pmod(col("doc_id"), lit(200)).as("shard_id"))
@@ -461,6 +486,22 @@ object SamplingQueries {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p16_importance_sample" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |s1 AS (SELECT doc_id,
+        |    CAST(len(list_distinct(w)) * 10000 // len(w) AS BIGINT) AS q_bp,
+        |    md5('imp|' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM d),
+        |s2 AS (SELECT doc_id, q_bp,
+        |    greatest(q_bp * 256 // 10000, 16) AS t256,
+        |    (instr('0123456789abcdef', substring(h, 1, 1)) - 1) * 16 +
+        |    (instr('0123456789abcdef', substring(h, 2, 1)) - 1) AS dr
+        |  FROM s1)
+        |SELECT doc_id, q_bp, CAST(t256 AS BIGINT) AS t256,
+        |  CAST(256 * 10000 // t256 AS BIGINT) AS inv_w_sc
+        |FROM s2 WHERE dr < t256 ORDER BY doc_id""".stripMargin,
 
     "p14_compaction_plan" ->
       """WITH shards AS (SELECT doc_id % 200 AS shard_id,

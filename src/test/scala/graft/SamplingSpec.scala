@@ -15,6 +15,19 @@ class SamplingSpec extends AnyFunSuite {
 
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("p16: the Horvitz–Thompson corpus-size estimate from kept rows lands near truth") {
+    val kept = run("p16_importance_sample").collect()
+    val corpus = graft.sources.Tables.documents(spark, sf).count()
+    // every kept row carries 1/p ×10⁴; Σ(1/p) over kept rows is an
+    // unbiased estimator of N — deterministic here (fixed md5 draws),
+    // measured 484 vs 500 at sf0.01; assert the 10% band so a weight
+    // formula regression (wrong floor, wrong scale) fails loudly
+    val ht = kept.map(_.getAs[Long]("inv_w_sc")).sum / 10000.0
+    assert(math.abs(ht - corpus) <= corpus * 0.10, s"HT estimate $ht vs corpus $corpus")
+    // the sampler must actually downsample (not pass everything through)
+    assert(kept.length < corpus, s"kept ${kept.length} of $corpus")
+  }
+
   test("p1: splits disjointly cover the corpus at roughly the configured rates") {
     val splits = run("p1_hash_split").collect()
     val total = splits.map(_.getAs[Long]("n_docs")).sum
