@@ -24,6 +24,15 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("session_idx"))
     },
 
+    // streaming ingest quality gate, batch form: the same qualityGate
+    // code runs over readDocumentStream on arrival (parity + bounded
+    // sources×2 state in StreamingSpec); per-(source, kept) counters
+    // + kept token mass are the ingest dashboard's rows.
+    "st15_stream_quality" -> { (s, dir) =>
+      HealthStream.qualityGate(Tables.documents(s, dir))
+        .orderBy(col("source"), col("kept"))
+    },
+
     // streaming-ingest dedup, batch form: keep the earliest event per
     // (user, type) key. The streaming path is dropDuplicatesWithinWatermark
     // (state bounded by the watermark) — parity in StreamingSpec; this
@@ -175,6 +184,19 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "st15_stream_quality" ->
+      """WITH d AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
+        |  FROM documents),
+        |q AS (SELECT source, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(w)) * 10000 // len(w) AS BIGINT) AS q_bp
+        |  FROM d)
+        |SELECT source,
+        |  CAST(CASE WHEN q_bp >= 4500 AND n_tokens >= 20 THEN 1 ELSE 0 END AS INT) AS kept,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN q_bp >= 4500 AND n_tokens >= 20
+        |    THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+        |FROM q GROUP BY 1, 2 ORDER BY source, kept""".stripMargin,
+
     // NOTE: deliberately a recursive CTE, not list_reduce — DuckDB
     // 1.0's list_reduce mis-folds when list lengths vary across rows
     // (verified minimal repro: 3-row fold returns a wrong accumulator

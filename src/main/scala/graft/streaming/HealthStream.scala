@@ -46,6 +46,33 @@ object HealthStream {
     }
   }
 
+  /** Continuous source over a documents directory/file — the ingest
+    * side of the training-data pipeline (documents arrive as parquet
+    * shards; the quality gate runs on arrival). Schema sniffed from the
+    * footer like readEventStream (documents has no timestamp column, so
+    * no normalization branch is needed). */
+  def readDocumentStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
+
+  /** Ingest quality gate — the filter a training pipeline runs ON
+    * ARRIVAL (streaming) and in backfill (batch) with the SAME code:
+    * per-doc lexical-diversity score (distinct-token ratio, integer bp)
+    * plus a minimum length; per (source, kept) counters and the kept
+    * token mass are what the ingest dashboard watches. Per-row logic is
+    * stateless, so the streaming form needs no watermark; the running
+    * aggregate's state is bounded by sources × 2 rows at ANY volume. */
+  def qualityGate(docs: DataFrame, minQbp: Long = 4500,
+      minTokens: Long = 20): DataFrame =
+    docs
+      .withColumn("_w", split(trim(col("text")), "\\s+"))
+      .withColumn("n_tokens", size(col("_w")).cast("long"))
+      .withColumn("q_bp", expr("size(array_distinct(_w)) * 10000 div size(_w)"))
+      .withColumn("kept",
+        (col("q_bp") >= minQbp && col("n_tokens") >= minTokens).cast("int"))
+      .groupBy(col("source"), col("kept"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept") === 1, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+
   /** Windowed health aggregation; valid on both batch and streaming
     * inputs (watermark is a no-op in batch). */
   def windowedHealth(events: DataFrame): DataFrame =

@@ -31,6 +31,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("ingest quality gate: streaming == batch; state is sources×2 rows regardless of volume") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val stream = HealthStream.readDocumentStream(spark, dir.toString)
+    val q = HealthStream.qualityGate(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("quality_out").start()
+    q.processAllAvailable()
+    val streamed = spark.table("quality_out")
+      .orderBy("source", "kept").collect().toSeq
+    q.stop()
+    val batch = HealthStream.qualityGate(Tables.documents(spark, sf))
+      .orderBy("source", "kept").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.exists(_.getAs[Int]("kept") == 0)
+      && streamed.exists(_.getAs[Int]("kept") == 1),
+      "gate must both keep and drop on this corpus or the thresholds test nothing")
+    // per-row logic is stateless; aggregate state rows = sources × verdicts
+    val nSources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(streamed.size <= nSources * 2, s"${streamed.size} state rows for $nSources sources")
+  }
+
   test("stream-static dim refresh: foreachBatch re-read picks up an overwritten dim at the next micro-batch") {
     // the reference hot-reloads its config every 30 min / on SIGHUP
     // (chStats.py:517-558); this asserts the Spark shape that delivers
