@@ -781,6 +781,60 @@ object RelationalQueries {
     // PHYSICAL strategy only; the PlanSpec gate asserts
     // ShuffledHashJoin with zero sorts below the join, and the oracle
     // proves result-identity with the unhinted semantics.
+    // functional-dependency audit — the schema-contract half of data
+    // profiling (does A determine B?): both audited FDs ride ONE fact
+    // scan via a tagged explode (×|FDs| map-side fan-out, never one
+    // scan per FD), then (fd, lhs) partial-agg with exact distinct-rhs
+    // counts, then a per-fd finish on aggregate rows. On this data the
+    // pair gives both verdicts: event_id→event_type HOLDS (unique ids),
+    // user_id→event_type is VIOLATED by every user — a real audit must
+    // report the clean row too.
+    "q47_fd_audit" -> { (s, dir) =>
+      Tables.events(s, dir).select(explode(array(
+          struct(lit("event_id->event_type").as("fd"),
+            col("event_id").cast("string").as("lhs"), col("event_type").as("rhs")),
+          struct(lit("user_id->event_type").as("fd"),
+            col("user_id").cast("string").as("lhs"), col("event_type").as("rhs"))
+        )).as("x")).select(col("x.fd").as("fd"), col("x.lhs").as("lhs"),
+          col("x.rhs").as("rhs"))
+        .groupBy(col("fd"), col("lhs"))
+        .agg(countDistinct(col("rhs")).as("n_variants"), count(lit(1)).as("n_rows"))
+        .groupBy(col("fd"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("n_variants") > 1, 1L).otherwise(0L)).as("n_violating_keys"),
+          max(col("n_variants")).as("max_variants"),
+          sum(col("n_rows")).as("n_rows"))
+        .orderBy(col("fd"))
+    },
+
+    // referential-integrity audit — the cross-table half: configured FK
+    // contracts checked for orphans. The fact is aggregated ONCE to
+    // (key, n_rows) — contract checks then run on that tiny aggregate
+    // (anti-join against each parent's distinct keys), so adding a
+    // contract never adds a fact scan. Both verdicts on this data:
+    // user→customer is CLEAN, user→supplier has orphan keys (the
+    // audit's reason to exist).
+    "q48_ri_audit" -> { (s, dir) =>
+      val keyCounts = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_rows"))
+        .localCheckpoint()
+      def contract(name: String, parent: DataFrame, pk: String): DataFrame =
+        keyCounts
+          .join(parent.select(col(pk).as("user_id")).distinct(), Seq("user_id"),
+            "left_anti")
+          .agg(coalesce(sum(col("n_rows")), lit(0L)).as("n_orphan_rows"),
+            count(lit(1)).as("n_orphan_keys"))
+          .withColumn("fk_contract", lit(name))
+      val totals = keyCounts
+        .agg(sum(col("n_rows")).as("n_child_rows"), count(lit(1)).as("n_child_keys"))
+      contract("user->customer", Tables.customer(s, dir), "c_custkey")
+        .unionByName(contract("user->supplier", Tables.supplier(s, dir), "s_suppkey"))
+        .crossJoin(broadcast(totals))
+        .select(col("fk_contract"), col("n_child_rows"), col("n_child_keys"),
+          col("n_orphan_rows"), col("n_orphan_keys"))
+        .orderBy(col("fk_contract"))
+    },
+
     "q46_join_hints" -> { (s, dir) =>
       import s.implicits._
       val orders = Tables.orders(s, dir).hint("SHUFFLE_HASH")
@@ -855,6 +909,43 @@ object RelationalQueries {
         |GROUP BY l_returnflag, l_linestatus
         |HAVING count(*) > 100
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q47_fd_audit" ->
+      """WITH t AS (
+        |  SELECT 'event_id->event_type' AS fd, CAST(event_id AS VARCHAR) AS lhs,
+        |    event_type AS rhs FROM events
+        |  UNION ALL
+        |  SELECT 'user_id->event_type', CAST(user_id AS VARCHAR), event_type
+        |  FROM events),
+        |g AS (SELECT fd, lhs, CAST(count(DISTINCT rhs) AS BIGINT) AS n_variants,
+        |    CAST(count(*) AS BIGINT) AS n_rows FROM t GROUP BY 1, 2)
+        |SELECT fd, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(CASE WHEN n_variants > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+        |  CAST(max(n_variants) AS BIGINT) AS max_variants,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows
+        |FROM g GROUP BY fd ORDER BY fd""".stripMargin,
+
+    "q48_ri_audit" ->
+      """WITH kc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n_child_rows,
+        |    CAST(count(*) AS BIGINT) AS n_child_keys FROM kc),
+        |oc AS (SELECT CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS n_orphan_rows,
+        |    CAST(count(*) AS BIGINT) AS n_orphan_keys
+        |  FROM kc LEFT JOIN customer ON kc.user_id = c_custkey
+        |  WHERE c_custkey IS NULL),
+        |os AS (SELECT CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS n_orphan_rows,
+        |    CAST(count(*) AS BIGINT) AS n_orphan_keys
+        |  FROM kc LEFT JOIN supplier ON kc.user_id = s_suppkey
+        |  WHERE s_suppkey IS NULL)
+        |SELECT fk_contract, n_child_rows, n_child_keys, n_orphan_rows, n_orphan_keys
+        |FROM (
+        |  SELECT 'user->customer' AS fk_contract, t.n_child_rows, t.n_child_keys,
+        |    o.n_orphan_rows, o.n_orphan_keys FROM oc o CROSS JOIN tot t
+        |  UNION ALL
+        |  SELECT 'user->supplier', t.n_child_rows, t.n_child_keys,
+        |    o.n_orphan_rows, o.n_orphan_keys FROM os o CROSS JOIN tot t) u
+        |ORDER BY fk_contract""".stripMargin,
 
     "q46_join_hints" ->
       """SELECT o_orderpriority,
