@@ -877,6 +877,34 @@ object MonitoringQueries {
     // the subnet key. Octet indexing note: Spark getItem is 0-based,
     // DuckDB list extract is 1-based (CLAUDE.md trap) — both sides
     // written against their own convention.
+    // behavioral sequence mining — which event-type TRIGRAMS dominate
+    // user timelines (the pattern-discovery sibling of st6's FIXED
+    // click→error funnel: this one finds the patterns). Per-user
+    // timelines via ONE user_id exchange (array_sort ∘ collect_list,
+    // the st14 fold-template shape — never a window sort of the fact);
+    // trigrams built by zip-of-slices on the sorted type array (the §6
+    // transform-recompute trap does not apply: slices sit outside any
+    // lambda); global counts are a second partial agg on exploded
+    // grams; top-20 is an ordered limit (TakeOrderedAndProject, no full
+    // sort). Within-timeline order is total: (ts_us, event_id).
+    "m50_seq_trigrams" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+          col("event_type")))).as("tl"))
+        .withColumn("types", expr("transform(tl, x -> x.event_type)"))
+        .withColumn("tri", expr(
+          "CASE WHEN size(types) >= 3 THEN transform(" +
+          "arrays_zip(slice(types, 1, size(types) - 2), " +
+          "slice(types, 2, size(types) - 2), slice(types, 3, size(types) - 2)), " +
+          "x -> concat_ws(' ', x.`0`, x.`1`, x.`2`)) ELSE array() END"))
+        .select(explode(col("tri")).as("trigram"))
+        .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("trigram"))
+        .limit(20)
+    },
+
     "m49_subnet_rollup" -> { (s, dir) =>
       val ip = concat_ws(".", lit(10), pmod(col("user_id"), lit(200)),
         pmod(expr("user_id div 200"), lit(250)),
@@ -1263,6 +1291,17 @@ object MonitoringQueries {
         |  CAST((min(CASE WHEN cum * 100 >= n * 95 THEN bin END) + 1) * 64 AS DOUBLE) / 100.0 AS p95_est,
         |  CAST((min(CASE WHEN cum * 100 >= n * 99 THEN bin END) + 1) * 64 AS DOUBLE) / 100.0 AS p99_est
         |FROM cu GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "m50_seq_trigrams" ->
+      s"""WITH tl AS (SELECT user_id,
+         |    list(event_type ORDER BY $tsUs, event_id) AS types
+         |  FROM events GROUP BY user_id),
+         |tri AS (SELECT unnest(CASE WHEN len(types) >= 3
+         |    THEN list_transform(generate_series(1, len(types) - 2),
+         |      i -> types[i] || ' ' || types[i+1] || ' ' || types[i+2])
+         |    ELSE [] END) AS trigram FROM tl)
+         |SELECT trigram, CAST(count(*) AS BIGINT) AS n
+         |FROM tri GROUP BY trigram ORDER BY n DESC, trigram LIMIT 20""".stripMargin,
 
     "m49_subnet_rollup" ->
       """WITH e AS (SELECT event_type,
