@@ -24,6 +24,30 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("session_idx"))
     },
 
+    // streaming sequence miner, batch form: per-user event-type
+    // trigrams WITH sequential positions — the grain the
+    // transformWithState ListState operator emits on arrival
+    // (HealthStream.seqTrigramStream; cross-batch straddle + parity in
+    // StreamingSpec). One user_id exchange (st14 fold-template shape);
+    // trigrams by zip-of-slices outside any lambda.
+    "st16_stream_seq" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+          col("event_type")))).as("tl"))
+        .withColumn("types", expr("transform(tl, x -> x.event_type)"))
+        .withColumn("tri", expr(
+          "CASE WHEN size(types) >= 3 THEN transform(" +
+          "arrays_zip(slice(types, 1, size(types) - 2), " +
+          "slice(types, 2, size(types) - 2), slice(types, 3, size(types) - 2)), " +
+          "x -> concat_ws(' ', x.`0`, x.`1`, x.`2`)) ELSE array() END"))
+        .select(col("user_id"), posexplode(col("tri")).as(Seq("pos0", "trigram")))
+        .select(col("user_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("trigram"))
+        .orderBy(col("user_id"), col("pos"))
+    },
+
     // streaming ingest quality gate, batch form: the same qualityGate
     // code runs over readDocumentStream on arrival (parity + bounded
     // sources×2 state in StreamingSpec); per-(source, kept) counters
@@ -184,6 +208,17 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "st16_stream_seq" ->
+      s"""WITH tl AS (SELECT user_id,
+         |    list(event_type ORDER BY $tsUs, event_id) AS types
+         |  FROM events GROUP BY user_id),
+         |ix AS (SELECT user_id, types,
+         |    unnest(generate_series(1, greatest(len(types) - 2, 0))) AS i
+         |  FROM tl)
+         |SELECT user_id, CAST(i AS BIGINT) AS pos,
+         |  types[i] || ' ' || types[i+1] || ' ' || types[i+2] AS trigram
+         |FROM ix ORDER BY user_id, pos""".stripMargin,
+
     "st15_stream_quality" ->
       """WITH d AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS w
         |  FROM documents),

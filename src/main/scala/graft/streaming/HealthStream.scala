@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
@@ -542,6 +542,61 @@ object HealthStream {
     import errors.sparkSession.implicits._
     errors.groupByKey(_.user_id)
       .transformWithState(new CooldownProcessor(cooldownMinutes * 60000000L),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  // ---- streaming sequence miner (st16): ListState carry-over buffer --
+
+  case class EvT(user_id: Long, event_id: Long, ts_us: Long, event_type: String)
+  case class TriOut(user_id: Long, pos: Long, trigram: String)
+
+  /** Streaming trigram extraction over user timelines — m50's mining
+    * pass run ON ARRIVAL: each arriving event closes one trigram with
+    * the user's buffered last-two event types, so a pattern STRADDLING
+    * a micro-batch boundary is still found (the property a per-batch
+    * window recompute cannot give). The buffer is a ListState — the
+    * third transformWithState state surface exercised here, after
+    * st14's ValueState and the watchdog's event-time timers — holding
+    * at most 2 type strings + a position counter per key: state is
+    * independent of event volume, like st14. Within-batch input is
+    * sorted by (ts_us, event_id) — same arrival-order contract as
+    * st14; pos numbers each user's trigrams sequentially across
+    * batches (the cross-batch continuity proof hangs off it). */
+  class SeqTrigramProcessor
+      extends StatefulProcessor[Long, EvT, TriOut] {
+    @transient private var buf: ListState[String] = _
+    @transient private var pos: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[String]("lastTypes", Encoders.STRING, TTLConfig.NONE)
+      pos = getHandle.getValueState[Long]("triPos", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[EvT],
+        timerValues: TimerValues): Iterator[TriOut] = {
+      val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      var last = buf.get().toArray.toSeq // oldest-first, 0..2 elements
+      var n = if (pos.exists()) pos.get() else 0L
+      val out = Array.newBuilder[TriOut]
+      evs.foreach { e =>
+        if (last.length == 2) {
+          n += 1
+          out += TriOut(key, n, s"${last(0)} ${last(1)} ${e.event_type}")
+        }
+        last = (last :+ e.event_type).takeRight(2)
+      }
+      buf.put(last.toArray); pos.update(n)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming trigram miner; requires the RocksDB state store provider
+    * (transformWithState's backing store). Batch twin: m50's
+    * zip-of-slices extraction (StreamingSpec proves the multiset of
+    * emitted trigrams matches it exactly, including one that straddles
+    * the batch boundary). */
+  def seqTrigramStream(events: Dataset[EvT]): Dataset[TriOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SeqTrigramProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -850,6 +850,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st16: ListState trigram buffer carries across micro-batches — the straddling pattern emits") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tws_seq")
+    val srcDir = s"$base/src"; val chk = s"$base/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val t0 = 1000000000L
+    def write(rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.toDF("user_id", "event_id", "ts_us", "event_type")
+        .write.mode("append").parquet(srcDir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch 1: user 1 sees a b c (one complete trigram) then d stays
+      // buffered with c; user 2 sees only a b — no trigram yet
+      write(Seq((1L, 1L, t0, "a"), (1L, 2L, t0 + 1, "b"), (1L, 3L, t0 + 2, "c"),
+        (1L, 4L, t0 + 3, "d"), (2L, 5L, t0, "a"), (2L, 6L, t0 + 1, "b")))
+      val stream = spark.readStream
+        .schema("user_id LONG, event_id LONG, ts_us LONG, event_type STRING")
+        .parquet(srcDir).as[HealthStream.EvT]
+      val q = HealthStream.seqTrigramStream(stream).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_seq_out").option("checkpointLocation", chk).start()
+      q.processAllAvailable()
+      // batch 2: user 1's e closes (c d e) — both of its types arrived
+      // in batch 1, so this trigram exists ONLY if the ListState buffer
+      // crossed the boundary; user 2's c closes (a b c) the same way
+      write(Seq((1L, 7L, t0 + 4, "e"), (2L, 8L, t0 + 2, "c")))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("tws_seq_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val want = Set(
+        (1L, 1L, "a b c"), (1L, 2L, "b c d"), (1L, 3L, "c d e"),
+        (2L, 1L, "a b c"))
+      assert(got == want, s"got $got")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("canary: transformWithState REQUIRES the RocksDB provider — heap state store is rejected") {
     // pins the platform constraint the st14 docs claim; if Spark ever
     // lifts it, this fails and the docs should drop the requirement
