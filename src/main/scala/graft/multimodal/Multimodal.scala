@@ -125,6 +125,89 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------------------------- tiff
+
+  case class TiffMeta(doc_id: Long, byte_len: Int, byte_order: String,
+    width: Int, height: Int)
+
+  /** A minimal valid TIFF (TIFF 6.0 §2): byte-order marker ("II" little
+    * / "MM" big), magic 42, IFD offset, then one IFD holding ImageWidth
+    * (256) and ImageLength (257) as SHORT entries — the value
+    * left-justified in its 4-byte field per spec, which is the part a
+    * naive "always read u32" parser gets wrong on big-endian files. */
+  def synthTiff(width: Int, height: Int, little: Boolean, pad: Int): Array[Byte] = {
+    def e16(v: Int) = if (little) le16(v) else be16(v)
+    def e32(v: Int) = if (little) le32(v) else be32(v)
+    val order = (if (little) "II" else "MM").getBytes("US-ASCII")
+    def entry(tag: Int, v: Int): Array[Byte] =
+      e16(tag) ++ e16(3) ++ e32(1) ++ (e16(v) ++ e16(0))
+    val ifd = e16(2) ++ entry(256, width) ++ entry(257, height) ++ e32(0)
+    order ++ e16(42) ++ e32(8) ++ ifd ++
+      Array.tabulate(pad)(i => (i % 253).toByte)
+  }
+
+  /** Parse a TIFF header in EITHER byte order: marker → endianness,
+    * magic 42 check, IFD walk collecting ImageWidth/ImageLength (SHORT
+    * left-justified or LONG). Returns byte_order "unknown" and zero
+    * dims on bad marker, bad magic, or a truncated IFD. */
+  def decodeTiffHeader(id: Long, bytes: Array[Byte]): TiffMeta = {
+    val len = bytes.length
+    def unknown = TiffMeta(id, len, "unknown", 0, 0)
+    if (len < 8) return unknown
+    val marker = new String(bytes, 0, 2, "US-ASCII")
+    val little = marker == "II"
+    if (!little && marker != "MM") return unknown
+    def u16at(off: Int) =
+      if (little) (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+      else ((bytes(off) & 0xFF) << 8) | (bytes(off + 1) & 0xFF)
+    def u32at(off: Int) =
+      if (little) (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+        ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+      else ((bytes(off) & 0xFF) << 24) | ((bytes(off + 1) & 0xFF) << 16) |
+        ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)
+    if (u16at(2) != 42) return unknown
+    val ifd = u32at(4)
+    if (ifd < 8 || ifd + 2 > len) return unknown
+    val n = u16at(ifd)
+    if (ifd + 2 + n * 12 + 4 > len) return unknown
+    var w = 0; var h = 0
+    for (i <- 0 until n) {
+      val off = ifd + 2 + i * 12
+      val tag = u16at(off); val typ = u16at(off + 2)
+      // SHORT (3) is left-justified in the 4-byte value field; LONG (4)
+      // fills it — both legal encodings for these tags
+      val v = if (typ == 3) u16at(off + 8) else u32at(off + 8)
+      if (tag == 256) w = v else if (tag == 257) h = v
+    }
+    TiffMeta(id, len, if (little) "le" else "be", w, h)
+  }
+
+  /** TIFF payloads per doc: dimensions and byte order derive from
+    * doc_id (even → little-endian, odd → big-endian) so the oracle
+    * predicts every decoded field arithmetically. */
+  def synthesizeTiff(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) =>
+        BinaryDoc(id, synthTiff((id % 640).toInt + 16, (id % 480).toInt + 16,
+          id % 2 == 0, math.floorMod(n, 100)))
+      }).toDF()
+  }
+
+  /** Batched TIFF-header decode (same mapPartitions shape as decodeMeta). */
+  def decodeTiff(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[TiffMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => decodeTiffHeader(d.doc_id, d.payload)))
+      }
+  }
+
   // ------------------------------------------------------------ video
 
   case class VideoMeta(doc_id: Long, byte_len: Int, brand: String,

@@ -1517,6 +1517,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // TIFF metadata — the x-family's ENDIANNESS exercise: the container
+    // declares its own byte order ("II"/"MM"), and the SHORT tag values
+    // are left-justified in their 4-byte fields, which a naive
+    // always-u32 parser silently misreads on big-endian files (the
+    // MultimodalSpec negative paths pin both traps). Even doc_ids
+    // synthesize little-endian, odd big-endian — the corpus mixes
+    // orders like a real crawl.
+    "x13_tiff_meta" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeTiff(Tables.documents(s, dir))
+      Multimodal.decodeTiff(payloads, "doc_id", "payload").toDF()
+        .orderBy(col("doc_id"))
+    },
+
     "x2_frame_sample" -> { (s, dir) =>
       Multimodal.sampleFrames(Tables.documents(s, dir), "doc_id", "text", stride = 16)
         .orderBy(col("doc_id"), col("frame_idx"))
@@ -2270,6 +2283,14 @@ object PipelineQueries {
         |FROM (SELECT doc_id, CAST(doc_id % 640 + 16 AS INT) AS width,
         |    CAST(doc_id % 480 + 16 AS INT) AS height FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "x13_tiff_meta" ->
+      """SELECT doc_id,
+        |  CAST(38 + n_chars % 100 AS INT) AS byte_len,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'le' ELSE 'be' END AS byte_order,
+        |  CAST(doc_id % 640 + 16 AS INT) AS width,
+        |  CAST(doc_id % 480 + 16 AS INT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x6_audio_meta" ->
       """SELECT doc_id,

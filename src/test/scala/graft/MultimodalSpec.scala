@@ -64,6 +64,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeHeader(4L, noSof).format == "unknown")
   }
 
+  test("TIFF synth → decode round-trips BOTH byte orders; SHORT values left-justified") {
+    val le = Multimodal.synthTiff(640, 480, little = true, pad = 11)
+    assert(Multimodal.decodeTiffHeader(1L, le) ==
+      Multimodal.TiffMeta(1L, 38 + 11, "le", 640, 480))
+    val be = Multimodal.synthTiff(321, 99, little = false, pad = 0)
+    assert(Multimodal.decodeTiffHeader(2L, be) ==
+      Multimodal.TiffMeta(2L, 38, "be", 321, 99))
+    // the big-endian SHORT sits in the FIRST two bytes of its value
+    // field — a parser that always reads u32 would return 321·65536
+    assert(Multimodal.decodeTiffHeader(2L, be).width == 321)
+  }
+
+  test("TIFF bad marker, bad magic, and truncated IFD decode as unknown") {
+    val good = Multimodal.synthTiff(100, 100, little = true, pad = 0)
+    val badMarker = good.clone(); badMarker(0) = 'X'.toByte
+    assert(Multimodal.decodeTiffHeader(3L, badMarker).byte_order == "unknown")
+    val badMagic = good.clone(); badMagic(2) = 43.toByte
+    assert(Multimodal.decodeTiffHeader(4L, badMagic).byte_order == "unknown")
+    val truncated = good.take(12) // header + partial IFD count/entries
+    assert(Multimodal.decodeTiffHeader(5L, truncated).byte_order == "unknown")
+    assert(Multimodal.decodeTiffHeader(6L, Array.emptyByteArray).byte_order == "unknown")
+  }
+
   test("MP4 synth → box-walk decode round-trips brand/timescale/duration") {
     val b = Multimodal.synthMp4("mp42", 90000, 90000L * 7, pad = 13)
     assert(b.length == 148 + 13)
