@@ -451,6 +451,42 @@ object SamplingQueries {
         .orderBy(col("doc_id"))
     },
 
+    // LEAKAGE-SAFE splitting — the reason production splits key on a
+    // CONTENT cluster, not the row id: near-duplicate docs (here d8's
+    // prefix family) must land in the SAME split or the eval set leaks
+    // into training. One scan computes BOTH schemes' assignments (p1's
+    // exact thresholds, salt "split"); per-cluster distinct-split
+    // counts then summarize each scheme: the naive id-keyed split
+    // straddles multi-doc clusters (leak > 0), the cluster-keyed split
+    // straddles ZERO by construction — and the oracle hash-checks both
+    // numbers. Group stats ride one partial-agg shuffle; the scheme
+    // explode runs on cluster-level aggregate rows.
+    "p17_split_leakage" -> { (s, dir) =>
+      def splitOf(c: org.apache.spark.sql.Column) = {
+        val k = substring(md5(concat_ws("|", lit("split"), c)), 1, 2)
+        when(k < "1a", "test").when(k < "33", "val").otherwise("train")
+      }
+      Tables.documents(s, dir)
+        .withColumn("ckey",
+          expr("array_join(slice(split(trim(text), '\\\\s+'), 1, 2), ' ')"))
+        .withColumn("naive_split", splitOf(col("doc_id").cast("string")))
+        .withColumn("cluster_split", splitOf(col("ckey")))
+        .groupBy(col("ckey"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("naive_split")).as("nd_naive"),
+          countDistinct(col("cluster_split")).as("nd_cluster"))
+        .select(col("n_docs"), explode(array(
+          struct(lit("cluster").as("scheme"), col("nd_cluster").as("nd")),
+          struct(lit("naive").as("scheme"), col("nd_naive").as("nd")))).as("x"))
+        .select(col("x.scheme").as("scheme"), col("x.nd").as("nd"), col("n_docs"))
+        .groupBy(col("scheme"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("n_multi_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_straddling_groups"),
+          sum(when(col("nd") > 1, col("n_docs")).otherwise(0L)).as("n_docs_straddling"))
+        .orderBy(col("scheme"))
+    },
+
     "p14_compaction_plan" -> { (s, dir) =>
       val shards = Tables.documents(s, dir)
         .groupBy(pmod(col("doc_id"), lit(200)).as("shard_id"))
@@ -486,6 +522,30 @@ object SamplingQueries {
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p17_split_leakage" ->
+      """WITH d AS (SELECT doc_id,
+        |    array_to_string(regexp_split_to_array(trim(text), '\s+')[1:2], ' ') AS ckey
+        |  FROM documents),
+        |s AS (SELECT ckey,
+        |    CASE WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+        |         WHEN substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 2) < '33' THEN 'val'
+        |         ELSE 'train' END AS naive_split,
+        |    CASE WHEN substr(md5('split|' || ckey), 1, 2) < '1a' THEN 'test'
+        |         WHEN substr(md5('split|' || ckey), 1, 2) < '33' THEN 'val'
+        |         ELSE 'train' END AS cluster_split
+        |  FROM d),
+        |g AS (SELECT ckey, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT naive_split) AS BIGINT) AS nd_naive,
+        |    CAST(count(DISTINCT cluster_split) AS BIGINT) AS nd_cluster
+        |  FROM s GROUP BY 1),
+        |u AS (SELECT 'cluster' AS scheme, nd_cluster AS nd, n_docs FROM g
+        |  UNION ALL SELECT 'naive', nd_naive, n_docs FROM g)
+        |SELECT scheme, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_groups,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling_groups,
+        |  CAST(sum(CASE WHEN nd > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS n_docs_straddling
+        |FROM u GROUP BY scheme ORDER BY scheme""".stripMargin,
 
     "p16_importance_sample" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -28,6 +28,16 @@ class SamplingSpec extends AnyFunSuite {
     assert(kept.length < corpus, s"kept ${kept.length} of $corpus")
   }
 
+  test("p17: cluster-keyed split straddles ZERO clusters; the naive split provably leaks") {
+    val rows = run("p17_split_leakage").collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(1), r.getLong(2))).toMap
+    val (clusterStraddle, _, multi) = rows("cluster")
+    val (naiveStraddle, _, _) = rows("naive")
+    assert(clusterStraddle == 0L, s"cluster-keyed split must never straddle, got $clusterStraddle")
+    assert(multi > 0L, "fixture must contain multi-doc clusters or the test is vacuous")
+    assert(naiveStraddle > 0L, "naive split should demonstrably leak on this corpus")
+  }
+
   test("p1: splits disjointly cover the corpus at roughly the configured rates") {
     val splits = run("p1_hash_split").collect()
     val total = splits.map(_.getAs[Long]("n_docs")).sum
