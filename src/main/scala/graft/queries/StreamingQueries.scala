@@ -48,6 +48,18 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("pos"))
     },
 
+    // streaming per-entity profile, batch form: the (user, type)
+    // histogram the MapState operator (HealthStream.profileStream)
+    // maintains incrementally — latest emission per cell equals this
+    // (delta-emission + parity in StreamingSpec). One partial-agg
+    // shuffle.
+    "st17_stream_profile" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+
     // streaming ingest quality gate, batch form: the same qualityGate
     // code runs over readDocumentStream on arrival (parity + bounded
     // sources×2 state in StreamingSpec); per-(source, kept) counters
@@ -208,6 +220,10 @@ object StreamingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "st17_stream_profile" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+
     "st16_stream_seq" ->
       s"""WITH tl AS (SELECT user_id,
          |    list(event_type ORDER BY $tsUs, event_id) AS types

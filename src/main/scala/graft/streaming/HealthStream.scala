@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.expressions.Window
@@ -597,6 +597,48 @@ object HealthStream {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new SeqTrigramProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  // ---- streaming per-entity profile (st17): MapState histogram ------
+
+  case class ProfileOut(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user event-type histogram maintained in a MapState — the
+    * FOURTH and final transformWithState state surface (ValueState
+    * st14, ListState st16, event-time timers watchdog, MapState here):
+    * the per-entity profile a monitor keeps ("what does this user's
+    * traffic normally look like"). Each micro-batch emits the new
+    * cumulative count for exactly the (user, type) cells the batch
+    * touched — untouched cells are neither re-emitted nor rewritten,
+    * the delta-emission contract that keeps sink volume proportional
+    * to CHANGE rather than state size (StreamingSpec plants an
+    * untouched cell and proves it). State per key = one map entry per
+    * distinct type seen: bounded by the type vocabulary, not volume. */
+  class ProfileProcessor extends StatefulProcessor[Long, EvT, ProfileOut] {
+    @transient private var counts: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("typeCounts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EvT],
+        timerValues: TimerValues): Iterator[ProfileOut] = {
+      val delta = scala.collection.mutable.LinkedHashMap[String, Long]()
+      rows.foreach(e => delta(e.event_type) = delta.getOrElse(e.event_type, 0L) + 1L)
+      delta.toSeq.sortBy(_._1).map { case (t, d) =>
+        val n = (if (counts.containsKey(t)) counts.getValue(t) else 0L) + d
+        counts.updateValue(t, n)
+        ProfileOut(key, t, n)
+      }.iterator
+    }
+  }
+
+  /** Streaming per-user profile maintenance; RocksDB provider required
+    * (transformWithState). Batch twin: st17's plain (user, type)
+    * count — the LATEST emission per cell equals it. */
+  def profileStream(events: Dataset[EvT]): Dataset[ProfileOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ProfileProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -889,6 +889,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("st17: MapState profile — cumulative counts across batches; untouched cells do NOT re-emit") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tws_prof")
+    val srcDir = s"$base/src"; val chk = s"$base/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val t0 = 1000000000L
+    def write(rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.toDF("user_id", "event_id", "ts_us", "event_type")
+        .write.mode("append").parquet(srcDir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch 1: user 1 = 2×click + 1×error; user 2 = 1×click
+      write(Seq((1L, 1L, t0, "click"), (1L, 2L, t0 + 1, "click"),
+        (1L, 3L, t0 + 2, "error"), (2L, 4L, t0, "click")))
+      val stream = spark.readStream
+        .schema("user_id LONG, event_id LONG, ts_us LONG, event_type STRING")
+        .parquet(srcDir).as[HealthStream.EvT]
+      val q = HealthStream.profileStream(stream).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_prof_out").option("checkpointLocation", chk).start()
+      q.processAllAvailable()
+      val afterB1 = spark.table("tws_prof_out").count()
+      // batch 2 touches ONLY user 1's click cell — user 1's error cell
+      // and user 2 entirely must not re-emit
+      write(Seq((1L, 5L, t0 + 3, "click")))
+      q.processAllAvailable(); q.stop()
+      val rows = spark.table("tws_prof_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      assert(afterB1 == 3, s"batch 1 must emit 3 touched cells, got $afterB1")
+      assert(rows.length == 4, s"batch 2 must add exactly ONE delta row, got ${rows.toSeq}")
+      // the LATEST emission per cell equals the batch twin over all data
+      val latest = rows.groupBy(r => (r._1, r._2))
+        .map { case (k, vs) => k -> vs.map(_._3).max }
+      val want = Map((1L, "click") -> 3L, (1L, "error") -> 1L, (2L, "click") -> 1L)
+      assert(latest == want, s"got $latest")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("canary: transformWithState REQUIRES the RocksDB provider — heap state store is rejected") {
     // pins the platform constraint the st14 docs claim; if Spark ever
     // lifts it, this fails and the docs should drop the requirement
