@@ -22,6 +22,41 @@ object Graph {
     * (n_nodes, n_edges, n_wedges, n_triangles, global_cc_bp =
     * floor(3T/W · 10⁴)).
     */
+  /** k-core decomposition by iterative peeling: repeatedly remove
+    * nodes of degree < k (and their edges) until fixpoint — the
+    * cascade matters: removing one node can push its neighbors below
+    * k (a single degree-filter pass is NOT a k-core; PipelineSpec
+    * plants the path graph where the difference shows). Returns the
+    * surviving (w, core_deg) rows. Driver-side loop like d9's label
+    * propagation: bounded at `maxIters`, convergence detected by edge
+    * count (edges shrink iff some node dropped), every iteration runs
+    * on the localCheckpointed vocabulary-sized edge list — the corpus
+    * is never touched. Spark recursion can't express this natively for
+    * the same reason as d9/s10: the per-level degree AGGREGATE over
+    * the recursive reference is prohibited (canary-pinned in
+    * RegressionSpec). */
+  def kCore(edgesIn: DataFrame, k: Int, maxIters: Int = 8): DataFrame = {
+    var edges = edgesIn.localCheckpoint()
+    var nEdges = edges.count()
+    var done = nEdges == 0L
+    var it = 0
+    while (!done && it < maxIters) {
+      val keep = edges.select(explode(array(col("a"), col("b"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("w"))
+      val pruned = edges
+        .join(broadcast(keep.withColumnRenamed("w", "a")), Seq("a"))
+        .join(broadcast(keep.withColumnRenamed("w", "b")), Seq("b"))
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      val n = pruned.count()
+      done = n == nEdges
+      nEdges = n; edges = pruned; it += 1
+    }
+    edges.select(explode(array(col("a"), col("b"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("core_deg"))
+  }
+
   def triangleStats(edgesIn: DataFrame): DataFrame = {
     val edges = edgesIn.localCheckpoint()
     val deg = edges.select(explode(array(col("a"), col("b"))).as("w"))

@@ -56,6 +56,21 @@ object PipelineQueries {
     (lexTop, vecTop)
   }
 
+  /** Undirected collocation edges (a < b, unordered-pair support ≥ 3)
+    * from ONE bigram pass — shared by the graph-family keys (t15
+    * triangles, t18 k-core). */
+  private def collocEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(Dedup.ngrams("text", 2, distinct = false)).as("b"))
+      .select(substring_index(col("b"), " ", 1).as("w1"),
+        substring_index(col("b"), " ", -1).as("w2"))
+      .filter(col("w1") =!= col("w2"))
+      .select(least(col("w1"), col("w2")).as("a"),
+        greatest(col("w1"), col("w2")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+      .select(col("a"), col("b"))
+
   private def knnTopEdges(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions
     val vecs = Tables.embeddings(s, dir)
@@ -935,18 +950,22 @@ object PipelineQueries {
     // summary row (nodes/edges/wedges/triangles + global clustering
     // coefficient 3T/W in bp, floor).
     "t15_colloc_triangles" -> { (s, dir) =>
-      val bi = Tables.documents(s, dir)
-        .select(explode(Dedup.ngrams("text", 2, distinct = false)).as("b"))
-        .select(substring_index(col("b"), " ", 1).as("w1"),
-          substring_index(col("b"), " ", -1).as("w2"))
-        .filter(col("w1") =!= col("w2"))
-      val edges = bi
-        .select(least(col("w1"), col("w2")).as("a"),
-          greatest(col("w1"), col("w2")).as("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 3)
-        .select(col("a"), col("b"))
-      Graph.triangleStats(edges)
+      Graph.triangleStats(collocEdges(s, dir))
+    },
+
+    // k-core of the collocation graph — the PEELING primitive behind
+    // dense-region extraction (curation keeps the cohesive vocabulary
+    // core; SIEM keeps the tightly-coupled host cluster). The cascade
+    // is the point: removing one node can push neighbors below k, so a
+    // single degree filter is NOT a k-core — PipelineSpec plants the
+    // path graph where they differ and the hub-star that collapses
+    // entirely. Driver-bounded peel loop on the checkpointed
+    // vocabulary-sized edge list (d9's pattern; native recursion is
+    // blocked by the same aggregate-over-recursive-ref rule, canary-
+    // pinned); the oracle unrolls 8 peels — beyond-fixpoint rounds
+    // are no-ops in both engines, so convergence depth never desyncs.
+    "t18_colloc_kcore" -> { (s, dir) =>
+      Graph.kCore(collocEdges(s, dir), k = 29).orderBy(col("w"))
     },
 
     // Gopher-style repetition quality signals (Rae et al. 2021, §A1):
@@ -2123,6 +2142,33 @@ object PipelineQueries {
         |    SELECT unnest([16, 256]) AS width) ws WHERE doc_id % 50 = 0 AND doc_id < 100000000) q0
         |LEFT JOIN hits ON q0.query_id = hits.query_id AND q0.width = hits.width
         |ORDER BY q0.width, q0.query_id""".stripMargin,
+
+    "t18_colloc_kcore" -> {
+      // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+      // reference, and an 8-deep unroll referencing its predecessor 4×
+      // expands exponentially (first symptom: "Too many open files"
+      // from re-opening the parquet under each inlined copy)
+      def iter(inE: String, outE: String): String =
+        s"""d$outE AS MATERIALIZED (SELECT w, count(*) AS dg FROM (
+           |    SELECT a AS w FROM $inE UNION ALL SELECT b AS w FROM $inE) u GROUP BY 1),
+           |k$outE AS MATERIALIZED (SELECT w FROM d$outE WHERE dg >= 29),
+           |$outE AS MATERIALIZED (SELECT e.a, e.b FROM $inE e
+           |  JOIN k$outE x ON e.a = x.w JOIN k$outE y ON e.b = y.w)""".stripMargin
+      val chain = (1 to 8).map(i => iter(if (i == 1) "edges" else s"e${i - 1}", s"e$i"))
+        .mkString(",\n")
+      s"""WITH w AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS wd FROM documents),
+         |bg AS (SELECT unnest(CASE WHEN len(wd) >= 2
+         |    THEN list_transform(generate_series(1, len(wd)-1), i -> [wd[i], wd[i+1]])
+         |    ELSE [] END) AS pr FROM w),
+         |e0 AS (SELECT CASE WHEN pr[1] < pr[2] THEN pr[1] ELSE pr[2] END AS a,
+         |    CASE WHEN pr[1] < pr[2] THEN pr[2] ELSE pr[1] END AS b
+         |  FROM bg WHERE pr[1] <> pr[2]),
+         |edges AS MATERIALIZED (SELECT a, b FROM e0 GROUP BY a, b HAVING count(*) >= 3),
+         |$chain
+         |SELECT w, CAST(count(*) AS BIGINT) AS core_deg FROM (
+         |  SELECT a AS w FROM e8 UNION ALL SELECT b AS w FROM e8) u
+         |GROUP BY w ORDER BY w""".stripMargin
+    },
 
     "t15_colloc_triangles" ->
       """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),

@@ -31,6 +31,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(rs.getLong(3) == 1L, s"star+rim must have exactly 1 triangle, got $rs")
   }
 
+  test("kCore cascades to fixpoint: a path dissolves at k=2, K4 survives at k=3, a star collapses") {
+    import spark.implicits._
+    def core(edges: Seq[(String, String)], k: Int) =
+      Graph.kCore(edges.toDF("a", "b"), k).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // path a-b-c-d at k=2: a one-pass degree filter would only drop the
+    // endpoints; the CASCADE then drops b and c too — the k-core is empty
+    assert(core(Seq(("a", "b"), ("b", "c"), ("c", "d")), 2).isEmpty,
+      "path must dissolve entirely under k=2 peeling")
+    // K4 at k=3 is already a fixpoint: all four nodes stay at degree 3
+    val k4 = for { x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+                   if x < y } yield (x, y)
+    assert(core(k4, 3) == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // star: rims have degree 1 → removed at k=2, stranding the hub
+    assert(core(Seq(("h", "r1"), ("h", "r2"), ("h", "r3"), ("h", "r4")), 2).isEmpty)
+  }
+
   test("exact dedup folds duplicate ingest onto min id") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("id", "t")
