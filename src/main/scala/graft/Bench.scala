@@ -94,6 +94,7 @@ object Bench {
       "s17_hybrid_recall", // brute ground truth, like s5
       "t17_embed_fidelity", // exact term-space cosine truth + dense-width dot, like s5
       "d21_lsh_recall",    // runs d20's exact join as its truth
+      "d22_banding_sweep", // same exact-join truth as d21
       "q37_format_roundtrip", "d18_incremental_dedup", "d11_minhash_accuracy",
       "d20_prefix_simjoin")
     val skipBaselines = sys.env.get("SPARK_GRAFT_BENCH_SKIP_BASELINES")

@@ -123,6 +123,38 @@ object Dedup {
       .distinct()
   }
 
+  /** Banding-parameter SWEEP: candidate pairs for several (bands, rows)
+    * configurations over the SAME signature columns in one pass — the
+    * tuning curve behind LSH's S-curve trade (more bands → higher
+    * recall, lower precision). One shingle/minhash pass computes the
+    * max-needed signature count (localCheckpointed: the per-config
+    * band keys are projections of it, never re-hashes); every config's
+    * keys ride ONE tagged explode into one (cfg, key) grouping — the
+    * sweep costs one extra shuffle over a single config, not
+    * |configs| pipelines. Returns (cfg, id_a, id_b) distinct pairs
+    * with the same per-bucket cap/pair-explode guards as
+    * lshCandidates. */
+  def lshCandidatesSweep(docs: DataFrame, idCol: String, textCol: String,
+      configs: Seq[(Int, Int)], maxBucket: Int = 64): DataFrame = {
+    val numHashes = configs.map { case (b, r) => b * r }.max
+    val mins = minhashSignatures(docs, idCol, textCol, numHashes).localCheckpoint()
+    val allKeys = configs.flatMap { case (bds, r) =>
+      (0 until bds).map { b =>
+        struct(lit(s"${bds}x$r").as("cfg"),
+          concat(lit(s"$b:") +: (b * r until (b + 1) * r)
+            .map(h => col(s"_m$h")): _*).as("key"))
+      }
+    }
+    mins.select(col(idCol), explode(array(allKeys: _*)).as("ck"))
+      .select(col("ck.cfg").as("cfg"), col("ck.key").as("_key"), col(idCol))
+      .groupBy(col("cfg"), col("_key"))
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .filter(size(col("_ids")).between(2, maxBucket))
+      .select(col("cfg"), explode(expr(bucketPairsExpr)).as("p"))
+      .select(col("cfg"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .distinct()
+  }
+
   /** Incremental LSH dedup: candidate pairs for a NEW batch against an
     * already-indexed corpus — the nightly-crawl shape. One signature
     * pass covers both sides here (in production the index side's band

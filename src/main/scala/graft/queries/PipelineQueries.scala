@@ -337,6 +337,51 @@ object PipelineQueries {
             "ELSE n_precise * 10000 div n_candidates END").as("precision_bp"))
     },
 
+    // the LSH S-CURVE made measurable — the banding sweep that
+    // completes the tuning-curve trilogy (s18 sweeps nprobe, t17
+    // sweeps hash width, this sweeps bands×rows): 8 bands of 1 / 4 of
+    // 2 / 2 of 4 over the SAME 8 minhash columns, each config's
+    // recall AND verified precision against d20's exact prefix-join
+    // truth. One signature pass serves all three configs (tagged
+    // explode, Dedup.lshCandidatesSweep); the truth and the shingle
+    // sets are checkpointed once. Like d21 it runs the exact join as
+    // its truth ⇒ SF≥1 baseline-skip set.
+    "d22_banding_sweep" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val truth = Dedup.prefixSimJoin(docs, "doc_id", "text", tBp = 8000L)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val cand = Dedup.lshCandidatesSweep(docs, "doc_id", "text",
+          configs = Seq((8, 1), (4, 2), (2, 4))).localCheckpoint()
+      val sets = docs.select(col("doc_id").as("_id"), Dedup.shingles("text").as("_set"))
+        .localCheckpoint()
+      val nT = truth.agg(count(lit(1)).as("n_true"))
+      val perCfg = cand.groupBy(col("cfg")).agg(count(lit(1)).as("n_candidates"))
+      val found = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
+        .groupBy(col("cfg")).agg(count(lit(1)).as("n_found"))
+      val precise = cand
+        .join(sets.toDF("_id", "set_a"), col("id_a") === col("_id")).drop("_id")
+        .join(sets.toDF("_id", "set_b"), col("id_b") === col("_id")).drop("_id")
+        .withColumn("inter",
+          size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+        .withColumn("uni",
+          (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
+        .filter(col("inter") * 10000 >= col("uni") * 8000)
+        .groupBy(col("cfg")).agg(count(lit(1)).as("n_precise"))
+      perCfg
+        .join(found, Seq("cfg"), "left")
+        .join(precise, Seq("cfg"), "left")
+        .crossJoin(broadcast(nT))
+        .withColumn("n_found", coalesce(col("n_found"), lit(0L)))
+        .withColumn("n_precise", coalesce(col("n_precise"), lit(0L)))
+        .select(col("cfg"), col("n_true"), col("n_candidates"), col("n_found"),
+          col("n_precise"),
+          expr("CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT) " +
+            "ELSE n_found * 10000 div n_true END").as("recall_bp"),
+          expr("CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE n_precise * 10000 div n_candidates END").as("precision_bp"))
+        .orderBy(col("cfg"))
+    },
+
     // LABEL-FREE embedding dedup — the 100 TB blocking path: a real
     // corpus has no label column, so the block key is itself a sign-LSH
     // bucket (4 bits) and cosineDupPairs' sub-split refines any over-cap
@@ -1645,6 +1690,60 @@ object PipelineQueries {
     "d3_minhash_lsh" ->
       s"""WITH $shingleCte
          |SELECT id_a, id_b FROM cand ORDER BY id_a, id_b""".stripMargin,
+
+    "d22_banding_sweep" ->
+      s"""WITH $shingleBase,
+         |bandsS AS (
+         |  SELECT doc_id, '8x1' AS cfg, CAST(b AS VARCHAR) || ':' || g[b+1] AS k
+         |    FROM sig, generate_series(0, 7) t(b)
+         |  UNION ALL
+         |  SELECT doc_id, '4x2', CAST(b AS VARCHAR) || ':' || g[2*b+1] || g[2*b+2]
+         |    FROM sig, generate_series(0, 3) t(b)
+         |  UNION ALL
+         |  SELECT doc_id, '2x4',
+         |    CAST(b AS VARCHAR) || ':' || g[4*b+1] || g[4*b+2] || g[4*b+3] || g[4*b+4]
+         |    FROM sig, generate_series(0, 1) t(b)),
+         |bandskS AS (SELECT * FROM bandsS
+         |  QUALIFY count(*) OVER (PARTITION BY cfg, k) <= 64),
+         |candS AS MATERIALIZED (SELECT DISTINCT cfg, a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM bandskS a JOIN bandskS c USING (cfg, k) WHERE a.doc_id < c.doc_id),
+         |t2 AS MATERIALIZED (SELECT doc_id, s AS tk, CAST(len(s) AS BIGINT) AS n FROM sh2),
+         |tok AS (SELECT doc_id, n, unnest(tk) AS t FROM t2),
+         |dfq AS (SELECT t, count(*) AS dfreq FROM tok GROUP BY t),
+         |rk AS (SELECT doc_id, n, t,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY dfreq, t) AS r
+         |  FROM tok JOIN dfq USING (t)),
+         |pref AS (SELECT doc_id, n, t FROM rk
+         |  WHERE r <= n - (8000 * n + 9999) // 10000 + 1),
+         |pcand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM pref a JOIN pref b ON a.t = b.t AND a.doc_id < b.doc_id
+         |  WHERE least(a.n, b.n) * 10000 >= 8000 * greatest(a.n, b.n)),
+         |truth AS MATERIALIZED (SELECT id_a, id_b FROM (
+         |    SELECT id_a, id_b,
+         |      CAST(len(list_intersect(x.tk, y.tk)) AS BIGINT) AS inter,
+         |      CAST(len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk)) AS BIGINT) AS uni
+         |    FROM pcand JOIN t2 x ON id_a = x.doc_id JOIN t2 y ON id_b = y.doc_id) z
+         |  WHERE inter * 10000 >= 8000 * uni),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+         |agg AS (SELECT cfg, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM candS GROUP BY 1),
+         |fnd AS (SELECT cfg, CAST(count(*) AS BIGINT) AS n_found
+         |  FROM candS JOIN truth USING (id_a, id_b) GROUP BY 1),
+         |prc AS (SELECT cfg, CAST(count(*) AS BIGINT) AS n_precise FROM (
+         |    SELECT cfg,
+         |      CAST(len(list_intersect(x.tk, y.tk)) AS BIGINT) AS inter,
+         |      CAST(len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk)) AS BIGINT) AS uni
+         |    FROM candS JOIN t2 x ON id_a = x.doc_id JOIN t2 y ON id_b = y.doc_id) z
+         |  WHERE inter * 10000 >= 8000 * uni GROUP BY 1)
+         |SELECT agg.cfg, n_true, n_candidates,
+         |  CAST(coalesce(n_found, 0) AS BIGINT) AS n_found,
+         |  CAST(coalesce(n_precise, 0) AS BIGINT) AS n_precise,
+         |  CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT)
+         |       ELSE coalesce(n_found, 0) * 10000 // n_true END AS recall_bp,
+         |  CASE WHEN n_candidates = 0 THEN CAST(0 AS BIGINT)
+         |       ELSE coalesce(n_precise, 0) * 10000 // n_candidates END AS precision_bp
+         |FROM agg LEFT JOIN fnd USING (cfg) LEFT JOIN prc USING (cfg)
+         |CROSS JOIN nt ORDER BY agg.cfg""".stripMargin,
 
     "d21_lsh_recall" ->
       s"""WITH $shingleCte,
