@@ -1374,7 +1374,11 @@ object PipelineQueries {
     // not a fixed setting.
     "s18_probe_sweep" -> { (s, dir) =>
       val vecs = Tables.embeddings(s, dir)
-      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      // first-copy panel bound (t17's lesson): the sweep's brute-truth
+      // side must not grow its query set WITH the corpus — sf1 read
+      // 11.2× before the cap
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0 &&
+        col("vec_id") < 100000000L)
       val cents = vecs.filter(col("vec_id") < 8)
       Similarity.probeSweepRecall(vecs, q, cents, "vec_id", "embedding",
           probes = Seq(1, 2, 4), k = 3)
@@ -2657,7 +2661,7 @@ object PipelineQueries {
          |  FROM asg0),
          |cells AS (SELECT vec_id, e, n2, cent_id AS cell FROM asg WHERE arn = 1),
          |qc AS (SELECT vec_id, e, n2, cent_id AS cell, arn FROM asg
-         |  WHERE arn <= 4 AND vec_id % 50 = 0),
+         |  WHERE arn <= 4 AND vec_id % 50 = 0 AND vec_id < 100000000),
          |probes AS (SELECT unnest([1, 2, 4]) AS nprobe),
          |cand AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
          |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim, b.arn
@@ -2670,7 +2674,7 @@ object PipelineQueries {
          |    FROM lv) t WHERE rnk <= 3),
          |tsims AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
          |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
-         |  FROM v a CROSS JOIN (SELECT * FROM v WHERE vec_id % 50 = 0) b
+         |  FROM v a CROSS JOIN (SELECT * FROM v WHERE vec_id % 50 = 0 AND vec_id < 100000000) b
          |  WHERE a.vec_id <> b.vec_id),
          |truth AS (SELECT query_id, neighbor_id FROM (
          |    SELECT query_id, neighbor_id,
@@ -2683,7 +2687,7 @@ object PipelineQueries {
          |SELECT CAST(p.nprobe AS INT) AS nprobe, q0.vec_id AS query_id,
          |  CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
          |  CAST(coalesce(n_hits, 0) * 100 // 3 AS INT) AS recall_pct
-         |FROM (SELECT vec_id FROM v WHERE vec_id % 50 = 0) q0
+         |FROM (SELECT vec_id FROM v WHERE vec_id % 50 = 0 AND vec_id < 100000000) q0
          |CROSS JOIN probes p
          |LEFT JOIN hits ON hits.nprobe = p.nprobe AND hits.query_id = q0.vec_id
          |ORDER BY nprobe, query_id""".stripMargin,
