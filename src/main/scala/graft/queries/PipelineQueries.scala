@@ -1363,6 +1363,42 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // embedding DRIFT monitor — the MLOps gate between an indexed
+    // reference corpus and today's batch (distribution shift silently
+    // degrades every ANN/dedup threshold downstream): halves keyed by
+    // vec_id parity stand in for last-week/this-week. Everything is
+    // integer until the one final cosine: embeddings int8-quantized
+    // (s4's exact contract), per-(half, dim) sums via ONE posexplode +
+    // partial agg (128 aggregate rows), and the centroid cosine is
+    // computed on the SUM vectors — cosine is scale-invariant, so
+    // sum-vector cosine IS mean-vector cosine with no division drift.
+    // Per-dim mean shift reported in exact micro-units (floor div).
+    "s19_embed_drift" -> { (s, dir) =>
+      val quant = expr("transform(embedding, x -> " +
+        "cast(greatest(-127.0D, least(127.0D, floor(cast(x as double) * 127.0D + 0.5D))) as long))")
+      val dims = Tables.embeddings(s, dir)
+        .select(pmod(col("vec_id"), lit(2)).cast("int").as("half"),
+          posexplode(quant).as(Seq("dim", "v")))
+        .groupBy(col("half"), col("dim"))
+        .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      val wide = dims.groupBy(col("dim")).agg(
+        coalesce(max(when(col("half") === 0, col("sv"))), lit(0L)).as("s0"),
+        coalesce(max(when(col("half") === 1, col("sv"))), lit(0L)).as("s1"),
+        coalesce(max(when(col("half") === 0, col("n"))), lit(0L)).as("n0"),
+        coalesce(max(when(col("half") === 1, col("n"))), lit(0L)).as("n1"))
+      wide.agg(
+          max(col("n0")).as("n_ref"), max(col("n1")).as("n_cur"),
+          sum(expr("s0 * s1")).as("_dot"),
+          sum(expr("s0 * s0")).as("_a2"),
+          sum(expr("s1 * s1")).as("_b2"),
+          max(expr("abs(s0 * 1000000 div greatest(n0, 1) - " +
+            "s1 * 1000000 div greatest(n1, 1))")).as("max_dim_shift_micro"))
+        .select(col("n_ref"), col("n_cur"),
+          round(col("_dot") / sqrt(col("_a2")) / sqrt(col("_b2")), 6)
+            .as("centroid_cos"),
+          col("max_dim_shift_micro"))
+    },
+
     // the nprobe TUNING CURVE — s13 fixes nprobe=2 by declaration; a
     // production index is tuned by sweeping it and reading the
     // recall-vs-cost trade. One index search serves the whole sweep:
@@ -2649,6 +2685,27 @@ object PipelineQueries {
          |  FROM sims)
          |SELECT query_id, rnk, neighbor_id, sim FROM ranked
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "s19_embed_drift" ->
+      """WITH q AS (SELECT vec_id % 2 AS half,
+        |    list_transform(embedding, x -> CAST(greatest(-127.0,
+        |      least(127.0, floor(CAST(x AS DOUBLE) * 127.0 + 0.5))) AS BIGINT)) AS e
+        |  FROM embeddings),
+        |d AS (SELECT half, generate_subscripts(e, 1) - 1 AS dim, unnest(e) AS v FROM q),
+        |s AS (SELECT half, dim, CAST(sum(v) AS BIGINT) AS sv,
+        |    CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1, 2),
+        |wide AS (SELECT dim,
+        |    coalesce(max(CASE WHEN half = 0 THEN sv END), 0) AS s0,
+        |    coalesce(max(CASE WHEN half = 1 THEN sv END), 0) AS s1,
+        |    coalesce(max(CASE WHEN half = 0 THEN n END), 0) AS n0,
+        |    coalesce(max(CASE WHEN half = 1 THEN n END), 0) AS n1
+        |  FROM s GROUP BY 1)
+        |SELECT CAST(max(n0) AS BIGINT) AS n_ref, CAST(max(n1) AS BIGINT) AS n_cur,
+        |  round(CAST(sum(s0 * s1) AS DOUBLE) / sqrt(CAST(sum(s0 * s0) AS DOUBLE))
+        |    / sqrt(CAST(sum(s1 * s1) AS DOUBLE)), 6) AS centroid_cos,
+        |  CAST(max(abs(s0 * 1000000 // greatest(n0, 1)
+        |    - s1 * 1000000 // greatest(n1, 1))) AS BIGINT) AS max_dim_shift_micro
+        |FROM wide""".stripMargin,
 
     "s18_probe_sweep" ->
       s"""WITH $vecCte,
