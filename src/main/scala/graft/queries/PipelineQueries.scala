@@ -871,6 +871,43 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // corpus TEXT drift — s19's lexical sibling (the other half of the
+    // ingest drift dashboard): total-variation distance between the
+    // term distributions of the parity halves, all-integer (the exact
+    // numerator Σ|cnt_a·N_b − cnt_b·N_a| with ONE final floor division
+    // to bp), plus the top-5 most-drifted terms by that exact
+    // numerator (deterministic term tie-break). One (half, term)
+    // partial agg; everything after runs on vocabulary-sized rows.
+    "t19_text_drift" -> { (s, dir) =>
+      val terms = Tables.documents(s, dir)
+        .select(pmod(col("doc_id"), lit(2)).cast("int").as("half"),
+          explode(split(trim(col("text")), "\\s+")).as("t"))
+        .filter(length(col("t")) > 0)
+        .groupBy(col("half"), col("t")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tot = terms.groupBy(col("half")).agg(sum(col("c")).as("n"))
+      val wide = terms.groupBy(col("t")).agg(
+          coalesce(max(when(col("half") === 0, col("c"))), lit(0L)).as("ca"),
+          coalesce(max(when(col("half") === 1, col("c"))), lit(0L)).as("cb"))
+        .crossJoin(broadcast(tot.groupBy().agg(
+          coalesce(max(when(col("half") === 0, col("n"))), lit(0L)).as("na"),
+          coalesce(max(when(col("half") === 1, col("n"))), lit(0L)).as("nb"))))
+        .withColumn("num", expr("abs(ca * nb - cb * na)"))
+      val summary = wide.agg(
+        max(col("na")).as("n_ref_tokens"), max(col("nb")).as("n_cur_tokens"),
+        count(lit(1)).as("n_terms"),
+        expr("CAST(sum(num) * 10000 div (2 * max(na) * max(nb)) AS BIGINT)")
+          .as("tv_bp"))
+      // deterministic assembly: collect_list order after a limit is not
+      // contractual — re-sort in-row before joining the names
+      val top = wide.orderBy(col("num").desc, col("t")).limit(5)
+        .select(col("num"), col("t"))
+        .agg(concat_ws(",", expr(
+          "transform(array_sort(collect_list(struct(-num AS nn, t AS t))), x -> x.t)"))
+          .as("top_drifted"))
+      summary.crossJoin(broadcast(top))
+    },
+
     // the hashing trick (Weinberger et al. 2009) — fixed-width feature
     // vectors from unbounded vocabulary with NO dictionary pass: each
     // word maps to bucket = first md5 nibble (16-dim), per-doc term
@@ -2217,6 +2254,31 @@ object PipelineQueries {
         |  CAST(CASE WHEN doc_id % 7 IN (0, 3) THEN 1 ELSE 0 END AS INT) AS n_invalid,
         |  CAST(CASE WHEN doc_id % 7 IN (0, 3) THEN 0 ELSE 1 END AS INT) AS is_valid
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t19_text_drift" ->
+      """WITH tk AS (SELECT doc_id % 2 AS half,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents),
+        |tc AS (SELECT half, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM tk WHERE length(t) > 0 GROUP BY 1, 2),
+        |tot AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN half = 0 THEN c END), 0) AS BIGINT) AS na,
+        |    CAST(coalesce(sum(CASE WHEN half = 1 THEN c END), 0) AS BIGINT) AS nb
+        |  FROM tc),
+        |wide AS (SELECT t,
+        |    coalesce(max(CASE WHEN half = 0 THEN c END), 0) AS ca,
+        |    coalesce(max(CASE WHEN half = 1 THEN c END), 0) AS cb
+        |  FROM tc GROUP BY 1),
+        |w2 AS (SELECT t, ca, cb, abs(ca * nb - cb * na) AS num, na, nb
+        |  FROM wide CROSS JOIN tot),
+        |summ AS (SELECT CAST(max(na) AS BIGINT) AS n_ref_tokens,
+        |    CAST(max(nb) AS BIGINT) AS n_cur_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_terms,
+        |    CAST(sum(num) * 10000 // (2 * max(na) * max(nb)) AS BIGINT) AS tv_bp
+        |  FROM w2),
+        |top AS (SELECT string_agg(t, ',' ORDER BY num DESC, t) AS top_drifted FROM (
+        |    SELECT t, num FROM w2 ORDER BY num DESC, t LIMIT 5) z)
+        |SELECT n_ref_tokens, n_cur_tokens, n_terms, tv_bp, top_drifted
+        |FROM summ, top""".stripMargin,
 
     "t16_feature_hash" ->
       """SELECT doc_id,

@@ -651,6 +651,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("parquet"), p)
   }
 
+  test("s19: drift monitor is pure partial aggregation — no joins touch vector rows") {
+    val p = plan("s19_embed_drift")
+    assert(p.contains("posexplode"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("d22: the sweep's final plan re-hashes NOTHING — signatures/truth/sets are checkpointed once") {
+    val p = plan("d22_banding_sweep")
+    // the signature pass, the exact truth, and the shingle sets all
+    // materialize via localCheckpoint at construction; the measured
+    // plan must read them as ExistingRDD with zero md5/shingle recompute
+    assert(p.contains("ExistingRDD"), p)
+    assert(!p.contains("md5"), p)
+    assert(!p.contains("parquet"), p)
+  }
+
   test("s18: the probe sweep runs ONE corpus cell-assignment, not one per probe level") {
     val p = plan("s18_probe_sweep")
     // nearestCell's argmax is a max_by partial+final agg pair over the
