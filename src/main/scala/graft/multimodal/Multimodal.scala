@@ -208,6 +208,70 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------------- mixed-container sniffing
+
+  case class SniffedMeta(doc_id: Long, kind: String, d1: Int, d2: Int)
+
+  /** Mixed payloads — the real crawl shape: content-type is NOT known
+    * up front (doc_id%4 rotates PNG / JPEG / WAV / TIFF here), so the
+    * reader must SNIFF the magic bytes and dispatch to the right
+    * decoder. */
+  def synthesizeMixed(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("n_chars").cast("int"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) =>
+        val pad = math.floorMod(n, 100)
+        val bytes = (id % 4) match {
+          case 0 => synthPng((id % 640).toInt + 16, (id % 480).toInt + 16, pad)
+          case 1 => synthJpeg((id % 640).toInt + 16, (id % 480).toInt + 16, pad)
+          case 2 => synthWav(Seq(8000, 16000, 22050, 44100)((id % 4).toInt), (id % 2).toInt + 1, pad)
+          case _ => synthTiff((id % 640).toInt + 16, (id % 480).toInt + 16, id % 8 < 4, pad)
+        }
+        BinaryDoc(id, bytes)
+      }).toDF()
+  }
+
+  /** Magic-byte dispatch: classify by signature, then run the matching
+    * header decoder — the uniform (kind, d1, d2) row a mixed-modality
+    * manifest wants (images: width/height; audio: rate/channels). A
+    * payload matching no signature classifies "unknown" instead of
+    * being mis-parsed by the wrong decoder. */
+  def sniffDecodeHeader(id: Long, bytes: Array[Byte]): SniffedMeta = {
+    def u8(i: Int) = bytes(i) & 0xFF
+    if (bytes.length >= 8 && u8(0) == 0x89 && u8(1) == 'P'.toInt &&
+        u8(2) == 'N'.toInt && u8(3) == 'G'.toInt) {
+      val m = decodeHeader(id, bytes)
+      SniffedMeta(id, "png", m.width, m.height)
+    } else if (bytes.length >= 2 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      val m = decodeHeader(id, bytes)
+      SniffedMeta(id, "jpeg", m.width, m.height)
+    } else if (bytes.length >= 12 &&
+        new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(bytes, 8, 4, "US-ASCII") == "WAVE") {
+      val m = decodeAudioHeader(id, bytes)
+      SniffedMeta(id, "wav", m.sample_rate, m.channels)
+    } else if (bytes.length >= 8 && {
+        val mk = new String(bytes, 0, 2, "US-ASCII"); mk == "II" || mk == "MM" }) {
+      val m = decodeTiffHeader(id, bytes)
+      if (m.byte_order == "unknown") SniffedMeta(id, "unknown", 0, 0)
+      else SniffedMeta(id, "tiff", m.width, m.height)
+    } else SniffedMeta(id, "unknown", 0, 0)
+  }
+
+  /** Batched sniff-dispatch decode (x-family mapPartitions shape). */
+  def sniffDecode(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[SniffedMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => sniffDecodeHeader(d.doc_id, d.payload)))
+      }
+  }
+
   // ------------------------------------------------------------ video
 
   case class VideoMeta(doc_id: Long, byte_len: Int, brand: String,

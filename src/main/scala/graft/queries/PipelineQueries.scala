@@ -1677,6 +1677,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // mixed-container SNIFFING — the real crawl shape: content-type is
+    // unknown up front, so the reader classifies by magic bytes and
+    // dispatches to the matching header decoder (x1 png/jpeg, x6 wav,
+    // x13 tiff) into one uniform manifest row; a payload matching no
+    // signature classifies "unknown" instead of being mis-parsed by the
+    // wrong decoder (MultimodalSpec pins the negative path).
+    "x14_sniff_dispatch" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeMixed(Tables.documents(s, dir))
+      Multimodal.sniffDecode(payloads, "doc_id", "payload").toDF()
+        .orderBy(col("doc_id"))
+    },
+
     "x2_frame_sample" -> { (s, dir) =>
       Multimodal.sampleFrames(Tables.documents(s, dir), "doc_id", "text", stride = 16)
         .orderBy(col("doc_id"), col("frame_idx"))
@@ -2536,6 +2548,16 @@ object PipelineQueries {
         |FROM (SELECT doc_id, CAST(doc_id % 640 + 16 AS INT) AS width,
         |    CAST(doc_id % 480 + 16 AS INT) AS height FROM documents) t
         |ORDER BY doc_id""".stripMargin,
+
+    "x14_sniff_dispatch" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'wav' ELSE 'tiff' END AS kind,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 22050
+        |    ELSE doc_id % 640 + 16 END AS INT) AS d1,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 1
+        |    ELSE doc_id % 480 + 16 END AS INT) AS d2
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x13_tiff_meta" ->
       """SELECT doc_id,

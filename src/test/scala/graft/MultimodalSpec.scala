@@ -87,6 +87,24 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeTiffHeader(6L, Array.emptyByteArray).byte_order == "unknown")
   }
 
+  test("sniff dispatch classifies all four containers by magic and rejects garbage") {
+    import graft.multimodal.Multimodal.SniffedMeta
+    assert(Multimodal.sniffDecodeHeader(1L, Multimodal.synthPng(321, 99, 3))
+      == SniffedMeta(1L, "png", 321, 99))
+    assert(Multimodal.sniffDecodeHeader(2L, Multimodal.synthJpeg(640, 480, 0))
+      == SniffedMeta(2L, "jpeg", 640, 480))
+    assert(Multimodal.sniffDecodeHeader(3L, Multimodal.synthWav(16000, 2, 5))
+      == SniffedMeta(3L, "wav", 16000, 2))
+    assert(Multimodal.sniffDecodeHeader(4L, Multimodal.synthTiff(100, 50, little = false, 0))
+      == SniffedMeta(4L, "tiff", 100, 50))
+    assert(Multimodal.sniffDecodeHeader(5L, "garbage bytes!!".getBytes).kind == "unknown")
+    assert(Multimodal.sniffDecodeHeader(6L, Array.emptyByteArray).kind == "unknown")
+    // a TIFF-looking marker with a bad magic must NOT classify as tiff
+    val badTiff = Multimodal.synthTiff(10, 10, little = true, 0)
+    badTiff(2) = 43.toByte
+    assert(Multimodal.sniffDecodeHeader(7L, badTiff).kind == "unknown")
+  }
+
   test("MP4 synth → box-walk decode round-trips brand/timescale/duration") {
     val b = Multimodal.synthMp4("mp42", 90000, 90000L * 7, pad = 13)
     assert(b.length == 148 + 13)
