@@ -877,6 +877,47 @@ object MonitoringQueries {
     // the subnet key. Octet indexing note: Spark getItem is 0-based,
     // DuckDB list extract is 1-based (CLAUDE.md trap) — both sides
     // written against their own convention.
+    // CUSUM change-point detection — the classic sequential drift
+    // alarm (Page 1954): per event_type, fold 5-min bucket counts with
+    // s_i = max(0, s_{i-1} + x_i − thr), alarm and RESET when s crosses
+    // h; thr/h derive from the type's own mean rate in exact integer
+    // arithmetic. A recursive dependency on the fold's own output — no
+    // window frame expresses it — so it rides the st14/m48 template:
+    // ONE event_type exchange (array_sort ∘ collect_list), one
+    // aggregate() HOF pass on aggregate rows; the oracle is the same
+    // recurrence as a recursive CTE (never list_reduce — the DuckDB
+    // mis-fold trap).
+    "m51_cusum_changepoint" -> { (s, dir) =>
+      val counts = Tables.events(s, dir)
+        .withColumn("bucket", expr("CAST(unix_micros(ts) div 300000000 AS BIGINT)"))
+        .groupBy(col("event_type"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val ref = counts.groupBy(col("event_type"))
+        .agg(expr("sum(cnt) div count(1)").as("ref0"),
+          count(lit(1)).as("n_buckets"))
+        .withColumn("thr", expr("ref0 + ref0 div 2 + 1"))
+        .withColumn("h", expr("3 * (ref0 + 1)"))
+      val s2 = "greatest(CAST(0 AS BIGINT), acc.s + x.cnt - thr)"
+      counts.groupBy(col("event_type"))
+        .agg(array_sort(collect_list(struct(col("bucket"), col("cnt")))).as("seq"))
+        .join(broadcast(ref), Seq("event_type"))
+        .withColumn("acc", expr(
+          s"""aggregate(seq,
+             |  struct(CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS alarms,
+             |         CAST(-1 AS BIGINT) AS first_b, CAST(0 AS BIGINT) AS maxs),
+             |  (acc, x) -> struct(
+             |    CASE WHEN $s2 > h THEN CAST(0 AS BIGINT) ELSE $s2 END AS s,
+             |    acc.alarms + CASE WHEN $s2 > h THEN 1 ELSE 0 END AS alarms,
+             |    CASE WHEN acc.first_b < 0 AND $s2 > h THEN x.bucket
+             |         ELSE acc.first_b END AS first_b,
+             |    greatest(acc.maxs, $s2) AS maxs))""".stripMargin))
+        .select(col("event_type"), col("n_buckets"),
+          col("acc.alarms").as("n_alarms"),
+          col("acc.first_b").as("first_alarm_bucket"),
+          col("acc.maxs").as("max_cusum"))
+        .orderBy(col("event_type"))
+    },
+
     // behavioral sequence mining — which event-type TRIGRAMS dominate
     // user timelines (the pattern-discovery sibling of st6's FIXED
     // click→error funnel: this one finds the patterns). Per-user
@@ -1291,6 +1332,40 @@ object MonitoringQueries {
         |  CAST((min(CASE WHEN cum * 100 >= n * 95 THEN bin END) + 1) * 64 AS DOUBLE) / 100.0 AS p95_est,
         |  CAST((min(CASE WHEN cum * 100 >= n * 99 THEN bin END) + 1) * 64 AS DOUBLE) / 100.0 AS p99_est
         |FROM cu GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "m51_cusum_changepoint" ->
+      s"""WITH RECURSIVE c AS (SELECT event_type,
+         |    CAST($tsUs // 300000000 AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |r AS (SELECT event_type, CAST(sum(cnt) // count(*) AS BIGINT) AS ref0,
+         |    CAST(count(*) AS BIGINT) AS nb FROM c GROUP BY 1),
+         |r2 AS (SELECT event_type, nb, ref0 + ref0 // 2 + 1 AS thr,
+         |    3 * (ref0 + 1) AS h FROM r),
+         |e AS (SELECT event_type, bucket, cnt,
+         |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS rn
+         |  FROM c),
+         |walk(event_type, rn, s, alarms, first_b, maxs) AS (
+         |  SELECT event_type, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+         |    CAST(0 AS BIGINT), CAST(-1 AS BIGINT), CAST(0 AS BIGINT) FROM r2
+         |  UNION ALL
+         |  SELECT w.event_type, e.rn,
+         |    CASE WHEN greatest(CAST(0 AS BIGINT), w.s + e.cnt - r2.thr) > r2.h
+         |         THEN CAST(0 AS BIGINT)
+         |         ELSE greatest(CAST(0 AS BIGINT), w.s + e.cnt - r2.thr) END,
+         |    w.alarms + CASE WHEN greatest(CAST(0 AS BIGINT), w.s + e.cnt - r2.thr) > r2.h
+         |         THEN 1 ELSE 0 END,
+         |    CASE WHEN w.first_b < 0
+         |          AND greatest(CAST(0 AS BIGINT), w.s + e.cnt - r2.thr) > r2.h
+         |         THEN e.bucket ELSE w.first_b END,
+         |    greatest(w.maxs, greatest(CAST(0 AS BIGINT), w.s + e.cnt - r2.thr))
+         |  FROM walk w
+         |  JOIN e ON e.event_type = w.event_type AND e.rn = w.rn + 1
+         |  JOIN r2 ON r2.event_type = w.event_type)
+         |SELECT w.event_type, r2.nb AS n_buckets, w.alarms AS n_alarms,
+         |  w.first_b AS first_alarm_bucket, w.maxs AS max_cusum
+         |FROM walk w JOIN r2 ON r2.event_type = w.event_type
+         |WHERE w.rn = r2.nb ORDER BY w.event_type""".stripMargin,
 
     "m50_seq_trigrams" ->
       s"""WITH tl AS (SELECT user_id,

@@ -67,6 +67,57 @@ class FoldPropertySpec extends AnyFunSuite {
     assert(alerts.sliding(2).forall(p => p.size < 2 || p(1) - p(0) >= cooldownUs))
   }
 
+  test("m51 CUSUM fold == reference Scala fold on 50 bursty sequences; planted bursts ALARM") {
+    import spark.implicits._
+    // sequences mix a quiet baseline with planted bursts so the alarm
+    // branch (cross h → record + reset) actually executes — the real
+    // corpus is uniform and never alarms, which would leave that branch
+    // untested
+    val cases = (1 to 50).map { u =>
+      val thr = 3L; val h = 9L
+      val xs = (1 to rng.nextInt(60) + 10).map { j =>
+        if (rng.nextInt(8) == 0) rng.nextInt(20) + 10L else rng.nextInt(4).toLong
+      }
+      (u.toLong, thr, h, xs)
+    }
+    def refCusum(xs: Seq[Long], thr: Long, h: Long): (Long, Long, Long) = {
+      var s = 0L; var alarms = 0L; var first = -1L; var maxs = 0L
+      xs.zipWithIndex.foreach { case (x, i) =>
+        val s2 = math.max(0L, s + x - thr)
+        maxs = math.max(maxs, s2)
+        if (s2 > h) { alarms += 1; if (first < 0) first = i + 1L; s = 0L }
+        else s = s2
+      }
+      (alarms, first, maxs)
+    }
+    val df = cases.flatMap { case (u, _, _, xs) =>
+      xs.zipWithIndex.map { case (x, i) => (u, i + 1L, x) } }
+      .toDF("user_id", "bucket", "cnt")
+    val s2 = "greatest(CAST(0 AS BIGINT), acc.s + x.cnt - 3)"
+    val got = df.groupBy($"user_id")
+      .agg(array_sort(collect_list(struct($"bucket", $"cnt"))).as("seq"))
+      .withColumn("acc", expr(
+        s"""aggregate(seq,
+           |  struct(CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS alarms,
+           |         CAST(-1 AS BIGINT) AS first_b, CAST(0 AS BIGINT) AS maxs),
+           |  (acc, x) -> struct(
+           |    CASE WHEN $s2 > 9 THEN CAST(0 AS BIGINT) ELSE $s2 END AS s,
+           |    acc.alarms + CASE WHEN $s2 > 9 THEN 1 ELSE 0 END AS alarms,
+           |    CASE WHEN acc.first_b < 0 AND $s2 > 9 THEN x.bucket
+           |         ELSE acc.first_b END AS first_b,
+           |    greatest(acc.maxs, $s2) AS maxs))""".stripMargin))
+      .select($"user_id", $"acc.alarms", $"acc.first_b", $"acc.maxs")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    var anyAlarm = false
+    cases.foreach { case (u, thr, h, xs) =>
+      val want = refCusum(xs, thr, h)
+      assert(got(u) == want, s"user $u: got ${got(u)} want $want")
+      if (want._1 > 0) anyAlarm = true
+    }
+    assert(anyAlarm, "fixture must fire at least one alarm or the alarm branch is untested")
+  }
+
   test("m48 EWMA fold == reference Scala fold; result bounded by [min, max] of the inputs") {
     import spark.implicits._
     val cases = (1 to 50).map { i =>
