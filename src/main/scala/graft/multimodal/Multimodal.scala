@@ -226,7 +226,11 @@ object Multimodal {
         val bytes = (id % 4) match {
           case 0 => synthPng((id % 640).toInt + 16, (id % 480).toInt + 16, pad)
           case 1 => synthJpeg((id % 640).toInt + 16, (id % 480).toInt + 16, pad)
-          case 2 => synthWav(Seq(8000, 16000, 22050, 44100)((id % 4).toInt), (id % 2).toInt + 1, pad)
+          // rate pinned to 22050: this branch only fires at id%4==2, so
+          // any rate "lookup" keyed on id%4 is dead generality — and the
+          // x14 oracle hard-codes 22050, so the literal keeps generator
+          // and oracle visibly in sync
+          case 2 => synthWav(22050, (id % 2).toInt + 1, pad)
           case _ => synthTiff((id % 640).toInt + 16, (id % 480).toInt + 16, id % 8 < 4, pad)
         }
         BinaryDoc(id, bytes)

@@ -23,19 +23,26 @@ object Graph {
     * floor(3T/W · 10⁴)).
     */
   /** k-core decomposition by iterative peeling: repeatedly remove
-    * nodes of degree < k (and their edges) until fixpoint — the
+    * nodes of degree < k (and their edges) until FIXPOINT — the
     * cascade matters: removing one node can push its neighbors below
     * k (a single degree-filter pass is NOT a k-core; PipelineSpec
     * plants the path graph where the difference shows). Returns the
     * surviving (w, core_deg) rows. Driver-side loop like d9's label
-    * propagation: bounded at `maxIters`, convergence detected by edge
-    * count (edges shrink iff some node dropped), every iteration runs
-    * on the localCheckpointed vocabulary-sized edge list — the corpus
-    * is never touched. Spark recursion can't express this natively for
-    * the same reason as d9/s10: the per-level degree AGGREGATE over
-    * the recursive reference is prohibited (canary-pinned in
-    * RegressionSpec). */
-  def kCore(edgesIn: DataFrame, k: Int, maxIters: Int = 8): DataFrame = {
+    * propagation: convergence detected by edge count (edges shrink iff
+    * some node dropped), every iteration runs on the localCheckpointed
+    * vocabulary-sized edge list — the corpus is never touched.
+    * `maxIters` is a SAFETY CAP, not the semantics: hitting it throws
+    * (a loud contract beats silently returning non-core survivors —
+    * round-7 verdict finding; GraphPropertySpec plants a 20-node path
+    * whose k=2 cascade needs 10 peels, past the old bound of 8). The
+    * default cap is far above any plausible cascade depth on
+    * collocation-class graphs (observed ≤ 4 at every tested SF; each
+    * extra peel costs one vocabulary-sized agg + two broadcast semi
+    * joins, so a deep cascade is slow, never wrong). Spark recursion
+    * can't express this natively for the same reason as d9/s10: the
+    * per-level degree AGGREGATE over the recursive reference is
+    * prohibited (canary-pinned in RegressionSpec). */
+  def kCore(edgesIn: DataFrame, k: Int, maxIters: Int = 64): DataFrame = {
     var edges = edgesIn.localCheckpoint()
     var nEdges = edges.count()
     var done = nEdges == 0L
@@ -53,6 +60,10 @@ object Graph {
       done = n == nEdges
       nEdges = n; edges = pruned; it += 1
     }
+    require(done,
+      s"kCore($k) did not reach fixpoint within $maxIters peels " +
+        s"($nEdges edges remain) — raise maxIters; a truncated peel is " +
+        "not a k-core")
     edges.select(explode(array(col("a"), col("b"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("core_deg"))
   }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{LogLines, Tables}
-import graft.operators.{AsOf, Monitoring}
+import graft.operators.{AsOf, Monitoring, Sequences}
 
 /** Monitoring-domain coverage (SURVEY §2, m*): the reference's
   * health/replication/keeper semantics over the events stream table.
@@ -929,18 +929,7 @@ object MonitoringQueries {
     // grams; top-20 is an ordered limit (TakeOrderedAndProject, no full
     // sort). Within-timeline order is total: (ts_us, event_id).
     "m50_seq_trigrams" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .withColumn("ts_us", unix_micros(col("ts")))
-        .groupBy(col("user_id"))
-        .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id"),
-          col("event_type")))).as("tl"))
-        .withColumn("types", expr("transform(tl, x -> x.event_type)"))
-        .withColumn("tri", expr(
-          "CASE WHEN size(types) >= 3 THEN transform(" +
-          "arrays_zip(slice(types, 1, size(types) - 2), " +
-          "slice(types, 2, size(types) - 2), slice(types, 3, size(types) - 2)), " +
-          "x -> concat_ws(' ', x.`0`, x.`1`, x.`2`)) ELSE array() END"))
-        .select(explode(col("tri")).as("trigram"))
+      Sequences.userTypeTrigrams(Tables.events(s, dir))
         .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("trigram"))
         .limit(20)

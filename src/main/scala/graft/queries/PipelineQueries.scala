@@ -893,11 +893,32 @@ object PipelineQueries {
           coalesce(max(when(col("half") === 0, col("n"))), lit(0L)).as("na"),
           coalesce(max(when(col("half") === 1, col("n"))), lit(0L)).as("nb"))))
         .withColumn("num", expr("abs(ca * nb - cb * na)"))
+      // tv_bp = floor(10^4 · Σnum / D), D = 2·na·nb, computed by STAGED
+      // division — never materializing Σnum·10^4 (Σnum is bounded by D,
+      // so the old single-shot ·10000 overflowed BIGINT once per-half
+      // token mass reached ~2e7 under heavy drift: the m39 class of
+      // data-dependent ANSI throw; round-7 advisor finding). Exactness:
+      // with q0 = S div D, r0 = S mod D, floor(10^4·S/D) = 10^4·q0 +
+      // floor(10^4·r0/D), and each ×10 peel is the same identity one
+      // digit down — every step is integer-exact in BOTH engines.
+      // Ceiling: the largest intermediate is 10·r < 10·D, safe while
+      // D = 2·na·nb ≤ 9.2e17, i.e. ~6.8e8 tokens PER HALF (~3 GB of
+      // text — a per-shard drift monitor's grain); beyond that the
+      // per-term cross-product |ca·nb − cb·na| is the next ceiling at
+      // ~3e9 tokens per half. 10000× the old headroom.
       val summary = wide.agg(
-        max(col("na")).as("n_ref_tokens"), max(col("nb")).as("n_cur_tokens"),
-        count(lit(1)).as("n_terms"),
-        expr("CAST(sum(num) * 10000 div (2 * max(na) * max(nb)) AS BIGINT)")
-          .as("tv_bp"))
+          max(col("na")).as("n_ref_tokens"), max(col("nb")).as("n_cur_tokens"),
+          count(lit(1)).as("n_terms"), sum(col("num")).as("s"))
+        .withColumn("d", expr("2 * n_ref_tokens * n_cur_tokens"))
+        .withColumn("q0", expr("s div d")).withColumn("r0", expr("s % d"))
+        .withColumn("q1", expr("(r0 * 10) div d")).withColumn("r1", expr("(r0 * 10) % d"))
+        .withColumn("q2", expr("(r1 * 10) div d")).withColumn("r2", expr("(r1 * 10) % d"))
+        .withColumn("q3", expr("(r2 * 10) div d")).withColumn("r3", expr("(r2 * 10) % d"))
+        .withColumn("q4", expr("(r3 * 10) div d"))
+        .withColumn("tv_bp", expr(
+          "CAST(10000 * q0 + 1000 * q1 + 100 * q2 + 10 * q3 + q4 AS BIGINT)"))
+        .select(col("n_ref_tokens"), col("n_cur_tokens"), col("n_terms"),
+          col("tv_bp"))
       // deterministic assembly: collect_list order after a limit is not
       // contractual — re-sort in-row before joining the names
       val top = wide.orderBy(col("num").desc, col("t")).limit(5)
@@ -1044,8 +1065,11 @@ object PipelineQueries {
     // entirely. Driver-bounded peel loop on the checkpointed
     // vocabulary-sized edge list (d9's pattern; native recursion is
     // blocked by the same aggregate-over-recursive-ref rule, canary-
-    // pinned); the oracle unrolls 8 peels — beyond-fixpoint rounds
-    // are no-ops in both engines, so convergence depth never desyncs.
+    // pinned). kCore runs to TRUE fixpoint (throws at its safety cap
+    // instead of truncating — round-7 verdict finding); the oracle
+    // unrolls 16 peels, 4× the observed convergence depth — beyond-
+    // fixpoint rounds are no-ops, so extra unrolls never desync, and a
+    // cascade deeper than 16 would fail LOUDLY at the hash gate.
     "t18_colloc_kcore" -> { (s, dir) =>
       Graph.kCore(collocEdges(s, dir), k = 29).orderBy(col("w"))
     },
@@ -2282,11 +2306,20 @@ object PipelineQueries {
         |  FROM tc GROUP BY 1),
         |w2 AS (SELECT t, ca, cb, abs(ca * nb - cb * na) AS num, na, nb
         |  FROM wide CROSS JOIN tot),
-        |summ AS (SELECT CAST(max(na) AS BIGINT) AS n_ref_tokens,
+        |s0 AS MATERIALIZED (SELECT CAST(max(na) AS BIGINT) AS n_ref_tokens,
         |    CAST(max(nb) AS BIGINT) AS n_cur_tokens,
         |    CAST(count(*) AS BIGINT) AS n_terms,
-        |    CAST(sum(num) * 10000 // (2 * max(na) * max(nb)) AS BIGINT) AS tv_bp
+        |    CAST(sum(num) AS BIGINT) AS s,
+        |    CAST(2 * max(na) * max(nb) AS BIGINT) AS d
         |  FROM w2),
+        |s1 AS (SELECT *, s // d AS q0, s % d AS r0 FROM s0),
+        |s2 AS (SELECT *, (r0 * 10) // d AS q1, (r0 * 10) % d AS r1 FROM s1),
+        |s3 AS (SELECT *, (r1 * 10) // d AS q2, (r1 * 10) % d AS r2 FROM s2),
+        |s4 AS (SELECT *, (r2 * 10) // d AS q3, (r2 * 10) % d AS r3 FROM s3),
+        |summ AS (SELECT n_ref_tokens, n_cur_tokens, n_terms,
+        |    CAST(10000 * q0 + 1000 * q1 + 100 * q2 + 10 * q3
+        |      + (r3 * 10) // d AS BIGINT) AS tv_bp
+        |  FROM s4),
         |top AS (SELECT string_agg(t, ',' ORDER BY num DESC, t) AS top_drifted FROM (
         |    SELECT t, num FROM w2 ORDER BY num DESC, t LIMIT 5) z)
         |SELECT n_ref_tokens, n_cur_tokens, n_terms, tv_bp, top_drifted
@@ -2367,7 +2400,15 @@ object PipelineQueries {
            |k$outE AS MATERIALIZED (SELECT w FROM d$outE WHERE dg >= 29),
            |$outE AS MATERIALIZED (SELECT e.a, e.b FROM $inE e
            |  JOIN k$outE x ON e.a = x.w JOIN k$outE y ON e.b = y.w)""".stripMargin
-      val chain = (1 to 8).map(i => iter(if (i == 1) "edges" else s"e${i - 1}", s"e$i"))
+      // 16 unrolled peels: Spark-side kCore now iterates to TRUE
+      // fixpoint (throwing at its safety cap rather than truncating),
+      // and beyond-fixpoint peels are no-ops, so the oracle stays exact
+      // as long as its unroll depth >= the actual convergence depth
+      // (observed <= 4 at every tested SF; 16 is 4x margin — a deeper
+      // cascade would surface as a loud hash mismatch, never a silent
+      // agreement on a truncated answer, which is what the old
+      // 8-bounded-on-BOTH-sides form risked)
+      val chain = (1 to 16).map(i => iter(if (i == 1) "edges" else s"e${i - 1}", s"e$i"))
         .mkString(",\n")
       s"""WITH w AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS wd FROM documents),
          |bg AS (SELECT unnest(CASE WHEN len(wd) >= 2
@@ -2379,7 +2420,7 @@ object PipelineQueries {
          |edges AS MATERIALIZED (SELECT a, b FROM e0 GROUP BY a, b HAVING count(*) >= 3),
          |$chain
          |SELECT w, CAST(count(*) AS BIGINT) AS core_deg FROM (
-         |  SELECT a AS w FROM e8 UNION ALL SELECT b AS w FROM e8) u
+         |  SELECT a AS w FROM e16 UNION ALL SELECT b AS w FROM e16) u
          |GROUP BY w ORDER BY w""".stripMargin
     },
 

@@ -31,20 +31,7 @@ object StreamingQueries {
     // StreamingSpec). One user_id exchange (st14 fold-template shape);
     // trigrams by zip-of-slices outside any lambda.
     "st16_stream_seq" -> { (s, dir) =>
-      Tables.events(s, dir)
-        .withColumn("ts_us", unix_micros(col("ts")))
-        .groupBy(col("user_id"))
-        .agg(array_sort(collect_list(struct(col("ts_us"), col("event_id"),
-          col("event_type")))).as("tl"))
-        .withColumn("types", expr("transform(tl, x -> x.event_type)"))
-        .withColumn("tri", expr(
-          "CASE WHEN size(types) >= 3 THEN transform(" +
-          "arrays_zip(slice(types, 1, size(types) - 2), " +
-          "slice(types, 2, size(types) - 2), slice(types, 3, size(types) - 2)), " +
-          "x -> concat_ws(' ', x.`0`, x.`1`, x.`2`)) ELSE array() END"))
-        .select(col("user_id"), posexplode(col("tri")).as(Seq("pos0", "trigram")))
-        .select(col("user_id"), (col("pos0") + 1).cast("long").as("pos"),
-          col("trigram"))
+      graft.operators.Sequences.userTypeTrigrams(Tables.events(s, dir))
         .orderBy(col("user_id"), col("pos"))
     },
 
@@ -196,7 +183,7 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_errors"),
           array_sort(collect_list(struct(col("ts_us"), col("event_id")))).as("seq"))
         .withColumn("acc", expr(
-          "aggregate(seq, named_struct('last', CAST(-4611686018427387904 AS BIGINT), " +
+          s"aggregate(seq, named_struct('last', CAST(${HealthStream.CooldownSentinelUs} AS BIGINT), " +
           "'n', CAST(0 AS BIGINT)), (acc, x) -> " +
           "IF(x.ts_us - acc.last >= 600000000, " +
           "named_struct('last', x.ts_us, 'n', acc.n + 1), acc))"))
@@ -262,7 +249,7 @@ object StreamingQueries {
          |  FROM e GROUP BY user_id),
          |walk(user_id, rn, last_alert, n_alerts) AS (
          |  SELECT user_id, CAST(0 AS BIGINT),
-         |    CAST(-4611686018427387904 AS BIGINT), CAST(0 AS BIGINT) FROM n
+         |    CAST(${HealthStream.CooldownSentinelUs} AS BIGINT), CAST(0 AS BIGINT) FROM n
          |  UNION ALL
          |  SELECT w.user_id, e.rn,
          |    CASE WHEN e.ts_us - w.last_alert >= 600000000

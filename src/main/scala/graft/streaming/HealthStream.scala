@@ -17,6 +17,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object HealthStream {
 
+  /** The ONE init-state sentinel for the alert-cooldown recurrence
+    * (-2^62): ancient enough that any real ts_us >= 0 alerts on the
+    * first event, yet far enough from Long.MinValue that
+    * `ts_us - sentinel` can never overflow (ts_us < 2^60, so the
+    * difference stays below 2^63). Referenced by the
+    * transformWithState processor, the st14 batch fold, its DuckDB
+    * oracle, and FoldPropertySpec — one constant, no drift. */
+  val CooldownSentinelUs: Long = -4611686018427387904L
+
   /** events.parquet on-disk schema in its CURRENT generator form (ts is
     * TIMESTAMP(MICROS, isAdjustedToUTC=false) → TIMESTAMP_NTZ, the
     * session is UTC so the cast below is identity on the micros value —
@@ -520,7 +529,7 @@ object HealthStream {
         timerValues: TimerValues): Iterator[AlertOut] = {
       // arrival order within a micro-batch is not event order
       val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
-      var last = if (lastAlert.exists()) lastAlert.get() else Long.MinValue / 4
+      var last = if (lastAlert.exists()) lastAlert.get() else CooldownSentinelUs
       var n = if (seq.exists()) seq.get() else 0L
       val out = Array.newBuilder[AlertOut]
       evs.foreach { e =>

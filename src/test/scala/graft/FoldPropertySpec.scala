@@ -15,7 +15,7 @@ class FoldPropertySpec extends AnyFunSuite {
   lazy val spark = GraftSession.local()
   private val rng = new scala.util.Random(7)
   private val cooldownUs = 600000000L
-  private val sentinel = -4611686018427387904L
+  private val sentinel = graft.streaming.HealthStream.CooldownSentinelUs
 
   private def randSeq(n: Int): Seq[(Long, Long)] = {
     // strictly increasing ts with gaps straddling the cooldown boundary

@@ -62,6 +62,23 @@ class GraphPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("kCore runs a >8-deep cascade to fixpoint; a too-low safety cap throws") {
+    import spark.implicits._
+    // 20-node path at k=2: every peel removes exactly the two current
+    // endpoints, so reaching the (empty) fixpoint takes 10 rounds —
+    // past the old maxIters=8 bound, under which this graph silently
+    // returned 4 non-core survivors (round-7 verdict finding #1).
+    val path = (0 until 19).map(i => (f"p$i%02d", f"p${i + 1}%02d"))
+    val got = Graph.kCore(path.toDF("a", "b"), k = 2).collect()
+    assert(got.isEmpty, s"20-path has an empty 2-core, got ${got.toSeq}")
+    assert(bruteKCore(path, 2).isEmpty)
+    // the cap is a loud contract, not a silent truncation
+    val e = intercept[IllegalArgumentException] {
+      Graph.kCore(path.toDF("a", "b"), k = 2, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("kCore equals brute peel-to-fixpoint on 10 random graphs across k") {
     import spark.implicits._
     for (trial <- 1 to 10) {
