@@ -349,6 +349,58 @@ object Dedup {
         col("cont_bp"), col("jac_bp"))
   }
 
+  /** Exact SUBSTRING-level duplication report (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * public knowledge): the pass every document-granularity d-key
+    * structurally misses. A 500-token doc sharing one verbatim
+    * 50-token run with another (news-wire quote, boilerplate
+    * paragraph) is invisible to set-similarity dedup — the run is a
+    * tiny fraction of either doc's shingle set — but is exactly what
+    * substring dedup removes from training data.
+    *
+    * Shape: each doc explodes into stride-`stride` windows of `w`
+    * tokens; a window's md5 fingerprint seen in ≥2 DISTINCT docs marks
+    * a duplicated span. Output per doc (≥ w tokens): total windows,
+    * duplicated windows, duplicated-span share in bp.
+    *
+    * Stride contract: `stride = 1` gives the Lee-et-al GUARANTEE —
+    * every verbatim cross-doc run of ≥ w tokens yields equal
+    * fingerprints at every internal offset, alignment-free (it is the
+    * hashing equivalent of their suffix-array pass). `stride > 1` is
+    * the cheaper SAMPLED variant: two docs' windows only coincide when
+    * their copies of a run start at equal positions mod stride, so it
+    * detects long duplicated blocks probabilistically — a monitoring
+    * grain, not a dedup guarantee. The d23 key runs stride 1.
+    *
+    * Scale: never doc×doc — ONE corpus scan, then three agg-row
+    * exchanges: (fp, doc) partial agg (map-side combine shrinks the
+    * shuffle to distinct fingerprints per doc), a count-over-fp window
+    * on those aggregate rows (distinct-doc count per fingerprint with
+    * no distinct aggregation and no join-back), and the per-doc
+    * rollup. Window positions explode BEFORE the md5 projection —
+    * a transform(sequence(...), i -> md5(...)) lambda would let
+    * projection collapse inline the split() into itself and re-split
+    * the doc once per window (the §6 trap); below a Generate the
+    * tokenization provably runs once per doc. */
+  def substringDupReport(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, stride: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("tk"))
+      .filter(size(col("tk")) >= w)
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(1, size(tk) - ${w - 1}, $stride)")).as("i"))
+      .select(col("doc_id"), expr(s"md5(concat_ws(' ', slice(tk, i, $w)))").as("fp"))
+    val perFpDoc = wins.groupBy(col("fp"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val flagged = perFpDoc.withColumn("nd",
+      count(lit(1)).over(Window.partitionBy(col("fp"))))
+    flagged.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_win"),
+        coalesce(sum(when(col("nd") >= 2, col("c"))), lit(0L)).as("n_dup_win"))
+      .withColumn("dup_bp", expr("n_dup_win * 10000 div n_win"))
+  }
+
   /** 16-bit SimHash over distinct tokens, md5-nibble bit source.
     *
     * Row-oriented for scale: tokens explode to rows, md5 runs once per

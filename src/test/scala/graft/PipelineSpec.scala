@@ -118,6 +118,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getAs[Long]("cont_bp") >= row.getAs[Long]("jac_bp"))
   }
 
+  test("d23: one shared 16-token run is flagged (misaligned copies) while d4's Jaccard misses the pair") {
+    import spark.implicits._
+    // two ~90-token docs with DISJOINT vocabularies sharing ONE verbatim
+    // 16-token run — planted at DIFFERENT positions (40 vs 37) to prove
+    // the stride-1 guarantee is alignment-free; doc 3 is clean.
+    val run = (1 to 16).map(i => s"shared$i").mkString(" ")
+    val a = ((1 to 40).map(i => s"alpha$i") ++ Seq(run) ++
+      (41 to 74).map(i => s"alpha$i")).mkString(" ")
+    val b = ((1 to 37).map(i => s"beta$i") ++ Seq(run) ++
+      (38 to 74).map(i => s"beta$i")).mkString(" ")
+    val c = (1 to 90).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val rep = Dedup.substringDupReport(docs, "doc_id", "text", w = 16, stride = 1)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_win"), r.getAs[Long]("n_dup_win")))).toMap
+    // exactly the run's single fully-contained window is duplicated in each
+    assert(rep(1L)._2 == 1 && rep(2L)._2 == 1, s"shared run not flagged: $rep")
+    assert(rep(3L)._2 == 0, s"clean doc falsely flagged: $rep")
+    assert(rep.values.forall { case (nw, nd) => nd <= nw })
+    // the SAME pair scores far below d4's 0.3 Jaccard threshold: the run
+    // is 16 of ~180 distinct 3-gram shingles — document-level dedup
+    // (correctly, by its contract) cannot see it
+    val jac = Dedup.jaccardVerify(Seq((1L, 2L)).toDF("id_a", "id_b"), docs,
+      "doc_id", "text", threshold = 0.3).collect()
+    assert(jac.isEmpty, s"d4 should not fire on a 16/180-shingle overlap: ${jac.toSeq}")
+  }
+
   test("brute-force ANN: nearest neighbor of a vector is its duplicate") {
     import spark.implicits._
     val vecs = Seq(

@@ -549,6 +549,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d23: substring dedup is one corpus scan, zero joins, three agg-row shuffles") {
+    val p = plan("d23_substring_dedup")
+    assert("documents\\.parquet".r.findAllIn(p).size == 1,
+      "substring dedup must scan the corpus once:\n" + p)
+    assert(!p.contains("Join"), "fp flagging must be window-based, never a join-back:\n" + p)
+    // (fp,doc) partial agg + count-over-fp window + per-doc rollup
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 3, p)
+    assert(p.contains("partial_"), "window explode must combine map-side:\n" + p)
+    // window fingerprints come from a Generate (position explode below
+    // the md5 projection — tokenization runs once per doc, not per window)
+    assert(p.contains("Generate"), p)
+  }
+
   test("p12: dim join injects a RUNTIME dynamicpruning partition filter on the fact scan") {
     val df = SparkEntry.queries("p12_dynamic_prune")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
