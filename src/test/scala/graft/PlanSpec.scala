@@ -549,6 +549,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q49: typed Aggregator plans as PARTIAL ObjectHashAggregate — k-pair buffers cross the shuffle, not rows") {
+    val p = plan("q49_typed_agg")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_topkids"), "map-side combine must apply:\n" + p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
   test("d23: substring dedup is one corpus scan, zero joins, three agg-row shuffles") {
     val p = plan("d23_substring_dedup")
     assert("documents\\.parquet".r.findAllIn(p).size == 1,

@@ -68,6 +68,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(m("value_cents") == direct.getLong(2))
   }
 
+  test("q49: typed TopKIds aggregator is result-identical to the window top-k form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("q49_typed_agg")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val li = graft.sources.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        col("l_partkey"))
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("cents").desc, col("l_partkey"))
+    val want = li.withColumn("rn", row_number().over(w))
+      .groupBy(col("l_orderkey"))
+      .agg(concat_ws(",", expr(
+        "transform(array_sort(collect_list(IF(rn <= 3, struct(rn, l_partkey), NULL))), x -> CAST(x.l_partkey AS STRING))"))
+        .as("top_parts"), count(lit(1)).as("n_items"))
+      .orderBy(col("l_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.length == want.length && got.sameElements(want),
+      s"first diff: ${got.zip(want).find { case (a, b) => a != b }}")
+    // k=1 degenerates to max_by with the deterministic tie-break
+    val udaf1 = udaf(new graft.functions.TypedAggregators.TopKIds(1))
+    val one = li.groupBy(col("l_orderkey"))
+      .agg(udaf1(col("cents"), col("l_partkey")).as("top1"),
+        min_by(col("l_partkey"), struct(negate(col("cents")), col("l_partkey"))).as("mb"))
+      .filter(col("top1") =!= col("mb").cast("string")).count()
+    assert(one == 0L, "TopKIds(1) must equal min_by on (-cents, partkey)")
+  }
+
   test("q1 aggregates are internally consistent") {
     val r = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
     assert(r.length == 6) // 3 returnflags x 2 linestatus
