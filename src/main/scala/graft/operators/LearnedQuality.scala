@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Learned (model-based) document quality filter — the fastText-style
+  * architecture production pipelines (CCNet, Gopher, LLaMA — public
+  * knowledge) run instead of hand-set heuristic gates: a LINEAR scorer
+  * over cheap per-doc features, trained from labeled examples, applied
+  * map-side with broadcast weights.
+  *
+  * Everything is INTEGER so the model is oracle-exact cross-engine:
+  *
+  *   - Training is closed-form naive Bayes: per-class feature counts →
+  *     log-odds weights. The log is `il16`, a 1/16-resolution
+  *     FIXED-POINT log2 — 16·floor(log2 v) plus a linear interpolation
+  *     of the mantissa, all integer ops (libm log is not correctly
+  *     rounded and never cross-engine safe; plain floor-log2 proved too
+  *     coarse: every informative weight rounded to 0 and the model
+  *     degenerated to the prior — measured before this design).
+  *   - Three feature families share the 1/16-log2 unit: hashed token
+  *     buckets (t16's 16-dim hashing trick — the fastText bag-of-words
+  *     channel), a log-scaled length bin, and a 1/16-granular lexical
+  *     diversity bin. Weights are il16 class-conditional log-odds with
+  *     +1 smoothing.
+  *   - Classification: score = prior + w_len[lbin] + w_div[dbin] +
+  *     Σ_b tf_b·w_b, predict positive iff score ≥ 0.
+  *
+  * Scale: training reduces to ≤ (16 + |lbins| + |dbins| + 1) weight
+  * rows; classification joins them back via broadcast() onto one
+  * corpus pass — no iteration, no driver-side collect, no UDF.
+  */
+object LearnedQuality {
+
+  /** SQL fragment: fixed-point log2 with 1/16 resolution, exact in
+    * Spark (div/shiftleft) — il16(v) = 16·e + (v·16) div 2^e − 16,
+    * e = floor(log2 v) = length(bin(v)) − 1. Piecewise-linear in the
+    * mantissa, monotone, integer-only (shift ≤ 62 for v < 2^59 —
+    * token-count range). The DuckDB twin lives in the t20 oracle
+    * (`//` and `1::BIGINT <<`). */
+  def il16Sql(v: String): String =
+    s"(16 * (length(bin($v)) - 1) + (($v) * 16) div " +
+      s"shiftleft(CAST(1 AS BIGINT), length(bin($v)) - 1) - 16)"
+
+  /** Smoothed integer log-odds of a feature between classes:
+    * il16(c1+1) − il16(n1+1) − il16(c0+1) + il16(n0+1)
+    * ≈ 16·log2((c1/n1)/(c0/n0)). Args are column names. */
+  def logOdds(c1: String, n1: String, c0: String, n0: String): Column =
+    expr(s"${il16Sql(s"$c1 + 1")} - ${il16Sql(s"$n1 + 1")} - " +
+      s"${il16Sql(s"$c0 + 1")} + ${il16Sql(s"$n0 + 1")}")
+
+  /** Per-doc scalar features: n_tokens, n_distinct, stop_hits, the
+    * log-length bin and the 1/16 diversity bin; `carry` columns ride
+    * along. One corpus scan. */
+  def docFeatures(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame =
+    docs
+      .withColumn("_w", Dedup.words(col(textCol)))
+      .select(Seq(col(idCol).as("doc_id")) ++ carry.map(col) ++ Seq(
+        size(col("_w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("_w"))).cast("long").as("n_distinct"),
+        TextFunctions.stopHits("_w", TextFunctions.enStop).cast("long")
+          .as("stop_hits")): _*)
+      .withColumn("lbin", expr("length(bin(greatest(n_tokens, 1))) - 1"))
+      .withColumn("dbin", expr(
+        "CASE WHEN n_tokens > 0 THEN (n_distinct * 16) div n_tokens ELSE 0 END"))
+
+  /** (doc, bucket, tf) hashed-token features (t16's first-md5-nibble
+    * bucket), `carry` per-doc columns riding through the explode so
+    * training needs no join back to the corpus. */
+  def bucketTf(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val gcols = (Seq("doc_id") ++ carry ++ Seq("bucket")).map(col)
+    docs
+      .select(Seq(col(idCol).as("doc_id")) ++ carry.map(col) :+
+        explode(Dedup.words(col(textCol))).as("_t"): _*)
+      .filter(length(col("_t")) > 0)
+      .withColumn("bucket",
+        expr("CAST(instr('0123456789abcdef', substring(md5(_t), 1, 1)) - 1 AS INT)"))
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Learned weights: three broadcast-sized DataFrames + the prior row
+    * (prior, n_train). */
+  case class Model(bucketW: DataFrame, lenW: DataFrame, divW: DataFrame,
+      prior: DataFrame)
+
+  /** Closed-form training. `label` must evaluate to integer 0/1 on a
+    * corpus row. Two corpus scans (token counts, doc scalars); every
+    * aggregate is partial; weight frames are aggregate-row sized. */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+      label: Column): Model = {
+    val labeled = docs.withColumn("label", label)
+    val tf = bucketTf(labeled, idCol, textCol, carry = Seq("label"))
+    val bc = tf.groupBy(col("bucket")).agg(
+      sum(when(col("label") === 1, col("tf")).otherwise(0L)).as("c1"),
+      sum(when(col("label") === 0, col("tf")).otherwise(0L)).as("c0"))
+    val masses = bc.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
+    val bucketW = bc.crossJoin(broadcast(masses))
+      .select(col("bucket"), logOdds("c1", "n1", "c0", "n0").as("w"))
+    val feats = docFeatures(labeled, idCol, textCol, carry = Seq("label"))
+    val docMass = feats.agg(
+      sum(when(col("label") === 1, 1L).otherwise(0L)).as("m1"),
+      sum(when(col("label") === 0, 1L).otherwise(0L)).as("m0"))
+    def catW(c: String): DataFrame =
+      feats.groupBy(col(c)).agg(
+          sum(when(col("label") === 1, 1L).otherwise(0L)).as("k1"),
+          sum(when(col("label") === 0, 1L).otherwise(0L)).as("k0"))
+        .crossJoin(broadcast(docMass))
+        .select(col(c), logOdds("k1", "m1", "k0", "m0").as("w"))
+    val prior = docMass.select(
+      expr(s"${il16Sql("m1 + 1")} - ${il16Sql("m0 + 1")}").as("prior"),
+      (col("m1") + col("m0")).as("n_train"))
+    Model(bucketW, catW("lbin"), catW("dbin"), prior)
+  }
+
+  /** Map-side scoring under a trained model: broadcast weight joins,
+    * integer dot product, threshold at 0 → (doc_id, score, pred). */
+  def classify(docs: DataFrame, idCol: String, textCol: String,
+      model: Model): DataFrame = {
+    val tokScore = bucketTf(docs, idCol, textCol)
+      .join(broadcast(model.bucketW), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("w")).as("tok_score"))
+    docFeatures(docs, idCol, textCol)
+      .join(broadcast(model.lenW.withColumnRenamed("w", "wl")), Seq("lbin"), "left")
+      .join(broadcast(model.divW.withColumnRenamed("w", "wd")), Seq("dbin"), "left")
+      .join(tokScore, Seq("doc_id"), "left")
+      .crossJoin(broadcast(model.prior.select(col("prior"))))
+      .withColumn("score",
+        col("prior") + coalesce(col("wl"), lit(0L)) +
+          coalesce(col("wd"), lit(0L)) + coalesce(col("tok_score"), lit(0L)))
+      .select(col("doc_id"), col("score"),
+        when(col("score") >= 0, 1).otherwise(0).as("pred"))
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Graph, Similarity}
+import graft.operators.{Dedup, Graph, LearnedQuality, Similarity}
 import graft.sources.Tables
 import graft.multimodal.Multimodal
 
@@ -144,6 +144,31 @@ class PipelineSpec extends AnyFunSuite {
     val jac = Dedup.jaccardVerify(Seq((1L, 2L)).toDF("id_a", "id_b"), docs,
       "doc_id", "text", threshold = 0.3).collect()
     assert(jac.isEmpty, s"d4 should not fire on a 16/180-shingle overlap: ${jac.toSeq}")
+  }
+
+  test("t20: learned classifier separates planted good/bad docs on held-out data") {
+    import spark.implicits._
+    // good = 60 unique tokens (diverse, long); bad = one token repeated
+    // 12× (repetitive, short). Train on 40, classify 10 UNSEEN docs —
+    // the integer naive-Bayes weights must generalize, not memorize.
+    def good(i: Int) = (i.toLong, (1 to 60).map(j => s"tok${j}w$i").mkString(" "), 1)
+    def bad(i: Int) = (i.toLong, Seq.fill(12)("spam").mkString(" "), 0)
+    val trainDocs = ((1 to 20).map(good) ++ (21 to 40).map(bad))
+      .toDF("doc_id", "text", "label")
+    val held = ((41 to 45).map(good) ++ (46 to 50).map(bad))
+      .toDF("doc_id", "text", "label")
+    val model = LearnedQuality.train(trainDocs, "doc_id", "text", col("label"))
+    val preds = LearnedQuality.classify(held, "doc_id", "text", model)
+      .join(held.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .collect()
+    assert(preds.length == 10)
+    preds.foreach { r =>
+      assert(r.getAs[Int]("pred") == r.getAs[Int]("label"),
+        s"misclassified held-out doc: $r")
+    }
+    // the weight tables stay broadcast-sized: 16 buckets + a few bins
+    assert(model.bucketW.count() <= 16)
+    assert(model.lenW.count() <= 8 && model.divW.count() <= 17)
   }
 
   test("brute-force ANN: nearest neighbor of a vector is its duplicate") {
