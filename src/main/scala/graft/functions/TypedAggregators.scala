@@ -36,8 +36,36 @@ object TypedAggregators {
 
     override def zero: Array[Long] = Array.emptyLongArray
 
-    override def reduce(b: Array[Long], a: (Long, Long)): Array[Long] =
-      merge(b, Array(a._1, a._2))
+    /** Map-side bounded insert, allocation-free on the hot path: when
+      * the buffer is full and the new pair loses to the current k-th,
+      * return the buffer untouched (the common case once a group has
+      * seen ≥ k rows); when it wins, shift-insert IN PLACE (the
+      * Aggregator contract explicitly allows mutating and returning
+      * `b`). Only a growing (not-yet-full) buffer allocates. */
+    override def reduce(b: Array[Long], a: (Long, Long)): Array[Long] = {
+      val v = a._1; val id = a._2
+      val full = b.length >= 2 * k
+      if (full && !wins(v, id, b(b.length - 2), b(b.length - 1))) return b
+      // binary search for the insert slot among the sorted pairs
+      var lo = 0; var hi = b.length / 2
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (wins(b(2 * mid), b(2 * mid + 1), v, id)) lo = mid + 1 else hi = mid
+      }
+      val pos = 2 * lo
+      if (full) { // shift [pos, end-2) right by one pair, dropping the k-th
+        var o = b.length - 2
+        while (o > pos) { b(o) = b(o - 2); b(o + 1) = b(o - 1); o -= 2 }
+        b(pos) = v; b(pos + 1) = id
+        b
+      } else {
+        val out = new Array[Long](b.length + 2)
+        System.arraycopy(b, 0, out, 0, pos)
+        out(pos) = v; out(pos + 1) = id
+        System.arraycopy(b, pos, out, pos + 2, b.length - pos)
+        out
+      }
+    }
 
     override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
       val out = new Array[Long](math.min(x.length + y.length, 2 * k))

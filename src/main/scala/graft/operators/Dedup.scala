@@ -360,8 +360,16 @@ object Dedup {
     *
     * Shape: each doc explodes into stride-`stride` windows of `w`
     * tokens; a window's md5 fingerprint seen in ≥2 DISTINCT docs marks
-    * a duplicated span. Output per doc (≥ w tokens): total windows,
-    * duplicated windows, duplicated-span share in bp.
+    * a duplicated span. Output: one row per doc — INCLUDING docs under
+    * w tokens, which report (n_win=0, n_dup_win=0, dup_bp=0) rather
+    * than vanishing (a per-doc quality report that silently drops rows
+    * is a footgun for any downstream join — the round-8 what's-wrong
+    * #3). Short docs ride the same single scan as a per-doc sentinel
+    * "window" (fp = 's'||doc_id — 's' cannot collide with 32-char md5
+    * hex, and per-doc uniqueness keeps nd=1 AND avoids the skew bomb a
+    * shared short-doc key would make of the count-over-fp window at
+    * 100 TB); sentinel rows are excluded from every count by the
+    * length(fp)=32 test, so no join and no second scan is added.
     *
     * Stride contract: `stride = 1` gives the Lee-et-al GUARANTEE —
     * every verbatim cross-doc run of ≥ w tokens yields equal
@@ -387,18 +395,25 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val wins = docs
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("tk"))
-      .filter(size(col("tk")) >= w)
       .select(col("doc_id"), col("tk"),
-        explode(expr(s"sequence(1, size(tk) - ${w - 1}, $stride)")).as("i"))
-      .select(col("doc_id"), expr(s"md5(concat_ws(' ', slice(tk, i, $w)))").as("fp"))
+        explode(expr(s"CASE WHEN size(tk) >= $w " +
+          s"THEN sequence(1, size(tk) - ${w - 1}, $stride) " +
+          "ELSE array(0) END")).as("i")) // i=0: short-doc sentinel
+      .select(col("doc_id"), expr(
+        s"CASE WHEN i = 0 THEN concat('s', CAST(doc_id AS STRING)) " +
+        s"ELSE md5(concat_ws(' ', slice(tk, i, $w))) END").as("fp"))
     val perFpDoc = wins.groupBy(col("fp"), col("doc_id"))
       .agg(count(lit(1)).as("c"))
     val flagged = perFpDoc.withColumn("nd",
       count(lit(1)).over(Window.partitionBy(col("fp"))))
     flagged.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_win"),
-        coalesce(sum(when(col("nd") >= 2, col("c"))), lit(0L)).as("n_dup_win"))
-      .withColumn("dup_bp", expr("n_dup_win * 10000 div n_win"))
+      .agg(coalesce(sum(when(length(col("fp")) === 32, col("c"))), lit(0L))
+          .as("n_win"),
+        coalesce(sum(when(length(col("fp")) === 32 && col("nd") >= 2, col("c"))),
+          lit(0L)).as("n_dup_win"))
+      .withColumn("dup_bp",
+        expr("CASE WHEN n_win = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE n_dup_win * 10000 div n_win END"))
   }
 
   /** 16-bit SimHash over distinct tokens, md5-nibble bit source.

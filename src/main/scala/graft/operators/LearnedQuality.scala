@@ -94,9 +94,20 @@ object LearnedQuality {
       label: Column): Model = {
     val labeled = docs.withColumn("label", label)
     val tf = bucketTf(labeled, idCol, textCol, carry = Seq("label"))
-    val bc = tf.groupBy(col("bucket")).agg(
-      sum(when(col("label") === 1, col("tf")).otherwise(0L)).as("c1"),
-      sum(when(col("label") === 0, col("tf")).otherwise(0L)).as("c0"))
+    // COMPLETE the bucket axis (0..15) before the log-odds: a bucket no
+    // training token hashed to must still carry its smoothed weight
+    // il16(1)−il16(n1+1)−il16(1)+il16(n0+1), not vanish — classify()'s
+    // inner join would otherwise silently score unseen buckets as 0
+    // (the round-8 what's-wrong #2). 16 rows, driver-free range.
+    val allBuckets = docs.sparkSession.range(16)
+      .select(col("id").cast("int").as("bucket"))
+    val bc = allBuckets.join(
+        tf.groupBy(col("bucket")).agg(
+          sum(when(col("label") === 1, col("tf")).otherwise(0L)).as("_c1"),
+          sum(when(col("label") === 0, col("tf")).otherwise(0L)).as("_c0")),
+        Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("_c1"), lit(0L)).as("c1"),
+        coalesce(col("_c0"), lit(0L)).as("c0"))
     val masses = bc.agg(sum(col("c1")).as("n1"), sum(col("c0")).as("n0"))
     val bucketW = bc.crossJoin(broadcast(masses))
       .select(col("bucket"), logOdds("c1", "n1", "c0", "n0").as("w"))

@@ -985,9 +985,13 @@ object PipelineQueries {
           sum(when(col("pred") === 0 && col("heur") === 1, 1L).otherwise(0L)).as("fn"),
           count(lit(1)).as("n_eval"))
         .crossJoin(broadcast(model.prior.select(col("n_train"))))
-        .withColumn("acc_bp", expr("(tp + tn) * 10000 div n_eval"))
+        // m39 guard: a corpus whose doc_ids all land in the train split
+        // leaves n_eval=0 — NULL, never a data-dependent ANSI divide
+        .withColumn("acc_bp",
+          expr("CASE WHEN n_eval = 0 THEN NULL ELSE (tp + tn) * 10000 div n_eval END"))
         .withColumn("majority_bp",
-          expr("greatest(tp + fn, tn + fp) * 10000 div n_eval"))
+          expr("CASE WHEN n_eval = 0 THEN NULL " +
+            "ELSE greatest(tp + fn, tn + fp) * 10000 div n_eval END"))
         .select(col("n_train"), col("n_eval"), col("tp"), col("tn"),
           col("fp"), col("fn"), col("acc_bp"), col("majority_bp"))
     },
@@ -1958,15 +1962,20 @@ object PipelineQueries {
 
     "d23_substring_dedup" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),
-        |win AS (SELECT doc_id, md5(array_to_string(wd[i:i+15], ' ')) AS fp
-        |  FROM (SELECT doc_id, wd, unnest(generate_series(1, len(wd) - 15)) AS i
-        |    FROM w WHERE len(wd) >= 16) z),
+        |win AS (SELECT doc_id, CASE WHEN i = 0 THEN 's' || CAST(doc_id AS VARCHAR)
+        |    ELSE md5(array_to_string(wd[i:i+15], ' ')) END AS fp
+        |  FROM (SELECT doc_id, wd, unnest(CASE WHEN len(wd) >= 16
+        |      THEN generate_series(1, len(wd) - 15) ELSE [0] END) AS i
+        |    FROM w) z),
         |g AS (SELECT fp, doc_id, CAST(count(*) AS BIGINT) AS c FROM win GROUP BY 1, 2),
-        |d AS (SELECT fp, doc_id, c, count(*) OVER (PARTITION BY fp) AS nd FROM g)
-        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_win,
-        |  CAST(coalesce(sum(CASE WHEN nd >= 2 THEN c END), 0) AS BIGINT) AS n_dup_win,
-        |  CAST(coalesce(sum(CASE WHEN nd >= 2 THEN c END), 0) * 10000 // sum(c) AS BIGINT) AS dup_bp
-        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |d AS (SELECT fp, doc_id, c, count(*) OVER (PARTITION BY fp) AS nd FROM g),
+        |r AS (SELECT doc_id,
+        |    CAST(coalesce(sum(CASE WHEN length(fp) = 32 THEN c END), 0) AS BIGINT) AS n_win,
+        |    CAST(coalesce(sum(CASE WHEN length(fp) = 32 AND nd >= 2 THEN c END), 0) AS BIGINT) AS n_dup_win
+        |  FROM d GROUP BY doc_id)
+        |SELECT doc_id, n_win, n_dup_win,
+        |  CAST(CASE WHEN n_win = 0 THEN 0 ELSE n_dup_win * 10000 // n_win END AS BIGINT) AS dup_bp
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "d20_prefix_simjoin" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),
@@ -2426,10 +2435,13 @@ object PipelineQueries {
          |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
          |    FROM documents) u
          |  WHERE length(u.t) > 0 GROUP BY 1, 2),
-         |bc AS (SELECT bucket,
+         |bc0 AS (SELECT bucket,
          |    CAST(sum(CASE WHEN l.heur=1 THEN tf.tf ELSE 0 END) AS BIGINT) AS c1,
          |    CAST(sum(CASE WHEN l.heur=0 THEN tf.tf ELSE 0 END) AS BIGINT) AS c0
          |  FROM tf JOIN lab l USING (doc_id) WHERE l.train GROUP BY 1),
+         |bc AS (SELECT g.bucket, coalesce(c1, 0) AS c1, coalesce(c0, 0) AS c0
+         |  FROM (SELECT unnest(generate_series(0, 15)) AS bucket) g
+         |  LEFT JOIN bc0 ON g.bucket = bc0.bucket),
          |ms AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c0) AS BIGINT) AS n0 FROM bc),
          |bw AS MATERIALIZED (SELECT bucket,
          |    ${IL("c1+1")} - ${IL("n1+1")} - ${IL("c0+1")} + ${IL("n0+1")} AS w
@@ -2465,8 +2477,10 @@ object PipelineQueries {
          |    CAST(sum(CASE WHEN score < 0 AND heur = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
          |    CAST(count(*) AS BIGINT) AS n_eval FROM ev)
          |SELECT CAST(pr.n_train AS BIGINT) AS n_train, n_eval, tp, tn, fp, fn,
-         |  CAST((tp + tn) * 10000 // n_eval AS BIGINT) AS acc_bp,
-         |  CAST(greatest(tp + fn, tn + fp) * 10000 // n_eval AS BIGINT) AS majority_bp
+         |  CAST(CASE WHEN n_eval = 0 THEN NULL
+         |    ELSE (tp + tn) * 10000 // n_eval END AS BIGINT) AS acc_bp,
+         |  CAST(CASE WHEN n_eval = 0 THEN NULL
+         |    ELSE greatest(tp + fn, tn + fp) * 10000 // n_eval END AS BIGINT) AS majority_bp
          |FROM cf, pr""".stripMargin
     },
 

@@ -129,7 +129,12 @@ class PipelineSpec extends AnyFunSuite {
     val b = ((1 to 37).map(i => s"beta$i") ++ Seq(run) ++
       (38 to 74).map(i => s"beta$i")).mkString(" ")
     val c = (1 to 90).map(i => s"gamma$i").mkString(" ")
-    val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    // two docs BELOW the window width — including an identical pair —
+    // must each still emit a (0, 0, 0) report row, never vanish and
+    // never flag each other (the sentinel fp is per-doc unique)
+    val short = "tiny doc under sixteen tokens"
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, short), (5L, short))
+      .toDF("doc_id", "text")
     val rep = Dedup.substringDupReport(docs, "doc_id", "text", w = 16, stride = 1)
       .collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -137,6 +142,8 @@ class PipelineSpec extends AnyFunSuite {
     // exactly the run's single fully-contained window is duplicated in each
     assert(rep(1L)._2 == 1 && rep(2L)._2 == 1, s"shared run not flagged: $rep")
     assert(rep(3L)._2 == 0, s"clean doc falsely flagged: $rep")
+    assert(rep(4L) == ((0L, 0L)) && rep(5L) == ((0L, 0L)),
+      s"short docs must report zero windows, not vanish: $rep")
     assert(rep.values.forall { case (nw, nd) => nd <= nw })
     // the SAME pair scores far below d4's 0.3 Jaccard threshold: the run
     // is 16 of ~180 distinct 3-gram shingles — document-level dedup
@@ -169,6 +176,51 @@ class PipelineSpec extends AnyFunSuite {
     // the weight tables stay broadcast-sized: 16 buckets + a few bins
     assert(model.bucketW.count() <= 16)
     assert(model.lenW.count() <= 8 && model.divW.count() <= 17)
+  }
+
+  test("t20: a bucket absent from training still scores by the closed-form smoothed weight") {
+    import spark.implicits._
+    // Scala references for the integer model math
+    def nib(t: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      (d(0) >> 4) & 0xf
+    }
+    def il16(v: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      16L * e + (v * 16) / (1L << e) - 16
+    }
+    // training vocabulary confined to 15 of the 16 hash buckets; the
+    // held-out token hashes to the one bucket NO training token reaches
+    val toks = (1 to 2000).map(i => s"w$i")
+    val trainToks = toks.filter(t => nib(t) != 7)
+    val heldTok = toks.find(t => nib(t) == 7).get
+    val good = (1 to 8).map(i =>
+      (i.toLong, trainToks.slice(i * 20, i * 20 + 20).mkString(" "), 1))
+    val bad = (9 to 16).map(i =>
+      (i.toLong, Seq.fill(10)(trainToks(i)).mkString(" "), 0))
+    val model = LearnedQuality.train((good ++ bad).toDF("doc_id", "text", "label"),
+      "doc_id", "text", col("label"))
+    val bw = model.bucketW.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(bw.size == 16, s"bucket axis must be complete, got ${bw.keySet}")
+    // n1 = 8 good docs × 20 tokens, n0 = 8 bad docs × 10 tokens
+    val (n1, n0) = (160L, 80L)
+    assert(bw(7) == il16(1) - il16(n1 + 1) - il16(1) + il16(n0 + 1),
+      "empty bucket must carry the smoothed log-odds, not vanish")
+    // a doc made ONLY of the unseen-bucket token: its score must equal
+    // prior + w_len + w_div + tf·w_bucket — zero silent drops
+    val scored = LearnedQuality.classify(
+      Seq((100L, Seq.fill(4)(heldTok).mkString(" "))).toDF("doc_id", "text"),
+      "doc_id", "text", model).collect().head
+    val wl = model.lenW.collect()
+      .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    val wd = model.divW.collect()
+      .map(r => r.get(0).toString.toLong -> r.getLong(1)).toMap
+    val prior = model.prior.collect().head.getLong(0)
+    // 4 tokens, 1 distinct: lbin = floor(log2 4) = 2, dbin = 16/4 = 4
+    val expected = prior + wl.getOrElse(2L, 0L) + wd.getOrElse(4L, 0L) + 4L * bw(7)
+    assert(scored.getAs[Long]("score") == expected,
+      s"classify diverged from closed-form math: got $scored want $expected")
   }
 
   test("brute-force ANN: nearest neighbor of a vector is its duplicate") {

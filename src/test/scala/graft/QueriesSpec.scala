@@ -97,6 +97,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(one == 0L, "TopKIds(1) must equal min_by on (-cents, partkey)")
   }
 
+  test("TopKIds reduce/merge match the sort-take-k reference on random streams (in-place insert)") {
+    val rnd = new scala.util.Random(49)
+    val agg = new graft.functions.TypedAggregators.TopKIds(3)
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(40)
+      // small value domain forces ties → exercises the id tie-break
+      val pairs = Seq.fill(n)((rnd.nextInt(5).toLong, rnd.nextInt(100).toLong))
+      val want = pairs.sortBy { case (v, id) => (-v, id) }.take(3)
+        .map(_._2).mkString(",")
+      // single-buffer fold (pure reduce path)
+      val folded = pairs.foldLeft(agg.zero)(agg.reduce)
+      assert(agg.finish(folded) == want, s"reduce path diverged on $pairs")
+      // partitioned fold + merge (the partial/final split), random cut
+      val cut = rnd.nextInt(n + 1)
+      val (l, r) = pairs.splitAt(cut)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(merged) == want, s"merge path diverged on $pairs cut=$cut")
+    }
+  }
+
   test("q1 aggregates are internally consistent") {
     val r = SparkEntry.queries("q1_pricing_summary")(spark, sf).collect()
     assert(r.length == 6) // 3 returnflags x 2 linestatus
