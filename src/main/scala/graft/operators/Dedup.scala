@@ -416,6 +416,73 @@ object Dedup {
           "ELSE n_dup_win * 10000 div n_win END"))
   }
 
+  /** Substring-dedup REMOVAL pass (Lee et al. 2021 completed — d23's
+    * report says WHERE the duplicated spans are; this pass takes them
+    * OUT, which is what the paper's pipeline actually ships): every
+    * window fingerprint shared by ≥2 distinct docs keeps ONE canonical
+    * copy — the min-doc_id holder keeps ALL its text untouched; every
+    * other doc removes the tokens covered by its copies of the shared
+    * window — and each doc's surviving tokens reassemble in position
+    * order (t10's reassembly shape). Overlapping flagged windows union
+    * their token ranges via the distinct (doc, position) set, so
+    * adjacent stride-1 windows of one long shared run remove the run
+    * once, not w times.
+    *
+    * Output: one row per doc — n_tokens, n_removed, clean_len,
+    * clean_hash (md5 of the reassembled text; '' when everything was
+    * removed — the exact-duplicate-of-keeper case). Docs under w
+    * tokens never match a window and pass through whole.
+    *
+    * Scale shape: never doc×doc. Scan 1 explodes windows into the
+    * (fp, doc) partial agg carrying each doc's position list (bounded:
+    * positions of ONE 16-token string within one doc); flagging is
+    * d23's count-over-fp window on aggregate rows plus min-doc_id for
+    * the keeper; only FLAGGED (fp, doc) rows — dup-content-sized, not
+    * corpus-sized — explode into removed (doc, position) pairs. Scan 2
+    * posexplodes tokens for the position-level anti join (one
+    * (doc, pos) shuffle — the same per-token cost class as the d23
+    * fingerprint shuffle) and the per-doc reassembly; scan 3 is the
+    * column-pruned docs side restoring rows for docs with nothing
+    * removed or everything removed (t10's left-join pattern — branch
+    * reuse doesn't exist, and three scans beat checkpointing the
+    * corpus-sized token table). */
+  def substringDedupApply(docs: DataFrame, idCol: String, textCol: String,
+      w: Int, stride: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def toks = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("tk"))
+    val wins = toks
+      .filter(size(col("tk")) >= w)
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(1, size(tk) - ${w - 1}, $stride)")).as("i"))
+      .select(col("doc_id"), col("i"),
+        expr(s"md5(concat_ws(' ', slice(tk, i, $w)))").as("fp"))
+    val perFpDoc = wins.groupBy(col("fp"), col("doc_id"))
+      .agg(collect_list(col("i")).as("ps"))
+    val wFp = Window.partitionBy(col("fp"))
+    val flagged = perFpDoc
+      .withColumn("nd", count(lit(1)).over(wFp))
+      .withColumn("keeper", min(col("doc_id")).over(wFp))
+      .filter(col("nd") >= 2 && col("doc_id") =!= col("keeper"))
+    val rmPos = flagged
+      .select(col("doc_id"), explode(col("ps")).as("i"))
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${w - 1})")).as("p"))
+      .distinct()
+    val tokRows = toks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("tok"))
+    val clean = tokRows.join(rmPos, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(p, tok))), " +
+          "x -> x.tok), ' ')").as("clean"))
+    toks.select(col("doc_id"), size(col("tk")).cast("int").as("n_tokens"))
+      .join(clean, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0))).cast("int").as("n_removed"),
+        length(coalesce(col("clean"), lit(""))).cast("int").as("clean_len"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_hash"))
+  }
+
   /** 16-bit SimHash over distinct tokens, md5-nibble bit source.
     *
     * Row-oriented for scale: tokens explode to rows, md5 runs once per

@@ -303,6 +303,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // the REMOVAL half of the Lee et al. pass (d23 reports duplicated
+    // spans; this key takes them out — round-8 verdict Next #3): shared
+    // ≥16-token runs survive in exactly ONE doc (min doc_id keeps its
+    // text untouched), every other holder loses exactly the covered
+    // tokens, and surviving tokens reassemble in position order with an
+    // md5 content proof. PipelineSpec plants the d23 misaligned-copy
+    // fixture and checks the keeper's hash is unchanged, the other
+    // doc's clean text equals its text minus the run, and clean docs
+    // pass through byte-identical. Scale shape in
+    // Dedup.substringDedupApply's scaladoc: flagging on aggregate rows
+    // (d23's windows + keeper min), only dup-content-sized rows explode
+    // into removed positions, one (doc,pos) per-token anti-join shuffle
+    // — the same cost class as d23's fingerprint shuffle.
+    "d24_substring_removal" -> { (s, dir) =>
+      Dedup.substringDedupApply(Tables.documents(s, dir), "doc_id", "text",
+          w = 16, stride = 1)
+        .orderBy(col("doc_id"))
+    },
+
     // EXACT set-similarity self-join via prefix filtering (AllPairs/
     // PPJoin) — the zero-false-negative guarantee d3's probabilistic
     // LSH banding cannot give (an eval-decontamination or compliance
@@ -1976,6 +1995,30 @@ object PipelineQueries {
         |SELECT doc_id, n_win, n_dup_win,
         |  CAST(CASE WHEN n_win = 0 THEN 0 ELSE n_dup_win * 10000 // n_win END AS BIGINT) AS dup_bp
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "d24_substring_removal" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),
+        |win AS (SELECT doc_id, i, md5(array_to_string(wd[i:i+15], ' ')) AS fp
+        |  FROM (SELECT doc_id, wd, unnest(generate_series(1, len(wd) - 15)) AS i
+        |    FROM w WHERE len(wd) >= 16) z),
+        |g AS (SELECT fp, doc_id, list(i) AS ps FROM win GROUP BY 1, 2),
+        |st AS (SELECT fp, doc_id, ps, count(*) OVER (PARTITION BY fp) AS nd,
+        |    min(doc_id) OVER (PARTITION BY fp) AS keeper FROM g),
+        |fl AS (SELECT doc_id, unnest(ps) AS i FROM st
+        |  WHERE nd >= 2 AND doc_id <> keeper),
+        |rm AS (SELECT DISTINCT doc_id, p FROM
+        |  (SELECT doc_id, unnest(generate_series(i, i + 15)) AS p FROM fl) z2),
+        |tok AS (SELECT doc_id, i AS p, wd[i] AS tok
+        |  FROM (SELECT doc_id, wd, unnest(generate_series(1, len(wd))) AS i FROM w) z3),
+        |kept AS (SELECT doc_id, p, tok FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM rm WHERE rm.doc_id = t.doc_id AND rm.p = t.p)),
+        |cl AS (SELECT doc_id, CAST(count(*) AS INT) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY p) AS clean FROM kept GROUP BY 1)
+        |SELECT w.doc_id, CAST(len(wd) AS INT) AS n_tokens,
+        |  CAST(len(wd) - coalesce(n_kept, 0) AS INT) AS n_removed,
+        |  CAST(length(coalesce(clean, '')) AS INT) AS clean_len,
+        |  md5(coalesce(clean, '')) AS clean_hash
+        |FROM w LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "d20_prefix_simjoin" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),

@@ -153,6 +153,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(jac.isEmpty, s"d4 should not fire on a 16/180-shingle overlap: ${jac.toSeq}")
   }
 
+  test("d24: removal keeps the shared run in exactly one doc; all other text is intact") {
+    import spark.implicits._
+    // d23's misaligned-copy fixture: the 16-token run sits at position
+    // 41 in doc 1 and 38 in doc 2; doc 3 is clean; docs 4/5 are an
+    // identical SHORT pair (under w — must pass through whole)
+    val run = (1 to 16).map(i => s"shared$i")
+    val aToks = (1 to 40).map(i => s"alpha$i") ++ run ++ (41 to 74).map(i => s"alpha$i")
+    val bToks = (1 to 37).map(i => s"beta$i") ++ run ++ (38 to 74).map(i => s"beta$i")
+    val cToks = (1 to 90).map(i => s"gamma$i")
+    val short = "tiny doc under sixteen tokens"
+    val docs = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")),
+      (3L, cToks.mkString(" ")), (4L, short), (5L, short))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDedupApply(docs, "doc_id", "text", w = 16, stride = 1)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_removed"),
+          r.getAs[String]("clean_hash")))).toMap
+    def h(s: String) = {
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    // doc 1 is the keeper (min doc_id over the shared fp): untouched
+    assert(out(1L) == ((90, 0, h(aToks.mkString(" ")))), s"keeper altered: $out")
+    // doc 2 loses EXACTLY the 16 run tokens; the rest reassembles intact
+    val bClean = (1 to 37).map(i => s"beta$i") ++ (38 to 74).map(i => s"beta$i")
+    assert(out(2L) == ((90, 16, h(bClean.mkString(" ")))),
+      s"non-keeper must lose exactly the covered run: $out")
+    // clean and short docs pass through byte-identical
+    assert(out(3L) == ((90, 0, h(cToks.mkString(" ")))))
+    assert(out(4L) == ((5, 0, h(short))) && out(5L) == ((5, 0, h(short))))
+    // an exact duplicate of a whole doc empties entirely (the keeper
+    // holds the only copy)
+    val dup = Seq((1L, aToks.mkString(" ")), (2L, aToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    val d2 = Dedup.substringDedupApply(dup, "doc_id", "text", 16, 1)
+      .filter($"doc_id" === 2L).collect().head
+    assert(d2.getAs[Int]("n_removed") == 90 && d2.getAs[String]("clean_hash") == h(""),
+      s"full duplicate must empty: $d2")
+  }
+
   test("t20: learned classifier separates planted good/bad docs on held-out data") {
     import spark.implicits._
     // good = 60 unique tokens (diverse, long); bad = one token repeated

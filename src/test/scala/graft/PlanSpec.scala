@@ -569,6 +569,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Generate"), p)
   }
 
+  test("d24: removal flags on aggregate rows — three pruned scans, no cartesian, no corpus self-join") {
+    val p = plan("d24_substring_removal")
+    // window pass + token pass + docs-side restore (t10's pattern);
+    // anything more means an accidental re-derivation
+    assert("documents\\.parquet".r.findAllIn(p).size == 3,
+      "removal must read the corpus exactly three times:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the (fp,doc) explode combines map-side before the fp window
+    assert(p.contains("partial_"), p)
+    assert(p.contains("Generate"), p)
+  }
+
   test("p12: dim join injects a RUNTIME dynamicpruning partition filter on the fact scan") {
     val df = SparkEntry.queries("p12_dynamic_prune")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
