@@ -92,6 +92,7 @@ object Bench {
     val declaredBaselines = Set("s1_ann_brute", "s4_ann_quantized",
       "s5_ann_recall", "s7_ann_rerank", "s8_topk_diversity", "s11_ann_pq",
       "s17_hybrid_recall", // brute ground truth, like s5
+      "s20_hybrid_complement", // exact tf-cosine truth, like s17/t17
       "t17_embed_fidelity", // exact term-space cosine truth + dense-width dot, like s5
       "d21_lsh_recall",    // runs d20's exact join as its truth
       "d22_banding_sweep", // same exact-join truth as d21

@@ -428,6 +428,29 @@ object Dedup {
     * adjacent stride-1 windows of one long shared run remove the run
     * once, not w times.
     *
+    * Guarantee scope: keepers are chosen PER FINGERPRINT, so a
+    * NON-OVERLAPPING shared run survives in exactly one doc (its
+    * keeper). When two shared runs OVERLAP inside one doc with
+    * DIFFERENT keepers, that doc can be keeper for one run while a
+    * non-keeper removal of the other clips its copy — the clipped
+    * run then survives nowhere intact (round-9 advisor example:
+    * doc2 keeps run Y but loses part of it removing run X whose
+    * keeper is doc1, while doc3's copy of Y is removed too). That is
+    * the safe failure direction for training-data dedup — at most
+    * OVER-removal of duplicated content, never under-removal, and
+    * never removal of non-duplicated tokens (every removed position
+    * is covered by some cross-doc-shared window by construction).
+    * Resolving keepers on unioned ranges would need an extra
+    * position-level keeper join per fp-overlap component for a case
+    * measured at zero occurrences on the synthetic corpus.
+    *
+    * Stride contract: removal REQUIRES stride = 1 (enforced). d23's
+    * report documents stride > 1 as a sampled MONITORING grain —
+    * legitimate for reporting, but a removal pass under sampling
+    * silently under-removes (two docs' copies of a run only match
+    * when aligned mod stride), violating the guarantee above, so it
+    * is rejected here rather than documented.
+    *
     * Output: one row per doc — n_tokens, n_removed, clean_len,
     * clean_hash (md5 of the reassembled text; '' when everything was
     * removed — the exact-duplicate-of-keeper case). Docs under w
@@ -448,6 +471,10 @@ object Dedup {
     * corpus-sized token table). */
   def substringDedupApply(docs: DataFrame, idCol: String, textCol: String,
       w: Int, stride: Int): DataFrame = {
+    require(stride == 1,
+      s"substringDedupApply requires stride=1 (got $stride): sampled " +
+      "windows silently under-remove — use substringDupReport for the " +
+      "stride>1 monitoring grain")
     import org.apache.spark.sql.expressions.Window
     def toks = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("tk"))
     val wins = toks

@@ -1678,6 +1678,138 @@ object PipelineQueries {
         .orderBy(col("variant"))
     },
 
+    // COMPLEMENTARY-channel hybrid (rounds 7-9 Next #1, landed with
+    // the channel pair the width probe actually selected): the eval
+    // that PICKS a hybrid's channels, in s17's recall form. Truth is
+    // exact term-space tf-cosine top-5 (t17's truth — text-derived, so
+    // every candidate channel scores against the SAME signal). Fused
+    // channels are TWO width-32 hashed-tf projections whose bucket ids
+    // come from DISJOINT nibble ranges of ONE md5 per term (nibbles
+    // 1-2 vs 3-4 — the st13 Kirsch-Mitzenmacher move: independent
+    // collision patterns, no second digest), RRF-fused over top-20
+    // lists. The probe (sf0.01/sf0.001, recorded in SURVEY §6l) showed
+    // WHY this pair and not the prescribed lexical+vector fusion:
+    // rare-term overlap has ZERO signal on this corpus (31-word
+    // vocabulary → exactly ONE term survives the 10% df cap; lexical
+    // recall 0/50), and fusing a zero-signal channel actively HURTS
+    // (width-128 fused 22/50 vs vector-alone 50/50). Width selection
+    // is the ensemble curve: fusion beats both channels strictly while
+    // they are mid-strength with uncorrelated collision noise (w=32:
+    // fused 31 vs 27/19 at sf0.01, 26 vs 21/20 at sf0.001) and
+    // dilutes once one channel saturates (w>=64). The lexical channel
+    // is still PRICED here as a variant row — the eval records the
+    // measured reason it is excluded from fusion — and SimilaritySpec
+    // asserts the hybrid claim itself: fused recall_bp strictly
+    // exceeds every single channel's. Scale shape: bounded first-copy
+    // query panel (t17's lever), query-side joins broadcast, channels
+    // share ONE (doc,term) aggregate and ONE md5 per term; the
+    // corpus-sized exchanges are the termTf partial agg and the
+    // channel dot partial aggs. Exact-truth member of the SF>=1 skip
+    // set with s5/s17.
+    "s20_hybrid_complement" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val isQ = (c: org.apache.spark.sql.Column) =>
+        pmod(c, lit(50)) === 0 && c < 100000000L
+      val docs = Tables.documents(s, dir)
+      val termTf = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf_w"))
+        .localCheckpoint()
+      // exact tf-cosine truth (integer moments, m37-class sqrt finish)
+      val en2 = termTf.groupBy(col("doc_id")).agg(sum(expr("tf_w * tf_w")).as("n2"))
+      val eq = termTf.filter(isQ(col("doc_id")))
+        .select(col("doc_id").as("query_id"), col("w"), col("tf_w").as("qtf"))
+      val truth = termTf.join(broadcast(eq), Seq("w"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(expr("tf_w * qtf")).as("dot"))
+        .join(broadcast(en2.select(col("doc_id").as("query_id"),
+          col("n2").as("qn2"))), Seq("query_id"))
+        .join(en2, Seq("doc_id"))
+        .withColumn("sim", round(col("dot") / sqrt(col("qn2")) / sqrt(col("n2")), 6))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("doc_id"))))
+        .filter(col("rnk") <= 5).select(col("query_id"), col("doc_id"))
+        .localCheckpoint()
+      val nQ = truth.agg(countDistinct(col("query_id")).as("n_queries"))
+      // lexical channel (s16's exact form) — priced, not fused
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val terms = docs.select(col("doc_id"),
+          explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+        .filter(length(col("term")) >= 3)
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("df") * 10 <= col("n_docs"))
+        .select(col("doc_id"), col("term"))
+        .localCheckpoint()
+      val qTerms = terms.filter(isQ(col("doc_id")))
+        .withColumnRenamed("doc_id", "query_id")
+      val lex5 = Relational.topNPerGroupFast(
+          terms.join(qTerms, "term")
+            .filter(col("doc_id") =!= col("query_id"))
+            .groupBy(col("query_id"), col("doc_id"))
+            .agg(count(lit(1)).as("inter")),
+          5, Seq("query_id"), Seq(("inter", false), ("doc_id", true)))
+        .select(col("query_id"), col("doc_id"))
+      // two hashed-tf channels, width 32, one md5 per term
+      def nib(i: Int) = s"(instr('0123456789abcdef', substring(_h, $i, 1)) - 1)"
+      val tf32 = termTf.withColumn("_h", md5(col("w")))
+        .select(col("doc_id"), col("tf_w"), explode(array(
+          struct(lit("hash_a").as("ch"),
+            expr(s"CAST(${nib(1)} + 16 * (${nib(2)} % 2) AS INT)").as("bucket")),
+          struct(lit("hash_b").as("ch"),
+            expr(s"CAST(${nib(3)} + 16 * (${nib(4)} % 2) AS INT)").as("bucket")))).as("cb"))
+        .select(col("doc_id"), col("cb.ch").as("ch"),
+          col("cb.bucket").as("bucket"), col("tf_w"))
+        .groupBy(col("doc_id"), col("ch"), col("bucket"))
+        .agg(sum(col("tf_w")).as("tf"))
+        .localCheckpoint()
+      val n2 = tf32.groupBy(col("doc_id"), col("ch")).agg(sum(expr("tf * tf")).as("n2"))
+      val qTf = tf32.filter(isQ(col("doc_id")))
+        .select(col("doc_id").as("query_id"), col("ch"), col("bucket"),
+          col("tf").as("qtf"))
+      val chTop = tf32.join(broadcast(qTf), Seq("ch", "bucket"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("ch"), col("query_id"), col("doc_id"))
+        .agg(sum(expr("tf * qtf")).as("dot"))
+        .join(broadcast(n2.select(col("doc_id").as("query_id"), col("ch"),
+          col("n2").as("qn2"))), Seq("query_id", "ch"))
+        .join(n2, Seq("doc_id", "ch"))
+        .withColumn("sim", round(col("dot") / sqrt(col("qn2")) / sqrt(col("n2")), 6))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("ch"), col("query_id"))
+            .orderBy(col("sim").desc, col("doc_id"))))
+        .filter(col("rank") <= 20)
+        .select(col("ch"), col("query_id"), col("doc_id"), col("rank"))
+        .localCheckpoint()
+      val topA = chTop.filter(col("ch") === "hash_a")
+        .select(col("query_id"), col("doc_id"), col("rank").as("rank_a"))
+      val topB = chTop.filter(col("ch") === "hash_b")
+        .select(col("query_id"), col("doc_id"), col("rank").as("rank_b"))
+      val fused5 = topA.join(topB, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + rank_a)"), lit(0L)) +
+          coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + rank_b)"), lit(0L)))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+        .filter(col("rnk") <= 5).select(col("query_id"), col("doc_id"))
+      def recallRow(name: String, cand: DataFrame): DataFrame =
+        truth.join(cand, Seq("query_id", "doc_id"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(nQ))
+          .select(lit(name).as("variant"), col("n_queries"), col("n_hits"),
+            expr("CASE WHEN n_queries = 0 THEN NULL " +
+              "ELSE n_hits * 10000 div (5 * n_queries) END").as("recall_bp"))
+      recallRow("fused", fused5)
+        .unionByName(recallRow("hash_a",
+          topA.filter(col("rank_a") <= 5).select(col("query_id"), col("doc_id"))))
+        .unionByName(recallRow("hash_b",
+          topB.filter(col("rank_b") <= 5).select(col("query_id"), col("doc_id"))))
+        .unionByName(recallRow("lexical", lex5))
+        .orderBy(col("variant"))
+    },
+
     "s15_ann_index_append" -> { (s, dir) =>
       val vecs = Tables.embeddings(s, dir)
       val cents = vecs.filter(col("vec_id") < 8)
@@ -3138,6 +3270,100 @@ object PipelineQueries {
          |SELECT variant, n_queries, n_hits,
          |  n_hits * 10000 // (5 * n_queries) AS recall_bp
          |FROM hits, nq ORDER BY variant""".stripMargin,
+
+    // chtop is consumed four times (a/b fusion sides + a5/b5) and tt
+    // three times — MATERIALIZED per the round-7 CTE-inlining lesson
+    "s20_hybrid_complement" ->
+      """WITH tt AS MATERIALIZED (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf_w FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents) x
+        |  WHERE length(w) > 0 GROUP BY 1, 2),
+        |en2 AS (SELECT doc_id, CAST(sum(tf_w * tf_w) AS BIGINT) AS n2 FROM tt GROUP BY 1),
+        |eq AS (SELECT doc_id AS query_id, w, tf_w AS qtf FROM tt
+        |  WHERE doc_id % 50 = 0 AND doc_id < 100000000),
+        |edots AS (SELECT eq.query_id, tt.doc_id, CAST(sum(tt.tf_w * eq.qtf) AS BIGINT) AS dot
+        |  FROM tt JOIN eq ON tt.w = eq.w AND tt.doc_id <> eq.query_id GROUP BY 1, 2),
+        |esim AS (SELECT d.query_id, d.doc_id,
+        |    round(CAST(d.dot AS DOUBLE) / sqrt(a.n2) / sqrt(b.n2), 6) AS sim
+        |  FROM edots d JOIN en2 a ON d.query_id = a.doc_id JOIN en2 b ON d.doc_id = b.doc_id),
+        |truth AS MATERIALIZED (SELECT query_id, doc_id FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, doc_id) AS rnk
+        |    FROM esim) t WHERE rnk <= 5),
+        |nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries FROM truth),
+        |terms0 AS (SELECT DISTINCT doc_id, t AS term
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd
+        |    FROM documents) a, unnest(wd) u(t)
+        |  WHERE length(t) >= 3),
+        |terms AS MATERIALIZED (SELECT doc_id, term FROM (
+        |    SELECT doc_id, term, count(*) OVER (PARTITION BY term) AS df
+        |    FROM terms0) x
+        |  WHERE df * 10 <= (SELECT count(*) FROM documents)),
+        |ov AS (SELECT tq.doc_id AS query_id, td.doc_id,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM terms tq JOIN terms td USING (term)
+        |  WHERE tq.doc_id % 50 = 0 AND tq.doc_id < 100000000
+        |    AND td.doc_id <> tq.doc_id
+        |  GROUP BY 1, 2),
+        |lex5 AS (SELECT query_id, doc_id FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY inter DESC, doc_id) AS r
+        |    FROM ov) x WHERE r <= 5),
+        |wb AS (SELECT doc_id, tf_w,
+        |    (instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1)
+        |      + 16 * ((instr('0123456789abcdef', substring(md5(w), 2, 1)) - 1) % 2) AS ba,
+        |    (instr('0123456789abcdef', substring(md5(w), 3, 1)) - 1)
+        |      + 16 * ((instr('0123456789abcdef', substring(md5(w), 4, 1)) - 1) % 2) AS bb
+        |  FROM tt),
+        |tf AS MATERIALIZED (SELECT doc_id, ch, bucket, CAST(sum(tf_w) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, tf_w, 'hash_a' AS ch, CAST(ba AS INT) AS bucket FROM wb
+        |    UNION ALL
+        |    SELECT doc_id, tf_w, 'hash_b' AS ch, CAST(bb AS INT) AS bucket FROM wb) u
+        |  GROUP BY 1, 2, 3),
+        |n2 AS (SELECT doc_id, ch, CAST(sum(tf * tf) AS BIGINT) AS n2
+        |  FROM tf GROUP BY 1, 2),
+        |qtf AS (SELECT doc_id AS query_id, ch, bucket, tf AS qtf
+        |  FROM tf WHERE doc_id % 50 = 0 AND doc_id < 100000000),
+        |dots AS (SELECT q.ch, q.query_id, tf.doc_id,
+        |    CAST(sum(tf.tf * q.qtf) AS BIGINT) AS dot
+        |  FROM tf JOIN qtf q ON tf.ch = q.ch AND tf.bucket = q.bucket
+        |    AND tf.doc_id <> q.query_id
+        |  GROUP BY 1, 2, 3),
+        |hsim AS (SELECT d.ch, d.query_id, d.doc_id,
+        |    round(CAST(d.dot AS DOUBLE) / sqrt(a.n2) / sqrt(b.n2), 6) AS sim
+        |  FROM dots d
+        |  JOIN n2 a ON d.query_id = a.doc_id AND d.ch = a.ch
+        |  JOIN n2 b ON d.doc_id = b.doc_id AND d.ch = b.ch),
+        |chtop AS MATERIALIZED (SELECT ch, query_id, doc_id, rnk FROM (
+        |    SELECT ch, query_id, doc_id, row_number() OVER (
+        |      PARTITION BY ch, query_id ORDER BY sim DESC, doc_id) AS rnk
+        |    FROM hsim) t WHERE rnk <= 20),
+        |fus AS (SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+        |    COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |    COALESCE(CAST(1000000000 AS BIGINT) // (60 + a.rnk), 0) +
+        |    COALESCE(CAST(1000000000 AS BIGINT) // (60 + b.rnk), 0) AS rrf
+        |  FROM (SELECT * FROM chtop WHERE ch = 'hash_a') a
+        |  FULL OUTER JOIN (SELECT * FROM chtop WHERE ch = 'hash_b') b
+        |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+        |fused5 AS (SELECT query_id, doc_id FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+        |    FROM fus) x WHERE rnk <= 5),
+        |a5 AS (SELECT query_id, doc_id FROM chtop WHERE ch = 'hash_a' AND rnk <= 5),
+        |b5 AS (SELECT query_id, doc_id FROM chtop WHERE ch = 'hash_b' AND rnk <= 5),
+        |hits AS (
+        |  SELECT 'fused' AS variant, CAST(count(*) AS BIGINT) AS n_hits
+        |    FROM truth JOIN fused5 USING (query_id, doc_id)
+        |  UNION ALL SELECT 'hash_a', CAST(count(*) AS BIGINT)
+        |    FROM truth JOIN a5 USING (query_id, doc_id)
+        |  UNION ALL SELECT 'hash_b', CAST(count(*) AS BIGINT)
+        |    FROM truth JOIN b5 USING (query_id, doc_id)
+        |  UNION ALL SELECT 'lexical', CAST(count(*) AS BIGINT)
+        |    FROM truth JOIN lex5 USING (query_id, doc_id))
+        |SELECT variant, n_queries, n_hits,
+        |  CASE WHEN n_queries = 0 THEN NULL
+        |    ELSE n_hits * 10000 // (5 * n_queries) END AS recall_bp
+        |FROM hits, nq ORDER BY variant""".stripMargin,
 
     "s16_hybrid_rrf" ->
       s"""WITH $vecCte,

@@ -487,6 +487,54 @@ object SamplingQueries {
         .orderBy(col("scheme"))
     },
 
+    // TEMPERATURE-weighted mixture (r7-r9 Next: p7's fixed 16ths made
+    // principled) — the standard multi-source training recipe: source
+    // sampling mass ∝ m_s^T with T = 3/4, computed FROM corpus stats
+    // rather than hand-config. The libm trap (pow/log are not
+    // correctly rounded → never oracle-safe) is dodged by picking the
+    // dyadic temperature the CORRECTLY-ROUNDED op set can express
+    // exactly: the per-source replication factor is
+    //   r_s = (m_max / m_s)^(1/4) = sqrt(sqrt(m_max / m_s))
+    // — one division of two exact integers + two IEEE sqrts, all
+    // bit-identical cross-engine (the m37 class). Anchoring at the
+    // LARGEST source (exactly 1 epoch) also removes the only other
+    // hazard: normalizing by Σ w_s would SUM raw doubles (order-
+    // dependent — forbidden); max() of integers is exact. Emitted mass
+    // of source s is then m_s · r_s ∝ m_s^(3/4) — the T=3/4 mixture.
+    // Materialization is p7's machinery at 1/256 resolution: full
+    // epochs = r256 div 256, the fractional epoch is a per-doc
+    // 2-hex-digit md5 draw < r256 % 256, and epochs cap at 8 (the
+    // declared max-upsampling guard every production recipe carries —
+    // a 4096×-smaller source would otherwise explode; the cap is the
+    // config, not a silent truncation). Scale shape: per-source agg
+    // (|sources| rows) broadcasts back; the explode is map-side and
+    // ≤8; the only corpus exchanges are the stats partial agg and the
+    // output sort. SamplingSpec proves the closed form on a skewed
+    // fixture (100× mass gap → 3 epochs + 41/256 draw), the
+    // largest-source-exactly-once invariant, and the cap.
+    "p18_temperature_mix" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val src = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("m"))
+      val mx = src.agg(max(col("m")).as("m_max"))
+      val r = src.crossJoin(broadcast(mx))
+        .select(col("source"), expr(
+          "CAST(floor(sqrt(sqrt(CAST(m_max AS DOUBLE) / CAST(m AS DOUBLE))) * 256) " +
+          "AS BIGINT)").as("r256"))
+      docs.join(broadcast(r), Seq("source"))
+        .withColumn("_h", drawHex("mix7"))
+        .withColumn("_d", expr(
+          "(instr('0123456789abcdef', substring(_h, 1, 1)) - 1) * 16 + " +
+          "(instr('0123456789abcdef', substring(_h, 2, 1)) - 1)"))
+        .withColumn("n_copies", least(
+          expr("r256 div 256") + when(col("_d") < expr("r256 % 256"), 1L).otherwise(0L),
+          lit(8L)))
+        .select(col("doc_id"), col("source"),
+          explode(sequence(lit(1), col("n_copies"))).as("epoch"))
+        .withColumn("epoch", col("epoch").cast("int"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
+
     "p14_compaction_plan" -> { (s, dir) =>
       val shards = Tables.documents(s, dir)
         .groupBy(pmod(col("doc_id"), lit(200)).as("shard_id"))
@@ -681,6 +729,28 @@ object SamplingQueries {
         |      (CASE WHEN rnk <= target % c THEN 1 ELSE 0 END) AS INT))) AS i
         |  FROM ranked) u
         |ORDER BY doc_id, copy_idx""".stripMargin,
+
+    "p18_temperature_mix" ->
+      s"""WITH src AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS m
+         |  FROM documents GROUP BY 1),
+         |mx AS (SELECT max(m) AS m_max FROM src),
+         |r AS (SELECT source,
+         |    CAST(floor(sqrt(sqrt(CAST(m_max AS DOUBLE) / CAST(m AS DOUBLE))) * 256)
+         |      AS BIGINT) AS r256
+         |  FROM src CROSS JOIN mx),
+         |base AS (SELECT doc_id, d.source, r256,
+         |    (strpos('0123456789abcdef', substr(${drawHexSql("mix7")}, 1, 1)) - 1) * 16 +
+         |    (strpos('0123456789abcdef', substr(${drawHexSql("mix7")}, 2, 1)) - 1) AS draw
+         |  FROM documents d JOIN r ON d.source = r.source),
+         |c AS (SELECT doc_id, source,
+         |    least(r256 // 256 + CASE WHEN draw < r256 % 256 THEN 1 ELSE 0 END, 8)
+         |      AS n_copies
+         |  FROM base)
+         |SELECT doc_id, source, CAST(e AS INT) AS epoch
+         |FROM (SELECT doc_id, source,
+         |    unnest(generate_series(1, CAST(n_copies AS INT))) AS e
+         |  FROM c) u
+         |ORDER BY doc_id, epoch""".stripMargin,
 
     "p7_weighted_mix" ->
       s"""SELECT doc_id, source, CAST(e AS INT) AS epoch

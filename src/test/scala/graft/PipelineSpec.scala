@@ -192,6 +192,14 @@ class PipelineSpec extends AnyFunSuite {
       .filter($"doc_id" === 2L).collect().head
     assert(d2.getAs[Int]("n_removed") == 90 && d2.getAs[String]("clean_hash") == h(""),
       s"full duplicate must empty: $d2")
+    // stride > 1 is REJECTED for removal (r9 Next #5): sampled windows
+    // silently under-remove — two copies of a run only match when
+    // aligned mod stride — so the monitoring grain belongs to d23's
+    // report, never to a pass that claims the removal guarantee
+    val e = intercept[IllegalArgumentException] {
+      Dedup.substringDedupApply(docs, "doc_id", "text", w = 16, stride = 2)
+    }
+    assert(e.getMessage.contains("stride=1"), s"unexpected message: ${e.getMessage}")
   }
 
   test("t20: learned classifier separates planted good/bad docs on held-out data") {

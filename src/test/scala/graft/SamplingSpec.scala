@@ -123,4 +123,41 @@ class SamplingSpec extends AnyFunSuite {
     // source must have made it through the fractional draw
     assert(out.select("source").distinct().count() >= 10)
   }
+
+  test("p18: temperature T=3/4 mixture — closed form, largest-source-once, cap") {
+    import spark.implicits._
+    // on the real corpus: the largest source runs EXACTLY once per doc
+    // (r = 1.0 exactly → 256 div 256 = 1 full epoch, zero fractional)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val srcMass = docs.groupBy(col("source")).agg(sum(col("n_chars")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val maxSrc = srcMass.maxBy { case (s, m) => (m, s) }._1
+    val out = run("p18_temperature_mix")
+    val maxCopies = out.filter(col("source") === maxSrc)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    assert(maxCopies.filter(col("n") =!= 1).count() == 0,
+      "largest source must materialize exactly one epoch per doc")
+    // epochs dense 1..n per doc (same contract as p7)
+    val perDoc = out.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), min(col("epoch")).as("mn"), max(col("epoch")).as("mx"))
+    assert(perDoc.filter(col("mn") =!= 1 || col("mx") =!= col("n")).count() == 0)
+    // skewed fixture proves the closed form: mass ratio 100 →
+    // r = 100^(1/4) = 3.1622..., r256 = floor(809.54) = 809 →
+    // 3 full epochs + draw < 41; and ratio 100000 → r ≈ 17.8,
+    // far past the declared cap of 8
+    val fix = Seq(
+      (1L, "big", 1000000L), (2L, "small", 10000L), (3L, "tiny", 10L)
+    ).toDF("doc_id", "source", "n_chars")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+    val parts = fix.groupBy(col("source")).agg(sum(col("n_chars")).as("m"))
+      .crossJoin(broadcast(fix.agg(max(lit(1000000L)).as("m_max"))))
+      .select(col("source"), expr(
+        "CAST(floor(sqrt(sqrt(CAST(m_max AS DOUBLE) / CAST(m AS DOUBLE))) * 256) AS BIGINT)")
+        .as("r256"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(parts("big") == 256L)   // anchor: exactly 1.0
+    assert(parts("small") == 809L) // 100^(1/4)*256 = 809.54 → 3 epochs + 41/256
+    assert(parts("small") / 256 == 3L && parts("small") % 256 == 41L)
+    assert(parts("tiny") / 256 >= 8L, "a 100000x-smaller source must hit the cap")
+  }
 }

@@ -234,4 +234,24 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(r == Seq("en", "de", "und"))
   }
+
+  test("s20: fused RRF recall STRICTLY exceeds every single channel (the hybrid claim)") {
+    // the three-rounds-pending assertion (r7-r9 Next #1): with two
+    // genuinely complementary channels — width-32 hashed-tf projections
+    // with independent collision patterns — fusion beats each channel
+    // alone against exact tf-cosine truth. Deterministic: every number
+    // is md5/integer-derived, so these are fixed properties of the
+    // sf0.001 corpus, not statistical luck. The zero-signal lexical
+    // channel is priced in the same output (the measured reason it is
+    // excluded from the fusion).
+    val rows = graft.SparkEntry.queries("s20_hybrid_complement")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("variant") -> r.getAs[Long]("recall_bp"))
+      .toMap
+    assert(rows.keySet == Set("fused", "hash_a", "hash_b", "lexical"))
+    val fused = rows("fused")
+    val singles = Seq("hash_a", "hash_b", "lexical").map(rows)
+    assert(singles.forall(fused > _),
+      s"fused=$fused must strictly exceed every channel: $rows")
+  }
 }
