@@ -122,6 +122,44 @@ object Similarity {
     rankTopK(sims, k)
   }
 
+  /** Contrastive TRIPLET mining — the embedding-model training-data
+    * op (anchor, hardest positive, hardest negative): for each anchor,
+    * the most-similar same-label vector and the most-similar
+    * DIFFERENT-label vector within its sign-LSH bucket, plus the
+    * triplet margin sim_neg − sim_pos (margin ≥ 0 flags the violated
+    * triplets a trainer actually wants — where an impostor outranks
+    * the nearest true neighbor). Differs from lshTopKFiltered in kind:
+    * the label predicate is an INEQUALITY for the negative side, so it
+    * cannot ride the equi-key — both sides score off ONE bucket-bounded
+    * broadcast probe and split by a pos/neg tag AFTER the hash join
+    * (still never a corpus×corpus pair set). Top-1 per (anchor, side)
+    * goes through TopNPerKey partial heaps — the shuffle carries ≤
+    * 2 rows per anchor. Anchors missing either side in their bucket
+    * drop (inner join — a triplet needs both legs; documented).
+    * Margin is a subtraction of two round-6 doubles — IEEE subtraction
+    * is correctly rounded, so cross-engine exact on identical inputs. */
+  def tripletMine(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, bits: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      col(labelCol).as("q_label"), signBucket(vecCol, bits).as("bucket"))
+    val cand = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("n_vec"),
+      col(labelCol).as("n_label"), signBucket(vecCol, bits).as("bucket"))
+    val scored = cand.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("side",
+        when(col("n_label") === col("q_label"), "pos").otherwise("neg"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
+      .select(col("query_id"), col("side"), col("neighbor_id"), col("sim"))
+    val top1 = Relational.topNPerGroupFast(scored, 1,
+      Seq("query_id", "side"), Seq(("sim", false), ("neighbor_id", true)))
+    val pos = top1.filter(col("side") === "pos").select(col("query_id"),
+      col("neighbor_id").as("pos_id"), col("sim").as("sim_pos"))
+    val neg = top1.filter(col("side") === "neg").select(col("query_id"),
+      col("neighbor_id").as("neg_id"), col("sim").as("sim_neg"))
+    pos.join(neg, Seq("query_id"))
+      .withColumn("margin", round(col("sim_neg") - col("sim_pos"), 6))
+  }
+
   /** FILTERED ANN — metadata-predicate vector search (the "only
     * neighbors with my tenant/language/license" production shape). The
     * filter attribute becomes part of the LSH equi-join key

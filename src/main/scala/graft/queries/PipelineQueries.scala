@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.operators.{Dedup, Graph, LearnedQuality, Relational, Similarity}
+import graft.operators.{Bpe, Dedup, Graph, LearnedQuality, Relational, Similarity}
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
 
@@ -168,6 +168,45 @@ object PipelineQueries {
 
   /** One integer-PageRank iteration as a CTE: rank in millionths,
     * per-edge contribution r // outdeg, damping 85·Σ // 100. */
+  /** Shared BPE oracle prefix (t21 learn / t22 apply): vocab → char
+    * segmentation s0 → three merge iterations. Each iteration k yields
+    * pair counts p_k, the argmax pair b_k, a recursive greedy
+    * re-segmentation walk w_k (list_reduce mis-folds varying lengths —
+    * round-7 finding), final segs s_k, and post-merge corpus symbol
+    * count a_k. Reused stages MATERIALIZED (CTE-inlining lesson). */
+  private def bpeIterCtes(k: Int, sIn: String): String =
+    s"""p$k AS (SELECT s.syms[u.j] AS l, s.syms[u.j + 1] AS r,
+       |    CAST(sum(s.cnt) AS BIGINT) AS pair_cnt
+       |  FROM $sIn s, unnest(generate_series(1, len(s.syms) - 1)) AS u(j)
+       |  GROUP BY 1, 2),
+       |b$k AS MATERIALIZED (SELECT l, r, pair_cnt FROM p$k
+       |  ORDER BY pair_cnt DESC, l, r LIMIT 1),
+       |w$k(w, cnt, syms, i, acc) AS (
+       |  SELECT w, cnt, syms, 1, [syms[1]] FROM $sIn
+       |  UNION ALL
+       |  SELECT x.w, x.cnt, x.syms, x.i + 1,
+       |    CASE WHEN x.acc[-1] = b.l AND x.syms[x.i + 1] = b.r
+       |      THEN list_append(x.acc[1:len(x.acc) - 1], b.l || b.r)
+       |      ELSE list_append(x.acc, x.syms[x.i + 1]) END
+       |  FROM w$k x, b$k b WHERE x.i < len(x.syms)),
+       |s$k AS MATERIALIZED (SELECT w, cnt, acc AS syms FROM w$k
+       |  WHERE i = len(syms)),
+       |a$k AS (SELECT CAST(sum(cnt * len(syms)) AS BIGINT) AS syms_after
+       |  FROM s$k)""".stripMargin
+
+  private def bpeOracleCtes: String =
+    s"""WITH RECURSIVE v AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents) x
+       |  WHERE length(w) > 0 GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT w, cnt,
+       |    list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS syms
+       |  FROM v),
+       |${bpeIterCtes(1, "s0")},
+       |${bpeIterCtes(2, "s1")},
+       |${bpeIterCtes(3, "s2")}""".stripMargin
+
   private def prIterCte(prev: String, cur: String): String =
     s"""$cur AS (SELECT n.id, CAST(150000 + (85 * COALESCE(s.x, 0)) // 100 AS BIGINT) AS r
        |  FROM nodes n LEFT JOIN (
@@ -1015,6 +1054,102 @@ object PipelineQueries {
           col("fp"), col("fn"), col("acc_bp"), col("majority_bp"))
     },
 
+    // BPE merge LEARNING (Sennrich et al. 2016) — the tokenizer-
+    // training pass itself (t3/t8 consume a tokenizer; this produces
+    // one): 3 greedy merges over the corpus vocabulary with the
+    // compression curve (syms_after) a trainer actually watches. ONE
+    // corpus scan builds the vocab aggregate; pair counting, argmax
+    // (1-row broadcast, never collected) and the greedy left-to-right
+    // re-segmentation fold all run on |V| rows. See Bpe.learnMerges
+    // for semantics + the recursive-CTE oracle mapping.
+    "t21_bpe_learn" -> { (s, dir) =>
+      Bpe.learnMerges(Tables.documents(s, dir), "text", n = 3)
+    },
+
+    // BPE APPLICATION (t21's apply half — train→apply like d23→d24 and
+    // LearnedQuality.train→classify): segment the corpus with the 3
+    // learned merges and account per-doc token budgets (the number a
+    // packing pass like p4 actually consumes). The merge loop runs ONCE
+    // on the |V|-row vocab (Bpe.segmentVocab); the corpus-sized side is
+    // one explode + equi-join on the word — never re-segmented per
+    // occurrence. compression_bp = chars saved per doc, truncating.
+    "t22_bpe_apply" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val segs = Bpe.segmentVocab(docs, "text", n = 3)
+        .select(col("w"), size(col("syms")).as("n_syms"))
+      docs.select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(segs, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w"))).as("n_chars"),
+          sum(col("n_syms")).cast("long").as("n_bpe"))
+        .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_bpe"),
+          expr("CASE WHEN n_chars = 0 THEN NULL " +
+            "ELSE (n_chars - n_bpe) * 10000 div n_chars END")
+            .as("compression_bp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // corpus LAW diagnostics, Zipf half — the statistical sanity gate a
+    // crawl batch passes before training (a Zipf slope far from a
+    // natural corpus's flags boilerplate floods or spam): word counts
+    // collapse to frequency OCTAVES (length(bin(cnt))-1 — the
+    // cross-engine integer floor-log2; libm log2 is never oracle-safe),
+    // then ONE integer OLS of octave-of-type-count on octave (m40's
+    // cross-moment pattern, millionths, single final div). Two
+    // aggregates end-to-end: corpus → vocab → ~20 octave rows; the fit
+    // is a 1-row broadcast back onto the octave histogram.
+    "t23_zipf_octaves" -> { (s, dir) =>
+      val oct = Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .groupBy((length(bin(col("cnt"))) - 1).as("octave"))
+        .agg(count(lit(1)).as("n_types"), sum(col("cnt")).as("mass"))
+      val fit = oct
+        .select(col("octave").cast("long").as("x"),
+          (length(bin(col("n_types"))) - 1).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+        .select(expr("CASE WHEN n * sxx - sx * sx = 0 THEN NULL " +
+          "ELSE (n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx) END")
+          .as("zipf_slope_mi"))
+      oct.crossJoin(broadcast(fit)).orderBy(col("octave"))
+    },
+
+    // corpus LAW diagnostics, Heaps half — vocabulary GROWTH across
+    // corpus quartiles (sub-linear growth is healthy; a flat curve
+    // means the crawl stopped finding new language, a linear one means
+    // unfiltered noise): quartile = doc_id·4 div n_docs (broadcast
+    // 1-row count), each word charged to the quartile of its FIRST
+    // appearance (min — one partial agg on vocab rows). The cumulative
+    // window runs partitionless on FOUR aggregate rows (p14's
+    // documented manifest-sized exception, not a corpus window).
+    "t24_heaps_growth" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val dw = docs
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .crossJoin(broadcast(nd))
+        .select(col("w"),
+          least(lit(3), expr("doc_id * 4 div n_docs")).cast("int").as("q"))
+      val newTypes = dw.groupBy(col("w")).agg(min(col("q")).as("q"))
+        .groupBy(col("q")).agg(count(lit(1)).as("new_types"))
+      dw.groupBy(col("q")).agg(count(lit(1)).as("n_tokens"))
+        .join(newTypes, Seq("q"), "left")
+        .select(col("q"), coalesce(col("new_types"), lit(0L)).as("new_types"),
+          col("n_tokens"))
+        .withColumn("cum_vocab",
+          sum(col("new_types")).over(Window.orderBy(col("q"))))
+        .withColumn("cum_tokens",
+          sum(col("n_tokens")).over(Window.orderBy(col("q"))))
+        .orderBy(col("q"))
+    },
+
     // the hashing trick (Weinberger et al. 2009) — fixed-width feature
     // vectors from unbounded vocabulary with NO dictionary pass: each
     // word maps to bucket = first md5 nibble (16-dim), per-doc term
@@ -1404,6 +1539,21 @@ object PipelineQueries {
       Similarity.lshTopK(vecs, q, "vec_id", "embedding", bits = 4, k = 3)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // contrastive TRIPLET mining — the embedding-model training op:
+    // per anchor, hardest same-label positive + hardest different-label
+    // negative within the sign-LSH bucket, with the triplet margin
+    // (margin ≥ 0 = violated triplet, the rows a metric-learning
+    // trainer feeds back). The label INEQUALITY cannot ride the s14
+    // equi-key — both sides come off ONE bucket-bounded broadcast
+    // probe, tagged pos/neg after the hash join. See
+    // Similarity.tripletMine.
+    "s21_triplet_mining" -> { (s, dir) =>
+      val vecs = Tables.embeddings(s, dir)
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.tripletMine(vecs, q, "vec_id", "embedding", "label", bits = 4)
+        .orderBy(col("query_id"))
     },
 
     "s3_ann_ivf" -> { (s, dir) =>
@@ -2659,6 +2809,75 @@ object PipelineQueries {
          |FROM cf, pr""".stripMargin
     },
 
+    // three chained greedy-merge iterations; each fold is a recursive
+    // CTE over symbol positions (list_reduce is broken for varying
+    // lengths — round-7 finding) and every reused stage MATERIALIZED
+    // (the CTE-inlining lesson). Mirrors Bpe.learnMerges exactly.
+    "t23_zipf_octaves" ->
+      """WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents) x
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |oct AS (SELECT CAST(length(bin(cnt)) - 1 AS INT) AS octave,
+        |    CAST(count(*) AS BIGINT) AS n_types, CAST(sum(cnt) AS BIGINT) AS mass
+        |  FROM wc GROUP BY 1),
+        |pts AS (SELECT CAST(octave AS BIGINT) AS x,
+        |    CAST(length(bin(n_types)) - 1 AS BIGINT) AS y FROM oct),
+        |fit AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy FROM pts)
+        |SELECT octave, n_types, mass,
+        |  CAST(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |    ELSE (n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx) END
+        |    AS BIGINT) AS zipf_slope_mi
+        |FROM oct, fit ORDER BY octave""".stripMargin,
+
+    "t24_heaps_growth" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |dw AS (SELECT w,
+        |    CAST(LEAST(3, doc_id * 4 // n_docs) AS INT) AS q
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents) x, nd
+        |  WHERE length(w) > 0),
+        |nt AS (SELECT q, CAST(count(*) AS BIGINT) AS new_types FROM (
+        |    SELECT w, CAST(min(q) AS INT) AS q FROM dw GROUP BY 1) f GROUP BY 1),
+        |tk AS (SELECT q, CAST(count(*) AS BIGINT) AS n_tokens FROM dw GROUP BY 1)
+        |SELECT tk.q, CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types,
+        |  tk.n_tokens,
+        |  CAST(sum(coalesce(nt.new_types, 0)) OVER (ORDER BY tk.q) AS BIGINT)
+        |    AS cum_vocab,
+        |  CAST(sum(tk.n_tokens) OVER (ORDER BY tk.q) AS BIGINT) AS cum_tokens
+        |FROM tk LEFT JOIN nt USING (q) ORDER BY q""".stripMargin,
+
+    // same shared CTE chain as t21; the apply half joins the final
+    // segmentation s3 back to the exploded corpus
+    "t22_bpe_apply" ->
+      s"""$bpeOracleCtes,
+         |d AS (SELECT doc_id, w FROM (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |  FROM documents) x WHERE length(w) > 0),
+         |seg AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_syms FROM s3)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(length(d.w)) AS BIGINT) AS n_chars,
+         |  CAST(sum(seg.n_syms) AS BIGINT) AS n_bpe,
+         |  CAST(CASE WHEN sum(length(d.w)) = 0 THEN NULL
+         |    ELSE (sum(length(d.w)) - sum(seg.n_syms)) * 10000 // sum(length(d.w))
+         |    END AS BIGINT) AS compression_bp
+         |FROM d JOIN seg USING (w)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "t21_bpe_learn" -> {
+      s"""$bpeOracleCtes
+         |SELECT * FROM (
+         |  SELECT 1 AS iter, b.l AS left_sym, b.r AS right_sym,
+         |    b.l || b.r AS merged, b.pair_cnt, a.syms_after FROM b1 b, a1 a
+         |  UNION ALL SELECT 2, b.l, b.r, b.l || b.r, b.pair_cnt, a.syms_after
+         |    FROM b2 b, a2 a
+         |  UNION ALL SELECT 3, b.l, b.r, b.l || b.r, b.pair_cnt, a.syms_after
+         |    FROM b3 b, a3 a) u
+         |ORDER BY iter""".stripMargin
+    },
+
     "t16_feature_hash" ->
       """SELECT doc_id,
         |  CAST(instr('0123456789abcdef', substring(md5(w), 1, 1)) - 1 AS INT) AS bucket,
@@ -2986,6 +3205,26 @@ object PipelineQueries {
          |  FROM sims)
          |SELECT query_id, rnk, neighbor_id, sim FROM ranked
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "s21_triplet_mining" ->
+      s"""WITH $vecCte,
+         |vb AS (SELECT *, CAST(list_sum(list_transform(generate_series(0, 3), i ->
+         |    CASE WHEN e[i+1] >= 0 THEN (1 << i) ELSE 0 END)) AS INT) AS bucket FROM v),
+         |q AS (SELECT * FROM vb WHERE vec_id % 50 = 0),
+         |sims AS (SELECT b.vec_id AS query_id,
+         |    CASE WHEN a.label = b.label THEN 'pos' ELSE 'neg' END AS side,
+         |    a.vec_id AS neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM vb a JOIN q b ON a.bucket = b.bucket WHERE a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id, side
+         |    ORDER BY sim DESC, neighbor_id) AS rn FROM sims),
+         |p AS (SELECT query_id, neighbor_id AS pos_id, sim AS sim_pos
+         |  FROM r WHERE side = 'pos' AND rn = 1),
+         |n AS (SELECT query_id, neighbor_id AS neg_id, sim AS sim_neg
+         |  FROM r WHERE side = 'neg' AND rn = 1)
+         |SELECT query_id, pos_id, sim_pos, neg_id, sim_neg,
+         |  round(sim_neg - sim_pos, 6) AS margin
+         |FROM p JOIN n USING (query_id) ORDER BY query_id""".stripMargin,
 
     "s3_ann_ivf" ->
       s"""WITH $vecCte,

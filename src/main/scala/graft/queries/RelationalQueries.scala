@@ -856,6 +856,95 @@ object RelationalQueries {
         .orderBy(col("l_orderkey"))
     },
 
+    // JOIN-CARDINALITY estimation from count sketches (AGMS/CMS inner
+    // product — Alon et al. 1999 lineage) — the planning aid that
+    // predicts |orders ⋈ lineitem| BEFORE running a 100-TB join: per
+    // side, key counts hash into a width-W integer vector (ONE md5 per
+    // key; the width-4096 bucket is nibbles 1-3 and width-256 is its
+    // div-16 coarsening, so the coarse sketch re-aggregates the fine
+    // CENSUS — one corpus pass per side, the shuffle after the partial
+    // agg carries ≤W narrow rows, vs the key-cardinality shuffle the
+    // exact truth needs). Estimate = Σ_b l[b]·o[b]; collisions only
+    // ADD (est ≥ exact, one-sided), and coarsening only adds more
+    // (est_256 ≥ est_4096 ≥ exact — asserted in PlanSpec). The exact
+    // row is the PRICED truth, same contract as s5/d21: Σ_k n_l·n_o
+    // over the key-level join (key-grain aggregates, never the join
+    // output itself). err_bp truncates; exact=0 guarded (m39 class).
+    "q50_join_cardinality" -> { (s, dir) =>
+      def nib(i: Int) = s"(instr('0123456789abcdef', substring(_h, $i, 1)) - 1)"
+      def census(df: DataFrame): DataFrame = df
+        .withColumn("_h", md5(concat(lit("jcs|"), col("k").cast("string"))))
+        .select(expr(s"CAST(${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)} AS INT)")
+          .as("b4096"))
+        .groupBy(col("b4096")).agg(count(lit(1)).as("n"))
+      val lc = census(Tables.lineitem(s, dir).select(col("l_orderkey").as("k")))
+        .localCheckpoint()
+      val oc = census(Tables.orders(s, dir).select(col("o_orderkey").as("k")))
+        .localCheckpoint()
+      def coarse(c: DataFrame) = c
+        .groupBy(expr("CAST(b4096 div 16 AS INT)").as("b256"))
+        .agg(sum(col("n")).as("n"))
+      val exact = Tables.lineitem(s, dir).groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("nl"))
+        .join(Tables.orders(s, dir).groupBy(col("o_orderkey").as("k"))
+          .agg(count(lit(1)).as("no")), Seq("k"))
+        .agg(coalesce(sum(col("nl") * col("no")), lit(0L)).as("exact"))
+      def dot(a: DataFrame, b: DataFrame, key: String) =
+        a.join(b.withColumnRenamed("n", "n2"), Seq(key))
+          .agg(coalesce(sum(col("n") * col("n2")), lit(0L)).as("est"))
+      def row(name: String, est: DataFrame) = est
+        .crossJoin(broadcast(exact))
+        .select(lit(name).as("variant"), col("est"),
+          expr("CASE WHEN exact = 0 THEN NULL " +
+            "ELSE (est - exact) * 10000 div exact END").as("err_bp"))
+      row("exact", exact.select(col("exact").as("est")))
+        .unionByName(row("cms_4096", dot(lc, oc, "b4096")))
+        .unionByName(row("cms_256", dot(coarse(lc), coarse(oc), "b256")))
+        .orderBy(col("variant"))
+    },
+
+    // custom DataSourceV2 connector (graft.sources.MetricsFeedSource) —
+    // the source-extension surface: a deterministic synthetic feed
+    // whose ScanBuilder accepts id-range predicates (the filter is
+    // answered by PLANNING fewer rows — 2 of 8 fixed-width slices
+    // survive here, PlanSpec-gated) and prunes columns (node is never
+    // materialized: reader allocates only the pruned schema). Oracle
+    // reproduces the feed with DuckDB range() — pure BIGINT row math,
+    // no side-channel files. dir unused by design: the source IS the
+    // table.
+    "q51_pushdown_source" -> { (s, _) =>
+      val feed = s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "200000").option("partitions", "8").load()
+      feed.filter(col("id") >= 150000L)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+          sum(col("id")).as("sum_id"))
+        .orderBy(col("kind"))
+    },
+
+    // custom DataSourceV2 SINK (graft.sources.AccountingSink —
+    // MetricsFeedSource's write-side twin, the reference's uploadEvents
+    // emit half as a V2 BatchWrite): per-task writers stream rows and
+    // surrender (rows, Σ value) ONLY in their WriterCommitMessage;
+    // Spark delivers messages solely from each task's one successful
+    // attempt (retries/speculation abort and discard), and the
+    // driver-side commit() folds them into the run total — the output
+    // row IS the transaction protocol's accounting, no second counting
+    // pass over the data. The write is the measured op (q37 contract).
+    "q52_accounting_sink" -> { (s, _) =>
+      import graft.sources.AccountingSink
+      val runId = "q52_accounting_sink"
+      AccountingSink.clear(runId)
+      s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "100000").option("partitions", "8").load()
+        .write.format("graft.sources.AccountingSink")
+        .option("runId", runId).mode("append").save()
+      val (nRows, sumValue, nWriters) = AccountingSink.result(runId).get
+      import s.implicits._
+      Seq((nRows, sumValue, nWriters.toLong))
+        .toDF("n_rows", "sum_value", "n_writers")
+    },
+
     "q46_join_hints" -> { (s, dir) =>
       import s.implicits._
       val orders = Tables.orders(s, dir).hint("SHUFFLE_HASH")
@@ -957,6 +1046,62 @@ object RelationalQueries {
         |    ',' ORDER BY rn) AS top_parts,
         |  CAST(count(*) AS BIGINT) AS n_items
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q50_join_cardinality" -> {
+      def nib(h: String, i: Int) =
+        s"(strpos('0123456789abcdef', substr($h, $i, 1)) - 1)"
+      def h(k: String) = s"md5('jcs|' || CAST($k AS VARCHAR))"
+      s"""WITH lc AS MATERIALIZED (SELECT
+         |    CAST(${nib(h("l_orderkey"), 1)} * 256 + ${nib(h("l_orderkey"), 2)} * 16
+         |      + ${nib(h("l_orderkey"), 3)} AS INT) AS b4096,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM lineitem GROUP BY 1),
+         |oc AS MATERIALIZED (SELECT
+         |    CAST(${nib(h("o_orderkey"), 1)} * 256 + ${nib(h("o_orderkey"), 2)} * 16
+         |      + ${nib(h("o_orderkey"), 3)} AS INT) AS b4096,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM orders GROUP BY 1),
+         |lc2 AS (SELECT CAST(b4096 // 16 AS INT) AS b256,
+         |    CAST(sum(n) AS BIGINT) AS n FROM lc GROUP BY 1),
+         |oc2 AS (SELECT CAST(b4096 // 16 AS INT) AS b256,
+         |    CAST(sum(n) AS BIGINT) AS n FROM oc GROUP BY 1),
+         |ex AS MATERIALIZED (SELECT CAST(coalesce(sum(a.nl * b.no), 0) AS BIGINT) AS exact
+         |  FROM (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS nl
+         |    FROM lineitem GROUP BY 1) a
+         |  JOIN (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS no
+         |    FROM orders GROUP BY 1) b USING (k)),
+         |e4 AS (SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT) AS est
+         |  FROM lc a JOIN oc b USING (b4096)),
+         |e2 AS (SELECT CAST(coalesce(sum(a.n * b.n), 0) AS BIGINT) AS est
+         |  FROM lc2 a JOIN oc2 b USING (b256))
+         |SELECT variant, est,
+         |  CAST(CASE WHEN exact = 0 THEN NULL
+         |    ELSE (est - exact) * 10000 // exact END AS BIGINT) AS err_bp
+         |FROM (
+         |  SELECT 'exact' AS variant, exact AS est FROM ex
+         |  UNION ALL SELECT 'cms_4096', est FROM e4
+         |  UNION ALL SELECT 'cms_256', est FROM e2) u, ex
+         |ORDER BY variant""".stripMargin
+    },
+
+    "q51_pushdown_source" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(sum(id) AS BIGINT) AS sum_id
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 200000) t(id)
+        |  WHERE id >= 150000) u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q52_accounting_sink" ->
+      """SELECT CAST(100000 AS BIGINT) AS n_rows,
+        |  CAST(sum((id * 2654435761) % 100000) AS BIGINT) AS sum_value,
+        |  CAST(8 AS BIGINT) AS n_writers
+        |FROM range(0, 100000) t(id)""".stripMargin,
 
     "q48_ri_audit" ->
       """WITH kc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows

@@ -535,6 +535,42 @@ object SamplingQueries {
         .orderBy(col("doc_id"), col("epoch"))
     },
 
+    // PADDING-efficiency eval (p4's measurement half): fixed-size
+    // batches of 8 waste (batch_size·max_len − Σ len) token slots to
+    // padding; length-sorted bucketing is the standard fix. PRICE both
+    // schemes — arrival order vs (len, doc_id) order — in ONE corpus
+    // scan: a ×2 scheme explode BEFORE the window (the CLAUDE.md
+    // union-of-re-aggs trap dodged: branches of one base rescan the
+    // fact; one exchange on (lang, scheme) with a scheme-conditional
+    // sort key does not), windows partitioned per (lang, scheme) —
+    // the p4 shard grain, never a corpus-wide partitionless window.
+    // Trailing partial batches pad to their own size (n·max), not 8.
+    "p19_pad_efficiency" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(split(trim(col("text")), "\\s+")).as("len"))
+        .withColumn("scheme", explode(array(lit("arrival"), lit("length_sorted"))))
+        .withColumn("k1",
+          when(col("scheme") === "arrival", lit(0)).otherwise(col("len")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang"), col("scheme"))
+            .orderBy(col("k1"), col("doc_id"))))
+        .withColumn("batch", expr("CAST((rn - 1) div 8 AS BIGINT)"))
+        .groupBy(col("scheme"), col("lang"), col("batch"))
+        .agg(count(lit(1)).as("bn"), sum(col("len")).as("btok"),
+          max(col("len")).as("bmax"))
+        .groupBy(col("scheme"))
+        .agg(count(lit(1)).as("n_batches"), sum(col("btok")).as("sum_tokens"),
+          sum(col("bn") * col("bmax")).as("padded_slots"))
+        .select(col("scheme"), col("n_batches"), col("sum_tokens"),
+          col("padded_slots"),
+          expr("CASE WHEN padded_slots = 0 THEN NULL " +
+            "ELSE (padded_slots - sum_tokens) * 10000 div padded_slots END")
+            .as("waste_bp"))
+        .orderBy(col("scheme"))
+    },
+
     "p14_compaction_plan" -> { (s, dir) =>
       val shards = Tables.documents(s, dir)
         .groupBy(pmod(col("doc_id"), lit(200)).as("shard_id"))
@@ -751,6 +787,30 @@ object SamplingQueries {
          |    unnest(generate_series(1, CAST(n_copies AS INT))) AS e
          |  FROM c) u
          |ORDER BY doc_id, epoch""".stripMargin,
+
+    "p19_pad_efficiency" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS len
+        |  FROM documents),
+        |tagged AS (
+        |  SELECT doc_id, lang, len, s.scheme,
+        |    CASE WHEN s.scheme = 'arrival' THEN 0 ELSE len END AS k1
+        |  FROM d, (SELECT unnest(['arrival', 'length_sorted']) AS scheme) s),
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY lang, scheme
+        |    ORDER BY k1, doc_id) AS rn FROM tagged),
+        |b AS (SELECT scheme, lang, (rn - 1) // 8 AS batch,
+        |    CAST(count(*) AS BIGINT) AS bn, CAST(sum(len) AS BIGINT) AS btok,
+        |    CAST(max(len) AS INT) AS bmax
+        |  FROM rn GROUP BY 1, 2, 3),
+        |agg AS (SELECT scheme, CAST(count(*) AS BIGINT) AS n_batches,
+        |    CAST(sum(btok) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(bn * bmax) AS BIGINT) AS padded_slots
+        |  FROM b GROUP BY 1)
+        |SELECT scheme, n_batches, sum_tokens, padded_slots,
+        |  CAST(CASE WHEN padded_slots = 0 THEN NULL
+        |    ELSE (padded_slots - sum_tokens) * 10000 // padded_slots END
+        |    AS BIGINT) AS waste_bp
+        |FROM agg ORDER BY scheme""".stripMargin,
 
     "p7_weighted_mix" ->
       s"""SELECT doc_id, source, CAST(e AS INT) AS epoch

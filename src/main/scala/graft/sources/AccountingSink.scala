@@ -1,0 +1,112 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Custom DataSourceV2 SINK — MetricsFeedSource's write-side twin,
+  * completing the connector surface (source read planning there; the
+  * full V2 write protocol here). The reference's emit half
+  * (uploadEvents, chStats.py:384-427) POSTs accounting records to a
+  * collector; on Spark the idiomatic shape is a BatchWrite whose
+  * per-task writers stream rows out and whose COMMIT MESSAGES carry
+  * the accounting — totals come from the transaction protocol itself,
+  * not from a second counting pass over the data.
+  *
+  * Exactly-once accounting at 1000 executors: each task's DataWriter
+  * accumulates (rows, Σ value) locally and surrenders it only in its
+  * WriterCommitMessage; Spark delivers messages ONLY from the one
+  * successful attempt of each task (retried/speculative attempts are
+  * aborted and their counts discarded — abort() is the proof hook the
+  * spec exercises), and the driver-side commit() is the single
+  * transaction point where per-task messages fold into the run total.
+  * A failed job never publishes a partial result: commit() is simply
+  * never called, which the spec also pins.
+  *
+  * State lives per `runId` option so concurrent writes don't collide;
+  * results()/aborts() are the test-observable surface. */
+object AccountingSink {
+  /** runId -> (n_rows, sum_value, n_writers) from a COMMITTED write. */
+  private val committed = new ConcurrentHashMap[String, (Long, Long, Int)]()
+  /** runId -> count of aborted task attempts (accounting discarded). */
+  private val aborted = new ConcurrentHashMap[String, Integer]()
+
+  def result(runId: String): Option[(Long, Long, Int)] =
+    Option(committed.get(runId))
+  def abortedTasks(runId: String): Int =
+    Option(aborted.get(runId)).map(_.intValue).getOrElse(0)
+  def clear(runId: String): Unit = { committed.remove(runId); aborted.remove(runId) }
+
+  private[sources] def publish(runId: String, v: (Long, Long, Int)): Unit =
+    committed.put(runId, v)
+  private[sources] def recordAbort(runId: String): Unit =
+    aborted.merge(runId, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
+
+  case class TaskAccounting(rows: Long, sumValue: Long)
+    extends WriterCommitMessage
+}
+
+class AccountingSink extends TableProvider {
+  // the sink accepts whatever schema the query writes
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new AccountingTable(schema)
+}
+
+class AccountingTable(schema0: StructType) extends Table with SupportsWrite {
+  override def name(): String = "accounting_sink"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new AccountingWrite(
+        info.options.getOrDefault("runId", "default"), info.schema())
+    }
+}
+
+class AccountingWrite(runId: String, schema: StructType) extends Write {
+  override def toBatch: BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(info: PhysicalWriteInfo)
+        : DataWriterFactory =
+      new AccountingWriterFactory(runId,
+        schema.fields.indexWhere(f =>
+          f.name == "value" && f.dataType == LongType))
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      var rows = 0L
+      var sv = 0L
+      messages.foreach { case AccountingSink.TaskAccounting(r, s) =>
+        rows += r; sv += s
+      }
+      AccountingSink.publish(runId, (rows, sv, messages.length))
+    }
+    override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+class AccountingWriterFactory(runId: String, valueIdx: Int)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private var rows = 0L
+    private var sumValue = 0L
+    override def write(record: InternalRow): Unit = {
+      rows += 1
+      if (valueIdx >= 0 && !record.isNullAt(valueIdx))
+        sumValue += record.getLong(valueIdx)
+    }
+    override def commit(): WriterCommitMessage =
+      AccountingSink.TaskAccounting(rows, sumValue)
+    override def abort(): Unit = AccountingSink.recordAbort(runId)
+    override def close(): Unit = ()
+  }
+}

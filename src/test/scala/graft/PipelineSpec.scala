@@ -366,4 +366,80 @@ class PipelineSpec extends AnyFunSuite {
     assert(one.byte_len == 85 && one.width == 16 && one.height == 16 &&
       one.format == "png")
   }
+
+  test("t21: BPE merges match the hand-computed Sennrich fixture") {
+    import spark.implicits._
+    // vocab: low×5 lower×2 newest×6 — the classic Sennrich example.
+    // iter1: (w,e)=8 wins → "we", corpus syms 61-8=53
+    // iter2: (l,o)=7 wins → "lo", 53-7=46
+    // iter3: four pairs tie at 6; tie-break (cnt desc, l, r) picks
+    //        (e,we) over (n,e)/(s,t)/(we,s) → "ewe", 46-6=40
+    val docs = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest")).mkString(" ")
+    ).toDF("text")
+    val out = graft.operators.Bpe.learnMerges(docs, "text", n = 3)
+      .collect().map(r => (r.getAs[Int]("iter"), r.getAs[String]("merged"),
+        r.getAs[Long]("pair_cnt"), r.getAs[Long]("syms_after")))
+    assert(out.toSeq == Seq(
+      (1, "we", 8L, 53L), (2, "lo", 7L, 46L), (3, "ewe", 6L, 40L)))
+  }
+
+  test("t22: apply conserves the learn half's accounting — Σ n_bpe equals iter-3 syms_after") {
+    // the train→apply contract: segmenting the corpus with the learned
+    // merges must land on exactly the compression curve training
+    // reported (same greedy reseg, same corpus)
+    val learned = SparkEntry.queries("t21_bpe_learn")(spark, sf)
+      .filter(col("iter") === 3).head().getAs[Long]("syms_after")
+    val applied = SparkEntry.queries("t22_bpe_apply")(spark, sf)
+      .agg(sum(col("n_bpe"))).head().getLong(0)
+    assert(applied == learned, s"apply total $applied != learn curve $learned")
+  }
+
+  test("t23: planted octave counts land on the exact integer slope") {
+    import spark.implicits._
+    // counts 1,1,1,1 / 2,2 / 4 → octaves 0,1,2 with n_types 4,2,1 →
+    // y = floor_log2(n_types) = 2,1,0: a perfect slope of −1 per octave
+    val dir = java.nio.file.Files.createTempDirectory("graft_t23").toString
+    Seq((1L, "w1 w2 w3 w4 x1 x1 x2 x2 y y y y"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t23_zipf_octaves")(spark, dir)
+      .collect().map(r => r.getAs[Int]("octave") ->
+        (r.getAs[Long]("n_types"), r.getAs[Long]("mass"),
+          r.getAs[Long]("zipf_slope_mi"))).toMap
+    assert(rows == Map(
+      0 -> ((4L, 4L, -1000000L)),
+      1 -> ((2L, 4L, -1000000L)),
+      2 -> ((1L, 4L, -1000000L))), rows.toString)
+  }
+
+  test("t24: words charge the quartile of their first appearance; cumulatives are exact") {
+    import spark.implicits._
+    // 4 docs → quartile = doc_id; 'a' first in q0, 'c' in q1, 'd' in
+    // q2, 'e' in q3 — re-appearances never re-count as new types
+    val dir = java.nio.file.Files.createTempDirectory("graft_t24").toString
+    Seq((0L, "a b"), (1L, "a c"), (2L, "c d"), (3L, "a d e"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("t24_heaps_growth")(spark, dir)
+      .collect().map(r => (r.getAs[Int]("q"), r.getAs[Long]("new_types"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_vocab"),
+        r.getAs[Long]("cum_tokens")))
+    assert(rows.toSeq == Seq(
+      (0, 2L, 2L, 2L, 2L), (1, 1L, 2L, 3L, 4L),
+      (2, 1L, 2L, 4L, 6L), (3, 1L, 3L, 5L, 9L)), rows.toSeq.toString)
+  }
+
+  test("t21: overlapping pairs each count; re-segmentation is greedy left-to-right") {
+    import spark.implicits._
+    // "aaaa" holds (a,a) three times, "aaa" twice → pair_cnt 5 (Sennrich
+    // counting); greedy reseg: aaaa → [aa][aa] (never [aa][a][a]),
+    // aaa → [aa][a] → corpus syms 2+2=4
+    val out = graft.operators.Bpe.learnMerges(
+      Seq("aaaa aaa").toDF("text"), "text", n = 1).head()
+    assert(out.getAs[String]("merged") == "aa")
+    assert(out.getAs[Long]("pair_cnt") == 5L)
+    assert(out.getAs[Long]("syms_after") == 4L)
+  }
 }

@@ -709,4 +709,43 @@ class PlanSpec extends AnyFunSuite {
     assert(asgAggs == 1, s"expected 1 partial max_by corpus assignment, saw $asgAggs\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q52: a failed write never publishes — abort discards task accounting") {
+    import graft.sources.AccountingSink
+    import spark.implicits._
+    val runId = "abort_test"
+    AccountingSink.clear(runId)
+    val poisoned = spark.range(0, 1000, 1, 4)
+      .map { i => if (i == 500L) throw new RuntimeException("poisoned row"); i }
+      .toDF("value")
+    val e = intercept[Exception] {
+      poisoned.write.format("graft.sources.AccountingSink")
+        .option("runId", runId).mode("append").save()
+    }
+    assert(e.getMessage != null)
+    // commit() never ran → no published result; the failed attempt's
+    // writer aborted and its counts were discarded
+    assert(AccountingSink.result(runId).isEmpty,
+      "failed job must not publish partial accounting")
+    assert(AccountingSink.abortedTasks(runId) >= 1,
+      "the poisoned task's writer must have aborted")
+  }
+
+  test("q51: DSv2 source answers the predicate by planning — pushdown, pruning, fewer slices") {
+    import graft.sources.MetricsFeedSource
+    MetricsFeedSource.lastPlannedPartitions = -1
+    // force execution so planInputPartitions actually runs
+    val df = SparkEntry.queries("q51_pushdown_source")(spark, sf)
+    assert(df.collect().length == 3)
+    // id >= 150000 folded into the generated range...
+    assert(MetricsFeedSource.lastPlannedRange == ((150000L, 200000L)))
+    // ...and only the 2 of 8 fixed-width slices overlapping it planned
+    assert(MetricsFeedSource.lastPlannedPartitions == 2)
+    val p = df.queryExecution.executedPlan.toString
+    // the filter reached the source, and the post-scan Filter is gone
+    assert(p.contains("range=[150000,200000)"), p)
+    // column pruning: the reader's schema carries no `node`
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("node"), s"unrequested column must not be materialized\n$p")
+  }
 }

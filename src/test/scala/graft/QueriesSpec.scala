@@ -134,4 +134,21 @@ class QueriesSpec extends AnyFunSuite {
       .collect().map(_.getAs[Double]("o_totalprice"))
     assert(prices.sameElements(prices.sortBy(-_)))
   }
+
+  test("q50: sketch join-cardinality estimates are one-sided and coarsening only adds") {
+    // hash collisions merge buckets, and Σ l[b]·o[b] over merged buckets
+    // can only gain cross terms → est ≥ exact; width 256 merges MORE
+    // than 4096 (it is its div-16 coarsening) → est_256 ≥ est_4096
+    val rows = SparkEntry.queries("q50_join_cardinality")(spark, sf)
+      .collect().map(r => r.getAs[String]("variant") ->
+        (r.getAs[Long]("est"), r.getAs[Long]("err_bp"))).toMap
+    assert(rows.keySet == Set("exact", "cms_4096", "cms_256"))
+    val exact = rows("exact")._1
+    assert(rows("exact")._2 == 0L)
+    assert(exact > 0L)
+    assert(rows("cms_4096")._1 >= exact, s"4096 must be one-sided: $rows")
+    assert(rows("cms_256")._1 >= rows("cms_4096")._1,
+      s"coarsening must only add collisions: $rows")
+    assert(rows("cms_4096")._2 >= 0L && rows("cms_256")._2 >= rows("cms_4096")._2)
+  }
 }

@@ -160,4 +160,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(parts("small") / 256 == 3L && parts("small") % 256 == 41L)
     assert(parts("tiny") / 256 >= 8L, "a 100000x-smaller source must hit the cap")
   }
+
+  test("p19: padding waste matches the closed form; partial batches pad to own size") {
+    import spark.implicits._
+    // 10 docs, one lang, batch size 8. Arrival lengths 10,1,10,1,10,1,
+    // 10,1,5,5: batch0 (8 docs, max 10) = 80 slots, partial batch1
+    // (2 docs, max 5) = 10 → padded 90, tokens 54, waste 4000 bp.
+    // Length-sorted: 1,1,1,1,5,5,10,10 | 10,10 → 80 + 20 = 100, waste
+    // 4600 bp — sorted LOSES here (the tail lands in the partial
+    // batch), which is exactly why the eval exists: the answer is
+    // data-dependent, so it must be priced, not assumed.
+    val dir = java.nio.file.Files.createTempDirectory("graft_p19").toString
+    val lens = Seq(10, 1, 10, 1, 10, 1, 10, 1, 5, 5)
+    lens.zipWithIndex.map { case (n, i) =>
+      ((i + 1).toLong, "en", Seq.fill(n)("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("p19_pad_efficiency")(spark, dir)
+      .collect().map(r => r.getAs[String]("scheme") ->
+        (r.getAs[Long]("n_batches"), r.getAs[Long]("sum_tokens"),
+          r.getAs[Long]("padded_slots"), r.getAs[Long]("waste_bp"))).toMap
+    assert(out("arrival") == ((2L, 54L, 90L, 4000L)), out.toString)
+    assert(out("length_sorted") == ((2L, 54L, 100L, 4600L)), out.toString)
+  }
 }

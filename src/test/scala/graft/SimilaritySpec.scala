@@ -254,4 +254,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(singles.forall(fused > _),
       s"fused=$fused must strictly exceed every channel: $rows")
   }
+
+  test("s21: triplet mining picks hardest pos/neg within bucket, drops one-legged anchors") {
+    import spark.implicits._
+    val data = Seq(
+      // anchor + bucket-15 candidates (all dims >= 0)
+      (0L, "A", Array(1.0f, 1.0f, 1.0f, 1.0f)),
+      (1L, "A", Array(1.0f, 1.0f, 1.0f, 0.9f)),  // hardest pos: cos≈0.99902
+      (2L, "A", Array(1.0f, 0.1f, 0.1f, 0.1f)),  // weaker pos: cos≈0.64046
+      (3L, "B", Array(1.0f, 1.0f, 0.1f, 0.1f)),  // hardest IN-bucket neg: cos≈0.77396
+      // bucket-14 impostor (dim0 < 0): cos≈0.86312 > id3's — would win
+      // the neg slot if the LSH bucket bound were broken
+      (4L, "B", Array(-0.01f, 1.0f, 1.0f, 1.0f)),
+      // anchor alone in bucket 0: no candidate legs at all → dropped
+      (5L, "C", Array(-1.0f, -1.0f, -1.0f, -1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val q = data.filter(col("vec_id").isin(0L, 5L))
+    val out = Similarity.tripletMine(data, q, "vec_id", "embedding", "label", bits = 4)
+      .collect()
+    assert(out.length == 1, s"anchor 5 has no legs and must drop: ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("query_id") == 0L)
+    assert(r.getAs[Long]("pos_id") == 1L)
+    assert(r.getAs[Long]("neg_id") == 3L, "out-of-bucket impostor 4 must never score")
+    assert(r.getAs[Double]("margin") < 0.0, "pos outranks neg here: margin < 0")
+  }
 }
