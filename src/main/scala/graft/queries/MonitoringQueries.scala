@@ -417,6 +417,34 @@ object MonitoringQueries {
 
     // CDC latest-wins upsert snapshot: events as a changelog keyed by
     // (user_id, event_type); the materialized state is the newest value
+    // SCD TYPE-2 dimension assembly from the CDC/event stream — the
+    // warehouse-history op m29's latest-wins upsert deliberately
+    // discards: every VALUE CHANGE of the tracked attribute opens a
+    // version row with a [valid_from, valid_to) interval and a dense
+    // version number; the current row carries NULL valid_to. Change
+    // detection (lag) and interval/versioning (row_number + lead over
+    // the CHANGED rows) share ONE (user_id) hash exchange — the second
+    // window re-sorts only the change rows. Total order (ts_us,
+    // event_id) makes same-timestamp CDC batches retry-deterministic.
+    // Micros longs, not timestamps, cross the oracle (the p11 dtype
+    // lesson avoided at the source).
+    "m52_scd2_history" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .withColumn("version", row_number().over(w).cast("int"))
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+        .select(col("user_id"), col("version"),
+          col("event_type").as("state"), col("ts_us").as("valid_from_us"),
+          col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("version"))
+    },
+
     // per key. ONE hash shuffle with map-side partial `max_by` ordered
     // by a (ts, event_id) struct — never a row_number window (which
     // would SORT every key group; at 100 TB the changelog's hot keys
@@ -1558,6 +1586,21 @@ object MonitoringQueries {
 
     // latest-wins replicated with a DuckDB window (arg_max can't take a
     // composite tie-break key); same (ts_us DESC, event_id DESC) order.
+    "m52_scd2_history" ->
+      s"""WITH e AS (SELECT user_id, $tsUs AS ts_us, event_id, event_type
+         |  FROM events),
+         |c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id) AS prev FROM e),
+         |ch AS (SELECT user_id, ts_us, event_id, event_type FROM c
+         |  WHERE prev IS NULL OR prev <> event_type)
+         |SELECT user_id, CAST(row_number() OVER w AS INT) AS version,
+         |  event_type AS state, ts_us AS valid_from_us,
+         |  lead(ts_us) OVER w AS valid_to_us,
+         |  (lead(ts_us) OVER w IS NULL) AS is_current
+         |FROM ch
+         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |ORDER BY user_id, version""".stripMargin,
+
     "m29_cdc_upsert" ->
       s"""SELECT user_id, event_type, ts_us AS last_ts_us, value AS last_value, n_versions
          |FROM (

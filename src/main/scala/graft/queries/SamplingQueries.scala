@@ -571,6 +571,36 @@ object SamplingQueries {
         .orderBy(col("scheme"))
     },
 
+    // POINT-IN-TIME feature materialization — the feature-store op
+    // that kills training-serving skew: for every labeled example
+    // (each 'purchase' event), per-user activity features computed
+    // ONLY from events STRICTLY BEFORE the label row — an EXCLUSIVE
+    // growing frame (unboundedPreceding, -1), so no future row and
+    // not even the label row itself leaks into its own features (the
+    // classic leakage bug a naive per-user groupBy join commits).
+    // ONE pass: cumulative count/sums over the (user) exchange, label
+    // filter after. Integer cents; empty first frames coalesce to 0.
+    "p20_pit_features" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+        .withColumn("prior_events", count(lit(1)).over(w))
+        .withColumn("prior_errors",
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).over(w))
+        .withColumn("prior_value_c", sum(col("vc")).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("label_event_id"),
+          col("ts_us").as("label_ts_us"), col("prior_events"),
+          coalesce(col("prior_errors"), lit(0L)).as("prior_errors"),
+          coalesce(col("prior_value_c"), lit(0L)).as("prior_value_cents"))
+        .orderBy(col("user_id"), col("label_event_id"))
+    },
+
     "p14_compaction_plan" -> { (s, dir) =>
       val shards = Tables.documents(s, dir)
         .groupBy(pmod(col("doc_id"), lit(200)).as("shard_id"))
@@ -646,6 +676,23 @@ object SamplingQueries {
         |SELECT doc_id, q_bp, CAST(t256 AS BIGINT) AS t256,
         |  CAST(256 * 10000 // t256 AS BIGINT) AS inv_w_sc
         |FROM s2 WHERE dr < t256 ORDER BY doc_id""".stripMargin,
+
+    "p20_pit_features" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    event_id, event_type, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |f AS (SELECT *,
+        |    CAST(count(*) OVER w AS BIGINT) AS prior_events,
+        |    CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      OVER w, 0) AS BIGINT) AS prior_errors,
+        |    CAST(coalesce(sum(vc) OVER w, 0) AS BIGINT) AS prior_value_cents
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id AS label_event_id, ts_us AS label_ts_us,
+        |  prior_events, prior_errors, prior_value_cents
+        |FROM f WHERE event_type = 'purchase'
+        |ORDER BY user_id, label_event_id""".stripMargin,
 
     "p14_compaction_plan" ->
       """WITH shards AS (SELECT doc_id % 200 AS shard_id,

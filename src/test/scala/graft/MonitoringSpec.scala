@@ -79,4 +79,30 @@ class MonitoringSpec extends AnyFunSuite {
       .select(Monitoring.timeBucket(col("s").cast("timestamp"), 5).cast("string").as("b"))
     assert(df.head().getString(0) == "2024-03-01 10:05:00")
   }
+
+  test("m52: SCD2 history is a well-formed interval chain per user") {
+    val rows = SparkEntry.queries("m52_scd2_history")(spark, sf)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version"),
+        r.getAs[String]("state"), r.getAs[Long]("valid_from_us"),
+        Option(r.getAs[java.lang.Long]("valid_to_us")).map(_.longValue),
+        r.getAs[Boolean]("is_current")))
+      .groupBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (uid, vs0) =>
+      val vs = vs0.sortBy(_._2)
+      // versions dense 1..n; exactly one open (current) interval
+      assert(vs.map(_._2).toSeq == (1 to vs.length), s"user $uid versions not dense")
+      assert(vs.count(_._6) == 1, s"user $uid must have exactly one current row")
+      assert(vs.last._6 && vs.last._5.isEmpty, s"user $uid current row must be last")
+      vs.sliding(2).foreach {
+        case Array(a, b) =>
+          // intervals chain with no gap and no overlap...
+          assert(a._5.contains(b._4), s"user $uid intervals must chain")
+          // ...and a version row only opens on an actual state CHANGE
+          assert(a._3 != b._3, s"user $uid consecutive versions share a state")
+        case _ => ()
+      }
+    }
+  }
 }

@@ -183,4 +183,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(out("arrival") == ((2L, 54L, 90L, 4000L)), out.toString)
     assert(out("length_sorted") == ((2L, 54L, 100L, 4600L)), out.toString)
   }
+
+  test("p20: point-in-time features never see the label row or the future") {
+    val byUser = run("p20_pit_features").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("label_ts_us"),
+        r.getAs[Long]("label_event_id"), r.getAs[Long]("prior_events"),
+        r.getAs[Long]("prior_errors")))
+      .groupBy(_._1)
+    assert(byUser.nonEmpty)
+    byUser.foreach { case (uid, rows0) =>
+      val rows = rows0.sortBy(r => (r._2, r._3))
+      rows.zipWithIndex.foreach { case ((_, _, _, pe, perr), k) =>
+        // the k-th purchase (0-indexed) has at least the k earlier
+        // purchases in its frame — and the frame is exclusive, so the
+        // label itself never counts
+        assert(pe >= k, s"user $uid purchase #$k prior_events=$pe")
+        assert(perr >= 0 && perr <= pe, s"user $uid errors exceed frame")
+      }
+      // cumulative frames only grow along the label sequence
+      rows.map(_._4).sliding(2).foreach {
+        case Array(a, b) => assert(b > a, s"user $uid prior_events must strictly grow")
+        case _           => ()
+      }
+    }
+  }
 }
