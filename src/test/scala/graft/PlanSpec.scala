@@ -668,6 +668,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("last(reading_c"), p)
   }
 
+  test("m52/p20: change-detection + versioning / features + labels ride ONE user exchange") {
+    // m52: the lag window, the post-filter row_number/lead window, and
+    // nothing else — both windows share the (user_id) hashpartitioning
+    val pm = plan("m52_scd2_history")
+    assert("Exchange hashpartitioning".r.findAllIn(pm).size == 1, pm)
+    assert(!pm.contains("CartesianProduct"), pm)
+    // p20: all cumulative frames ride one exchange and ONE partial sort
+    // (Spark splits count/sum into two Window nodes that share the sort
+    // — fine; a SECOND sort or a join-back would not be), label filter
+    // above, never a join back
+    val pp = plan("p20_pit_features")
+    assert("Exchange hashpartitioning".r.findAllIn(pp).size == 1, pp)
+    assert("Sort \\[.*\\], false, 0".r.findAllIn(pp).size == 1,
+      s"windows must share one partial sort\n$pp")
+    assert(!pp.contains("SortMergeJoin") && !pp.contains("BroadcastHashJoin"), pp)
+  }
+
   test("t15: triangle stage runs entirely on the checkpointed edge list — zero corpus rescans") {
     val p = plan("t15_colloc_triangles")
     // the corpus → edge-list pass materializes via localCheckpoint at
