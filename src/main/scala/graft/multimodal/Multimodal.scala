@@ -858,4 +858,82 @@ object Multimodal {
           .as(Seq("frame_idx", "frame_byte")))
       .select(col(idCol), col("frame_idx"), col("frame_byte"))
   }
+
+  // ------------------------------------------------- NPY tensor shards
+
+  case class NpyMeta(doc_id: Long, byte_len: Int, dtype: String, rows: Int,
+      cols: Int, n_elems: Long, item_bytes: Int, data_bytes: Long,
+      header_len: Int, valid: Boolean)
+
+  /** Minimal VALID NumPy .npy v1.0 payload (the tensor-shard format ML
+    * pipelines actually ship embeddings/activations in): magic
+    * \x93NUMPY, version (1,0), uint16-LE HEADER_LEN, the ASCII header
+    * dict space-padded so the full preamble (10 + HEADER_LEN) is a
+    * multiple of 64 and ends '\n' (the spec's alignment rule), then
+    * rows·cols·itemsize data bytes. Shape (doc_id%5+1, doc_id%7+1);
+    * dtype '<f4' for even ids, '<i8' for odd (two itemsizes exercise
+    * the size arithmetic); data filled with (doc_id%251) so truncation
+    * is detectable, content deterministic. */
+  def synthNpy(id: Long): Array[Byte] = {
+    val rows = (id % 5).toInt + 1
+    val cols = (id % 7).toInt + 1
+    val (descr, item) = if (id % 2 == 0) ("<f4", 4) else ("<i8", 8)
+    val dict = s"{'descr': '$descr', 'fortran_order': False, " +
+      s"'shape': ($rows, $cols), }"
+    val unpadded = 10 + dict.length + 1
+    val headerLen = ((unpadded + 63) / 64) * 64 - 10
+    val header = dict + " " * (headerLen - dict.length - 1) + "\n"
+    val data = Array.fill[Byte](rows * cols * item)((id % 251).toByte)
+    Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 1, 0,
+      (headerLen & 0xff).toByte, ((headerLen >> 8) & 0xff).toByte) ++
+      header.getBytes("US-ASCII") ++ data
+  }
+
+  private val NpyDescr = """'descr':\s*'([<>|][a-z]\d+)'""".r
+  private val NpyShape = """'shape':\s*\((\d+),\s*(\d+)\),?\s*\}""".r
+
+  /** Real NPY header decode with structural validation: magic + v1,
+    * LE header length, 64-byte preamble alignment, '\n' terminator,
+    * dtype/shape parse, and the size proof data_bytes == payload −
+    * preamble (a truncated shard fails valid, it does not mis-report
+    * a shape). */
+  def decodeNpyHeader(id: Long, b: Array[Byte]): NpyMeta = {
+    val bad = NpyMeta(id, b.length, "", 0, 0, 0L, 0, 0L, 0, valid = false)
+    if (b.length < 10 || b(0) != 0x93.toByte ||
+      new String(b, 1, 5, "US-ASCII") != "NUMPY" || b(6) != 1) return bad
+    val headerLen = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+    if (b.length < 10 + headerLen || (10 + headerLen) % 64 != 0 ||
+      b(9 + headerLen) != '\n') return bad
+    val header = new String(b, 10, headerLen, "US-ASCII")
+    (NpyDescr.findFirstMatchIn(header), NpyShape.findFirstMatchIn(header)) match {
+      case (Some(d), Some(s)) =>
+        val descr = d.group(1)
+        val item = descr.drop(2).toInt
+        val rows = s.group(1).toInt
+        val cols = s.group(2).toInt
+        val nElems = rows.toLong * cols
+        val dataBytes = nElems * item
+        NpyMeta(id, b.length, descr, rows, cols, nElems, item, dataBytes,
+          headerLen, valid = b.length == 10 + headerLen + dataBytes)
+      case _ => bad
+    }
+  }
+
+  def synthesizeNpy(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => BinaryDoc(id, synthNpy(id)))).toDF()
+  }
+
+  def decodeNpy(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[NpyMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => decodeNpyHeader(d.doc_id, d.payload)))
+      }
+  }
 }

@@ -2056,6 +2056,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // NPY tensor-shard metadata — the array format ML pipelines
+    // actually ship embeddings/activations in (x-family's SIZE-PROOF
+    // exercise): real \x93NUMPY v1.0 bytes with LE uint16 header
+    // length, 64-byte preamble alignment, '\n' terminator; decode
+    // parses dtype+shape from the ASCII header dict and VALIDATES
+    // data_bytes == payload − preamble (a truncated shard fails valid
+    // rather than mis-reporting a shape). Two itemsizes ('<f4'/'<i8'
+    // by parity) exercise the size arithmetic. Payload bytes never
+    // cross a shuffle (map-side decode, x-family contract).
+    "x15_npy_meta" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeNpy(Tables.documents(s, dir))
+      Multimodal.decodeNpy(payloads, "doc_id", "payload").toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // TIFF metadata — the x-family's ENDIANNESS exercise: the container
     // declares its own byte order ("II"/"MM"), and the SHORT tag values
     // are left-justified in their 4-byte fields, which a naive
@@ -3761,6 +3776,34 @@ object PipelineQueries {
         |  CAST(list_sum(list_transform(generate_series(1, length(text)), i ->
         |    unicode(substr(text, i, 1)) * ((i * 2654435761) % 1000000007))) AS BIGINT) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed-form from the synthesis formulas (x-family contract: Spark
+    // synthesizes REAL bytes and really parses them; the oracle proves
+    // the round-trip lands back on the formula). header_len reproduces
+    // the 64-byte alignment: pad the dict+LF to the next multiple of 64
+    // counting the 10 preamble bytes.
+    "x15_npy_meta" ->
+      """SELECT doc_id,
+        |  CAST(10 + header_len + data_bytes AS INT) AS byte_len,
+        |  dtype, CAST(rows AS INT) AS rows, CAST(cols AS INT) AS cols,
+        |  CAST(rows * cols AS BIGINT) AS n_elems,
+        |  CAST(item AS INT) AS item_bytes,
+        |  CAST(data_bytes AS BIGINT) AS data_bytes,
+        |  CAST(header_len AS INT) AS header_len,
+        |  TRUE AS valid
+        |FROM (
+        |  SELECT doc_id, dtype, rows, cols, item, rows * cols * item AS data_bytes,
+        |    ((10 + length(dict) + 1 + 63) // 64) * 64 - 10 AS header_len
+        |  FROM (
+        |    SELECT doc_id, dtype, rows, cols, item,
+        |      '{''descr'': ''' || dtype || ''', ''fortran_order'': False, ' ||
+        |      '''shape'': (' || rows || ', ' || cols || '), }' AS dict
+        |    FROM (
+        |      SELECT doc_id, doc_id % 5 + 1 AS rows, doc_id % 7 + 1 AS cols,
+        |        CASE WHEN doc_id % 2 = 0 THEN '<f4' ELSE '<i8' END AS dtype,
+        |        CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 8 END AS item
+        |      FROM documents) a) b) c
+        |ORDER BY doc_id""".stripMargin,
 
     "x1_binary_meta" ->
       """SELECT doc_id,

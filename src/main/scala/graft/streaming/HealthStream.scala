@@ -554,6 +554,64 @@ object HealthStream {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // ---- online feature serving (p20's streaming face) ----------------
+
+  case class EvV(user_id: Long, event_id: Long, ts_us: Long,
+      event_type: String, vc: Long)
+  case class FeatureOut(user_id: Long, label_event_id: Long,
+      label_ts_us: Long, prior_events: Long, prior_errors: Long,
+      prior_value_cents: Long)
+
+  /** ONLINE point-in-time feature serving — p20's streaming face: the
+    * feature store keeps per-user running counters (three ValueState
+    * longs — state independent of event volume, like st14) and, when a
+    * label event ('purchase') arrives, emits the feature row FIRST and
+    * only then folds the label event into the counters — the same
+    * exclusive-frame contract as p20's (unboundedPreceding, -1) batch
+    * window, so online serving and offline training read IDENTICAL
+    * features (the training-serving-skew proof, asserted as exact
+    * row-set equality with the p20 batch query in StreamingSpec).
+    * Within-batch input sorts by (ts_us, event_id) — the arrival-order
+    * contract all transformWithState processors here share. */
+  class FeatureServeProcessor
+      extends StatefulProcessor[Long, EvV, FeatureOut] {
+    @transient private var nEvents: ValueState[Long] = _
+    @transient private var nErrors: ValueState[Long] = _
+    @transient private var sumVc: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      nEvents = getHandle.getValueState[Long]("nEvents", Encoders.scalaLong, TTLConfig.NONE)
+      nErrors = getHandle.getValueState[Long]("nErrors", Encoders.scalaLong, TTLConfig.NONE)
+      sumVc = getHandle.getValueState[Long]("sumVc", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[EvV],
+        timerValues: TimerValues): Iterator[FeatureOut] = {
+      val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      var n = if (nEvents.exists()) nEvents.get() else 0L
+      var ne = if (nErrors.exists()) nErrors.get() else 0L
+      var sv = if (sumVc.exists()) sumVc.get() else 0L
+      val out = Array.newBuilder[FeatureOut]
+      evs.foreach { e =>
+        // emit BEFORE folding: the label never sees itself
+        if (e.event_type == "purchase")
+          out += FeatureOut(key, e.event_id, e.ts_us, n, ne, sv)
+        n += 1
+        if (e.event_type == "error") ne += 1
+        sv += e.vc
+      }
+      nEvents.update(n); nErrors.update(ne); sumVc.update(sv)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming feature serving; requires the RocksDB state store
+    * provider. Batch twin (the oracle): p20_pit_features. */
+  def featureServeStream(events: Dataset[EvV]): Dataset[FeatureOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FeatureServeProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ---- streaming sequence miner (st16): ListState carry-over buffer --
 
   case class EvT(user_id: Long, event_id: Long, ts_us: Long, event_type: String)

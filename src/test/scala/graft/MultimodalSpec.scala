@@ -219,4 +219,24 @@ class MultimodalSpec extends AnyFunSuite {
     val j = Multimodal.decodeHeader(1001L, Multimodal.synthesize(1001L, 7))
     assert(j == DecodedMeta(1001L, 41 + 7, (1001 % 640) + 16, (1001 % 480) + 16, "jpeg"))
   }
+
+  test("npy: header round-trips; truncated shards and bad magic fail valid, never mis-report") {
+    // id 6: shape (2, 7), '<f4' → 56 data bytes
+    val good = Multimodal.decodeNpyHeader(6L, Multimodal.synthNpy(6L))
+    assert(good.valid && good.dtype == "<f4" && good.rows == 2 && good.cols == 7)
+    assert(good.n_elems == 14L && good.item_bytes == 4 && good.data_bytes == 56L)
+    assert((10 + good.header_len) % 64 == 0)
+    assert(good.byte_len == 10 + good.header_len + 56)
+    // id 7: odd → '<i8', shape (3, 1) → 24 data bytes
+    val i8 = Multimodal.decodeNpyHeader(7L, Multimodal.synthNpy(7L))
+    assert(i8.valid && i8.dtype == "<i8" && i8.data_bytes == 3L * 1 * 8)
+    // truncation: the header still parses but the size proof fails —
+    // the shard is flagged, its shape is NOT trusted blindly
+    val trunc = Multimodal.synthNpy(6L).dropRight(1)
+    assert(!Multimodal.decodeNpyHeader(6L, trunc).valid)
+    // corrupted magic: structurally rejected
+    val bad = Multimodal.synthNpy(6L).clone()
+    bad(1) = 'X'
+    assert(!Multimodal.decodeNpyHeader(6L, bad).valid)
+  }
 }

@@ -930,6 +930,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("p20 streaming face: online feature serving equals the offline batch features exactly") {
+    import spark.implicits._
+    // the training-serving-skew proof: the SAME real corpus, streamed
+    // in two ts-ordered micro-batches through the ValueState counters,
+    // must emit row-for-row the features p20's exclusive batch window
+    // materializes offline
+    val base = java.nio.file.Files.createTempDirectory("graft_tws_feat")
+    val srcDir = s"$base/src"; val chk = s"$base/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .localCheckpoint()
+    val mid = ev.agg(expr("percentile_approx(ts_us, 0.5)")).head().getLong(0)
+    def write(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(2).write.mode("append").parquet(srcDir)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      write(ev.filter(col("ts_us") <= mid))
+      val stream = spark.readStream
+        .schema("user_id LONG, event_id LONG, ts_us LONG, event_type STRING, vc LONG")
+        .parquet(srcDir).as[HealthStream.EvV]
+      val q = HealthStream.featureServeStream(stream).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_feat_out").option("checkpointLocation", chk).start()
+      q.processAllAvailable()
+      write(ev.filter(col("ts_us") > mid))
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("tws_feat_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val want = SparkEntry.queries("p20_pit_features")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("label_event_id"),
+          r.getAs[Long]("label_ts_us"), r.getAs[Long]("prior_events"),
+          r.getAs[Long]("prior_errors"), r.getAs[Long]("prior_value_cents"))).toSet
+      assert(want.nonEmpty && got == want,
+        s"online/offline diverge: only-online=${got -- want}, only-offline=${(want -- got).take(3)}")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("canary: transformWithState REQUIRES the RocksDB provider — heap state store is rejected") {
     // pins the platform constraint the st14 docs claim; if Spark ever
     // lifts it, this fails and the docs should drop the requirement
