@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.sources.Tables
+import graft.sources.{DerivedLayouts, Tables}
 
 /** Core relational coverage (SURVEY §2, q*).
   *
@@ -945,6 +945,39 @@ object RelationalQueries {
         .toDF("n_rows", "sum_value", "n_writers")
     },
 
+    // SNAPSHOT time travel over an append-only versioned layout — the
+    // reproducible-training-run primitive (a run pins "corpus as of
+    // v1" and must read the SAME bytes after v2 lands): the layout is
+    // an immutable delta log (v1 files are never rewritten when the v2
+    // delta appends — snapshot isolation by construction; written once
+    // via DerivedLayouts). The scale trick: reading ALL snapshots costs
+    // ONE scan, not one per snapshot — per-delta aggregates roll up to
+    // snapshot aggregates by a cumulative sum over the version order
+    // (two rows here), so time travel adds versions without adding
+    // corpus scans. v1 = doc_id%10 != 7 (yesterday's crawl), the v2
+    // delta backfills the rest.
+    "q53_snapshot_read" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = DerivedLayouts.once(s"snap|$dir") { path =>
+        val docs = Tables.documents(s, dir)
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+          .write.parquet(s"$path/v1")
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+          .write.parquet(s"$path/v2")
+      }
+      s.read.parquet(s"$base/v1", s"$base/v2")
+        .withColumn("version",
+          when(input_file_name().contains("/v1/"), 1).otherwise(2))
+        .groupBy(col("version"))
+        .agg(count(lit(1)).as("delta_docs"), sum(col("n_chars")).as("delta_chars"))
+        .withColumn("n_docs",
+          sum(col("delta_docs")).over(Window.orderBy(col("version"))))
+        .withColumn("sum_chars",
+          sum(col("delta_chars")).over(Window.orderBy(col("version"))))
+        .select(col("version"), col("delta_docs"), col("n_docs"), col("sum_chars"))
+        .orderBy(col("version"))
+    },
+
     "q46_join_hints" -> { (s, dir) =>
       import s.implicits._
       val orders = Tables.orders(s, dir).hint("SHUFFLE_HASH")
@@ -1096,6 +1129,18 @@ object RelationalQueries {
         |  FROM range(0, 200000) t(id)
         |  WHERE id >= 150000) u
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q53_snapshot_read" ->
+      """WITH d AS (SELECT CASE WHEN doc_id % 10 <> 7 THEN 1 ELSE 2 END AS version,
+        |    n_chars FROM documents),
+        |a AS (SELECT CAST(version AS INT) AS version,
+        |    CAST(count(*) AS BIGINT) AS delta_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS delta_chars
+        |  FROM d GROUP BY 1)
+        |SELECT version, delta_docs,
+        |  CAST(sum(delta_docs) OVER (ORDER BY version) AS BIGINT) AS n_docs,
+        |  CAST(sum(delta_chars) OVER (ORDER BY version) AS BIGINT) AS sum_chars
+        |FROM a ORDER BY version""".stripMargin,
 
     "q52_accounting_sink" ->
       """SELECT CAST(100000 AS BIGINT) AS n_rows,

@@ -554,6 +554,54 @@ object HealthStream {
         TimeMode.None(), OutputMode.Append())
   }
 
+  // ---- streaming SCD2 capture (m52's streaming face) -----------------
+
+  case class Scd2Out(user_id: Long, version: Long, state: String,
+      valid_from_us: Long)
+
+  /** Streaming SCD TYPE-2 change capture — m52's streaming face: the
+    * CDC-ingest path OPENS a version row the moment the tracked
+    * attribute changes (append mode can only emit what is already
+    * final: version, state, valid_from — the interval CLOSE lands with
+    * the next change, which is why the batch m52 owns valid_to).
+    * State is (lastState, version): one string + one long per key,
+    * independent of event volume. StreamingSpec proves the emitted
+    * rows equal m52's batch output projected on the open-side columns,
+    * across micro-batches on the real corpus. */
+  class Scd2Processor extends StatefulProcessor[Long, EvT, Scd2Out] {
+    @transient private var lastState: ValueState[String] = _
+    @transient private var version: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      lastState = getHandle.getValueState[String]("lastState", Encoders.STRING, TTLConfig.NONE)
+      version = getHandle.getValueState[Long]("scd2Version", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[EvT],
+        timerValues: TimerValues): Iterator[Scd2Out] = {
+      val evs = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+      var prev = if (lastState.exists()) lastState.get() else null
+      var v = if (version.exists()) version.get() else 0L
+      val out = Array.newBuilder[Scd2Out]
+      evs.foreach { e =>
+        if (prev == null || prev != e.event_type) {
+          v += 1
+          out += Scd2Out(key, v, e.event_type, e.ts_us)
+          prev = e.event_type
+        }
+      }
+      lastState.update(prev); version.update(v)
+      out.result().iterator
+    }
+  }
+
+  /** Streaming SCD2 capture; requires the RocksDB state store provider.
+    * Batch twin (the oracle): m52_scd2_history. */
+  def scd2Stream(events: Dataset[EvT]): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new Scd2Processor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ---- online feature serving (p20's streaming face) ----------------
 
   case class EvV(user_id: Long, event_id: Long, ts_us: Long,

@@ -748,6 +748,15 @@ class PlanSpec extends AnyFunSuite {
       "the poisoned task's writer must have aborted")
   }
 
+  test("q53: time travel reads every snapshot from ONE scan — versions add, scans don't") {
+    val p = plan("q53_snapshot_read")
+    // both snapshots come off one multi-path FileScan; snapshot totals
+    // are a cumulative sum over per-delta aggregates (2 rows)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("input_file_name"), p)
+    assert(!p.contains("Union"), s"per-snapshot rescans would union\n$p")
+  }
+
   test("q51: DSv2 source answers the predicate by planning — pushdown, pruning, fewer slices") {
     import graft.sources.MetricsFeedSource
     MetricsFeedSource.lastPlannedPartitions = -1

@@ -974,6 +974,45 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("m52 streaming face: SCD2 change capture equals the batch history's open side") {
+    import spark.implicits._
+    // streaming can only emit what is final at open time (version,
+    // state, valid_from); the batch m52 owns valid_to. The capture
+    // must agree with the batch history row-for-row on those columns —
+    // across micro-batches, with versions continuing through state.
+    val base = java.nio.file.Files.createTempDirectory("graft_tws_scd2")
+    val srcDir = s"$base/src"; val chk = s"$base/chk"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"))
+      .localCheckpoint()
+    val mid = ev.agg(expr("percentile_approx(ts_us, 0.5)")).head().getLong(0)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      ev.filter(col("ts_us") <= mid).coalesce(2).write.mode("append").parquet(srcDir)
+      val stream = spark.readStream
+        .schema("user_id LONG, event_id LONG, ts_us LONG, event_type STRING")
+        .parquet(srcDir).as[HealthStream.EvT]
+      val q = HealthStream.scd2Stream(stream).toDF()
+        .writeStream.outputMode("append").format("memory")
+        .queryName("tws_scd2_out").option("checkpointLocation", chk).start()
+      q.processAllAvailable()
+      ev.filter(col("ts_us") > mid).coalesce(2).write.mode("append").parquet(srcDir)
+      q.processAllAvailable(); q.stop()
+      val got = spark.table("tws_scd2_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+      val want = SparkEntry.queries("m52_scd2_history")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version").toLong,
+          r.getAs[String]("state"), r.getAs[Long]("valid_from_us"))).toSet
+      assert(want.nonEmpty && got == want,
+        s"capture/history diverge: only-stream=${(got -- want).take(3)}, only-batch=${(want -- got).take(3)}")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("canary: transformWithState REQUIRES the RocksDB provider — heap state store is rejected") {
     // pins the platform constraint the st14 docs claim; if Spark ever
     // lifts it, this fails and the docs should drop the requirement
