@@ -1541,6 +1541,75 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // GRAPH-based ANN (DiskANN/HNSW-class serving — the third ANN
+    // paradigm after IVF cells and LSH buckets): greedy BEAM search
+    // over the s9 kNN graph. Per query: start from a fixed entry set
+    // (graph nodes with id < 8 — s3's centroid convention), then 3
+    // hops of expand-neighbors → exact-score → keep beam-8; recall@3
+    // vs brute truth PER HOP is the tuning curve (s18's contract for
+    // the graph paradigm — one more hop buys recall at one more
+    // bounded join). Scale shape: the frontier is |Q|·beam rows; each
+    // hop is one equi-join against the CHECKPOINTED edge list + one
+    // hash probe into the corpus for candidate vectors with the query
+    // panel broadcast — never corpus×corpus, cost linear in hops.
+    // Self stays in the beam (it anchors the neighborhood) but never
+    // in results or truth. Brute truth ⇒ SF≥1 baseline skip set.
+    "s22_graph_ann" -> { (s, dir) =>
+      import graft.functions.VectorFunctions
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val edges = knnTopEdges(s, dir).select(col("id_a"), col("id_b"))
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val entries = edges.filter(col("id_a") < 8)
+        .select(col("id_a").as("node")).distinct()
+      var frontier = q.select(col("query_id")).crossJoin(broadcast(entries))
+        .localCheckpoint()
+      val beams = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (_ <- 1 to 3) {
+        val cand = frontier.select(col("query_id"), col("node"))
+          .join(edges, col("node") === col("id_a"))
+          .select(col("query_id"), col("id_b").as("node"))
+          .union(frontier.select(col("query_id"), col("node")))
+          .distinct()
+        val scored = cand
+          .join(vecs.withColumnRenamed("vec_id", "node"), Seq("node"))
+          .join(broadcast(q), Seq("query_id"))
+          .withColumn("sim",
+            round(VectorFunctions.cosine(col("embedding"), col("qe")), 6))
+          .select(col("query_id"), col("node"), col("sim"))
+        val beam = Relational.topNPerGroupFast(scored, 8,
+            Seq("query_id"), Seq(("sim", false), ("node", true)))
+          .select(col("query_id"), col("node"), col("sim"))
+          .localCheckpoint()
+        beams += beam
+        frontier = beam
+      }
+      val truth = Relational.topNPerGroupFast(
+          vecs.crossJoin(broadcast(q))
+            .filter(col("vec_id") =!= col("query_id"))
+            .withColumn("sim",
+              round(VectorFunctions.cosine(col("embedding"), col("qe")), 6))
+            .select(col("query_id"), col("vec_id").as("node"), col("sim")),
+          3, Seq("query_id"), Seq(("sim", false), ("node", true)))
+        .select(col("query_id"), col("node"))
+        .localCheckpoint()
+      val nQ = q.agg(count(lit(1)).as("n_queries"))
+      def row(hop: Int, beam: DataFrame): DataFrame = {
+        val top3 = Relational.topNPerGroupFast(
+            beam.filter(col("node") =!= col("query_id")), 3,
+            Seq("query_id"), Seq(("sim", false), ("node", true)))
+          .select(col("query_id"), col("node"))
+        truth.join(top3, Seq("query_id", "node"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(nQ))
+          .select(lit(hop).as("hop"), col("n_queries"), col("n_hits"),
+            expr("CASE WHEN n_queries = 0 THEN NULL " +
+              "ELSE n_hits * 10000 div (3 * n_queries) END").as("recall_bp"))
+      }
+      row(1, beams(0)).unionByName(row(2, beams(1)))
+        .unionByName(row(3, beams(2))).orderBy(col("hop"))
+    },
+
     // contrastive TRIPLET mining — the embedding-model training op:
     // per anchor, hardest same-label positive + hardest different-label
     // negative within the sign-LSH bucket, with the triplet margin
@@ -3220,6 +3289,60 @@ object PipelineQueries {
          |  FROM sims)
          |SELECT query_id, rnk, neighbor_id, sim FROM ranked
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // unrolled 3-hop beam walk over the knn `top` edges; per-hop stages
+    // MATERIALIZED (each frontier feeds both the neighbor join and the
+    // union — the CTE-inlining lesson)
+    "s22_graph_ann" -> {
+      def simOf(vecAlias: String) =
+        s"round(list_sum(list_transform(generate_series(1, len($vecAlias.e)), i -> " +
+        s"CAST($vecAlias.e[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) / " +
+        s"sqrt($vecAlias.n2 * q.qn2), 6)"
+      def hop(k: Int, fin: String) =
+        s"""n$k AS (SELECT DISTINCT f.query_id, t.id_b AS node
+           |  FROM $fin f JOIN top t ON f.node = t.id_a
+           |  UNION SELECT query_id, node FROM $fin),
+           |s$k AS (SELECT n.query_id, n.node, ${simOf("a")} AS sim
+           |  FROM n$k n JOIN v a ON a.vec_id = n.node
+           |  JOIN qq q ON q.query_id = n.query_id),
+           |f$k AS MATERIALIZED (SELECT query_id, node, sim FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, node) AS rn FROM s$k) x
+           |  WHERE rn <= 8),
+           |r$k AS (SELECT query_id, node FROM (
+           |    SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, node) AS rn
+           |    FROM f$k WHERE node <> query_id) x WHERE rn <= 3)""".stripMargin
+      s"""WITH $knnTopCte,
+         |qq AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe, n2 AS qn2
+         |  FROM v WHERE vec_id % 50 = 0),
+         |ent AS (SELECT DISTINCT id_a AS node FROM top WHERE id_a < 8),
+         |f0 AS MATERIALIZED (SELECT query_id, node FROM qq, ent),
+         |${hop(1, "f0")},
+         |${hop(2, "f1")},
+         |${hop(3, "f2")},
+         |tr AS MATERIALIZED (SELECT query_id, node FROM (
+         |    SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, node) AS rn FROM (
+         |      SELECT q.query_id, a.vec_id AS node, ${simOf("a")} AS sim
+         |      FROM v a, qq q WHERE a.vec_id <> q.query_id) y) x
+         |  WHERE rn <= 3),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM qq)
+         |SELECT CAST(hop AS INT) AS hop, n_queries, n_hits,
+         |  CAST(CASE WHEN n_queries = 0 THEN NULL
+         |    ELSE n_hits * 10000 // (3 * n_queries) END AS BIGINT) AS recall_bp
+         |FROM (
+         |  SELECT 1 AS hop, nq.n_queries,
+         |    CAST((SELECT count(*) FROM (SELECT * FROM tr INTERSECT SELECT * FROM r1) z)
+         |      AS BIGINT) AS n_hits FROM nq
+         |  UNION ALL SELECT 2, nq.n_queries,
+         |    CAST((SELECT count(*) FROM (SELECT * FROM tr INTERSECT SELECT * FROM r2) z)
+         |      AS BIGINT) FROM nq
+         |  UNION ALL SELECT 3, nq.n_queries,
+         |    CAST((SELECT count(*) FROM (SELECT * FROM tr INTERSECT SELECT * FROM r3) z)
+         |      AS BIGINT) FROM nq) u
+         |ORDER BY hop""".stripMargin
+    },
 
     "s21_triplet_mining" ->
       s"""WITH $vecCte,

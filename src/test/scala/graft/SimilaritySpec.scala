@@ -255,6 +255,18 @@ class SimilaritySpec extends AnyFunSuite {
       s"fused=$fused must strictly exceed every channel: $rows")
   }
 
+  test("s22: beam-search recall is monotone in hops and the walk actually finds neighbors") {
+    val rows = SparkEntry.queries("s22_graph_ann")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[Int]("hop") -> r.getAs[Long]("recall_bp")).toMap
+    assert(rows.keySet == Set(1, 2, 3))
+    // another hop may only ADD reachable candidates (the beam re-ranks
+    // a superset) — recall never regresses, and 3 hops must strictly
+    // beat the entry neighborhood alone
+    assert(rows(2) >= rows(1) && rows(3) >= rows(2), rows.toString)
+    assert(rows(3) > rows(1), s"the walk found nothing beyond hop 1: $rows")
+  }
+
   test("s21: triplet mining picks hardest pos/neg within bucket, drops one-legged anchors") {
     import spark.implicits._
     val data = Seq(
