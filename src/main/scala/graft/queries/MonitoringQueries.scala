@@ -417,6 +417,31 @@ object MonitoringQueries {
 
     // CDC latest-wins upsert snapshot: events as a changelog keyed by
     // (user_id, event_type); the materialized state is the newest value
+    // CORRUPT-RECORD quarantine — the PERMISSIVE-ingest production
+    // pattern (a 100-TB feed always carries torn lines; the pipeline
+    // must SPLIT them out with accounting, never fail the job and
+    // never silently drop): lines are deterministically damaged
+    // (event_id%13==0 loses its closing byte — the truncated-write
+    // shape), from_json(PERMISSIVE) yields NULL for the unparseable,
+    // and one grouped pass accounts both lanes — clean rows with their
+    // payload sum, quarantined rows with a count a monitor can alert
+    // on. Map-side classify, one partial-agg shuffle of 2 rows.
+    "m53_corrupt_quarantine" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"), col("props"))
+        .withColumn("line", when(pmod(col("event_id"), lit(13)) === 0,
+          expr("substring(props, 1, length(props) - 1)")).otherwise(col("props")))
+        .withColumn("j", from_json(col("line"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+        .withColumn("lane",
+          when(col("j").isNotNull && col("j.k").isNotNull, "clean")
+            .otherwise("quarantine"))
+        .groupBy(col("lane"))
+        .agg(count(lit(1)).as("n_rows"),
+          coalesce(sum(col("j.k")), lit(0L)).as("sum_k"))
+        .orderBy(col("lane"))
+    },
+
     // SCD TYPE-2 dimension assembly from the CDC/event stream — the
     // warehouse-history op m29's latest-wins upsert deliberately
     // discards: every VALUE CHANGE of the tracked attribute opens a
@@ -1586,6 +1611,21 @@ object MonitoringQueries {
 
     // latest-wins replicated with a DuckDB window (arg_max can't take a
     // composite tie-break key); same (ts_us DESC, event_id DESC) order.
+    "m53_corrupt_quarantine" ->
+      """WITH r AS (SELECT event_id,
+        |    CASE WHEN event_id % 13 = 0 THEN substr(props, 1, length(props) - 1)
+        |      ELSE props END AS line
+        |  FROM events),
+        |c AS (SELECT
+        |    CASE WHEN json_valid(line) AND json_extract(line, '$.k') IS NOT NULL
+        |      THEN 'clean' ELSE 'quarantine' END AS lane,
+        |    CASE WHEN json_valid(line)
+        |      THEN CAST(json_extract(line, '$.k') AS INT) END AS k
+        |  FROM r)
+        |SELECT lane, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(sum(k), 0) AS BIGINT) AS sum_k
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "m52_scd2_history" ->
       s"""WITH e AS (SELECT user_id, $tsUs AS ts_us, event_id, event_type
          |  FROM events),
