@@ -919,6 +919,83 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------- safetensors shards
+
+  case class SafetensorsMeta(doc_id: Long, byte_len: Int, n_tensors: Int,
+      header_len: Int, total_data_bytes: Long, contiguous: Boolean,
+      valid: Boolean)
+
+  /** Minimal VALID safetensors payload (x15's modern sibling — the
+    * format model weights actually ship in): 8-byte LE u64 header
+    * length, then the JSON header mapping tensor names to
+    * {dtype, shape, data_offsets}, then the concatenated tensor data.
+    * Two tensors per doc — "emb" F32 (r, c) at [0, A) and "ids" I64
+    * (r,) at [A, B) — so the decoder must prove offset CONTIGUITY,
+    * not just sum sizes. JSON is byte-exact (no whitespace), so the
+    * oracle reproduces header_len by building the same string. */
+  def synthSafetensors(id: Long): Array[Byte] = {
+    val r = (id % 5).toInt + 1
+    val c = (id % 7).toInt + 1
+    val a = r * c * 4
+    val b = a + r * 8
+    val json = s"""{"emb":{"dtype":"F32","shape":[$r,$c],"data_offsets":[0,$a]},""" +
+      s""""ids":{"dtype":"I64","shape":[$r],"data_offsets":[$a,$b]}}"""
+    // length as Long: Int shift distances wrap mod 32, which would
+    // duplicate bytes 0-3 into 4-7 and corrupt the u64
+    val n = json.length.toLong
+    val lenLe = Array.tabulate[Byte](8)(i => ((n >> (8 * i)) & 0xffL).toByte)
+    lenLe ++ json.getBytes("US-ASCII") ++
+      Array.fill[Byte](b)((id % 251).toByte)
+  }
+
+  private val StTensor =
+    """"([A-Za-z0-9_]+)":\{"dtype":"([A-Z0-9]+)","shape":\[[0-9,]+\],"data_offsets":\[(\d+),(\d+)\]\}""".r
+
+  /** Real safetensors header decode: LE u64 length, JSON tensor table,
+    * and the structural proofs — data_offsets must tile [0, total)
+    * with no gap or overlap, and 8 + header + total must equal the
+    * payload length (a truncated or padded shard fails valid). */
+  def decodeSafetensorsHeader(id: Long, bytes: Array[Byte]): SafetensorsMeta = {
+    val bad = SafetensorsMeta(id, bytes.length, 0, 0, 0L, contiguous = false,
+      valid = false)
+    if (bytes.length < 8) return bad
+    var n = 0L
+    var i = 7
+    while (i >= 0) { n = (n << 8) | (bytes(i) & 0xffL); i -= 1 }
+    if (n <= 0 || n > Int.MaxValue || bytes.length < 8 + n) return bad
+    val json = new String(bytes, 8, n.toInt, "US-ASCII")
+    val spans = StTensor.findAllMatchIn(json)
+      .map(m => (m.group(3).toLong, m.group(4).toLong)).toArray.sortBy(_._1)
+    if (spans.isEmpty) return bad
+    val contiguous = spans.head._1 == 0L &&
+      spans.sliding(2).forall {
+        case Array(x, y) => x._2 == y._1
+        case _           => true
+      } && spans.forall(s => s._2 >= s._1)
+    val total = spans.last._2
+    SafetensorsMeta(id, bytes.length, spans.length, n.toInt, total,
+      contiguous, valid = contiguous && bytes.length == 8 + n + total)
+  }
+
+  def synthesizeSafetensors(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => BinaryDoc(id, synthSafetensors(id)))).toDF()
+  }
+
+  def decodeSafetensors(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[SafetensorsMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d =>
+          decodeSafetensorsHeader(d.doc_id, d.payload)))
+      }
+  }
+
   def synthesizeNpy(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -2140,6 +2140,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // safetensors shard metadata (x15's modern sibling — the format
+    // model weights actually ship in): real 8-byte LE u64 header
+    // length + byte-exact JSON tensor table + concatenated data; the
+    // decode proves offset CONTIGUITY (two tensors must tile
+    // [0, total) with no gap/overlap) and the size identity
+    // 8 + header + total == payload. Map-side decode, payloads never
+    // shuffle (x-family contract).
+    "x16_safetensors_meta" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeSafetensors(Tables.documents(s, dir))
+      Multimodal.decodeSafetensors(payloads, "doc_id", "payload").toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // TIFF metadata — the x-family's ENDIANNESS exercise: the container
     // declares its own byte order ("II"/"MM"), and the SHORT tag values
     // are left-justified in their 4-byte fields, which a naive
@@ -3926,6 +3939,26 @@ object PipelineQueries {
         |        CASE WHEN doc_id % 2 = 0 THEN '<f4' ELSE '<i8' END AS dtype,
         |        CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 8 END AS item
         |      FROM documents) a) b) c
+        |ORDER BY doc_id""".stripMargin,
+
+    // byte-exact JSON rebuilt in SQL → header_len closed-form (the
+    // synthesis emits no whitespace precisely so this is possible)
+    "x16_safetensors_meta" ->
+      """SELECT doc_id,
+        |  CAST(8 + length(json) + b AS INT) AS byte_len,
+        |  CAST(2 AS INT) AS n_tensors,
+        |  CAST(length(json) AS INT) AS header_len,
+        |  CAST(b AS BIGINT) AS total_data_bytes,
+        |  TRUE AS contiguous, TRUE AS valid
+        |FROM (
+        |  SELECT doc_id, b,
+        |    '{"emb":{"dtype":"F32","shape":[' || r || ',' || c ||
+        |    '],"data_offsets":[0,' || a || ']},"ids":{"dtype":"I64","shape":[' ||
+        |    r || '],"data_offsets":[' || a || ',' || b || ']}}' AS json
+        |  FROM (
+        |    SELECT doc_id, r, c, r * c * 4 AS a, r * c * 4 + r * 8 AS b
+        |    FROM (SELECT doc_id, doc_id % 5 + 1 AS r, doc_id % 7 + 1 AS c
+        |      FROM documents) x) y) z
         |ORDER BY doc_id""".stripMargin,
 
     "x1_binary_meta" ->

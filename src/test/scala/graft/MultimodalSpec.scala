@@ -239,4 +239,25 @@ class MultimodalSpec extends AnyFunSuite {
     bad(1) = 'X'
     assert(!Multimodal.decodeNpyHeader(6L, bad).valid)
   }
+
+  test("safetensors: offsets must tile; truncation and gapped offsets fail valid") {
+    // id 6: emb F32 (2,7) at [0,56), ids I64 (2,) at [56,72)
+    val good = Multimodal.decodeSafetensorsHeader(6L, Multimodal.synthSafetensors(6L))
+    assert(good.valid && good.contiguous && good.n_tensors == 2)
+    assert(good.total_data_bytes == 72L && good.byte_len == 8 + good.header_len + 72)
+    // truncated data: header parses, size identity fails
+    val trunc = Multimodal.synthSafetensors(6L).dropRight(1)
+    val t = Multimodal.decodeSafetensorsHeader(6L, trunc)
+    assert(t.contiguous && !t.valid)
+    // a GAP between tensors (second starts past the first's end) must
+    // fail contiguity even when total size happens to line up
+    val r = 2; val c = 7; val a = r * c * 4
+    val json = s"""{"emb":{"dtype":"F32","shape":[$r,$c],"data_offsets":[0,$a]},""" +
+      s""""ids":{"dtype":"I64","shape":[$r],"data_offsets":[${a + 8},${a + 8 + r * 8}]}}"""
+    val n = json.length.toLong
+    val gapped = Array.tabulate[Byte](8)(i => ((n >> (8 * i)) & 0xffL).toByte) ++
+      json.getBytes("US-ASCII") ++ Array.fill[Byte](a + 8 + r * 8)(0)
+    val g = Multimodal.decodeSafetensorsHeader(6L, gapped)
+    assert(!g.contiguous && !g.valid)
+  }
 }
