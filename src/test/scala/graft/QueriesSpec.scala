@@ -33,7 +33,11 @@ class QueriesSpec extends AnyFunSuite {
     // candidate metrics (d19), Expand reshape (q41) — each must produce
     // IDENTICAL rows whether the shuffle fans to 3 or 16 partitions
     val keys = Seq("m37_metric_correlation", "t13_rarity_score",
-      "s6_ann_trained", "m47_log_quantile", "d19_containment", "q41_unpivot")
+      "s6_ann_trained", "m47_log_quantile", "d19_containment", "q41_unpivot",
+      // round-10 iterative/fold keys: BPE's argmax ties, the beam
+      // walk's (sim, node) order, and the sketch censuses must not
+      // depend on how the shuffle fans out
+      "t21_bpe_learn", "s22_graph_ann", "q50_join_cardinality")
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     def run(n: Int, k: String) = {
       spark.conf.set("spark.sql.shuffle.partitions", n.toString)
