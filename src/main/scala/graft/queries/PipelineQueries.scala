@@ -1541,6 +1541,99 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // INDEX-PARADIGM Pareto table — the eval that PICKS a serving
+    // index: all four ANN paradigms (brute / sign-LSH buckets / IVF
+    // cells / graph beam walk) on ONE query panel, each priced by the
+    // two numbers a serving team actually trades — recall@3 vs
+    // n_scored (total exact similarity evaluations, the latency
+    // proxy). Brute is the ceiling row (recall 10000 bp at max cost,
+    // d21's priced-truth contract); the others show what each pruning
+    // geometry buys. Every paradigm reuses its standalone key's exact
+    // form (s1/s2/s3/s22), so this table IS those keys joined on one
+    // truth. Brute truth ⇒ SF≥1 baseline skip set.
+    "s23_index_pareto" -> { (s, dir) =>
+      import graft.functions.VectorFunctions
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .localCheckpoint()
+      val nQ = q.agg(count(lit(1)).as("n_queries"))
+      def score(cand: DataFrame): DataFrame = cand
+        .filter(col("vec_id") =!= col("query_id"))
+        .withColumn("sim",
+          round(VectorFunctions.cosine(col("embedding"), col("qe")), 6))
+        .select(col("query_id"), col("vec_id").as("node"), col("sim"))
+      def top3(scored: DataFrame): DataFrame =
+        Relational.topNPerGroupFast(scored, 3,
+            Seq("query_id"), Seq(("sim", false), ("node", true)))
+          .select(col("query_id"), col("node"))
+      // brute: the scored frame IS the truth's source
+      val bruteScored = score(vecs.crossJoin(broadcast(q))).localCheckpoint()
+      val truth = top3(bruteScored).localCheckpoint()
+      // sign-LSH (s2's geometry, bits=4)
+      val vb = vecs.withColumn("bucket", Similarity.signBucket("embedding", 4))
+      val lshScored = score(vb.join(
+        broadcast(vb.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("bucket"))), Seq("bucket")))
+      // IVF (s3's geometry: centroids vec_id<8, argmax-cosine cells)
+      val cents = vecs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
+      val cells = Relational.topNPerGroupFast(
+          vecs.crossJoin(broadcast(cents))
+            .withColumn("csim",
+              round(VectorFunctions.cosine(col("embedding"), col("cvec")), 6)),
+          1, Seq("vec_id"), Seq(("csim", false), ("cent_id", true)))
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        .localCheckpoint()
+      val ivfScored = score(cells.join(
+        broadcast(cells.filter(pmod(col("vec_id"), lit(50)) === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+            col("cell"))), Seq("cell")))
+      // graph beam walk (s22's exact form)
+      val edges = knnTopEdges(s, dir).select(col("id_a"), col("id_b"))
+      val entries = edges.filter(col("id_a") < 8)
+        .select(col("id_a").as("node")).distinct()
+      var frontier: DataFrame = q.select(col("query_id"))
+        .crossJoin(broadcast(entries)).localCheckpoint()
+      var lastBeam: DataFrame = null
+      val scoredCounts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      for (_ <- 1 to 3) {
+        val cand = frontier.select(col("query_id"), col("node"))
+          .join(edges, col("node") === col("id_a"))
+          .select(col("query_id"), col("id_b").as("node"))
+          .union(frontier.select(col("query_id"), col("node")))
+          .distinct()
+        val scored = score(cand
+          .join(vecs, cand("node") === vecs("vec_id"))
+          .join(broadcast(q), Seq("query_id"))
+          .select(col("query_id"), col("vec_id"), col("embedding"), col("qe")))
+        scoredCounts += scored.agg(count(lit(1)).as("c"))
+        lastBeam = Relational.topNPerGroupFast(scored, 8,
+            Seq("query_id"), Seq(("sim", false), ("node", true)))
+          .select(col("query_id"), col("node"), col("sim"))
+          .localCheckpoint()
+        frontier = lastBeam
+      }
+      val graphScored = scoredCounts.reduce(_ unionByName _)
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_scored"))
+      def row(name: String, nScored: DataFrame, t3: DataFrame): DataFrame =
+        truth.join(t3, Seq("query_id", "node"), "left_semi")
+          .agg(count(lit(1)).as("n_hits"))
+          .crossJoin(broadcast(nQ)).crossJoin(broadcast(nScored))
+          .select(lit(name).as("variant"), col("n_queries"), col("n_scored"),
+            col("n_hits"),
+            expr("CASE WHEN n_queries = 0 THEN NULL " +
+              "ELSE n_hits * 10000 div (3 * n_queries) END").as("recall_bp"))
+      def cnt(scored: DataFrame) = scored.agg(count(lit(1)).as("n_scored"))
+      row("brute", cnt(bruteScored), truth)
+        .unionByName(row("lsh", cnt(lshScored), top3(lshScored)))
+        .unionByName(row("ivf", cnt(ivfScored), top3(ivfScored)))
+        .unionByName(row("graph", graphScored,
+          top3(lastBeam.filter(col("node") =!= col("query_id")))))
+        .orderBy(col("variant"))
+    },
+
     // GRAPH-based ANN (DiskANN/HNSW-class serving — the third ANN
     // paradigm after IVF cells and LSH buckets): greedy BEAM search
     // over the s9 kNN graph. Per query: start from a fixed entry set
@@ -3302,6 +3395,83 @@ object PipelineQueries {
          |  FROM sims)
          |SELECT query_id, rnk, neighbor_id, sim FROM ranked
          |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // four paradigm CTE families joined on one truth; the graph walk
+    // here EXCLUDES self from scoring (each paradigm's scored frame is
+    // its cost), unlike s22 where self anchors the beam
+    "s23_index_pareto" -> {
+      def simOf(vecAlias: String) =
+        s"round(list_sum(list_transform(generate_series(1, len($vecAlias.e)), i -> " +
+        s"CAST($vecAlias.e[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) / " +
+        s"sqrt($vecAlias.n2 * q.qn2), 6)"
+      def hop(k: Int, fin: String) =
+        s"""n$k AS (SELECT DISTINCT f.query_id, t.id_b AS node
+           |  FROM $fin f JOIN top t ON f.node = t.id_a
+           |  UNION SELECT query_id, node FROM $fin),
+           |s$k AS MATERIALIZED (SELECT n.query_id, n.node, ${simOf("a")} AS sim
+           |  FROM n$k n JOIN v a ON a.vec_id = n.node
+           |  JOIN qq q ON q.query_id = n.query_id
+           |  WHERE n.node <> n.query_id),
+           |f$k AS MATERIALIZED (SELECT query_id, node, sim FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, node) AS rn FROM s$k) x
+           |  WHERE rn <= 8)""".stripMargin
+      def top3(src: String, out: String) =
+        s"""$out AS (SELECT query_id, node FROM (
+           |    SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, node) AS rn FROM $src) x WHERE rn <= 3)""".stripMargin
+      def hits(t3: String) =
+        s"CAST((SELECT count(*) FROM (SELECT * FROM tr INTERSECT SELECT * FROM $t3) z) AS BIGINT)"
+      s"""WITH $knnTopCte,
+         |qq AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe, n2 AS qn2
+         |  FROM v WHERE vec_id % 50 = 0),
+         |bs AS MATERIALIZED (SELECT q.query_id, a.vec_id AS node, ${simOf("a")} AS sim
+         |  FROM v a, qq q WHERE a.vec_id <> q.query_id),
+         |${top3("bs", "tr")},
+         |vb AS (SELECT *, CAST(list_sum(list_transform(generate_series(0, 3), i ->
+         |    CASE WHEN coalesce(e[i+1], 1) >= 0 THEN (1 << i) ELSE 0 END)) AS INT)
+         |    AS bucket FROM v),
+         |ls AS MATERIALIZED (SELECT q.query_id, a.vec_id AS node, ${simOf("a")} AS sim
+         |  FROM vb a JOIN (SELECT vec_id AS query_id, e AS qe, n2 AS qn2, bucket
+         |    FROM vb WHERE vec_id % 50 = 0) q USING (bucket)
+         |  WHERE a.vec_id <> q.query_id),
+         |${top3("ls", "l3")},
+         |c AS (SELECT vec_id AS cent_id, e AS c_vec, n2 AS c_n2 FROM v WHERE vec_id < 8),
+         |asg0 AS (SELECT a.vec_id, a.e, a.n2, c.cent_id,
+         |    round(list_sum(list_transform(generate_series(1, len(a.e)), i ->
+         |      CAST(a.e[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE))) / sqrt(a.n2 * c.c_n2), 6) AS csim
+         |  FROM v a CROSS JOIN c),
+         |cells AS MATERIALIZED (SELECT vec_id, e, n2, cent_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY csim DESC, cent_id) AS arn FROM asg0) x WHERE arn = 1),
+         |isc AS MATERIALIZED (SELECT q.query_id, a.vec_id AS node, ${simOf("a")} AS sim
+         |  FROM cells a JOIN (SELECT vec_id AS query_id, e AS qe, n2 AS qn2, cell
+         |    FROM cells WHERE vec_id % 50 = 0) q USING (cell)
+         |  WHERE a.vec_id <> q.query_id),
+         |${top3("isc", "i3")},
+         |ent AS (SELECT DISTINCT id_a AS node FROM top WHERE id_a < 8),
+         |f0 AS MATERIALIZED (SELECT query_id, node FROM qq, ent),
+         |${hop(1, "f0")},
+         |${hop(2, "f1")},
+         |${hop(3, "f2")},
+         |${top3("f3", "g3")},
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM qq)
+         |SELECT variant, n_queries, n_scored, n_hits,
+         |  CAST(CASE WHEN n_queries = 0 THEN NULL
+         |    ELSE n_hits * 10000 // (3 * n_queries) END AS BIGINT) AS recall_bp
+         |FROM (
+         |  SELECT 'brute' AS variant, nq.n_queries,
+         |    CAST((SELECT count(*) FROM bs) AS BIGINT) AS n_scored,
+         |    CAST((SELECT count(*) FROM tr) AS BIGINT) AS n_hits FROM nq
+         |  UNION ALL SELECT 'lsh', nq.n_queries,
+         |    CAST((SELECT count(*) FROM ls) AS BIGINT), ${hits("l3")} FROM nq
+         |  UNION ALL SELECT 'ivf', nq.n_queries,
+         |    CAST((SELECT count(*) FROM isc) AS BIGINT), ${hits("i3")} FROM nq
+         |  UNION ALL SELECT 'graph', nq.n_queries,
+         |    CAST((SELECT count(*) FROM s1) + (SELECT count(*) FROM s2)
+         |      + (SELECT count(*) FROM s3) AS BIGINT), ${hits("g3")} FROM nq) u
+         |ORDER BY variant""".stripMargin
+    },
 
     // unrolled 3-hop beam walk over the knn `top` edges; per-hop stages
     // MATERIALIZED (each frontier feeds both the neighbor join and the

@@ -267,6 +267,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows(3) > rows(1), s"the walk found nothing beyond hop 1: $rows")
   }
 
+  test("s23: the Pareto table prices pruning — brute is the ceiling, pruned paradigms score less") {
+    val rows = SparkEntry.queries("s23_index_pareto")(
+        spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("variant") ->
+        (r.getAs[Long]("n_scored"), r.getAs[Long]("recall_bp"))).toMap
+    assert(rows.keySet == Set("brute", "lsh", "ivf", "graph"))
+    // brute IS the truth: perfect recall at maximum cost
+    assert(rows("brute")._2 == 10000L, rows.toString)
+    Seq("lsh", "ivf", "graph").foreach { v =>
+      assert(rows(v)._1 < rows("brute")._1,
+        s"$v must score strictly fewer candidates than brute: $rows")
+      assert(rows(v)._2 <= 10000L && rows(v)._2 >= 0L)
+    }
+  }
+
   test("s21: triplet mining picks hardest pos/neg within bucket, drops one-legged anchors") {
     import spark.implicits._
     val data = Seq(
