@@ -978,6 +978,44 @@ object RelationalQueries {
         .orderBy(col("version"))
     },
 
+    // CORPUS DIFF / data reconciliation — the regression gate a
+    // training team runs between two dataset versions before spending
+    // compute (q53 reads snapshots; this answers WHAT changed): v2
+    // mutates v1 deterministically (doc_id%10==3 re-cased, %10==7
+    // dropped, a +1e9-keyed batch added), and ONE full-outer join on
+    // the key with md5 content compare classifies every row into
+    // added/removed/changed/same — counts plus changed-chars mass per
+    // class. Scale shape: content hashes computed map-side per side
+    // (the join carries 32-byte digests, never text), one key shuffle;
+    // the layouts are write-once (DerivedLayouts). Closed-form oracle
+    // from the mutation formulas.
+    "q54_corpus_diff" -> { (s, dir) =>
+      val base = DerivedLayouts.once(s"diff|$dir") { path =>
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        docs.write.parquet(s"$path/v1")
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(10)) === 3, upper(col("text")))
+              .otherwise(col("text")))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+            .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+          .write.parquet(s"$path/v2")
+      }
+      def hashed(v: String) = s.read.parquet(s"$base/$v")
+        .select(col("doc_id"), md5(col("text")).as(s"h_$v"),
+          length(col("text")).as(s"len_$v"))
+      hashed("v1").join(hashed("v2"), Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("h_v1").isNull, "added")
+            .when(col("h_v2").isNull, "removed")
+            .when(col("h_v1") =!= col("h_v2"), "changed")
+            .otherwise("same"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("len_v2")), lit(0L)).as("chars_v2"))
+        .orderBy(col("status"))
+    },
+
     "q46_join_hints" -> { (s, dir) =>
       import s.implicits._
       val orders = Tables.orders(s, dir).hint("SHUFFLE_HASH")
@@ -1129,6 +1167,23 @@ object RelationalQueries {
         |  FROM range(0, 200000) t(id)
         |  WHERE id >= 150000) u
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // closed-form from the mutation formulas: changed ⇔ upper-casing
+    // actually alters the text (md5 inequality ⇔ string inequality)
+    "q54_corpus_diff" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |cls AS (
+        |  SELECT CASE
+        |      WHEN doc_id % 10 = 7 THEN 'removed'
+        |      WHEN doc_id % 10 = 3 AND upper(text) <> text THEN 'changed'
+        |      ELSE 'same' END AS status,
+        |    CASE WHEN doc_id % 10 = 7 THEN 0 ELSE length(text) END AS chars_v2
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'added', length(text) FROM d WHERE doc_id % 10 = 0)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(coalesce(sum(chars_v2), 0) AS BIGINT) AS chars_v2
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q53_snapshot_read" ->
       """WITH d AS (SELECT CASE WHEN doc_id % 10 <> 7 THEN 1 ELSE 2 END AS version,
