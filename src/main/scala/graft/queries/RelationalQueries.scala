@@ -1016,6 +1016,30 @@ object RelationalQueries {
         .orderBy(col("status"))
     },
 
+    // COLLATION-aware grouping — Spark 4's engine-level collations (the
+    // surface that replaces d2's manual lower()/normalize pipelines):
+    // grouping on a UTF8_LCASE-collated key folds case variants AT THE
+    // HASH/COMPARE LEVEL — the fold happens inside the partial agg and
+    // the exchange partitioning, no projection rewrites the data. Case
+    // diversity is planted (doc_id%3 prefixes upper-cased) so the fold
+    // does observable work; outputs are plain binary strings
+    // (deterministic lower(min) representative — min taken on the
+    // UNCOLLATED column so ordering is binary, never collation ties).
+    // ASCII corpus ⇒ UTF8_LCASE grouping ≡ DuckDB lower() grouping.
+    "q55_collated_group" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            upper(expr("substring(trim(text), 1, 12)")))
+            .otherwise(expr("substring(trim(text), 1, 12)")).as("pre"))
+        .groupBy(expr("collate(pre, 'UTF8_LCASE')").as("ck"))
+        .agg(lower(min(col("pre"))).as("key_folded"),
+          countDistinct(col("pre")).as("n_variants"),
+          count(lit(1)).as("n_docs"))
+        .select(col("key_folded"), col("n_variants"), col("n_docs"))
+        .orderBy(col("key_folded"))
+    },
+
     "q46_join_hints" -> { (s, dir) =>
       import s.implicits._
       val orders = Tables.orders(s, dir).hint("SHUFFLE_HASH")
@@ -1167,6 +1191,16 @@ object RelationalQueries {
         |  FROM range(0, 200000) t(id)
         |  WHERE id >= 150000) u
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q55_collated_group" ->
+      """WITH p AS (SELECT CASE WHEN doc_id % 3 = 0
+        |      THEN upper(substr(trim(text), 1, 12))
+        |      ELSE substr(trim(text), 1, 12) END AS pre
+        |  FROM documents)
+        |SELECT lower(min(pre)) AS key_folded,
+        |  CAST(count(DISTINCT pre) AS BIGINT) AS n_variants,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM p GROUP BY lower(pre) ORDER BY 1""".stripMargin,
 
     // closed-form from the mutation formulas: changed ⇔ upper-casing
     // actually alters the text (md5 inequality ⇔ string inequality)
