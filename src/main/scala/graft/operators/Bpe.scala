@@ -63,7 +63,10 @@ object Bpe {
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
       .localCheckpoint()
     var outs = Seq.empty[DataFrame]
-    for (it <- 1 to n) {
+    var it = 0
+    var exhausted = false
+    while (it < n && !exhausted) {
+      it += 1
       val best = segs
         .select(col("cnt"), explode(expr(
           "IF(size(syms) < 2, array(), transform(sequence(0, size(syms) - 2), " +
@@ -73,6 +76,14 @@ object Bpe {
         .orderBy(col("pair_cnt").desc, col("l"), col("r"))
         .limit(1)
         .localCheckpoint()
+      // degenerate corpus (every word already one symbol, or n exceeds
+      // the available merges): best is EMPTY and crossJoin(broadcast)
+      // would silently empty segs and every later iteration — stop
+      // instead, matching the oracle's recursive walk which keeps
+      // single-symbol words. 1-row probe on a checkpointed frame (the
+      // d9 convergence-probe pattern), never a label collect.
+      if (best.isEmpty) { exhausted = true }
+      else {
       segs = segs.crossJoin(broadcast(best))
         .withColumn("syms", expr(
           "aggregate(syms, slice(syms, 1, 0), (acc, x) -> " +
@@ -87,7 +98,17 @@ object Bpe {
         .select(lit(it).as("iter"), col("l").as("left_sym"),
           col("r").as("right_sym"), concat(col("l"), col("r")).as("merged"),
           col("pair_cnt"), col("syms_after"))
+      }
     }
-    (segs, outs.reduce(_ unionByName _).orderBy(col("iter")))
+    val merges =
+      if (outs.isEmpty)
+        docs.sparkSession.emptyDataFrame
+          .withColumn("iter", lit(0))
+          .withColumn("left_sym", lit("")).withColumn("right_sym", lit(""))
+          .withColumn("merged", lit(""))
+          .withColumn("pair_cnt", lit(0L)).withColumn("syms_after", lit(0L))
+          .limit(0)
+      else outs.reduce(_ unionByName _).orderBy(col("iter"))
+    (segs, merges)
   }
 }

@@ -884,11 +884,15 @@ object RelationalQueries {
       def coarse(c: DataFrame) = c
         .groupBy(expr("CAST(b4096 div 16 AS INT)").as("b256"))
         .agg(sum(col("n")).as("n"))
+      // 1-row truth aggregate, crossJoined into all three variant rows
+      // AND reused as the exact row's est — checkpoint like lc/oc or it
+      // re-evaluates ~4x (the union-branch rescan trap)
       val exact = Tables.lineitem(s, dir).groupBy(col("l_orderkey").as("k"))
         .agg(count(lit(1)).as("nl"))
         .join(Tables.orders(s, dir).groupBy(col("o_orderkey").as("k"))
           .agg(count(lit(1)).as("no")), Seq("k"))
         .agg(coalesce(sum(col("nl") * col("no")), lit(0L)).as("exact"))
+        .localCheckpoint()
       def dot(a: DataFrame, b: DataFrame, key: String) =
         a.join(b.withColumnRenamed("n", "n2"), Seq(key))
           .agg(coalesce(sum(col("n") * col("n2")), lit(0L)).as("est"))

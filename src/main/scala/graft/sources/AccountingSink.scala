@@ -34,7 +34,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object AccountingSink {
   /** runId -> (n_rows, sum_value, n_writers) from a COMMITTED write. */
   private val committed = new ConcurrentHashMap[String, (Long, Long, Int)]()
-  /** runId -> count of aborted task attempts (accounting discarded). */
+  /** runId -> count of aborted task attempts (accounting discarded).
+    * NOTE: recordAbort runs in DataWriter.abort() ON EXECUTORS and
+    * writes to this JVM-static map, so the counter is observable only
+    * in local mode — it is a TEST HOOK proving the abort path fired,
+    * not a cluster-valid metric. The committed path has no such caveat
+    * (commit() folds WriterCommitMessages on the driver); on a real
+    * cluster, abort accounting would ride the message protocol too. */
   private val aborted = new ConcurrentHashMap[String, Integer]()
 
   def result(runId: String): Option[(Long, Long, Int)] =

@@ -100,13 +100,19 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int) extends ScanBuilder
       case EqualTo("id", _: Long)            => true
       case _                                 => false
     }
+    // strict bounds need v±1; saturate at Long.MaxValue — pushFilters
+    // reports these as fully handled (no residual Filter), so a wrapped
+    // increment would return rows the predicate excludes
     acc.foreach {
       case GreaterThanOrEqual("id", v: Long) => lo = math.max(lo, v)
-      case GreaterThan("id", v: Long)        => lo = math.max(lo, v + 1)
+      case GreaterThan("id", v: Long)        =>
+        lo = if (v == Long.MaxValue) math.max(lo, hi) else math.max(lo, v + 1)
       case LessThan("id", v: Long)           => hi = math.min(hi, v)
-      case LessThanOrEqual("id", v: Long)    => hi = math.min(hi, v + 1)
-      case EqualTo("id", v: Long)            => lo = math.max(lo, v)
-                                                hi = math.min(hi, v + 1)
+      case LessThanOrEqual("id", v: Long)    =>
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
+      case EqualTo("id", v: Long)            =>
+        lo = math.max(lo, v)
+        if (v != Long.MaxValue) hi = math.min(hi, v + 1)
       case _                                 => ()
     }
     pushed = acc
