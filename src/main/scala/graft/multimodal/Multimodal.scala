@@ -772,6 +772,226 @@ object Multimodal {
       }
   }
 
+  // ----------------------------------------------- warc html bodies
+
+  case class WarcBody(doc_id: Long, uri: String, body: String,
+      structure_ok: Int)
+
+  /** Deterministic HTML page for a document — the crawl shape every
+    * web-scale pipeline extracts text from: head with script + style
+    * blocks (must be stripped wholesale, tag-stripping alone leaks
+    * `var page=…;track();` into the corpus), a content paragraph with
+    * one inline link, and a link-dense nav `div` (the boilerplate a
+    * link-density rule drops). Every byte derives from (doc_id, text)
+    * so the DuckDB oracle rebuilds the identical string with concat. */
+  def synthHtml(id: Long, text: String): String = {
+    val k = (id % 5) + 3
+    val links = (0L until k).map(j => s"""<a href="/p$j">item $j</a>""")
+      .mkString(" | ")
+    s"""<html><head><title>Doc $id</title>""" +
+      s"""<script type="text/javascript">var page=$id;track();</script>""" +
+      """<style>.nav{color:#333}</style></head><body>""" +
+      s"""<p>$text <a href="/ref">details</a></p>""" +
+      s"""<div class="nav">$links</div></body></html>"""
+  }
+
+  /** WARC shards whose response bodies are the synthesized HTML pages
+    * (x12 indexes containers; this is the payload face t25 extracts
+    * text from): warcinfo + ONE response per doc. */
+  def synthesizeWarcHtml(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val html = synthHtml(id, text).getBytes("US-ASCII")
+        val out = new java.io.ByteArrayOutputStream()
+        def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+        w("WARC/1.0\r\n"); w("WARC-Type: warcinfo\r\n")
+        w("Content-Length: 4\r\n\r\n"); w("info"); w("\r\n\r\n")
+        w("WARC/1.0\r\n"); w("WARC-Type: response\r\n")
+        w(s"WARC-Target-URI: http://ex.org/page$id\r\n")
+        w(s"Content-Length: ${html.length}\r\n\r\n")
+        out.write(html); w("\r\n\r\n")
+        BinaryDoc(id, out.toByteArray)
+      }).toDF()
+  }
+
+  /** The x12 record walk, capturing the FIRST response's URI + body
+    * instead of the index counts — the step between a container index
+    * and text extraction. Malformed shards report structure_ok = 0
+    * with empty uri/body, never a throw. */
+  def decodeWarcBody(id: Long, bytes: Array[Byte]): WarcBody = {
+    var off = 0
+    var ok = true
+    var uri = ""
+    var body = ""
+    def line(): String = {
+      val start = off
+      while (off + 1 < bytes.length && !(bytes(off) == '\r' && bytes(off + 1) == '\n')) off += 1
+      if (off + 1 >= bytes.length) { ok = false; off = bytes.length; "" }
+      else { val s = new String(bytes, start, off - start, "US-ASCII"); off += 2; s }
+    }
+    while (ok && body.isEmpty && off < bytes.length) {
+      if (line() != "WARC/1.0") ok = false
+      else {
+        var wtype = ""; var u = ""; var clen = -1L
+        var h = line()
+        while (ok && h.nonEmpty) {
+          val i = h.indexOf(": ")
+          if (i < 0) ok = false
+          else h.substring(0, i) match {
+            case "WARC-Type"       => wtype = h.substring(i + 2)
+            case "WARC-Target-URI" => u = h.substring(i + 2)
+            case "Content-Length" =>
+              clen = try h.substring(i + 2).toLong catch { case _: Exception => ok = false; -1L }
+            case _ => ()
+          }
+          if (ok) h = line()
+        }
+        if (ok && (clen < 0 || off + clen + 4 > bytes.length)) ok = false
+        if (ok) {
+          val payload = new String(bytes, off, clen.toInt, "US-ASCII")
+          off += clen.toInt
+          if (!(bytes(off) == '\r' && bytes(off + 1) == '\n' &&
+                bytes(off + 2) == '\r' && bytes(off + 3) == '\n')) ok = false
+          else {
+            off += 4
+            if (wtype == "response") { uri = u; body = payload }
+          }
+        }
+      }
+    }
+    if (ok && body.nonEmpty) WarcBody(id, uri, body, 1)
+    else WarcBody(id, "", "", 0)
+  }
+
+  /** Batched body extraction (x-family mapPartitions shape). */
+  def decodeWarcBodies(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[WarcBody] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => decodeWarcBody(d.doc_id, d.payload)))
+      }
+  }
+
+  // --------------------------------------- raw gray images + aHash
+
+  case class GrayHash(doc_id: Long, width: Int, height: Int, mean: Int,
+      sig_lo: Long, sig_hi: Long, valid: Boolean)
+
+  /** Headered raw 8-bit grayscale payload ("GRAY8" + be16 w/h + w·h
+    * pixels — codec-free, so the oracle stays closed-form): 16×16
+    * pixels in 64 constant 2×2 blocks. Block i's value is 150 or 50 by
+    * bit i of the 64-bit word from md5("ph|" ++ (doc_id%25))'s first
+    * 16 hex chars — docs sharing a residue share a base image; the
+    * first (doc_id%4) blocks are FLIPPED (the planted near-dup
+    * perturbation: hamming distance between group members is exactly
+    * |f_a − f_b| ≤ 3), and one pixel of block 63 gets +(doc_id%3)
+    * (sub-quantization noise the 4-pixel average floor absorbs — the
+    * hash must be INVARIANT to it, which is the point of aHash). */
+  def synthGray(id: Long): Array[Byte] = {
+    val g = id % 25
+    val f = (id % 4).toInt
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ph|$g".getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+    val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+    def bit(i: Int): Boolean = {
+      val base =
+        if (i < 32) ((lo >>> i) & 1L) == 1L
+        else ((hi >>> (i - 32)) & 1L) == 1L
+      if (i < f) !base else base
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GRAY8".getBytes("US-ASCII"))
+    out.write(Array[Byte](0, 16, 0, 16)) // be16 w, be16 h
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val i = (y / 2) * 8 + (x / 2)
+        var v = if (bit(i)) 150 else 50
+        if (x == 14 && y == 14) v += (id % 3).toInt
+        out.write(v)
+        x += 1
+      }
+      y += 1
+    }
+    out.toByteArray
+  }
+
+  /** Integer average-hash over a decoded raw-gray payload — the
+    * perceptual signature (aHash) image near-dup dedup banding runs
+    * on: header check, 8×8 average-pool (floor), global mean (floor),
+    * bit i = block_i ≥ mean, packed into two 32-bit words (the
+    * shift-63 BIGINT trap is why the signature is NOT one 64-bit
+    * value). Malformed/truncated payloads fail valid with zero sigs —
+    * they must never hash-collide into a dedup group. */
+  def decodeGrayHash(id: Long, bytes: Array[Byte]): GrayHash = {
+    val bad = GrayHash(id, 0, 0, 0, 0L, 0L, valid = false)
+    if (bytes.length < 9 || new String(bytes, 0, 5, "US-ASCII") != "GRAY8")
+      return bad
+    val w = ((bytes(5) & 0xFF) << 8) | (bytes(6) & 0xFF)
+    val h = ((bytes(7) & 0xFF) << 8) | (bytes(8) & 0xFF)
+    if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0 ||
+        bytes.length != 9 + w * h) return bad
+    val bw = w / 8; val bh = h / 8
+    val avgs = new Array[Long](64)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        var sum = 0L
+        var dy = 0
+        while (dy < bh) {
+          var dx = 0
+          while (dx < bw) {
+            sum += bytes(9 + (by * bh + dy) * w + bx * bw + dx) & 0xFF
+            dx += 1
+          }
+          dy += 1
+        }
+        avgs(by * 8 + bx) = sum / (bw * bh)
+        bx += 1
+      }
+      by += 1
+    }
+    val mean = avgs.sum / 64
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < 64) {
+      if (avgs(i) >= mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    GrayHash(id, w, h, mean.toInt, lo, hi, valid = true)
+  }
+
+  /** Raw-gray payloads per doc (doc_id drives everything). */
+  def synthesizeGray(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => BinaryDoc(id, synthGray(id)))).toDF()
+  }
+
+  /** Batched aHash decode (x-family mapPartitions shape). */
+  def decodeGray(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[GrayHash] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => decodeGrayHash(d.doc_id, d.payload)))
+      }
+  }
+
   // ------------------------------------------------------------ utf-8
 
   case class Utf8Audit(doc_id: Long, n_bytes: Int, n_ascii: Int,

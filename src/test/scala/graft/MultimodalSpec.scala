@@ -240,6 +240,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.decodeNpyHeader(6L, bad).valid)
   }
 
+  test("warc html: body round-trips byte-exact; malformed shards fail structure_ok") {
+    val html = Multimodal.synthHtml(7L, "some words here")
+    // reuse synthWarc's record grammar by hand: warcinfo + one response
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    w("WARC/1.0\r\n"); w("WARC-Type: warcinfo\r\n")
+    w("Content-Length: 4\r\n\r\n"); w("info"); w("\r\n\r\n")
+    w("WARC/1.0\r\n"); w("WARC-Type: response\r\n")
+    w("WARC-Target-URI: http://ex.org/page7\r\n")
+    w(s"Content-Length: ${html.length}\r\n\r\n"); w(html); w("\r\n\r\n")
+    val good = Multimodal.decodeWarcBody(7L, out.toByteArray)
+    assert(good == Multimodal.WarcBody(7L, "http://ex.org/page7", html, 1))
+    // truncation mid-body → structural failure, empty body, no throw
+    val trunc = Multimodal.decodeWarcBody(7L, out.toByteArray.take(100))
+    assert(trunc.structure_ok == 0 && trunc.body.isEmpty)
+    assert(Multimodal.decodeWarcBody(8L, Array.emptyByteArray).structure_ok == 0)
+  }
+
+  test("gray aHash: group members land within hamming 3, noise pixel is invariant, cross-group is far") {
+    def ham(a: Multimodal.GrayHash, b: Multimodal.GrayHash): Int =
+      java.lang.Long.bitCount(a.sig_lo ^ b.sig_lo) +
+        java.lang.Long.bitCount(a.sig_hi ^ b.sig_hi)
+    def hash(id: Long) = Multimodal.decodeGrayHash(id, Multimodal.synthGray(id))
+    // ids 3 and 53 share group 3 (f = 3 vs 1): planted hamming |3-1| = 2
+    assert(ham(hash(3L), hash(53L)) == 2)
+    // ids 3 and 103 (f = 3 vs 3): identical signatures — and id 103's
+    // +1 noise pixel (103%3=1) must vanish in the pooling floor
+    assert(ham(hash(3L), hash(103L)) == 0)
+    // different groups (md5-random patterns): far apart, never banded in
+    assert(ham(hash(3L), hash(4L)) > 10)
+    // header damage / truncation / bad dims fail valid, zero sigs
+    val bytes = Multimodal.synthGray(3L)
+    val badMagic = bytes.clone(); badMagic(0) = 'X'
+    assert(!Multimodal.decodeGrayHash(3L, badMagic).valid)
+    assert(!Multimodal.decodeGrayHash(3L, bytes.dropRight(1)).valid)
+    assert(!Multimodal.decodeGrayHash(3L, Array.emptyByteArray).valid)
+  }
+
   test("safetensors: offsets must tile; truncation and gapped offsets fail valid") {
     // id 6: emb F32 (2,7) at [0,56), ids I64 (2,) at [56,72)
     val good = Multimodal.decodeSafetensorsHeader(6L, Multimodal.synthSafetensors(6L))

@@ -48,6 +48,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(core(Seq(("h", "r1"), ("h", "r2"), ("h", "r3"), ("h", "r4")), 2).isEmpty)
   }
 
+  test("html extract: planted boilerplate drops, body text survives byte-exact") {
+    import spark.implicits._
+    import graft.operators.HtmlText
+    // content paragraph + link-dense nav: nav must drop, paragraph text
+    // (including its inline anchor's text) must survive byte-exact
+    val html = "<html><head><script>var x=1;</script><style>.a{}</style>" +
+      "</head><body><p>real body words <a href=\"/r\">details</a></p>" +
+      "<div class=\"nav\"><a href=\"/1\">one</a> | <a href=\"/2\">two</a> | " +
+      "<a href=\"/3\">three</a></div></body></html>"
+    val r = HtmlText.extract(Seq((1L, html)).toDF("doc_id", "body"),
+      "doc_id", "body").collect().head
+    assert(r.getAs[Int]("n_blocks") == 2 && r.getAs[Int]("n_kept") == 1)
+    val kept = "real body words details"
+    assert(r.getAs[Long]("kept_chars") == kept.length.toLong)
+    // nav text "one | two | three" = 17 chars dropped
+    assert(r.getAs[Long]("dropped_chars") == 17L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(kept.getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+    assert(r.getAs[String]("kept_md5") == md,
+      "kept text must be byte-exact (hash-pinned), not just counted")
+    // script/style payloads must never leak into kept text: a page that
+    // is ONLY script+style yields zero blocks → zero rows, not js-text
+    val jsOnly = "<html><body><script>var leak=1;</script></body></html>"
+    assert(HtmlText.extract(Seq((2L, jsOnly)).toDF("doc_id", "body"),
+      "doc_id", "body").count() == 0)
+  }
+
+  test("image near-dup: planted group members pair within hamming 2, disjoint groups never pair") {
+    val q = SparkEntry.queries("d25_image_neardup")
+    val rows = q(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 500 docs, 20 per group g = id%25; flip masks are nested prefixes
+    // (1<<f)-1 so within-group hamming = |Δf| exactly. The banded +
+    // verified result must equal the BRUTE hamming ≤ 2 truth: same-f
+    // and |Δf| ≤ 2 members pair; the planted distance-3 variants
+    // (f=0 vs f=3) are banding candidates VERIFICATION must kill;
+    // cross-group (md5-random, hamming ≫ 2) must never appear.
+    assert(rows.size == 500)
+    for (id <- 0L until 500L) {
+      val g = id % 25
+      val f = id % 4
+      val members = (0L until 20L).map(k => g + 25 * k)
+      val neigh = members.filter(m => m != id && math.abs((m % 4) - f) <= 2)
+      val keeper = (neigh :+ id).min
+      assert(rows(id) == ((neigh.size.toLong, keeper)),
+        s"id $id: expected (${neigh.size}, $keeper), got ${rows(id)}")
+    }
+  }
+
   test("exact dedup folds duplicate ingest onto min id") {
     import spark.implicits._
     val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("id", "t")

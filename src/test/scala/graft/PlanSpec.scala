@@ -47,6 +47,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(") , p)
   }
 
+  test("d25: perceptual near-dup banding is an equi-join, never a cross product") {
+    val p = plan("d25_image_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("t25: html extraction is map-only until ONE per-doc hash aggregate") {
+    val p = plan("t25_html_extract")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // exactly one exchange: the partial → final hash aggregate shuffle
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
   test("d3: LSH candidate join is an equi-join, never a cross product") {
     val p = plan("d3_minhash_lsh")
     assert(!p.contains("CartesianProduct"), p)
