@@ -24,21 +24,28 @@ object PipelineQueries {
     *  - vector: s2's sign-LSH bucket-pruned cosine (the scale path).
     * Levers measured in SURVEY §6j: the brute/uncapped first cut read
     * 43× at 10× data; this shape reads 1.0×. */
-  private def hybridChannels(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** The df-capped lexical posting lists (term in ≤10% of docs) — the
+    * s16/s17 index BUILD, also persisted as a DerivedLayouts artifact
+    * by s24 (serving must read the index, not re-run this window). */
+  private def lexPostings(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
-    val vecs = Tables.embeddings(s, dir)
-    val isQ = (c: org.apache.spark.sql.Column) =>
-      pmod(c, lit(50)) === 0 && c < 100000000L
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val terms = docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
         explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
       .filter(length(col("term")) >= 3)
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(nDocs))
       .filter(col("df") * 10 <= col("n_docs"))
       .select(col("doc_id"), col("term"))
-      .localCheckpoint()
+  }
+
+  private def hybridChannels(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = Tables.embeddings(s, dir)
+    val isQ = (c: org.apache.spark.sql.Column) =>
+      pmod(c, lit(50)) === 0 && c < 100000000L
+    val terms = lexPostings(s, dir).localCheckpoint()
     val qTerms = terms.filter(isQ(col("doc_id")))
       .withColumnRenamed("doc_id", "query_id")
     val overlap = terms.join(qTerms, "term")
@@ -1784,6 +1791,96 @@ object PipelineQueries {
       }
       row(1, beams(0)).unionByName(row(2, beams(1)))
         .unionByName(row(3, beams(2))).orderBy(col("hop"))
+    },
+
+    // PERSISTED serving indexes (round-10 verdict #4 — s15's
+    // build-once lifecycle applied to the other two channels): s16's
+    // df-capped posting lists and s22's kNN edge list become
+    // DerivedLayouts parquet ARTIFACTS, built once; serving reads the
+    // index FileScan and never re-runs the df window or the sub-split
+    // graph construction (PlanSpec gates: postings + edges FileScans
+    // present, no _sub block columns, no documents scan in the
+    // serving plan). Two faces, one serving surface: 'hybrid' = s16's
+    // RRF top-5 with the lexical channel reading the postings index;
+    // 'graph' = the s22 beam walk (3 hops, beam-8, top-3) over the
+    // edges index — the LAST hop is deliberately un-checkpointed so
+    // the serving plan itself proves it joins the edge FileScan.
+    // Oracle = the full rebuild-from-scratch twin (s16 + s22 oracle
+    // pipelines), so index staleness or a bad artifact breaks the
+    // hash.
+    "s24_serving_index" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions
+      import graft.sources.DerivedLayouts
+      val base = DerivedLayouts.once(s"servidx|$dir") { path =>
+        lexPostings(s, dir).write.parquet(s"$path/postings")
+        knnTopEdges(s, dir).select(col("id_a"), col("id_b"))
+          .write.parquet(s"$path/edges")
+      }
+      val isQ = (c: org.apache.spark.sql.Column) =>
+        pmod(c, lit(50)) === 0 && c < 100000000L
+      // lexical channel: postings INDEX scan, query-time join + top-k
+      val postings = s.read.parquet(s"$base/postings")
+      val qTerms = postings.filter(isQ(col("doc_id")))
+        .withColumnRenamed("doc_id", "query_id")
+      val overlap = postings.join(qTerms, "term")
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id")).agg(count(lit(1)).as("inter"))
+      val lexTop = Relational.topNPerGroupFast(overlap, 20, Seq("query_id"),
+          Seq(("inter", false), ("doc_id", true)))
+        .withColumn("lex_rank", row_number().over(Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("inter").desc, col("doc_id"))).cast("int"))
+        .select(col("query_id"), col("doc_id"), col("lex_rank"))
+      val vecs = Tables.embeddings(s, dir)
+      val vecTop = Similarity.lshTopK(vecs, vecs.filter(isQ(col("vec_id"))),
+          "vec_id", "embedding", bits = 4, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("rank").as("vec_rank"))
+      val hybridFace = vecTop.join(lexTop, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + vec_rank)"), lit(0L)) +
+          coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + lex_rank)"), lit(0L)))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+        .filter(col("rnk") <= 5)
+        .select(lit("hybrid").as("face"), col("query_id"), col("rnk"),
+          col("doc_id").as("ref_id"))
+      // graph channel: beam walk over the edges INDEX scan
+      val edges = s.read.parquet(s"$base/edges")
+      val q = vecs.filter(isQ(col("vec_id")))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val entries = edges.filter(col("id_a") < 8)
+        .select(col("id_a").as("node")).distinct()
+      var frontier = q.select(col("query_id")).crossJoin(broadcast(entries))
+        .localCheckpoint()
+      for (hop <- 1 to 3) {
+        val cand = frontier.select(col("query_id"), col("node"))
+          .join(edges, col("node") === col("id_a"))
+          .select(col("query_id"), col("id_b").as("node"))
+          .union(frontier.select(col("query_id"), col("node")))
+          .distinct()
+        val beam = Relational.topNPerGroupFast(
+            cand.join(vecs.select(col("vec_id").as("node"), col("embedding")),
+                Seq("node"))
+              .join(broadcast(q), Seq("query_id"))
+              .withColumn("sim",
+                round(VectorFunctions.cosine(col("embedding"), col("qe")), 6))
+              .select(col("query_id"), col("node"), col("sim")),
+            8, Seq("query_id"), Seq(("sim", false), ("node", true)))
+          .select(col("query_id"), col("node"), col("sim"))
+        // last hop stays UN-checkpointed: the serving plan must show
+        // the edges FileScan (PlanSpec), not a checkpoint scan
+        frontier = if (hop < 3) beam.localCheckpoint() else beam
+      }
+      val graphFace = frontier.filter(col("node") =!= col("query_id"))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("node"))).cast("int"))
+        .filter(col("rnk") <= 3)
+        .select(lit("graph").as("face"), col("query_id"), col("rnk"),
+          col("node").as("ref_id"))
+      hybridFace.unionByName(graphFace)
+        .orderBy(col("face"), col("query_id"), col("rnk"))
     },
 
     // contrastive TRIPLET mining — the embedding-model training op:
@@ -3707,6 +3804,82 @@ object PipelineQueries {
          |    CAST((SELECT count(*) FROM (SELECT * FROM tr INTERSECT SELECT * FROM r3) z)
          |      AS BIGINT) FROM nq) u
          |ORDER BY hop""".stripMargin
+    },
+
+    // the REBUILD-from-scratch twin: the oracle re-derives the posting
+    // lists and the kNN graph the long way (s16 + s22 pipelines) — a
+    // stale or corrupted persisted artifact breaks the hash
+    "s24_serving_index" -> {
+      def simOf(vecAlias: String) =
+        s"round(list_sum(list_transform(generate_series(1, len($vecAlias.e)), i -> " +
+        s"CAST($vecAlias.e[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) / " +
+        s"sqrt($vecAlias.n2 * q.qn2), 6)"
+      def hop(k: Int, fin: String) =
+        s"""n$k AS (SELECT DISTINCT f.query_id, t.id_b AS node
+           |  FROM $fin f JOIN top t ON f.node = t.id_a
+           |  UNION SELECT query_id, node FROM $fin),
+           |s$k AS (SELECT n.query_id, n.node, ${simOf("a")} AS sim
+           |  FROM n$k n JOIN v a ON a.vec_id = n.node
+           |  JOIN qq q ON q.query_id = n.query_id),
+           |f$k AS MATERIALIZED (SELECT query_id, node, sim FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, node) AS rn FROM s$k) x
+           |  WHERE rn <= 8)""".stripMargin
+      s"""WITH $knnTopCte,
+         |qq AS MATERIALIZED (SELECT vec_id AS query_id, e AS qe, n2 AS qn2
+         |  FROM v WHERE vec_id % 50 = 0 AND vec_id < 100000000),
+         |ent AS (SELECT DISTINCT id_a AS node FROM top WHERE id_a < 8),
+         |f0 AS MATERIALIZED (SELECT query_id, node FROM qq, ent),
+         |${hop(1, "f0")},
+         |${hop(2, "f1")},
+         |${hop(3, "f2")},
+         |gface AS (SELECT query_id, CAST(rn AS INT) AS rnk, node AS ref_id FROM (
+         |    SELECT query_id, node, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, node) AS rn
+         |    FROM f3 WHERE node <> query_id) x WHERE rn <= 3),
+         |vb AS (SELECT *, CAST(list_sum(list_transform(generate_series(0, 3), i ->
+         |    CASE WHEN coalesce(e[i+1], 1) >= 0 THEN (1 << i) ELSE 0 END)) AS INT)
+         |    AS bucket FROM v),
+         |qv AS (SELECT * FROM vb WHERE vec_id % 50 = 0 AND vec_id < 100000000),
+         |sims AS (SELECT b.vec_id AS query_id, a.vec_id AS doc_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM vb a JOIN qv b ON a.bucket = b.bucket WHERE a.vec_id <> b.vec_id),
+         |vtop AS (SELECT query_id, doc_id, vec_rank FROM (
+         |    SELECT query_id, doc_id, CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY sim DESC, doc_id) AS INT) AS vec_rank
+         |    FROM sims) x WHERE vec_rank <= 20),
+         |terms0 AS (SELECT DISTINCT doc_id, t AS term
+         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wd
+         |    FROM documents) a, unnest(wd) u(t)
+         |  WHERE length(t) >= 3),
+         |terms AS (SELECT doc_id, term FROM (
+         |    SELECT doc_id, term, count(*) OVER (PARTITION BY term) AS df
+         |    FROM terms0) x
+         |  WHERE df * 10 <= (SELECT count(*) FROM documents)),
+         |ov AS (SELECT tq.doc_id AS query_id, td.doc_id,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM terms tq JOIN terms td USING (term)
+         |  WHERE tq.doc_id % 50 = 0 AND tq.doc_id < 100000000
+         |    AND td.doc_id <> tq.doc_id
+         |  GROUP BY 1, 2),
+         |ltop AS (SELECT query_id, doc_id, lex_rank FROM (
+         |    SELECT query_id, doc_id, CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY inter DESC, doc_id) AS INT) AS lex_rank
+         |    FROM ov) x WHERE lex_rank <= 20),
+         |fused AS (SELECT COALESCE(vt.query_id, lt.query_id) AS query_id,
+         |    COALESCE(vt.doc_id, lt.doc_id) AS doc_id,
+         |    COALESCE(CAST(1000000000 AS BIGINT) // (60 + vt.vec_rank), 0) +
+         |    COALESCE(CAST(1000000000 AS BIGINT) // (60 + lt.lex_rank), 0) AS rrf
+         |  FROM vtop vt FULL OUTER JOIN ltop lt
+         |    ON vt.query_id = lt.query_id AND vt.doc_id = lt.doc_id),
+         |hface AS (SELECT query_id, rnk, doc_id AS ref_id FROM (
+         |  SELECT query_id, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rnk
+         |  FROM fused) x WHERE rnk <= 5)
+         |SELECT face, query_id, rnk, ref_id FROM (
+         |  SELECT 'graph' AS face, query_id, rnk, ref_id FROM gface
+         |  UNION ALL SELECT 'hybrid', query_id, rnk, ref_id FROM hface) u
+         |ORDER BY face, query_id, rnk""".stripMargin
     },
 
     "s21_triplet_mining" ->

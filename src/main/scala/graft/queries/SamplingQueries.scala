@@ -601,6 +601,60 @@ object SamplingQueries {
         .orderBy(col("user_id"), col("label_event_id"))
     },
 
+    // COMPACTION EXECUTION + snapshot isolation (p14 plans, q53 reads
+    // snapshots — this key RUNS the plan and proves readers are whole):
+    // the corpus lands as 40 small files (one per doc_id%40 shard — the
+    // small-file problem every long-lived append log grows), p14's
+    // byte-target bin plan is computed FROM that snapshot, and the
+    // compaction writes one file per bin into a NEW layout version —
+    // the small files are never touched (append-only, snapshot
+    // isolation by construction). The output is the PROOF: both faces
+    // re-read their layout and must produce the identical corpus
+    // digest (order-free sum of per-row md5 prefixes), identical
+    // counts, and the expected file counts (40 → n_bins). A compaction
+    // that drops, duplicates, or corrupts one row breaks the digest;
+    // one that rewrote v1 in place would not be snapshot-isolated (the
+    // stream-static lesson: readers pin file listings). DerivedLayouts
+    // write-once; scale shape: digests computed map-side, one agg row
+    // per face, no joins in the measured read.
+    "p21_compaction_exec" -> { (s, dir) =>
+      import graft.sources.DerivedLayouts
+      val base = DerivedLayouts.once(s"compactexec|$dir") { path =>
+        val docs = Tables.documents(s, dir)
+          .withColumn("shard", pmod(col("doc_id"), lit(40)).cast("int"))
+        docs.repartition(40, col("shard"))
+          .write.partitionBy("shard").parquet(s"$path/small")
+        // EXECUTE p14's plan over the small-file SNAPSHOT: shard stats
+        // → cumulative-byte bins (20000-char target) → one file per bin
+        val small = s.read.parquet(s"$path/small")
+        val w = Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bins = small.groupBy(col("shard"))
+          .agg(sum(col("n_chars")).as("bytes"))
+          .withColumn("cum", sum(col("bytes")).over(w))
+          .withColumn("bin", expr("CAST((cum - bytes) div 20000 AS INT)"))
+          .select(col("shard"), col("bin"))
+        small.join(broadcast(bins), Seq("shard"))
+          .repartition(col("bin"))
+          .write.partitionBy("bin").parquet(s"$path/compacted")
+      }
+      def face(name: String, sub: String): DataFrame =
+        s.read.parquet(s"$base/$sub")
+          .withColumn("_dig",
+            expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), " +
+              "'|', text)), 1, 6), 16, 10) AS BIGINT)"))
+          // nondeterministic exprs can't sit inside an agg — material-
+          // ize the file name per row first
+          .withColumn("_f", input_file_name())
+          .agg(countDistinct(col("_f")).as("n_files"),
+            count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            sum(col("_dig")).as("digest"))
+          .select(lit(name).as("face"), col("n_files"), col("n_docs"),
+            col("sum_chars"), col("digest"))
+      face("compacted", "compacted").unionByName(face("small", "small"))
+        .orderBy(col("face"))
+    },
+
     "p14_compaction_plan" -> { (s, dir) =>
       val shards = Tables.documents(s, dir)
         .groupBy(pmod(col("doc_id"), lit(200)).as("shard_id"))
@@ -693,6 +747,31 @@ object SamplingQueries {
         |  prior_events, prior_errors, prior_value_cents
         |FROM f WHERE event_type = 'purchase'
         |ORDER BY user_id, label_event_id""".stripMargin,
+
+    // both faces must equal the corpus truth computed ONCE — the
+    // snapshot-isolation proof is that 'small' (re-read AFTER the
+    // compaction ran) and 'compacted' carry the identical digest;
+    // n_files is closed-form (40 shards; p14's bin count for the copy)
+    "p21_compaction_exec" ->
+      """WITH shards AS (SELECT doc_id % 40 AS shard,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT shard, bytes, sum(bytes) OVER (ORDER BY shard
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM shards),
+        |nb AS (SELECT CAST(count(DISTINCT (cum - bytes) // 20000) AS BIGINT)
+        |    AS n_bins FROM c),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(sum(list_sum(list_transform(generate_series(0, 5), k ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)
+        |        || '|' || text), 1 + k, 1)) - 1 AS BIGINT)
+        |      * (1::BIGINT << (4 * (5 - k)))))) AS BIGINT) AS digest
+        |  FROM documents)
+        |SELECT 'compacted' AS face, n_bins AS n_files, n_docs, sum_chars, digest
+        |  FROM d, nb
+        |UNION ALL SELECT 'small', CAST(40 AS BIGINT), n_docs, sum_chars, digest
+        |  FROM d, nb
+        |ORDER BY face""".stripMargin,
 
     "p14_compaction_plan" ->
       """WITH shards AS (SELECT doc_id % 200 AS shard_id,

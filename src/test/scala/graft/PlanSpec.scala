@@ -47,6 +47,54 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(") , p)
   }
 
+  test("q56: sketch picks broadcast at small SF; forced tiers flip the physical join") {
+    import graft.operators.SketchPlanner
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions._
+    // default thresholds at sf0.001: est ≪ 1e5 → broadcast, honored
+    val p1 = plan("q56_sketch_join_strategy")
+    assert(p1.contains("BroadcastHashJoin"), p1)
+    val urgent = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    val line = Tables.lineitem(spark, sf).select(col("l_orderkey"))
+    // thresholds at 0 → top tier: the SAME join plans as sort-merge
+    val (j2, s2, _) = SketchPlanner.sketchJoin(
+      line, "l_orderkey", urgent, "o_orderkey", 0L, 0L)
+    assert(s2 == "merge")
+    assert(j2.queryExecution.executedPlan.toString.contains("SortMergeJoin"),
+      j2.queryExecution.executedPlan.toString)
+    // middle tier: shuffle-hash, no sort phase, no silent broadcast
+    val (j3, s3, _) = SketchPlanner.sketchJoin(
+      line, "l_orderkey", urgent, "o_orderkey", 0L, Long.MaxValue)
+    assert(s3 == "shuffle_hash")
+    val p3 = j3.queryExecution.executedPlan.toString
+    assert(p3.contains("ShuffledHashJoin") && !p3.contains("SortMergeJoin"), p3)
+  }
+
+  test("p21: both snapshot faces are bare layout scans — no join in the measured read") {
+    val p = plan("p21_compaction_exec")
+    // two FileScans (small + compacted layouts), zero joins: the bin
+    // join happened at compaction time, readers pay only their scan
+    assert(p.linesIterator.count(_.contains("FileScan")) == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("s24: serving reads the persisted indexes — no build machinery in the plan") {
+    val p = plan("s24_serving_index")
+    // toString truncates long tmp-dir Locations — identify the index
+    // scans by their column signatures instead
+    assert(p.linesIterator.exists(l =>
+      l.contains("FileScan parquet") && l.contains("term#")), p)
+    assert(p.linesIterator.exists(l =>
+      l.contains("FileScan parquet") && l.contains("id_a#")), p)
+    // no index-BUILD machinery at serve time: the sub-split block
+    // columns (kNN graph construction) and the documents text scan
+    // (posting-list df window) must be absent
+    assert(!p.contains("_sub"), p)
+    assert(!p.linesIterator.exists(l =>
+      l.contains("FileScan parquet") && l.contains("text#")), p)
+  }
+
   test("d25: perceptual near-dup banding is an equi-join, never a cross product") {
     val p = plan("d25_image_neardup")
     assert(!p.contains("CartesianProduct"), p)
