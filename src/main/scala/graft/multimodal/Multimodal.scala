@@ -886,15 +886,21 @@ object Multimodal {
   /** Headered raw 8-bit grayscale payload ("GRAY8" + be16 w/h + w·h
     * pixels — codec-free, so the oracle stays closed-form): 16×16
     * pixels in 64 constant 2×2 blocks. Block i's value is 150 or 50 by
-    * bit i of the 64-bit word from md5("ph|" ++ (doc_id%25))'s first
-    * 16 hex chars — docs sharing a residue share a base image; the
+    * bit i of the 64-bit word from md5("ph|" ++ (doc_id div 20))'s
+    * first 16 hex chars — docs in the same 20-id block share a base
+    * image; the
     * first (doc_id%4) blocks are FLIPPED (the planted near-dup
     * perturbation: hamming distance between group members is exactly
     * |f_a − f_b| ≤ 3), and one pixel of block 63 gets +(doc_id%3)
     * (sub-quantization noise the 4-pixel average floor absorbs — the
     * hash must be INVARIANT to it, which is the point of aHash). */
   def synthGray(id: Long): Array[Byte] = {
-    val g = id % 25
+    // group = CONSECUTIVE id blocks of 20 (div, not mod): group SIZE is
+    // fixed at every SF while group COUNT scales with the corpus — so
+    // d25's per-band candidate lists stay bounded as data grows (mod-25
+    // grouping would grow every group 10× per SF step and make the
+    // banded join quadratic in SF — the shape that dies at 100×)
+    val g = id / 20
     val f = (id % 4).toInt
     val hex = java.security.MessageDigest.getInstance("MD5")
       .digest(s"ph|$g".getBytes("US-ASCII")).map(b => f"$b%02x").mkString

@@ -52,6 +52,103 @@ object Bpe {
   def segmentVocab(docs: DataFrame, textCol: String, n: Int): DataFrame =
     run(docs, textCol, n)._1
 
+  /** BATCHED BPE learning at production merge counts (t21 proves the
+    * algorithm at 3 merges with one driver round each; a 32k-merge
+    * production vocab cannot afford one driver composition per merge).
+    * Per driver round the top-`candCap` pairs are scanned IN RANK
+    * ORDER (pair_cnt desc, l, r) and up to `batchMax` pairwise
+    * CONFLICT-FREE pairs are accepted — a pair joins the batch only if
+    * {l, r, l||r} is disjoint from every earlier acceptance's
+    * {l, r, l||r}. Disjointness makes the batch order-independent and
+    * count-stable: applying one accepted merge cannot create, destroy,
+    * or retarget an occurrence of another (their symbol supports never
+    * touch — merging (a,b) in "…c a b d…" leaves c,d non-adjacent),
+    * and no merged symbol can string-collide with another acceptance's
+    * operand (merged strings are in the used set too). ONE greedy
+    * left-to-right fold therefore applies the whole batch exactly as
+    * sequential application in rank order would. Documented deviation
+    * from strictly-sequential Sennrich: a pair CREATED by a same-round
+    * merge cannot jump the queue until the next round (it does not
+    * exist in this round's candidate table); between-round semantics
+    * are unchanged. Both engines implement the identical rule.
+    *
+    * Scale shape unchanged from learnMerges: one corpus scan, then
+    * |V|-row rounds; the selection fold runs on ONE aggregate row of
+    * ≤candCap candidate structs (never a driver collect); driver
+    * compositions drop from `merges` to `rounds` — 16× fewer at
+    * batchMax=16. Output: (round, rnk, left_sym, right_sym, merged,
+    * pair_cnt, syms_after) — global merge order is (round, rnk). */
+  def learnMergesBatched(docs: DataFrame, textCol: String, rounds: Int,
+      batchMax: Int, candCap: Int = 256): DataFrame = {
+    require(rounds >= 1 && batchMax >= 1 && candCap >= batchMax)
+    var segs = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+      .localCheckpoint()
+    var outs = Seq.empty[DataFrame]
+    var rnd = 0
+    var exhausted = false
+    while (rnd < rounds && !exhausted) {
+      rnd += 1
+      val cands = segs
+        .select(col("cnt"), explode(expr(
+          "IF(size(syms) < 2, array(), transform(sequence(0, size(syms) - 2), " +
+          "j -> named_struct('l', syms[j], 'r', syms[j + 1])))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("l"), col("r"))
+        .limit(candCap)
+      val picks = cands
+        .agg(expr("array_sort(collect_list(" +
+          "struct(-pair_cnt AS nc, l AS l, r AS r, pair_cnt AS c)))").as("cs"))
+        .select(expr(
+          s"""aggregate(cs,
+             |  named_struct('used', CAST(array() AS ARRAY<STRING>),
+             |    'picks', CAST(array() AS ARRAY<STRUCT<l: STRING, r: STRING, c: BIGINT>>)),
+             |  (acc, x) -> IF(size(acc.picks) < $batchMax
+             |      AND NOT arrays_overlap(array(x.l, x.r, concat(x.l, x.r)), acc.used),
+             |    named_struct(
+             |      'used', concat(acc.used, array(x.l, x.r, concat(x.l, x.r))),
+             |      'picks', concat(acc.picks,
+             |        array(named_struct('l', x.l, 'r', x.r, 'c', x.c)))),
+             |    acc)).picks""".stripMargin).as("picks"))
+        .localCheckpoint()
+      // exhaustion probe on the 1-row checkpointed frame (d9 class)
+      if (picks.filter(size(col("picks")) > 0).isEmpty) { exhausted = true }
+      else {
+        segs = segs.crossJoin(broadcast(picks))
+          .withColumn("syms", expr(
+            "aggregate(syms, slice(syms, 1, 0), (acc, x) -> " +
+            "IF(size(acc) > 0 AND exists(picks, p -> " +
+            "p.l = element_at(acc, -1) AND p.r = x), " +
+            "concat(slice(acc, 1, size(acc) - 1), " +
+            "array(concat(element_at(acc, -1), x))), " +
+            "concat(acc, array(x))))"))
+          .drop("picks")
+          .localCheckpoint()
+        val after = segs.agg(
+          sum(col("cnt") * size(col("syms"))).as("syms_after"))
+        outs = outs :+ picks.crossJoin(broadcast(after))
+          .select(lit(rnd).as("round"),
+            posexplode(col("picks")).as(Seq("idx", "p")), col("syms_after"))
+          .select(col("round"), (col("idx") + 1).cast("int").as("rnk"),
+            col("p.l").as("left_sym"), col("p.r").as("right_sym"),
+            concat(col("p.l"), col("p.r")).as("merged"),
+            col("p.c").as("pair_cnt"), col("syms_after"))
+      }
+    }
+    if (outs.isEmpty)
+      docs.sparkSession.emptyDataFrame
+        .withColumn("round", lit(0)).withColumn("rnk", lit(0))
+        .withColumn("left_sym", lit("")).withColumn("right_sym", lit(""))
+        .withColumn("merged", lit(""))
+        .withColumn("pair_cnt", lit(0L)).withColumn("syms_after", lit(0L))
+    else outs.reduce(_ unionByName _).orderBy(col("round"), col("rnk"))
+  }
+
   private def run(docs: DataFrame, textCol: String, n: Int)
       : (DataFrame, DataFrame) = {
     require(n >= 1, s"need at least one merge iteration (got $n)")

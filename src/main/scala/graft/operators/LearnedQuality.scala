@@ -127,6 +127,76 @@ object LearnedQuality {
     Model(bucketW, catW("lbin"), catW("dbin"), prior)
   }
 
+  // ------------------------------------------------- multi-class NB
+
+  /** Hashed char-TRIGRAM term frequencies (16 md5-nibble buckets) —
+    * the fastText character-n-gram channel: language identity lives in
+    * sub-word byte patterns ('und', 'le ', 'est'), not whitespace
+    * tokens. One explode per char position; md5 applied post-explode
+    * (never inside the transform lambda — the projection-collapse
+    * recompute trap). */
+  def charTrigramTf(docs: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String] = Nil): DataFrame =
+    docs
+      .select(Seq(col(idCol).as("doc_id")) ++ carry.map(col) :+
+        explode(expr(s"CASE WHEN length($textCol) >= 3 THEN " +
+          s"transform(sequence(1, length($textCol) - 2), " +
+          s"i -> substring($textCol, i, 3)) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("_g"): _*)
+      .withColumn("bucket",
+        expr("CAST(instr('0123456789abcdef', substring(md5(_g), 1, 1)) - 1 AS INT)"))
+      .groupBy((Seq("doc_id") ++ carry ++ Seq("bucket")).map(col): _*)
+      .agg(count(lit(1)).as("tf"))
+
+  /** Multi-class weights: (lang, bucket, w) on the COMPLETED
+    * lang×bucket grid, plus (lang, prior, m). */
+  case class LangModel(weights: DataFrame, priors: DataFrame)
+
+  /** Closed-form multi-class naive Bayes over hashed char trigrams
+    * (il16 fixed-point class-conditional log-probs — the t20 integer
+    * machinery multi-classed): w(b,c) = il16(c_{b,c}+1) − il16(n_c+16)
+    * (+1 per bucket smoothing ⇒ +16 on the class mass), prior(c) =
+    * il16(m_c+1). Classes come from the observed training labels;
+    * every frame is ≤ 16·|L| rows. */
+  def trainLang(docs: DataFrame, idCol: String, textCol: String,
+      labelCol: String): LangModel = {
+    val tf = charTrigramTf(docs, idCol, textCol, carry = Seq(labelCol))
+    val langs = docs.select(col(labelCol).as("lang")).distinct()
+    val buckets = docs.sparkSession.range(16)
+      .select(col("id").cast("int").as("bucket"))
+    // complete the lang×bucket grid (the round-8 unseen-bucket lesson)
+    val bc = langs.crossJoin(broadcast(buckets))
+      .join(tf.groupBy(col(labelCol).as("lang"), col("bucket"))
+          .agg(sum(col("tf")).as("_c")),
+        Seq("lang", "bucket"), "left")
+      .select(col("lang"), col("bucket"), coalesce(col("_c"), lit(0L)).as("c"))
+    val nc = bc.groupBy(col("lang")).agg(sum(col("c")).as("n"))
+    val weights = bc.join(broadcast(nc), Seq("lang"))
+      .select(col("lang"), col("bucket"),
+        expr(s"${il16Sql("c + 1")} - ${il16Sql("n + 16")}").as("w"))
+    val priors = docs.groupBy(col(labelCol).as("lang"))
+      .agg(count(lit(1)).as("m"))
+      .select(col("lang"), expr(il16Sql("m + 1")).as("prior"), col("m"))
+    LangModel(weights, priors)
+  }
+
+  /** Map-side argmax scoring: per doc, score every class (broadcast
+    * 16·|L| weight rows), predict the max score with the lang-ascending
+    * tie-break (min of (−score, lang) — deterministic cross-engine). */
+  def classifyLang(docs: DataFrame, idCol: String, textCol: String,
+      model: LangModel): DataFrame =
+    charTrigramTf(docs, idCol, textCol)
+      .join(broadcast(model.weights), Seq("bucket"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf") * col("w")).as("_ts"))
+      .join(broadcast(model.priors.select(col("lang"), col("prior"))),
+        Seq("lang"))
+      .withColumn("score", col("prior") + col("_ts"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("score")).as("ns"), col("lang").as("lang")))
+        .as("_best"))
+      .select(col("doc_id"), col("_best.lang").as("pred"))
+
   /** Map-side scoring under a trained model: broadcast weight joins,
     * integer dot product, threshold at 0 → (doc_id, score, pred). */
   def classify(docs: DataFrame, idCol: String, textCol: String,

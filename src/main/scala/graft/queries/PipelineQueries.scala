@@ -214,6 +214,74 @@ object PipelineQueries {
        |${bpeIterCtes(2, "s1")},
        |${bpeIterCtes(3, "s2")}""".stripMargin
 
+  /** One BATCHED-BPE oracle round (mirror of Bpe.learnMergesBatched):
+    * pair counts p$k, ranked candidates c$k (top-256), a recursive
+    * greedy conflict-free SELECTION walk g$k over candidate rank
+    * (used-set disjointness on {l, r, l||r}, batch cap 16) → the
+    * 1-row pick list k$k, the greedy multi-pair re-segmentation walk
+    * w$k (membership test against the pick list instead of t21's
+    * single argmax pair), final segs s$k, per-round output rows o$k.
+    * Reused stages MATERIALIZED (CTE-inlining lesson); list_reduce
+    * never used (round-7 finding). */
+  private def bpeBatchIterCtes(k: Int, sIn: String): String =
+    s"""p$k AS (SELECT s.syms[u.j] AS l, s.syms[u.j + 1] AS r,
+       |    CAST(sum(s.cnt) AS BIGINT) AS pair_cnt
+       |  FROM $sIn s, unnest(generate_series(1, len(s.syms) - 1)) AS u(j)
+       |  GROUP BY 1, 2),
+       |c$k AS MATERIALIZED (SELECT l, r, pair_cnt,
+       |    CAST(row_number() OVER (ORDER BY pair_cnt DESC, l, r) AS INT) AS rn
+       |  FROM p$k ORDER BY pair_cnt DESC, l, r LIMIT 256),
+       |g$k(rn, used, picks) AS (
+       |  SELECT 0, CAST([] AS VARCHAR[]),
+       |    CAST([] AS STRUCT(l VARCHAR, r VARCHAR, c BIGINT)[])
+       |  UNION ALL
+       |  SELECT c.rn,
+       |    CASE WHEN len(g.picks) < 16
+       |        AND NOT list_has_any(g.used, [c.l, c.r, c.l || c.r])
+       |      THEN g.used || [c.l, c.r, c.l || c.r] ELSE g.used END,
+       |    CASE WHEN len(g.picks) < 16
+       |        AND NOT list_has_any(g.used, [c.l, c.r, c.l || c.r])
+       |      THEN list_append(g.picks, {'l': c.l, 'r': c.r, 'c': c.pair_cnt})
+       |      ELSE g.picks END
+       |  FROM g$k g JOIN c$k c ON c.rn = g.rn + 1),
+       |k$k AS MATERIALIZED (SELECT picks FROM g$k ORDER BY rn DESC LIMIT 1),
+       |w$k(w, cnt, syms, i, acc) AS (
+       |  SELECT w, cnt, syms, 1, [syms[1]] FROM $sIn
+       |  UNION ALL
+       |  SELECT x.w, x.cnt, x.syms, x.i + 1,
+       |    CASE WHEN len(list_filter(b.picks, p ->
+       |        p.l = x.acc[-1] AND p.r = x.syms[x.i + 1])) > 0
+       |      THEN list_append(x.acc[1:len(x.acc) - 1], x.acc[-1] || x.syms[x.i + 1])
+       |      ELSE list_append(x.acc, x.syms[x.i + 1]) END
+       |  FROM w$k x, k$k b WHERE x.i < len(x.syms)),
+       |s$k AS MATERIALIZED (SELECT w, cnt, acc AS syms FROM w$k
+       |  WHERE i = len(syms)),
+       |a$k AS (SELECT CAST(sum(cnt * len(syms)) AS BIGINT) AS syms_after
+       |  FROM s$k),
+       |o$k AS (SELECT $k AS round, CAST(u.j AS INT) AS rnk,
+       |    b.picks[u.j].l AS left_sym, b.picks[u.j].r AS right_sym,
+       |    b.picks[u.j].l || b.picks[u.j].r AS merged,
+       |    b.picks[u.j].c AS pair_cnt, a.syms_after
+       |  FROM k$k b, a$k a, unnest(generate_series(1, len(b.picks))) AS u(j))""".stripMargin
+
+  private def bpeBatchOracle: String = {
+    val iters = (1 to 8)
+      .map(k => bpeBatchIterCtes(k, if (k == 1) "s0" else s"s${k - 1}"))
+      .mkString(",\n")
+    s"""WITH RECURSIVE v AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents) x
+       |  WHERE length(w) > 0 GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT w, cnt,
+       |    list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)) AS syms
+       |  FROM v),
+       |$iters
+       |SELECT round, rnk, left_sym, right_sym, merged, pair_cnt, syms_after
+       |FROM (${(1 to 8).map(k => s"SELECT * FROM o$k").mkString(" UNION ALL ")}) u
+       |ORDER BY round, rnk""".stripMargin
+  }
+
   private def prIterCte(prev: String, cur: String): String =
     s"""$cur AS (SELECT n.id, CAST(150000 + (85 * COALESCE(s.x, 0)) // 100 AS BIGINT) AS r
        |  FROM nodes n LEFT JOIN (
@@ -1144,6 +1212,57 @@ object PipelineQueries {
           col("fp"), col("fn"), col("acc_bp"), col("majority_bp"))
     },
 
+    // LEARNED language ID (round-10 verdict #7 — t20's integer
+    // fixed-point NB machinery MULTI-CLASSED over hashed char-trigram
+    // features, the fastText-architecture langid production pipelines
+    // run where t1 is a hand-set stopword gate): deterministic
+    // language markers are planted per doc (doc_id%3 appends repeated
+    // de/fr stopword runs sized to dominate the base text's English
+    // hits — the m20/t9 synthesize-then-process pattern; %3==2 stays
+    // English), t1's heuristic TEACHES (weak supervision: train on
+    // doc_id%5<4 heuristic labels), and the multi-class NB must
+    // recover the language from sub-word char-trigram buckets alone.
+    // One confusion row: held-out agreement vs the majority-class
+    // baseline. All-integer il16 scoring; argmax tie-break is
+    // lang-ascending (min of (−score, lang)) — cross-engine exact.
+    "t26_learned_langid" -> { (s, dir) =>
+      val aug = Tables.documents(s, dir)
+        .withColumn("_ntok", size(split(trim(col("text")), "\\s+")))
+        .withColumn("_k", (col("_ntok") / 4).cast("int") + 1)
+        .withColumn("atext", concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            expr("repeat(' und der die ist', _k)"))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            expr("repeat(' le la et est', _k)"))
+          .otherwise(lit(""))))
+      val labeled = aug
+        .withColumn("_w", Dedup.words(col("atext")))
+        .withColumn("heur", TextFunctions.langId(
+          TextFunctions.stopHits("_w", TextFunctions.enStop),
+          TextFunctions.stopHits("_w", TextFunctions.deStop),
+          TextFunctions.stopHits("_w", TextFunctions.frStop)))
+        .select(col("doc_id"), col("atext"), col("heur"))
+      val model = LearnedQuality.trainLang(
+        labeled.filter(pmod(col("doc_id"), lit(5)) < 4),
+        "doc_id", "atext", "heur")
+      val eval = labeled.filter(pmod(col("doc_id"), lit(5)) === 4)
+      val preds = LearnedQuality.classifyLang(eval, "doc_id", "atext", model)
+        .join(eval.select(col("doc_id"), col("heur")), Seq("doc_id"))
+      val maj = eval.groupBy(col("heur")).agg(count(lit(1)).as("k"))
+        .agg(coalesce(max(col("k")), lit(0L)).as("n_majority"))
+      preds.agg(count(lit(1)).as("n_eval"),
+          sum(when(col("pred") === col("heur"), 1L).otherwise(0L))
+            .as("n_correct"))
+        .crossJoin(broadcast(model.priors.agg(sum(col("m")).as("n_train"))))
+        .crossJoin(broadcast(maj))
+        .select(col("n_train"), col("n_eval"), col("n_correct"),
+          col("n_majority"),
+          expr("CASE WHEN n_eval = 0 THEN NULL " +
+            "ELSE n_correct * 10000 div n_eval END").as("acc_bp"),
+          expr("CASE WHEN n_eval = 0 THEN NULL " +
+            "ELSE n_majority * 10000 div n_eval END").as("majority_bp"))
+    },
+
     // BPE merge LEARNING (Sennrich et al. 2016) — the tokenizer-
     // training pass itself (t3/t8 consume a tokenizer; this produces
     // one): 3 greedy merges over the corpus vocabulary with the
@@ -1163,6 +1282,21 @@ object PipelineQueries {
     // on the |V|-row vocab (Bpe.segmentVocab); the corpus-sized side is
     // one explode + equi-join on the word — never re-segmented per
     // occurrence. compression_bp = chars saved per doc, truncating.
+    // BPE at PRODUCTION merge count (round-10 verdict #5 — t21 is one
+    // driver round per merge; a 32k-merge vocab needs batching): up to
+    // 16 pairwise conflict-free merges per driver round ({l, r, l||r}
+    // disjointness makes the batch order-independent and count-stable,
+    // so ONE greedy fold applies all 16 exactly as sequential
+    // application would — see Bpe.learnMergesBatched for the proof
+    // sketch and the documented queue-jump deviation). 8 rounds learn
+    // 82 merges on this corpus (≥64 in ≤8 driver compositions — the
+    // verdict's bar); the oracle unrolls all 8 rounds with a recursive
+    // selection walk + multi-pair re-segmentation walk per round.
+    "t27_bpe_batch" -> { (s, dir) =>
+      Bpe.learnMergesBatched(Tables.documents(s, dir), "text",
+        rounds = 8, batchMax = 16)
+    },
+
     "t22_bpe_apply" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val segs = Bpe.segmentVocab(docs, "text", n = 3)
@@ -2896,7 +3030,7 @@ object PipelineQueries {
     // 4-pixel average floor, so the oracle needs NO pixel simulation
     "x17_image_phash" ->
       """WITH p AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS f,
-        |    md5('ph|' || CAST(doc_id % 25 AS VARCHAR)) AS h
+        |    md5('ph|' || CAST(doc_id // 20 AS VARCHAR)) AS h
         |  FROM documents),
         |s0 AS (SELECT doc_id, f,
         |    CAST(list_sum(list_transform(generate_series(0, 7), k ->
@@ -2916,7 +3050,7 @@ object PipelineQueries {
 
     "d25_image_neardup" ->
       """WITH p AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS f,
-        |    md5('ph|' || CAST(doc_id % 25 AS VARCHAR)) AS h
+        |    md5('ph|' || CAST(doc_id // 20 AS VARCHAR)) AS h
         |  FROM documents),
         |s0 AS (SELECT doc_id, f,
         |    CAST(list_sum(list_transform(generate_series(0, 7), k ->
@@ -3345,6 +3479,79 @@ object PipelineQueries {
          |  UNION ALL SELECT 3, b.l, b.r, b.l || b.r, b.pair_cnt, a.syms_after
          |    FROM b3 b, a3 a) u
          |ORDER BY iter""".stripMargin
+    },
+
+    "t27_bpe_batch" -> bpeBatchOracle,
+
+    "t26_learned_langid" -> {
+      def IL(v: String) = s"(16*(length(bin($v))-1) + (($v)*16) // " +
+        s"(1::BIGINT << (length(bin($v))-1)) - 16)"
+      def stops(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+      s"""WITH aug AS MATERIALIZED (SELECT doc_id,
+         |    text || CASE CAST(doc_id % 3 AS INT)
+         |      WHEN 0 THEN repeat(' und der die ist',
+         |        CAST(len(regexp_split_to_array(trim(text), '\\s+')) // 4 + 1 AS INT))
+         |      WHEN 1 THEN repeat(' le la et est',
+         |        CAST(len(regexp_split_to_array(trim(text), '\\s+')) // 4 + 1 AS INT))
+         |      ELSE '' END AS atext
+         |  FROM documents),
+         |lab AS MATERIALIZED (SELECT doc_id, atext,
+         |    CASE WHEN en >= de AND en >= fr AND en > 0 THEN 'en'
+         |         WHEN de >= fr AND de > 0 THEN 'de'
+         |         WHEN fr > 0 THEN 'fr' ELSE 'und' END AS heur,
+         |    doc_id % 5 < 4 AS train
+         |  FROM (SELECT doc_id, atext,
+         |      len(list_filter(w, x -> x IN (${stops(TextFunctions.enStop)}))) AS en,
+         |      len(list_filter(w, x -> x IN (${stops(TextFunctions.deStop)}))) AS de,
+         |      len(list_filter(w, x -> x IN (${stops(TextFunctions.frStop)}))) AS fr
+         |    FROM (SELECT doc_id, atext,
+         |        regexp_split_to_array(trim(atext), '\\s+') AS w FROM aug) z) z2),
+         |tf AS MATERIALIZED (SELECT doc_id,
+         |    CAST(instr('0123456789abcdef', substring(md5(g), 1, 1)) - 1 AS INT)
+         |      AS bucket,
+         |    CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(CASE WHEN length(atext) >= 3
+         |      THEN list_transform(generate_series(1, length(atext) - 2),
+         |        i -> substr(atext, i, 3))
+         |      ELSE [] END) AS g FROM lab) u
+         |  GROUP BY 1, 2),
+         |cls AS (SELECT DISTINCT heur AS lang FROM lab WHERE train),
+         |bc AS (SELECT c.lang, b.bucket, CAST(coalesce(t.c, 0) AS BIGINT) AS c
+         |  FROM cls c CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bucket) b
+         |  LEFT JOIN (SELECT l.heur AS lang, tf.bucket,
+         |      CAST(sum(tf.tf) AS BIGINT) AS c
+         |    FROM tf JOIN lab l USING (doc_id) WHERE l.train GROUP BY 1, 2) t
+         |    ON t.lang = c.lang AND t.bucket = b.bucket),
+         |nc AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n FROM bc GROUP BY 1),
+         |wt AS MATERIALIZED (SELECT bc.lang, bc.bucket,
+         |    ${IL("c + 1")} - ${IL("n + 16")} AS w
+         |  FROM bc JOIN nc USING (lang)),
+         |pr AS MATERIALIZED (SELECT lang, ${IL("m + 1")} AS prior, m FROM (
+         |    SELECT heur AS lang, CAST(count(*) AS BIGINT) AS m
+         |    FROM lab WHERE train GROUP BY 1) z),
+         |sc AS (SELECT t.doc_id, w.lang, CAST(sum(t.tf * w.w) AS BIGINT) AS ts
+         |  FROM tf t JOIN lab l ON l.doc_id = t.doc_id AND NOT l.train
+         |  JOIN wt w ON w.bucket = t.bucket
+         |  GROUP BY 1, 2),
+         |pred AS (SELECT doc_id, lang AS pred FROM (
+         |    SELECT sc.doc_id, sc.lang, sc.ts + pr.prior AS score,
+         |      row_number() OVER (PARTITION BY sc.doc_id
+         |        ORDER BY (sc.ts + pr.prior) DESC, sc.lang) AS rn
+         |    FROM sc JOIN pr USING (lang)) x
+         |  WHERE rn = 1),
+         |ev AS (SELECT p.doc_id, p.pred, l.heur FROM pred p JOIN lab l USING (doc_id)),
+         |mj AS (SELECT CAST(coalesce(max(k), 0) AS BIGINT) AS n_majority FROM (
+         |    SELECT count(*) AS k FROM lab WHERE NOT train GROUP BY heur) z),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_train FROM lab WHERE train),
+         |cf AS (SELECT CAST(count(*) AS BIGINT) AS n_eval,
+         |    CAST(sum(CASE WHEN pred = heur THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_correct FROM ev)
+         |SELECT n_train, n_eval, n_correct, n_majority,
+         |  CAST(CASE WHEN n_eval = 0 THEN NULL
+         |    ELSE n_correct * 10000 // n_eval END AS BIGINT) AS acc_bp,
+         |  CAST(CASE WHEN n_eval = 0 THEN NULL
+         |    ELSE n_majority * 10000 // n_eval END AS BIGINT) AS majority_bp
+         |FROM nt, cf, mj""".stripMargin
     },
 
     "t16_feature_hash" ->

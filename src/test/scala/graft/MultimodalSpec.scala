@@ -263,13 +263,13 @@ class MultimodalSpec extends AnyFunSuite {
       java.lang.Long.bitCount(a.sig_lo ^ b.sig_lo) +
         java.lang.Long.bitCount(a.sig_hi ^ b.sig_hi)
     def hash(id: Long) = Multimodal.decodeGrayHash(id, Multimodal.synthGray(id))
-    // ids 3 and 53 share group 3 (f = 3 vs 1): planted hamming |3-1| = 2
-    assert(ham(hash(3L), hash(53L)) == 2)
-    // ids 3 and 103 (f = 3 vs 3): identical signatures — and id 103's
-    // +1 noise pixel (103%3=1) must vanish in the pooling floor
-    assert(ham(hash(3L), hash(103L)) == 0)
+    // ids 3 and 1 share group 0 (f = 3 vs 1): planted hamming |3-1| = 2
+    assert(ham(hash(3L), hash(1L)) == 2)
+    // ids 3 and 7 (group 0, f = 3 vs 3): identical signatures — and
+    // id 7's +1 noise pixel (7%3=1) must vanish in the pooling floor
+    assert(ham(hash(3L), hash(7L)) == 0)
     // different groups (md5-random patterns): far apart, never banded in
-    assert(ham(hash(3L), hash(4L)) > 10)
+    assert(ham(hash(3L), hash(23L)) > 10)
     // header damage / truncation / bad dims fail valid, zero sigs
     val bytes = Multimodal.synthGray(3L)
     val badMagic = bytes.clone(); badMagic(0) = 'X'

@@ -79,17 +79,18 @@ class PipelineSpec extends AnyFunSuite {
     val q = SparkEntry.queries("d25_image_neardup")
     val rows = q(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    // 500 docs, 20 per group g = id%25; flip masks are nested prefixes
-    // (1<<f)-1 so within-group hamming = |Δf| exactly. The banded +
-    // verified result must equal the BRUTE hamming ≤ 2 truth: same-f
-    // and |Δf| ≤ 2 members pair; the planted distance-3 variants
-    // (f=0 vs f=3) are banding candidates VERIFICATION must kill;
-    // cross-group (md5-random, hamming ≫ 2) must never appear.
+    // 500 docs, 20 per group g = id div 20 (consecutive blocks — group
+    // size stays fixed as the corpus scales); flip masks are nested
+    // prefixes (1<<f)-1 so within-group hamming = |Δf| exactly. The
+    // banded + verified result must equal the BRUTE hamming ≤ 2 truth:
+    // same-f and |Δf| ≤ 2 members pair; the planted distance-3
+    // variants (f=0 vs f=3) are banding candidates VERIFICATION must
+    // kill; cross-group (md5-random, hamming ≫ 2) must never appear.
     assert(rows.size == 500)
     for (id <- 0L until 500L) {
-      val g = id % 25
+      val g = id / 20
       val f = id % 4
-      val members = (0L until 20L).map(k => g + 25 * k)
+      val members = (g * 20 until (g + 1) * 20)
       val neigh = members.filter(m => m != id && math.abs((m % 4) - f) <= 2)
       val keeper = (neigh :+ id).min
       assert(rows(id) == ((neigh.size.toLong, keeper)),
@@ -478,6 +479,69 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(
       (0, 2L, 2L, 2L, 2L), (1, 1L, 2L, 3L, 4L),
       (2, 1L, 2L, 4L, 6L), (3, 1L, 3L, 5L, 9L)), rows.toSeq.toString)
+  }
+
+  test("t26: multi-class NB separates planted languages on held-out docs") {
+    import spark.implicits._
+    val de = "der die und ist nicht das ein der und ist"
+    val fr = "le la les et est un une le et est"
+    val en = "the and of to is in it the and of"
+    val docs = (0L until 30L).map { i =>
+      (i % 3) match {
+        case 0 => (i, de, "de")
+        case 1 => (i, fr, "fr")
+        case _ => (i, en, "en")
+      }
+    }.toDF("doc_id", "text", "lbl")
+    val model = LearnedQuality.trainLang(
+      docs.filter(pmod(col("doc_id"), lit(5)) < 4), "doc_id", "text", "lbl")
+    val eval = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+    val preds = LearnedQuality.classifyLang(eval, "doc_id", "text", model)
+      .join(eval.select(col("doc_id"), col("lbl")), Seq("doc_id")).collect()
+    // eval holds docs of all three classes (ids 4,9,14,19,24,29) and
+    // every one must classify from char-trigram buckets alone
+    assert(preds.length == 6)
+    assert(preds.forall(r => r.getAs[String]("pred") == r.getAs[String]("lbl")),
+      preds.mkString(","))
+  }
+
+  test("t27: batchMax=1 reduces batched BPE to exactly sequential Sennrich merges") {
+    import spark.implicits._
+    // same fixture as the t21 spec: with a batch of one, every round
+    // must pick the single argmax pair — the batched learner IS the
+    // sequential one at this setting
+    val docs = Seq(
+      (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest")).mkString(" ")
+    ).toDF("text")
+    val seqOut = graft.operators.Bpe.learnMerges(docs, "text", n = 3)
+      .collect().map(r => (r.getAs[String]("merged"),
+        r.getAs[Long]("pair_cnt"), r.getAs[Long]("syms_after"))).toSeq
+    val batOut = graft.operators.Bpe
+      .learnMergesBatched(docs, "text", rounds = 3, batchMax = 1)
+      .collect().map(r => (r.getAs[String]("merged"),
+        r.getAs[Long]("pair_cnt"), r.getAs[Long]("syms_after"))).toSeq
+    assert(batOut == seqOut, s"batched@1 $batOut != sequential $seqOut")
+  }
+
+  test("t27: >=64 merges in <=8 rounds, conflict-free batches, monotone compression") {
+    val rows = SparkEntry.queries("t27_bpe_batch")(spark, sf).collect()
+    assert(rows.length >= 64, s"only ${rows.length} merges learned")
+    val rounds = rows.map(_.getAs[Int]("round")).distinct
+    assert(rounds.length <= 8)
+    // within a round, every acceptance's {l, r, merged} is disjoint
+    // from every other's — the invariant that makes one fold correct
+    rows.groupBy(_.getAs[Int]("round")).foreach { case (rnd, rs) =>
+      val symSets = rs.map(r => Set(r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[String]("merged")))
+      for (i <- symSets.indices; j <- symSets.indices if i < j)
+        assert((symSets(i) & symSets(j)).isEmpty,
+          s"round $rnd: picks $i and $j share symbols")
+    }
+    // the compression curve strictly decreases round over round
+    val curve = rows.groupBy(_.getAs[Int]("round")).toSeq.sortBy(_._1)
+      .map(_._2.head.getAs[Long]("syms_after"))
+    assert(curve.zip(curve.tail).forall { case (a, b) => b < a }, curve)
   }
 
   test("t21: overlapping pairs each count; re-segmentation is greedy left-to-right") {
