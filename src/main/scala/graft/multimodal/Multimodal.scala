@@ -1239,4 +1239,212 @@ object Multimodal {
         it.grouped(batchSize).flatMap(_.map(d => decodeNpyHeader(d.doc_id, d.payload)))
       }
   }
+
+  // ------------------------------------------- pcm samples + energy
+
+  case class PcmEnergy(doc_id: Long, sample_rate: Int, n_samples: Int,
+      n_frames: Int, n_silent: Int, total_energy: Long,
+      max_frame_energy: Long, valid: Boolean)
+
+  /** 8-bit mono PCM WAV with REAL samples (x6 decodes headers; this is
+    * the feature-extraction step that reads the payload): 400 samples
+    * at 8000 Hz in 8 frames of 50. Frame f's square wave has amplitude
+    * a+f (a = 20 + (id%5)·10, period 8 + (id%4)·4 — every sample
+    * deviates from the 128 midline by exactly the frame amplitude, so
+    * per-frame L1 energy is closed-form 50·(a+f)); frames f0 and f0+1
+    * (f0 = id%4 ≤ 3) are planted DIGITAL SILENCE (exact 128s) — the
+    * thing a VAD/silence-trim pass must find. */
+  def synthPcmWav(id: Long): Array[Byte] = {
+    val a = 20 + (id % 5).toInt * 10
+    val f0 = (id % 4).toInt
+    val p = 8 + (id % 4).toInt * 4
+    val n = 400
+    val samples = Array.tabulate(n) { i =>
+      val f = i / 50
+      if (f == f0 || f == f0 + 1) 128.toByte
+      else {
+        val af = a + f
+        val v = if ((i / p) % 2 == 0) 128 + af else 128 - af
+        v.toByte
+      }
+    }
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)
+    val data = "data".getBytes("US-ASCII") ++ le32(n) ++ samples
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + n) ++
+      "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+  }
+
+  /** Frame-energy / silence decode over a PCM WAV payload: verify
+    * RIFF/WAVE/fmt and REQUIRE 8-bit mono (a 16-bit or stereo file
+    * fails valid rather than mis-framing), clamp the data chunk's
+    * declared size to the bytes actually present (truncation-safe),
+    * then window into 50-sample frames — per-frame L1 energy
+    * Σ|s−128|, silent ⇔ energy 0. Partial tail frames are dropped
+    * (full-frame semantics), so n_frames is derived from the REAL
+    * byte count, never the header's claim. */
+  def decodePcmEnergy(id: Long, bytes: Array[Byte], frame: Int = 50): PcmEnergy = {
+    val bad = PcmEnergy(id, 0, 0, 0, 0, 0L, 0L, valid = false)
+    def l16(off: Int) = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    def l32(off: Int) = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+      ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    if (bytes.length < 44 ||
+        new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(bytes, 8, 4, "US-ASCII") != "WAVE" ||
+        new String(bytes, 12, 4, "US-ASCII") != "fmt " ||
+        new String(bytes, 36, 4, "US-ASCII") != "data") return bad
+    if (l16(22) != 1 || l16(34) != 8) return bad // mono 8-bit only
+    val rate = l32(24)
+    val declared = l32(40)
+    val n = math.min(declared, bytes.length - 44)
+    if (n < 0) return bad
+    val nFrames = n / frame
+    var totalE = 0L; var maxE = 0L; var nSilent = 0
+    var f = 0
+    while (f < nFrames) {
+      var e = 0L
+      var i = 0
+      while (i < frame) {
+        e += math.abs((bytes(44 + f * frame + i) & 0xFF) - 128)
+        i += 1
+      }
+      totalE += e
+      if (e > maxE) maxE = e
+      if (e == 0) nSilent += 1
+      f += 1
+    }
+    PcmEnergy(id, rate, n, nFrames, nSilent, totalE, maxE, valid = true)
+  }
+
+  def synthesizePcm(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => BinaryDoc(id, synthPcmWav(id)))).toDF()
+  }
+
+  def decodePcm(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[PcmEnergy] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => decodePcmEnergy(d.doc_id, d.payload)))
+      }
+  }
+
+  // ------------------------------------------------ pdf text extract
+
+  case class PdfText(doc_id: Long, n_objs: Int, stream_len: Int,
+      n_text_ops: Int, text: String, xref_ok: Boolean, valid: Boolean)
+
+  /** Strip the characters that would need PDF string-escaping — applied
+    * identically at synthesis and in the oracle's expectation. */
+  def pdfSanitize(w: String): String = w.replaceAll("[()\\\\]", "")
+
+  /** A minimal VALID single-page PDF carrying the doc's first 8 words
+    * as uncompressed text operators — the training-pipeline op between
+    * a crawled PDF corpus and the t-family text gates. Five objects
+    * (catalog, pages, page, content stream, font), a correct xref
+    * table (20-byte entries, real byte offsets) and startxref — so a
+    * conformant offset-walking reader, not just a regex scraper, can
+    * load it. Content stream: `BT /F1 12 Tf (w) Tj T* ... ET`. */
+  def synthPdf(id: Long, text: String): Array[Byte] = {
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+      .take(8).map(pdfSanitize)
+    val content = "BT /F1 12 Tf " +
+      words.map(w => s"($w) Tj T* ").mkString + "ET"
+    val objs = Seq(
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n",
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n",
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n",
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n" +
+        content + "\nendstream\nendobj\n",
+      "5 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+    val header = "%PDF-1.4\n"
+    val offsets = objs.scanLeft(header.length)(_ + _.length).init
+    val xrefOff = header.length + objs.map(_.length).sum
+    val xref = "xref\n0 6\n0000000000 65535 f \n" +
+      offsets.map(o => f"$o%010d 00000 n \n").mkString
+    val trailer = s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xrefOff\n%%EOF"
+    (header + objs.mkString + xref + trailer).getBytes("US-ASCII")
+  }
+
+  /** Offset-walking PDF text extraction: read startxref from the tail,
+    * verify the xref table is where it claims, walk its entries and
+    * check every `N 0 obj` actually sits at its recorded offset
+    * (xref_ok — the structural-integrity bit a repair pass keys on),
+    * then find the content stream via its /Length dict, slice exactly
+    * /Length bytes after `stream\n`, and collect `(...) Tj` text
+    * operators in order. Extraction still succeeds on a broken xref
+    * (scavenger mode, like real-world readers); a payload without a
+    * PDF header or startxref fails valid. */
+  def decodePdfText(id: Long, bytes: Array[Byte]): PdfText = {
+    val bad = PdfText(id, 0, 0, 0, "", xref_ok = false, valid = false)
+    val s = new String(bytes, "ISO-8859-1")
+    if (!s.startsWith("%PDF-")) return bad
+    val sxAt = s.lastIndexOf("startxref")
+    if (sxAt < 0) return bad
+    val sxDigits = s.substring(sxAt + 9).trim.takeWhile(_.isDigit)
+    if (sxDigits.isEmpty) return bad
+    val xrefOff = sxDigits.toInt
+    var nObjs = 0
+    var xrefOk = false
+    if (xrefOff >= 0 && xrefOff + 4 <= s.length &&
+        s.startsWith("xref", xrefOff)) {
+      // header line "0 N", then N 20-byte entries (entry 0 is the free head)
+      val m = java.util.regex.Pattern.compile("xref\\s+0 (\\d+)\\s")
+        .matcher(s.substring(xrefOff))
+      if (m.lookingAt()) {
+        val total = m.group(1).toInt
+        nObjs = total - 1
+        // entry i (free head = entry 0) is the 20-byte slice at i*20
+        val entBase = xrefOff + m.end()
+        xrefOk = entBase + total * 20 <= s.length && (1 until total).forall { i =>
+          val digits = s.substring(entBase + i * 20, entBase + i * 20 + 10)
+          // 10-digit fields can exceed Int range when tampered — parse
+          // wide, bound-check before the offset probe
+          digits.forall(_.isDigit) && {
+            val off = digits.toLong
+            off < s.length && s.startsWith(s"$i 0 obj", off.toInt)
+          }
+        }
+      }
+    }
+    val lenM = java.util.regex.Pattern
+      .compile("<< /Length (\\d+) >>\\s*stream\n").matcher(s)
+    if (!lenM.find()) return PdfText(id, nObjs, 0, 0, "", xrefOk, valid = true)
+    val streamLen = lenM.group(1).toInt
+    val start = lenM.end()
+    if (start + streamLen > s.length)
+      return PdfText(id, nObjs, 0, 0, "", xrefOk, valid = true)
+    val stream = s.substring(start, start + streamLen)
+    val ops = new scala.collection.mutable.ArrayBuffer[String]()
+    val opM = java.util.regex.Pattern.compile("\\(([^)]*)\\) Tj").matcher(stream)
+    while (opM.find()) ops += opM.group(1)
+    PdfText(id, nObjs, streamLen, ops.length, ops.mkString(" "),
+      xrefOk, valid = true)
+  }
+
+  def synthesizePdf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => BinaryDoc(id, synthPdf(id, t)) })
+      .toDF()
+  }
+
+  def decodePdf(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[PdfText] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => decodePdfText(d.doc_id, d.payload)))
+      }
+  }
 }

@@ -197,6 +197,55 @@ object LearnedQuality {
         .as("_best"))
       .select(col("doc_id"), col("_best.lang").as("pred"))
 
+  // ------------------------------------------ bigram LM / perplexity
+
+  /** Within-doc adjacent word pairs (doc_id, prev, wrd). Pairs built
+    * by zip-of-slices OUTSIDE any lambda (the projection-collapse
+    * recompute trap); docs under two words contribute nothing. */
+  def wordBigrams(docs: DataFrame, idCol: String, wordsCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), col(wordsCol).as("ws"))
+      .select(col("doc_id"), explode(expr(
+        "IF(size(ws) < 2, " +
+        "CAST(array() AS ARRAY<STRUCT<prev: STRING, wrd: STRING>>), " +
+        "zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), " +
+        "(a, b) -> named_struct('prev', a, 'wrd', b)))")).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.wrd").as("wrd"))
+
+  /** Add-one-smoothed bigram language model: pair counts c(prev,wrd),
+    * context masses c(prev), and the training vocabulary size — the
+    * CCNet-style perplexity filter's model half. All counts integer;
+    * tables are vocab-bounded (pairs ≤ observed bigram types). */
+  case class BigramLm(pairCounts: DataFrame, ctxCounts: DataFrame,
+      vocabSize: DataFrame)
+
+  def trainBigramLm(docs: DataFrame, idCol: String, wordsCol: String): BigramLm = {
+    val bg = wordBigrams(docs, idCol, wordsCol)
+    val pairs = bg.groupBy(col("prev"), col("wrd")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val ctx = pairs.groupBy(col("prev")).agg(sum(col("c")).as("cp"))
+    val vocab = docs.select(explode(col(wordsCol)).as("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    BigramLm(pairs, ctx, vocab)
+  }
+
+  /** Per-doc negative log-likelihood under the model, in il16 units
+    * (16ths of a bit): nll = Σ il16(c(prev)+V) − il16(c(prev,wrd)+1)
+    * over the doc's bigrams — add-one smoothing makes unseen pairs
+    * (and unseen contexts, cp→0) finite instead of fatal. Integer
+    * throughout, so cross-engine exact; avg = nll div n_bigrams is
+    * the length-normalized perplexity proxy the keep-gate thresholds. */
+  def bigramNll(docs: DataFrame, idCol: String, wordsCol: String,
+      lm: BigramLm): DataFrame =
+    wordBigrams(docs, idCol, wordsCol)
+      .join(lm.pairCounts, Seq("prev", "wrd"), "left")
+      .join(lm.ctxCounts, Seq("prev"), "left")
+      .crossJoin(broadcast(lm.vocabSize))
+      .withColumn("_lp",
+        expr(s"${il16Sql("coalesce(cp, 0) + v")} - ${il16Sql("coalesce(c, 0) + 1")}"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("_lp")).as("nll_il16"))
+
   /** Map-side scoring under a trained model: broadcast weight joins,
     * integer dot product, threshold at 0 → (doc_id, score, pred). */
   def classify(docs: DataFrame, idCol: String, textCol: String,

@@ -1049,6 +1049,62 @@ object RelationalQueries {
         .orderBy(col("status"))
     },
 
+    // MERGE INTO over the versioned layout — the lakehouse upsert op
+    // (q53 reads snapshots, q54 diffs them, p21 compacts them; this
+    // one WRITES the next version): a change batch carries updates
+    // (%10==3 re-cased), deletes (%10==7 tombstones) and inserts
+    // (+1e9 keys), and ONE full-outer join on the key classifies every
+    // target row into insert/update/delete/unchanged before the merged
+    // result lands as v2 — COPY-ON-WRITE, v1's files untouched
+    // (append-only isolation, the q53 contract). The output is the
+    // transaction's accounting (per-action counts + char mass from the
+    // classification) plus both versions re-read from DISK with
+    // order-free digests — a merge that drops, duplicates or corrupts
+    // a row, or that rewrote v1 in place, breaks the compare. Scale
+    // shape: one key shuffle for the merge (change batch is %-bounded
+    // but joins as a general fact — no broadcast assumption), digests
+    // map-side, layouts write-once.
+    "q57_merge_into" -> { (s, dir) =>
+      val base = DerivedLayouts.once(s"merge|$dir") { path =>
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        docs.write.parquet(s"$path/v1")
+        docs.filter(pmod(col("doc_id"), lit(10)).isin(3, 7))
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(10)) === 7, lit("delete"))
+              .otherwise(lit("update")).as("op"),
+            when(pmod(col("doc_id"), lit(10)) === 3, upper(col("text")))
+              .otherwise(lit(null)).as("new_text"))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+            .select((col("doc_id") + 1000000000L).as("doc_id"),
+              lit("insert").as("op"), col("text").as("new_text")))
+          .write.parquet(s"$path/changes")
+        val merged = s.read.parquet(s"$path/v1")
+          .join(s.read.parquet(s"$path/changes"), Seq("doc_id"), "full_outer")
+          .withColumn("action", coalesce(col("op"), lit("unchanged")))
+        merged.filter(col("action") =!= "delete")
+          .select(col("doc_id"),
+            when(col("action") === "unchanged", col("text"))
+              .otherwise(col("new_text")).as("text"))
+          .write.parquet(s"$path/v2")
+        merged.groupBy(col("action"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("action") === "delete", lit(0L))
+              .when(col("action") === "unchanged", length(col("text")))
+              .otherwise(length(col("new_text")))).as("chars_after"))
+          .write.parquet(s"$path/accounting")
+      }
+      def face(v: String) = s.read.parquet(s"$base/$v")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), " +
+            "'|', text)), 1, 6), 16, 10) AS BIGINT)")).as("digest"))
+        .select(lit(v).as("action"), col("n_rows"),
+          lit(null).cast("long").as("chars_after"), col("digest"))
+      s.read.parquet(s"$base/accounting")
+        .withColumn("digest", lit(null).cast("long"))
+        .unionByName(face("v1")).unionByName(face("v2"))
+        .orderBy(col("action"))
+    },
+
     // COLLATION-aware grouping — Spark 4's engine-level collations (the
     // surface that replaces d2's manual lower()/normalize pipelines):
     // grouping on a UTF8_LCASE-collated key folds case variants AT THE
@@ -1266,6 +1322,48 @@ object RelationalQueries {
 
     // closed-form from the mutation formulas: changed ⇔ upper-casing
     // actually alters the text (md5 inequality ⇔ string inequality)
+    // the digest walks the MERGED corpus the formulas predict: v2 =
+    // unchanged rows as-is + %10==3 upper-cased + %10==0 re-keyed
+    // +1e9 — a merge that wrote anything else breaks the sum
+    "q57_merge_into" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |acc AS (
+        |  SELECT 'delete' AS action, CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(0 AS BIGINT) AS chars_after
+        |  FROM d WHERE doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT 'insert', CAST(count(*) AS BIGINT),
+        |    CAST(sum(length(text)) AS BIGINT)
+        |  FROM d WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT 'update', CAST(count(*) AS BIGINT),
+        |    CAST(sum(length(text)) AS BIGINT)
+        |  FROM d WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT 'unchanged', CAST(count(*) AS BIGINT),
+        |    CAST(sum(length(text)) AS BIGINT)
+        |  FROM d WHERE doc_id % 10 NOT IN (3, 7)),
+        |v2r AS (
+        |  SELECT doc_id, text FROM d WHERE doc_id % 10 NOT IN (3, 7)
+        |  UNION ALL SELECT doc_id, upper(text) FROM d WHERE doc_id % 10 = 3
+        |  UNION ALL SELECT doc_id + 1000000000, text FROM d WHERE doc_id % 10 = 0),
+        |v1f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(list_sum(list_transform(generate_series(0, 5), k ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)
+        |        || '|' || text), 1 + k, 1)) - 1 AS BIGINT)
+        |      * (1::BIGINT << (4 * (5 - k)))))) AS BIGINT) AS digest
+        |  FROM d),
+        |v2f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(list_sum(list_transform(generate_series(0, 5), k ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)
+        |        || '|' || text), 1 + k, 1)) - 1 AS BIGINT)
+        |      * (1::BIGINT << (4 * (5 - k)))))) AS BIGINT) AS digest
+        |  FROM v2r)
+        |SELECT action, n_rows, chars_after, CAST(NULL AS BIGINT) AS digest FROM acc
+        |UNION ALL SELECT 'v1', n_rows, CAST(NULL AS BIGINT), digest FROM v1f
+        |UNION ALL SELECT 'v2', n_rows, CAST(NULL AS BIGINT), digest FROM v2f
+        |ORDER BY action""".stripMargin,
+
     "q54_corpus_diff" ->
       """WITH d AS (SELECT doc_id, text FROM documents),
         |cls AS (

@@ -655,6 +655,46 @@ object SamplingQueries {
         .orderBy(col("face"))
     },
 
+    // SHARD EXPORT — the LAST op of every training-data pipeline
+    // (after dedup/quality/mixing, the corpus is globally shuffled and
+    // written as balanced shards for the trainer): the permutation is
+    // a salted md5 over the doc key (deterministic pseudo-random —
+    // re-running on any cluster shape reproduces identical shards,
+    // the p1 zero-coordination contract; never a sampled
+    // repartitionByRange, whose boundaries are nondeterministic), the
+    // shard is the key's first hex nibble (16 shards, balanced in
+    // expectation, count scales by adding nibbles), and the write is
+    // one file per shard (repartition(16, shard) + partitionBy). The
+    // output is the export MANIFEST read back from the files: per
+    // shard, file count (must be 1 — the layout property, asserted
+    // through the oracle), doc count, char mass, order-free digest,
+    // and the shard's key range. A trainer consumes the manifest, not
+    // a directory listing.
+    "p22_shard_export" -> { (s, dir) =>
+      import graft.sources.DerivedLayouts
+      val base = DerivedLayouts.once(s"shardexp|$dir") { path =>
+        Tables.documents(s, dir)
+          .withColumn("skey", md5(concat_ws("|", lit("shard"),
+            col("doc_id").cast("string"))))
+          .withColumn("shard",
+            expr("CAST(instr('0123456789abcdef', substring(skey, 1, 1)) - 1 AS INT)"))
+          .repartition(16, col("shard"))
+          .write.partitionBy("shard").parquet(s"$path/shards")
+      }
+      s.read.parquet(s"$base/shards")
+        .withColumn("_dig",
+          expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), " +
+            "'|', text)), 1, 6), 16, 10) AS BIGINT)"))
+        .withColumn("_f", input_file_name())
+        .groupBy(col("shard"))
+        .agg(countDistinct(col("_f")).as("n_files"),
+          count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          sum(col("_dig")).as("digest"),
+          min(substring(col("skey"), 1, 8)).as("key_lo"),
+          max(substring(col("skey"), 1, 8)).as("key_hi"))
+        .orderBy(col("shard"))
+    },
+
     "p14_compaction_plan" -> { (s, dir) =>
       val shards = Tables.documents(s, dir)
         .groupBy(pmod(col("doc_id"), lit(200)).as("shard_id"))
@@ -752,6 +792,29 @@ object SamplingQueries {
     // snapshot-isolation proof is that 'small' (re-read AFTER the
     // compaction ran) and 'compacted' carry the identical digest;
     // n_files is closed-form (40 shards; p14's bin count for the copy)
+    // n_files is the literal 1 the layout must deliver (one file per
+    // shard) — a multi-file shard breaks the compare even when the
+    // row contents agree
+    "p22_shard_export" ->
+      """WITH d AS (SELECT doc_id, text, n_chars,
+        |    md5('shard|' || CAST(doc_id AS VARCHAR)) AS skey
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, n_chars, skey,
+        |    CAST(strpos('0123456789abcdef', substring(skey, 1, 1)) - 1 AS INT)
+        |      AS shard,
+        |    CAST(list_sum(list_transform(generate_series(0, 5), k ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)
+        |        || '|' || text), 1 + k, 1)) - 1 AS BIGINT)
+        |      * (1::BIGINT << (4 * (5 - k))))) AS BIGINT) AS dig
+        |  FROM d)
+        |SELECT shard, CAST(1 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(dig) AS BIGINT) AS digest,
+        |  min(substring(skey, 1, 8)) AS key_lo,
+        |  max(substring(skey, 1, 8)) AS key_hi
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
     "p21_compaction_exec" ->
       """WITH shards AS (SELECT doc_id % 40 AS shard,
         |    CAST(sum(n_chars) AS BIGINT) AS bytes

@@ -298,4 +298,53 @@ class MultimodalSpec extends AnyFunSuite {
     val g = Multimodal.decodeSafetensorsHeader(6L, gapped)
     assert(!g.contiguous && !g.valid)
   }
+
+  test("pdf: xref offset walk verifies, text extracts in order; broken xref still extracts") {
+    val text = "alpha beta (tricky) gamma\\now delta epsilon zeta eta theta ninth"
+    val b = Multimodal.synthPdf(42L, text)
+    val d = Multimodal.decodePdfText(42L, b)
+    assert(d.valid && d.xref_ok && d.n_objs == 5)
+    // first 8 words, parens/backslashes stripped at synthesis
+    assert(d.text == "alpha beta tricky gammanow delta epsilon zeta eta")
+    assert(d.n_text_ops == 8)
+    val wl = Seq("alpha", "beta", "tricky", "gammanow", "delta",
+      "epsilon", "zeta", "eta")
+    assert(d.stream_len == 15 + wl.map(_.length).sum + 9 * wl.length)
+    // tamper ONE xref offset digit: objects stop matching their
+    // recorded offsets → xref_ok false, but scavenger extraction
+    // still returns the full text (real-reader behavior)
+    val s = new String(b, "ISO-8859-1")
+    val xrefAt = s.lastIndexOf("xref\n0 6\n")
+    val tampered = b.clone()
+    tampered(xrefAt + 9 + 20) = '9' // first digit of object 1's offset
+    val t = Multimodal.decodePdfText(42L, tampered)
+    assert(t.valid && !t.xref_ok && t.text == d.text && t.n_text_ops == 8)
+    // truncated before startxref → invalid; garbage → invalid
+    val cut = b.take(s.lastIndexOf("startxref"))
+    assert(!Multimodal.decodePdfText(42L, cut).valid)
+    assert(!Multimodal.decodePdfText(42L, "not a pdf".getBytes("US-ASCII")).valid)
+    // empty text → zero ops, stream is the bare BT..ET wrapper
+    val e = Multimodal.decodePdfText(1L, Multimodal.synthPdf(1L, "   "))
+    assert(e.valid && e.xref_ok && e.n_text_ops == 0 && e.text == "" &&
+      e.stream_len == 15)
+  }
+
+  test("pcm: frame energies match the amplitude formula; 16-bit files and truncation are safe") {
+    // id 13: a = 20 + 3*10 = 50, f0 = 1, period 12
+    val d = Multimodal.decodePcmEnergy(13L, Multimodal.synthPcmWav(13L))
+    assert(d.valid && d.sample_rate == 8000 && d.n_samples == 400 && d.n_frames == 8)
+    assert(d.n_silent == 2)
+    assert(d.total_energy == 50L * (6 * 50 + 27 - 2 * 1))
+    assert(d.max_frame_energy == 50L * (50 + 7))
+    // a 16-bit WAV (x6's synthesis) must fail valid, not mis-frame
+    assert(!Multimodal.decodePcmEnergy(13L, Multimodal.synthWav(8000, 1, 100)).valid)
+    // truncation: declared 400 samples, only 120 present → exactly 2
+    // full frames measured; id 4 has f0 = 0, so both surviving frames
+    // are the planted silence (total energy 0) and the 20-sample tail
+    // fragment is dropped, not mis-measured
+    val t = Multimodal.decodePcmEnergy(4L, Multimodal.synthPcmWav(4L).take(44 + 120))
+    assert(t.valid && t.n_samples == 120 && t.n_frames == 2 && t.n_silent == 2 &&
+      t.total_energy == 0L)
+    assert(!Multimodal.decodePcmEnergy(4L, Array.emptyByteArray).valid)
+  }
 }

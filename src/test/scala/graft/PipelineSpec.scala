@@ -544,6 +544,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(curve.zip(curve.tail).forall { case (a, b) => b < a }, curve)
   }
 
+  test("t28: bigram LM separates natural from word-reversed text; unseen pairs stay finite") {
+    import spark.implicits._
+    // train corpus with rigid bigram structure ("a b c d e" repeated);
+    // a reversed doc keeps every unigram but no trained bigram
+    val sent = "a b c d e"
+    val train = (0L until 20L).map(i => (i, sent)).toDF("doc_id", "text")
+      .withColumn("ws", expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')"))
+    val lm = LearnedQuality.trainBigramLm(train, "doc_id", "ws")
+    val eval = Seq(
+      (100L, "a b c d e"),        // natural: every bigram seen 20x
+      (101L, "e d c b a"),        // reversed: zero seen bigrams
+      (102L, "a b z q w")         // unseen words: cp=0 path must stay finite
+    ).toDF("doc_id", "text")
+      .withColumn("ws", expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')"))
+    val rows = LearnedQuality.bigramNll(eval, "doc_id", "ws", lm)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Long]("nll_il16"))).toMap
+    assert(rows(100L)._1 == 4L && rows(101L)._1 == 4L && rows(102L)._1 == 4L)
+    // natural scores strictly lower NLL than reversed; both finite
+    assert(rows(100L)._2 < rows(101L)._2,
+      s"natural ${rows(100L)._2} !< reversed ${rows(101L)._2}")
+    assert(rows(102L)._2 > rows(100L)._2,
+      "unseen-word docs score above natural text — and stay finite")
+    // closed-form check on the natural doc: V=5, each bigram has
+    // c=20, cp=20 → lp-term = il16(25) − il16(21) per bigram
+    def il16(v: Long): Long = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      16 * e + (v * 16) / (1L << e) - 16
+    }
+    assert(rows(100L)._2 == 4L * (il16(25) - il16(21)), rows(100L).toString)
+  }
+
   test("t21: overlapping pairs each count; re-segmentation is greedy left-to-right") {
     import spark.implicits._
     // "aaaa" holds (a,a) three times, "aaa" twice → pair_cnt 5 (Sennrich
