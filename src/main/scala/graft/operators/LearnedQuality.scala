@@ -129,24 +129,41 @@ object LearnedQuality {
 
   // ------------------------------------------------- multi-class NB
 
-  /** Hashed char-TRIGRAM term frequencies (16 md5-nibble buckets) —
-    * the fastText character-n-gram channel: language identity lives in
-    * sub-word byte patterns ('und', 'le ', 'est'), not whitespace
-    * tokens. One explode per char position; md5 applied post-explode
-    * (never inside the transform lambda — the projection-collapse
-    * recompute trap). */
+  /** Hashed WITHIN-WORD char-trigram term frequencies (16 md5-nibble
+    * buckets) — the fastText formulation exactly: a word's sub-word
+    * n-grams are a property of the WORD, so they are computed once per
+    * DISTINCT word (vocab-bounded — trigram substrings, md5s, and
+    * bucket multiplicities all |V|-sized) and reach the corpus through
+    * one broadcast join against the (doc, word, count) token grain.
+    * The corpus-sized side allocates one token string per occurrence,
+    * never one trigram string per char position — the first t26 shape
+    * exploded every char of every doc (corpus-BYTE-sized rows) and
+    * measured 3.6× at 10× data; this one is token-grain and flat.
+    * Words under 3 chars carry no trigrams (fastText's <w> padding is
+    * omitted; both engines agree). */
   def charTrigramTf(docs: DataFrame, idCol: String, textCol: String,
-      carry: Seq[String] = Nil): DataFrame =
-    docs
+      carry: Seq[String] = Nil): DataFrame = {
+    val toks = docs
       .select(Seq(col(idCol).as("doc_id")) ++ carry.map(col) :+
-        explode(expr(s"CASE WHEN length($textCol) >= 3 THEN " +
-          s"transform(sequence(1, length($textCol) - 2), " +
-          s"i -> substring($textCol, i, 3)) " +
-          "ELSE CAST(array() AS ARRAY<STRING>) END")).as("_g"): _*)
+        explode(expr(s"filter(split(trim($textCol), '\\\\s+'), x -> x <> '')"))
+          .as("_w"): _*)
+      .groupBy((Seq("doc_id") ++ carry ++ Seq("_w")).map(col): _*)
+      .agg(count(lit(1)).as("_wc"))
+      // the vocab build and the probe both consume this grain — pin it
+      // so the corpus explode runs once (self-join rescan trap)
+      .localCheckpoint()
+    val wordBuckets = toks.select(col("_w")).distinct()
+      .select(col("_w"), explode(expr(
+        "CASE WHEN length(_w) >= 3 THEN transform(sequence(1, length(_w) - 2), " +
+        "i -> substring(_w, i, 3)) ELSE CAST(array() AS ARRAY<STRING>) END"))
+        .as("_g"))
       .withColumn("bucket",
         expr("CAST(instr('0123456789abcdef', substring(md5(_g), 1, 1)) - 1 AS INT)"))
+      .groupBy(col("_w"), col("bucket")).agg(count(lit(1)).as("_m"))
+    toks.join(broadcast(wordBuckets), Seq("_w"))
       .groupBy((Seq("doc_id") ++ carry ++ Seq("bucket")).map(col): _*)
-      .agg(count(lit(1)).as("tf"))
+      .agg(sum(expr("_wc * _m")).as("tf"))
+  }
 
   /** Multi-class weights: (lang, bucket, w) on the COMPLETED
     * lang×bucket grid, plus (lang, prior, m). */

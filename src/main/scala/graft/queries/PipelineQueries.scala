@@ -2521,6 +2521,51 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // TOMBSTONE deletion in the ANN index lifecycle (s15 builds +
+    // appends; this is the third act every vector store needs — a
+    // delete API): the cheap production path serves the EXISTING
+    // persisted index behind a tombstone anti-join (delete is a
+    // metadata write, no index rebuild), and the key PROVES it
+    // row-identical to the expensive path (index rebuilt from scratch
+    // without the deleted vectors) — legal because cell assignment is
+    // per-vector deterministic, so removing rows can't move survivors
+    // between cells. Both faces emit; the oracle computes the search
+    // ONCE and emits it for both, so any divergence — a tombstoned
+    // vector surfacing, or a rebuild shifting a result — breaks the
+    // compare. Tombstones broadcast (deletion sets are small);
+    // queries are never tombstoned by construction (%50 ∩ %20==7 = ∅).
+    "s25_ann_tombstone" -> { (s, dir) =>
+      val vecs = Tables.embeddings(s, dir)
+      val cents = vecs.filter(col("vec_id") < 8)
+      val base = graft.sources.DerivedLayouts.once(s"ivf_index|$dir") { p =>
+        Similarity.indexWithCells(vecs.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+            cents, "vec_id", "embedding")
+          .write.mode("overwrite").parquet(s"$p/index")
+      }
+      val index = s.read.parquet(s"$base/index")
+      val delta = Similarity.indexWithCells(
+          vecs.filter(pmod(col("vec_id"), lit(10)) === 0), cents,
+          "vec_id", "embedding")
+        .localCheckpoint()
+      val queries = delta.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .localCheckpoint()
+      val tomb = vecs.filter(pmod(col("vec_id"), lit(20)) === 7)
+        .select(col("vec_id"))
+      val masked = Similarity.searchAssigned(
+        index.unionByName(delta).join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+        queries, "vec_id", "embedding", k = 3)
+      val rebuilt = Similarity.searchAssigned(
+        Similarity.indexWithCells(vecs.filter(pmod(col("vec_id"), lit(20)) =!= 7),
+          cents, "vec_id", "embedding"),
+        queries, "vec_id", "embedding", k = 3)
+      masked.withColumn("face", lit("masked"))
+        .unionByName(rebuilt.withColumn("face", lit("rebuilt")))
+        .withColumnRenamed("rank", "rnk")
+        .select(col("face"), col("query_id"), col("rnk"), col("neighbor_id"),
+          col("sim"))
+        .orderBy(col("face"), col("query_id"), col("rnk"))
+    },
+
     // composed IVF×PQ — the production prune-then-ADC serving shape:
     // s3's cell pruning and s11's compressed-domain ADC scoring in ONE
     // retrieval. A query scores only its own IVF cell's codes (the
@@ -3652,15 +3697,24 @@ object PipelineQueries {
          |      len(list_filter(w, x -> x IN (${stops(TextFunctions.frStop)}))) AS fr
          |    FROM (SELECT doc_id, atext,
          |        regexp_split_to_array(trim(atext), '\\s+') AS w FROM aug) z) z2),
-         |tf AS MATERIALIZED (SELECT doc_id,
+         |wtk AS MATERIALIZED (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS wc
+         |  FROM (SELECT doc_id, unnest(list_filter(
+         |      regexp_split_to_array(trim(atext), '\\s+'), x -> x <> '')) AS w
+         |    FROM lab) z
+         |  GROUP BY 1, 2),
+         |wbk AS MATERIALIZED (SELECT w,
          |    CAST(instr('0123456789abcdef', substring(md5(g), 1, 1)) - 1 AS INT)
          |      AS bucket,
-         |    CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest(CASE WHEN length(atext) >= 3
-         |      THEN list_transform(generate_series(1, length(atext) - 2),
-         |        i -> substr(atext, i, 3))
-         |      ELSE [] END) AS g FROM lab) u
+         |    CAST(count(*) AS BIGINT) AS m
+         |  FROM (SELECT w, unnest(CASE WHEN length(w) >= 3
+         |      THEN list_transform(generate_series(1, length(w) - 2),
+         |        i -> substr(w, i, 3))
+         |      ELSE [] END) AS g
+         |    FROM (SELECT DISTINCT w FROM wtk) d) u
          |  GROUP BY 1, 2),
+         |tf AS MATERIALIZED (SELECT t.doc_id, b.bucket,
+         |    CAST(sum(t.wc * b.m) AS BIGINT) AS tf
+         |  FROM wtk t JOIN wbk b ON b.w = t.w GROUP BY 1, 2),
          |cls AS (SELECT DISTINCT heur AS lang FROM lab WHERE train),
          |bc AS (SELECT c.lang, b.bucket, CAST(coalesce(t.c, 0) AS BIGINT) AS c
          |  FROM cls c CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS bucket) b
@@ -4675,6 +4729,33 @@ object PipelineQueries {
          |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rnk
          |  FROM fused) x
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // the oracle computes the post-delete search ONCE and emits both
+    // faces from it — the masked and rebuilt plans must agree with it
+    // row-for-row or the compare breaks
+    "s25_ann_tombstone" ->
+      s"""WITH $vecCte,
+         |c AS (SELECT vec_id AS cent_id, e AS c_vec, n2 AS c_n2 FROM v WHERE vec_id < 8),
+         |asg0 AS (SELECT a.vec_id, a.e, a.n2, c.cent_id,
+         |    round(list_sum(list_transform(generate_series(1, len(a.e)), i ->
+         |      CAST(a.e[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE))) / sqrt(a.n2 * c.c_n2), 6) AS csim
+         |  FROM v a CROSS JOIN c),
+         |asg AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn
+         |  FROM asg0),
+         |cells AS (SELECT vec_id, e, n2, cent_id AS cell FROM asg WHERE arn = 1),
+         |live AS (SELECT * FROM cells WHERE vec_id % 20 <> 7),
+         |q AS (SELECT * FROM cells WHERE vec_id % 50 = 0),
+         |sims AS (SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round($dotAB / sqrt(a.n2 * b.n2), 6) AS sim
+         |  FROM live a JOIN q b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+         |ranked AS MATERIALIZED (SELECT query_id, neighbor_id, sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INT) AS rnk
+         |  FROM sims)
+         |SELECT face, query_id, rnk, neighbor_id, sim FROM (
+         |  SELECT 'masked' AS face, * FROM ranked WHERE rnk <= 3
+         |  UNION ALL
+         |  SELECT 'rebuilt', * FROM ranked WHERE rnk <= 3) u
+         |ORDER BY face, query_id, rnk""".stripMargin,
 
     "s15_ann_index_append" ->
       s"""WITH $vecCte,

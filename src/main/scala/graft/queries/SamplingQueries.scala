@@ -708,6 +708,123 @@ object SamplingQueries {
           sum(col("bytes")).as("total_bytes"),
           min(col("shard_id")).as("shard_lo"), max(col("shard_id")).as("shard_hi"))
         .orderBy(col("bin"))
+    },
+
+    // FIRST-FIT-DECREASING bin packing — the packing algorithm
+    // production batchers actually run (p4 is streaming next-fit; p19
+    // PRICES arrival-vs-sorted; this packs BETTER, 11/9-OPT guaranteed
+    // vs next-fit's 2-OPT): per (lang, blk) shard the items are
+    // length-sorted and ONE aggregate() fold walks them, placing each
+    // into the FIRST bin with room (bin loads ride the fold state as
+    // an array — the sequential recurrence is per-shard, so packing
+    // parallelism is unbounded across shards, the p4 contract). A
+    // second fold prices streaming next-fit on arrival order over the
+    // SAME collected items — bins_ffd ≤ bins_nextfit row by row is
+    // the algorithmic claim, visible in the output. Oracle replays
+    // both folds as recursive CTE walks with LIST state (the t27
+    // pattern; list_reduce is banned — round-7 finding).
+    "p23_ffd_pack" -> { (s, dir) =>
+      val ffdFold =
+        """aggregate(
+          |  array_sort(fitems),
+          |  CAST(array() AS ARRAY<BIGINT>),
+          |  (loads, x) -> CASE
+          |    WHEN size(loads) = 0 THEN array(x.t)
+          |    WHEN size(filter(sequence(0, size(loads) - 1),
+          |        i -> element_at(loads, i + 1) + x.t <= 256)) = 0
+          |      THEN concat(loads, array(x.t))
+          |    ELSE transform(loads, (l, j) ->
+          |      IF(j = element_at(filter(sequence(0, size(loads) - 1),
+          |           i -> element_at(loads, i + 1) + x.t <= 256), 1),
+          |        l + x.t, l))
+          |  END)""".stripMargin
+      val nfFold =
+        """aggregate(
+          |  array_sort(aitems),
+          |  named_struct('bins', 0, 'cur', CAST(0 AS BIGINT)),
+          |  (acc, x) -> CASE
+          |    WHEN acc.bins = 0 THEN named_struct('bins', 1, 'cur', x.t)
+          |    WHEN acc.cur + x.t <= 256
+          |      THEN named_struct('bins', acc.bins, 'cur', acc.cur + x.t)
+          |    ELSE named_struct('bins', acc.bins + 1, 'cur', x.t)
+          |  END).bins""".stripMargin
+      Tables.documents(s, dir)
+        .withColumn("t",
+          expr("CAST(size(split(trim(text), '\\\\s+')) AS BIGINT)"))
+        .withColumn("blk", expr("doc_id div 128"))
+        .groupBy(col("lang"), col("blk"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tokens"),
+          collect_list(expr(
+            "named_struct('nt', -t, 'id', doc_id, 't', t)")).as("fitems"),
+          collect_list(expr(
+            "named_struct('id', doc_id, 't', t)")).as("aitems"))
+        .select(col("lang"), col("blk"), col("n_docs"), col("sum_tokens"),
+          expr(s"CAST(size($ffdFold) AS INT)").as("bins_ffd"),
+          expr(s"CAST($nfFold AS INT)").as("bins_nextfit"))
+        .orderBy(col("lang"), col("blk"))
+    },
+
+    // VACUUM after compaction — the maintenance op that closes the
+    // p21 → here lifecycle (p21 proves the compacted copy whole while
+    // BOTH layouts exist; vacuum reclaims the superseded small files
+    // and must prove the active version never noticed): its OWN layout
+    // copy (never p21's cached one — vacuuming a shared artifact would
+    // poison the other key in the same JVM), the same 40-shard →
+    // byte-binned compaction, then the small files are DELETED
+    // (retention expired, nothing references them) and the reclaim is
+    // accounted by FILE COUNT (parquet byte sizes are
+    // compression-dependent, never oracle-safe). Output: the active
+    // face re-read AFTER deletion — identical digest/counts to the
+    // p21 contract — plus the reclaim row; a vacuum that deleted a
+    // referenced file would break the active digest, one that missed
+    // files would break n_reclaimed.
+    "p24_snapshot_vacuum" -> { (s, dir) =>
+      import graft.sources.DerivedLayouts
+      val base = DerivedLayouts.once(s"vacuum|$dir") { path =>
+        val docs = Tables.documents(s, dir)
+          .withColumn("shard", pmod(col("doc_id"), lit(40)).cast("int"))
+        docs.repartition(40, col("shard"))
+          .write.partitionBy("shard").parquet(s"$path/small")
+        val small = s.read.parquet(s"$path/small")
+        val w = Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bins = small.groupBy(col("shard"))
+          .agg(sum(col("n_chars")).as("bytes"))
+          .withColumn("cum", sum(col("bytes")).over(w))
+          .withColumn("bin", expr("CAST((cum - bytes) div 20000 AS INT)"))
+          .select(col("shard"), col("bin"))
+        small.join(broadcast(bins), Seq("shard"))
+          .repartition(col("bin"))
+          .write.partitionBy("bin").parquet(s"$path/compacted")
+        // retention expired: delete the superseded small files and
+        // record the reclaim count (driver-side layout management,
+        // the p21/DerivedLayouts write class)
+        val smallDir = java.nio.file.Paths.get(path, "small")
+        val deleted = java.nio.file.Files.walk(smallDir)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .map { p => java.nio.file.Files.delete(p); 1L }.sum
+        java.nio.file.Files.walk(smallDir)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        import s.implicits._
+        Seq(deleted).toDF("n_reclaimed").write.parquet(s"$path/reclaim")
+      }
+      val active = s.read.parquet(s"$base/compacted")
+        .withColumn("_dig",
+          expr("CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), " +
+            "'|', text)), 1, 6), 16, 10) AS BIGINT)"))
+        .withColumn("_f", input_file_name())
+        .agg(countDistinct(col("_f")).as("n_files"),
+          count(lit(1)).as("n_docs"), sum(col("_dig")).as("digest"))
+        .select(lit("active").as("face"), col("n_files"), col("n_docs"),
+          col("digest"))
+      val reclaim = s.read.parquet(s"$base/reclaim")
+        .select(lit("reclaimed").as("face"), col("n_reclaimed").as("n_files"),
+          lit(0L).as("n_docs"), lit(null).cast("long").as("digest"))
+      active.unionByName(reclaim).orderBy(col("face"))
     }
   )
 
@@ -814,6 +931,84 @@ object SamplingQueries {
         |  min(substring(skey, 1, 8)) AS key_lo,
         |  max(substring(skey, 1, 8)) AS key_hi
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // both packing folds replayed as recursive walks with LIST /
+    // scalar state (rn → rn+1 per (lang, blk) key; list_reduce is
+    // banned — round-7 finding)
+    "p23_ffd_pack" ->
+      """WITH RECURSIVE base AS MATERIALIZED (SELECT lang,
+        |    doc_id // 128 AS blk, doc_id,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS t
+        |  FROM documents),
+        |fi AS MATERIALIZED (SELECT lang, blk, doc_id, t,
+        |    CAST(row_number() OVER (PARTITION BY lang, blk
+        |      ORDER BY t DESC, doc_id) AS INT) AS rn
+        |  FROM base),
+        |ai AS MATERIALIZED (SELECT lang, blk, doc_id, t,
+        |    CAST(row_number() OVER (PARTITION BY lang, blk
+        |      ORDER BY doc_id) AS INT) AS rn
+        |  FROM base),
+        |g AS MATERIALIZED (SELECT lang, blk, CAST(count(*) AS INT) AS n,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(t) AS BIGINT) AS sum_tokens
+        |  FROM base GROUP BY 1, 2),
+        |fw(lang, blk, rn, loads) AS (
+        |  SELECT lang, blk, 0, CAST([] AS BIGINT[]) FROM g
+        |  UNION ALL
+        |  SELECT w.lang, w.blk, i.rn,
+        |    CASE WHEN len(w.loads) = 0 THEN [i.t]
+        |      WHEN len(list_filter(range(1, len(w.loads) + 1),
+        |          j -> w.loads[j] + i.t <= 256)) = 0
+        |        THEN list_append(w.loads, i.t)
+        |      ELSE list_transform(range(1, len(w.loads) + 1), j ->
+        |        CASE WHEN j = list_filter(range(1, len(w.loads) + 1),
+        |            j2 -> w.loads[j2] + i.t <= 256)[1]
+        |          THEN w.loads[j] + i.t ELSE w.loads[j] END)
+        |    END
+        |  FROM fw w JOIN fi i ON i.lang = w.lang AND i.blk = w.blk
+        |    AND i.rn = w.rn + 1),
+        |ffd AS MATERIALIZED (SELECT w.lang, w.blk,
+        |    CAST(len(w.loads) AS INT) AS bins_ffd
+        |  FROM fw w JOIN g ON g.lang = w.lang AND g.blk = w.blk AND w.rn = g.n),
+        |aw(lang, blk, rn, bins, cur) AS (
+        |  SELECT lang, blk, 0, 0, CAST(0 AS BIGINT) FROM g
+        |  UNION ALL
+        |  SELECT w.lang, w.blk, i.rn,
+        |    CASE WHEN w.bins = 0 THEN 1
+        |      WHEN w.cur + i.t <= 256 THEN w.bins ELSE w.bins + 1 END,
+        |    CASE WHEN w.bins = 0 THEN i.t
+        |      WHEN w.cur + i.t <= 256 THEN w.cur + i.t ELSE i.t END
+        |  FROM aw w JOIN ai i ON i.lang = w.lang AND i.blk = w.blk
+        |    AND i.rn = w.rn + 1),
+        |nf AS MATERIALIZED (SELECT w.lang, w.blk,
+        |    CAST(w.bins AS INT) AS bins_nextfit
+        |  FROM aw w JOIN g ON g.lang = w.lang AND g.blk = w.blk AND w.rn = g.n)
+        |SELECT g.lang, CAST(g.blk AS BIGINT) AS blk, g.n_docs, g.sum_tokens,
+        |  ffd.bins_ffd, nf.bins_nextfit
+        |FROM g JOIN ffd USING (lang, blk) JOIN nf USING (lang, blk)
+        |ORDER BY lang, blk""".stripMargin,
+
+    // the active face must read IDENTICALLY to p21's compacted face
+    // even though the small files are gone — that identity IS the
+    // vacuum-safety proof
+    "p24_snapshot_vacuum" ->
+      """WITH shards AS (SELECT doc_id % 40 AS shard,
+        |    CAST(sum(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT shard, bytes, sum(bytes) OVER (ORDER BY shard
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM shards),
+        |nb AS (SELECT CAST(count(DISTINCT (cum - bytes) // 20000) AS BIGINT)
+        |    AS n_bins FROM c),
+        |d AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(list_sum(list_transform(generate_series(0, 5), k ->
+        |      CAST(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)
+        |        || '|' || text), 1 + k, 1)) - 1 AS BIGINT)
+        |      * (1::BIGINT << (4 * (5 - k)))))) AS BIGINT) AS digest
+        |  FROM documents)
+        |SELECT 'active' AS face, n_bins AS n_files, n_docs, digest FROM d, nb
+        |UNION ALL SELECT 'reclaimed', CAST(40 AS BIGINT), CAST(0 AS BIGINT),
+        |  CAST(NULL AS BIGINT) FROM d
+        |ORDER BY face""".stripMargin,
 
     "p21_compaction_exec" ->
       """WITH shards AS (SELECT doc_id % 40 AS shard,

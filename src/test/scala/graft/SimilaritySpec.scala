@@ -216,6 +216,32 @@ class SimilaritySpec extends AnyFunSuite {
       "sweep nprobe=2 total hits != standalone ivfTopKMultiProbe hits")
   }
 
+  test("s25: a tombstoned top-1 neighbor is replaced by the next-best, never returned") {
+    import spark.implicits._
+    // one cell (single centroid): query 10's brute order is 11 > 12 > 13
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+      (12L, Array(0.9f, 0.3f, 0.0f, 0.0f)),
+      (13L, Array(0.7f, 0.7f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = corpus.filter($"vec_id" === 10L)
+    val indexed = Similarity.indexWithCells(corpus, cents, "vec_id", "embedding")
+    val q = indexed.filter($"vec_id" === 10L)
+    def top(ix: org.apache.spark.sql.DataFrame) =
+      Similarity.searchAssigned(ix, q, "vec_id", "embedding", k = 2)
+        .orderBy($"rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(top(indexed) == Seq(11L, 12L))
+    val tomb = Seq(11L).toDF("vec_id")
+    val masked = indexed.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    // deleted vector gone, next-best promoted — and the masked serve
+    // equals a rebuild without the vector
+    assert(top(masked) == Seq(12L, 13L))
+    val rebuilt = Similarity.indexWithCells(
+      corpus.filter($"vec_id" =!= 11L), cents, "vec_id", "embedding")
+    assert(top(rebuilt) == top(masked))
+  }
+
   test("cosineDupPairs respects blocking and threshold") {
     import spark.implicits._
     val df = Seq(
