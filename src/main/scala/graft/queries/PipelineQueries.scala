@@ -1578,6 +1578,42 @@ object PipelineQueries {
       Graph.kCore(collocEdges(s, dir), k = 29).orderBy(col("w"))
     },
 
+    // TextRank keyword extraction (Mihalcea & Tarau 2004) — the graph
+    // trio completed on the WORD side (t15 triangles, t18 k-core, now
+    // centrality): integer PageRank (damping 0.85, 1e6 fixed point —
+    // s10's recurrence verbatim) over the UNDIRECTED collocation
+    // graph (each edge contributes both directions), top-20 words by
+    // rank with degree. Same driver-composed 3-iteration plan as s10
+    // (Spark 4.1 recursion cannot re-aggregate over the recursive
+    // ref — canary-pinned); the directed edge list is vocabulary-
+    // bounded and checkpointed once, so iterations never rescan the
+    // corpus. A hub word (high degree) splits its rank thinly — the
+    // r div deg contribution is what separates TextRank from raw
+    // degree ranking.
+    "t29_textrank_keywords" -> { (s, dir) =>
+      val und = collocEdges(s, dir)
+      val ed = und.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+        .localCheckpoint()
+      val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val edges = ed.join(deg, Seq("src"))
+      val nodes = ed.select(col("src").as("w")).distinct()
+      var ranks = nodes.withColumn("r", lit(1000000L))
+      for (_ <- 1 to 3) {
+        val contribs = edges.join(ranks, edges("src") === ranks("w"))
+          .select(col("dst").as("w2"), expr("r div deg").as("c"))
+          .groupBy(col("w2")).agg(sum(col("c")).as("in_sum"))
+        ranks = nodes.join(contribs, nodes("w") === contribs("w2"), "left")
+          .withColumn("r",
+            expr("150000 + (85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100"))
+          .select(col("w"), col("r"))
+      }
+      ranks.join(deg.select(col("src").as("w"), col("deg").cast("int").as("deg")),
+          Seq("w"))
+        .orderBy(col("r").desc, col("w")).limit(20)
+        .select(col("w"), col("deg"), col("r").as("rank_e6"))
+    },
+
     // Gopher-style repetition quality signals (Rae et al. 2021, §A1):
     // the share of a document covered by its single most-frequent
     // bigram and by duplicated trigrams — the boilerplate /
@@ -3851,6 +3887,41 @@ object PipelineQueries {
          |SELECT w, CAST(count(*) AS BIGINT) AS core_deg FROM (
          |  SELECT a AS w FROM e16 UNION ALL SELECT b AS w FROM e16) u
          |GROUP BY w ORDER BY w""".stripMargin
+    },
+
+    // s10's unrolled integer-PageRank recurrence over the undirected
+    // collocation edges; iteration CTEs MATERIALIZED (CTE-inlining
+    // lesson — each step references its predecessor via the contrib
+    // join)
+    "t29_textrank_keywords" -> {
+      def iter(prev: String, cur: String): String =
+        s"""$cur AS MATERIALIZED (SELECT n.w,
+           |    CAST(150000 + (85 * COALESCE(s.x, 0)) // 100 AS BIGINT) AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT ed.dst AS w, CAST(sum(p.r // dg.deg) AS BIGINT) AS x
+           |    FROM ed JOIN $prev p ON p.w = ed.src JOIN dg ON dg.src = ed.src
+           |    GROUP BY 1) s ON s.w = n.w)""".stripMargin
+      s"""WITH w AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS wd
+         |  FROM documents),
+         |bg AS (SELECT unnest(CASE WHEN len(wd) >= 2
+         |    THEN list_transform(generate_series(1, len(wd)-1), i -> [wd[i], wd[i+1]])
+         |    ELSE [] END) AS pr FROM w),
+         |e0 AS (SELECT CASE WHEN pr[1] < pr[2] THEN pr[1] ELSE pr[2] END AS a,
+         |    CASE WHEN pr[1] < pr[2] THEN pr[2] ELSE pr[1] END AS b
+         |  FROM bg WHERE pr[1] <> pr[2]),
+         |eu AS MATERIALIZED (SELECT a, b FROM e0 GROUP BY a, b HAVING count(*) >= 3),
+         |ed AS MATERIALIZED (SELECT a AS src, b AS dst FROM eu
+         |  UNION ALL SELECT b, a FROM eu),
+         |dg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM ed GROUP BY 1),
+         |nodes AS MATERIALIZED (SELECT DISTINCT src AS w FROM ed),
+         |r0 AS (SELECT w, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT n.w, CAST(dg.deg AS INT) AS deg, r3.r AS rank_e6
+         |FROM nodes n JOIN dg ON dg.src = n.w JOIN r3 ON r3.w = n.w
+         |ORDER BY r3.r DESC, n.w LIMIT 20""".stripMargin
     },
 
     "t15_colloc_triangles" ->

@@ -818,6 +818,48 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Union"), s"per-snapshot rescans would union\n$p")
   }
 
+  test("s25: the masked serving face is an index scan + broadcast anti-join — no rebuild") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    import graft.sources.{DerivedLayouts, Tables}
+    val vecs = Tables.embeddings(spark, sf)
+    val cents = vecs.filter(col("vec_id") < 8)
+    val base = DerivedLayouts.once(s"ivf_index|$sf") { p =>
+      Similarity.indexWithCells(vecs.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+          cents, "vec_id", "embedding")
+        .write.mode("overwrite").parquet(s"$p/index")
+    }
+    val index = spark.read.parquet(s"$base/index")
+    val tomb = vecs.filter(pmod(col("vec_id"), lit(20)) === 7).select(col("vec_id"))
+    val queries = Similarity.indexWithCells(
+      vecs.filter(pmod(col("vec_id"), lit(50)) === 0), cents, "vec_id", "embedding")
+    val masked = Similarity.searchAssigned(
+      index.join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+      queries, "vec_id", "embedding", k = 3)
+    val p = masked.queryExecution.executedPlan.toString
+    // delete is served as a broadcast ANTI join over the persisted
+    // index scan — never a sort-merge, never an index rewrite
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"), p)
+    assert(p.toLowerCase.contains("graft_ivf_index"),
+      s"masked face must scan the persisted index artifact\n$p")
+  }
+
+  test("p22: the manifest is one scan of the shard files — no joins, partition column from layout") {
+    val p = plan("p22_shard_export")
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), s"manifest must not join\n$p")
+    assert(p.contains("input_file_name"), p)
+  }
+
+  test("q57: the accounting and both version faces are bare scans of the written layout") {
+    val p = plan("q57_merge_into")
+    // accounting + v1 + v2: three FileScans, no join in the READ path
+    // (the merge's full-outer join ran at layout-build time)
+    assert("FileScan parquet".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("Join"), s"the measured read must not re-merge\n$p")
+  }
+
   test("q51: DSv2 source answers the predicate by planning — pushdown, pruning, fewer slices") {
     import graft.sources.MetricsFeedSource
     MetricsFeedSource.lastPlannedPartitions = -1
