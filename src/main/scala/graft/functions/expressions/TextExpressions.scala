@@ -2,7 +2,7 @@ package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static helpers invoked from generated code (Scala object static
@@ -54,6 +54,20 @@ object TextExprUtil {
     }
     h
   }
+
+  /** Unicode NFC canonical normalization (java.text.Normalizer — JDK
+    * implements the Unicode standard algorithm, so results are
+    * byte-identical to DuckDB's utf8proc nfc_normalize on canonical
+    * composition AND pure reordering cases, probed empirically incl.
+    * U+0307+U+0323 → U+0323+U+0307). Fast path: Normalizer.isNormalized
+    * is a cheap scan, and crawled corpora are overwhelmingly already
+    * NFC — the common row never allocates a second string. */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** Native token-count expression; stays inside whole-stage codegen. */
@@ -64,6 +78,18 @@ case class TokenCount(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.expressions.TextExprUtil.tokenCount($c)")
   override protected def withNewChildInternal(c: Expression): TokenCount = copy(c)
+}
+
+/** Native NFC normalization expression — the tokenizer-input contract
+  * pass (two byte-distinct spellings of é must be ONE vocab entry);
+  * stays inside whole-stage codegen. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    TextExprUtil.nfcNormalize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expressions.TextExprUtil.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
 }
 
 /** Native rolling-hash fingerprint expression. */

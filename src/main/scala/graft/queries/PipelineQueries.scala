@@ -1614,6 +1614,41 @@ object PipelineQueries {
         .select(col("w"), col("deg"), col("r").as("rank_e6"))
     },
 
+    // Unicode NFC normalization audit — the tokenizer-input contract
+    // pass (t12 audits byte VALIDITY; this audits canonical FORM): two
+    // byte-distinct spellings of é must become ONE vocab entry before
+    // any t-family counting, so every crawled doc passes through NFC
+    // between decode and tokenize. Native Catalyst expression
+    // (NfcNormalize, registered as nfc_normalize) wrapping the JDK's
+    // Unicode-standard normalizer — codegen'd, map-only, with an
+    // isNormalized fast path so the overwhelmingly-ASCII row never
+    // allocates. Planted per-doc accent tails (doc_id%6) cover: already-
+    // NFC ASCII, composition (e+U+0301→é, a+U+0300→à, two-step
+    // o+U+0302+U+0301→ố), an already-composed no-op (é), and pure
+    // CANONICAL REORDERING (q+U+0307+U+0323 → U+0323 first — changed
+    // bytes at UNCHANGED length, the case a naive composer misses).
+    // DuckDB's utf8proc nfc_normalize is byte-identical on all six
+    // (probed empirically) — the oracle hash proves the JDK and
+    // utf8proc agree on every row.
+    "t30_unicode_norm" -> { (s, dir) =>
+      val tail = when(col("doc_id") % 6 === 1, lit("e\u0301"))
+        .when(col("doc_id") % 6 === 2, lit("a\u0300"))
+        .when(col("doc_id") % 6 === 3, lit("\u00e9"))
+        .when(col("doc_id") % 6 === 4, lit("o\u0302\u0301"))
+        .when(col("doc_id") % 6 === 5, lit("q\u0307\u0323"))
+        .otherwise(lit(""))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(substring(trim(col("text")), 1, 12), lit(" "), tail).as("raw"))
+        .withColumn("norm", expr("nfc_normalize(raw)"))
+        .select(col("doc_id"),
+          when(col("raw") =!= col("norm"), 1).otherwise(0).cast("int").as("changed"),
+          length(col("raw")).cast("int").as("len_before"),
+          length(col("norm")).cast("int").as("len_after"),
+          md5(col("norm")).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // Gopher-style repetition quality signals (Rae et al. 2021, §A1):
     // the share of a document covered by its single most-frequent
     // bigram and by duplicated trigrams — the boilerplate /
@@ -2287,6 +2322,61 @@ object PipelineQueries {
       Similarity.probeSweepRecall(vecs, q, cents, "vec_id", "embedding",
           probes = Seq(1, 2, 4), k = 3)
         .orderBy(col("nprobe"), col("query_id"))
+    },
+
+    // MATRYOSHKA prefix-dimension eval (Kusupati et al. 2022 — the
+    // modern serving lever s4/s11 don't price: MRL-trained embeddings
+    // serve the FIRST w dims as a w-dim embedding, trading recall for
+    // w/64 of the bandwidth/compute with no re-encoding): recall@3 of
+    // prefix-w cosine vs the full-64-dim brute truth for w ∈
+    // {4,8,16,32,64} (the 64 row is the built-in sanity bound at
+    // 10000 bp). Scale shape: ONE corpus×panel pass scores EVERY
+    // width from prefix slices (5 sim columns, never 5 scans), widths
+    // then ride a ×5 explode into ONE bounded TopNPerKey over
+    // (query, width); the recall join is top3 (|Q|·15 rows,
+    // checkpointed once — the self-join rescan trap) against its own
+    // width-64 face. Panel first-copy-bounded (t17 lesson); brute
+    // truth ⇒ SF≥1 baseline skip set.
+    "s26_matryoshka" -> { (s, dir) =>
+      import graft.functions.VectorFunctions
+      val widths = Seq(4, 8, 16, 32, 64)
+      val vecs = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+      val q = vecs.filter(pmod(col("vec_id"), lit(50)) === 0 &&
+          col("vec_id") < 100000000L)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val scored = vecs.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id") +: col("vec_id") +: widths.map { w =>
+          round(VectorFunctions.cosine(
+            slice(col("embedding"), 1, w), slice(col("qe"), 1, w)), 6)
+            .as(s"sim_$w")
+        }: _*)
+      val exploded = scored.select(col("query_id"), col("vec_id"),
+          explode(array(widths.map(w =>
+            struct(lit(w).as("width"), col(s"sim_$w").as("sim"))): _*)).as("ws"))
+        .select(col("query_id"), col("ws.width").as("width"),
+          col("vec_id"), col("ws.sim").as("sim"))
+      val top3 = Relational.topNPerGroupFast(exploded, 3,
+          Seq("query_id", "width"), Seq(("sim", false), ("vec_id", true)))
+        .select(col("query_id"), col("width"), col("vec_id"))
+        .localCheckpoint()
+      val truth = top3.filter(col("width") === 64)
+        .select(col("query_id"), col("vec_id"))
+      val nQ = q.agg(count(lit(1)).as("n_queries"))
+      val hits = top3.join(truth, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy(col("width")).agg(count(lit(1)).as("n_hits"))
+      // a zero-hit width must still report (recall 0), so the output
+      // spine is the width list itself, not the hit groups
+      import s.implicits._
+      widths.toDF("width")
+        .join(hits, Seq("width"), "left")
+        .crossJoin(broadcast(nQ))
+        .select(col("width").cast("int").as("width"), col("n_queries"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("CASE WHEN n_queries = 0 THEN NULL " +
+            "ELSE coalesce(n_hits, CAST(0 AS BIGINT)) * 10000 div (3 * n_queries) END")
+            .as("recall_bp"))
+        .orderBy(col("width"))
     },
 
     // FILTERED vector search — the metadata-predicate serving shape
@@ -3924,6 +4014,29 @@ object PipelineQueries {
          |ORDER BY r3.r DESC, n.w LIMIT 20""".stripMargin
     },
 
+    // utf8proc NFC vs the JDK normalizer — byte-identical by the
+    // Unicode standard; the md5 proves it per row (chr() codepoints:
+    // 769=U+0301, 768=U+0300, 233=U+00E9, 770=U+0302, 775=U+0307,
+    // 803=U+0323)
+    "t30_unicode_norm" ->
+      """WITH r AS (SELECT doc_id,
+        |    substring(trim(text), 1, 12) || ' ' ||
+        |    CASE CAST(doc_id % 6 AS INT)
+        |      WHEN 1 THEN 'e' || chr(769)
+        |      WHEN 2 THEN 'a' || chr(768)
+        |      WHEN 3 THEN chr(233)
+        |      WHEN 4 THEN 'o' || chr(770) || chr(769)
+        |      WHEN 5 THEN 'q' || chr(775) || chr(803)
+        |      ELSE '' END AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS norm FROM r)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN raw <> norm THEN 1 ELSE 0 END AS INT) AS changed,
+        |  CAST(length(raw) AS INT) AS len_before,
+        |  CAST(length(norm) AS INT) AS len_after,
+        |  md5(norm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
+
     "t15_colloc_triangles" ->
       """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),
         |bg AS (SELECT unnest(CASE WHEN len(wd) >= 2
@@ -4558,6 +4671,35 @@ object PipelineQueries {
         |  CAST(max(abs(s0 * 1000000 // greatest(n0, 1)
         |    - s1 * 1000000 // greatest(n1, 1))) AS BIGINT) AS max_dim_shift_micro
         |FROM wide""".stripMargin,
+
+    // prefix-w moments re-derived per width via generate_series(1, w)
+    // folds — the same left-to-right double accumulation the Spark
+    // CosineSim loop runs on the sliced arrays
+    "s26_matryoshka" ->
+      s"""WITH $vecCte,
+         |q AS (SELECT * FROM v WHERE vec_id % 50 = 0 AND vec_id < 100000000),
+         |widths AS (SELECT unnest([4, 8, 16, 32, 64]) AS width),
+         |sims AS (SELECT b.vec_id AS query_id, a.vec_id, w.width,
+         |    round(list_sum(list_transform(generate_series(1, w.width), i ->
+         |        CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))
+         |      / sqrt(list_sum(list_transform(generate_series(1, w.width), i ->
+         |          CAST(a.e[i] AS DOUBLE) * CAST(a.e[i] AS DOUBLE)))
+         |        * list_sum(list_transform(generate_series(1, w.width), i ->
+         |          CAST(b.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE)))), 6) AS sim
+         |  FROM v a CROSS JOIN q b CROSS JOIN widths w WHERE a.vec_id <> b.vec_id),
+         |top3 AS (SELECT query_id, width, vec_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id, width
+         |      ORDER BY sim DESC, vec_id) AS rn FROM sims) t WHERE rn <= 3),
+         |truth AS (SELECT query_id, vec_id FROM top3 WHERE width = 64),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q),
+         |hits AS (SELECT width, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM top3 t JOIN truth u USING (query_id, vec_id) GROUP BY 1)
+         |SELECT CAST(w.width AS INT) AS width, n_queries,
+         |  coalesce(n_hits, 0::BIGINT) AS n_hits,
+         |  CASE WHEN n_queries = 0 THEN NULL
+         |    ELSE coalesce(n_hits, 0::BIGINT) * 10000 // (3 * n_queries) END AS recall_bp
+         |FROM widths w LEFT JOIN hits USING (width) CROSS JOIN nq
+         |ORDER BY width""".stripMargin,
 
     "s18_probe_sweep" ->
       s"""WITH $vecCte,

@@ -955,6 +955,25 @@ object RelationalQueries {
         .orderBy(col("kind"))
     },
 
+    // DSv2 AGGREGATE pushdown (q51 pushes predicates; this pushes the
+    // GROUP BY itself — the JDBC/warehouse-federation surface,
+    // SupportsPushDownAggregates): COUNT(*)/SUM/MIN/MAX grouped by kind
+    // fold INTO the source, each InputPartition answers its slice's ≤3
+    // group rows, and Spark plans only the final merge — at 100 TB the
+    // feed rows never cross the connector boundary, |partitions|·|kinds|
+    // pre-aggregated rows do (PlanSpec: rowsEmitted ≤ 24 for a 240k-row
+    // span, pushed-agg telemetry + description gate). Filters compose:
+    // the id range folds first, the aggregation runs on the pruned span.
+    "q58_agg_pushdown" -> { (s, _) =>
+      val feed = s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "300000").option("partitions", "8").load()
+      feed.filter(col("id") < 240000L)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .orderBy(col("kind"))
+    },
+
     // custom DataSourceV2 SINK (graft.sources.AccountingSink —
     // MetricsFeedSource's write-side twin, the reference's uploadEvents
     // emit half as a V2 BatchWrite): per-task writers stream rows and
@@ -1308,6 +1327,20 @@ object RelationalQueries {
         |    (id * 2654435761) % 100000 AS value
         |  FROM range(0, 200000) t(id)
         |  WHERE id >= 150000) u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q58_agg_pushdown" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(min(value) AS BIGINT) AS min_value,
+        |  CAST(max(value) AS BIGINT) AS max_value
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 300000) t(id)
+        |  WHERE id < 240000) u
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q55_collated_group" ->

@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -55,6 +56,11 @@ object MetricsFeedSource {
   // partition pruning happened, not just row filtering)
   @volatile var lastPlannedPartitions: Int = -1
   @volatile var lastPlannedRange: (Long, Long) = (-1L, -1L)
+  // aggregate-pushdown observables: the accepted agg shape, and how many
+  // rows actually crossed the source boundary (local-mode/test hook — a
+  // single-JVM counter, same scope caveat as AccountingSink.abortedTasks)
+  @volatile var lastPushedAggregation: String = ""
+  val rowsEmitted = new java.util.concurrent.atomic.AtomicLong(0L)
 
   def nodeOf(id: Long): String = "node" + (id % 50)
   def kindOf(id: Long): String = (id % 3) match {
@@ -85,11 +91,13 @@ class MetricsFeedTable(rows: Long, parts: Int) extends Table with SupportsRead {
 }
 
 class MetricsFeedScanBuilder(rows: Long, parts: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required = MetricsFeedSource.schema
+  private var aggFuncs: Option[Seq[String]] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (acc, rest) = filters.partition {
@@ -121,8 +129,121 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan =
-    new MetricsFeedScan(rows, parts, lo, hi, required, pushed)
+
+  // ---- SupportsPushDownAggregates (the JDBC-pushdown shape for a
+  // synthetic feed): accept GROUP BY kind with COUNT(*)/SUM/MIN/MAX on
+  // `value`. PARTIAL pushdown (supportCompletePushDown = false) — each
+  // InputPartition answers its slice's groups and Spark plans only the
+  // final merge, so parallelism survives and the 100 TB of feed rows
+  // never cross the source boundary: |partitions|·|groups| rows do.
+  private def isCol(e: V2Expression, name: String): Boolean = e match {
+    case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+      f.fieldNames.sameElements(Array(name))
+    case _ => false
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val groupOk = agg.groupByExpressions.length == 1 &&
+      isCol(agg.groupByExpressions()(0), "kind")
+    if (!groupOk) return false
+    val funcs = agg.aggregateExpressions.map {
+      case _: CountStar                                      => "count_star"
+      case s: Sum if isCol(s.column, "value") && !s.isDistinct => "sum_value"
+      case m: Min if isCol(m.column, "value")                => "min_value"
+      case m: Max if isCol(m.column, "value")                => "max_value"
+      case _                                                 => ""
+    }
+    if (funcs.contains("")) return false
+    aggFuncs = Some(funcs.toSeq)
+    MetricsFeedSource.lastPushedAggregation =
+      s"group=[kind] funcs=[${funcs.mkString(",")}]"
+    true
+  }
+
+  override def build(): Scan = aggFuncs match {
+    case Some(funcs) =>
+      new MetricsFeedAggScan(rows, parts, lo, hi, funcs, pushed)
+    case None =>
+      new MetricsFeedScan(rows, parts, lo, hi, required, pushed)
+  }
+}
+
+/** Pre-aggregated scan: readSchema is the pushed aggregation's shape
+  * (group column then agg columns, positional contract of
+  * V2ScanRelationPushDown); each partition emits ≤ |kinds| rows. */
+class MetricsFeedAggScan(rows: Long, parts: Int, lo: Long, hi: Long,
+    funcs: Seq[String], pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    StructField("kind", StringType, nullable = false) +:
+      funcs.map(f => StructField(f, LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"MetricsFeed range=[$lo,$hi) of $rows, " +
+      s"PushedAggregates: [${funcs.mkString(", ")}] groupBy=[kind], " +
+      s"PushedFilters: ${pushed.mkString("[", ", ", "]")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val width = math.max(1L, (rows + parts - 1) / parts)
+    val slices = (0L until rows by width).flatMap { s =>
+      val a = math.max(s, lo)
+      val b = math.min(s + width, hi)
+      if (a < b) Some(MetricsFeedPartition(a, b): InputPartition) else None
+    }.toArray
+    MetricsFeedSource.lastPlannedPartitions = slices.length
+    MetricsFeedSource.lastPlannedRange = (lo, hi)
+    MetricsFeedSource.rowsEmitted.set(0L)
+    slices
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MetricsFeedAggReaderFactory(funcs.toArray)
+}
+
+class MetricsFeedAggReaderFactory(funcs: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val mp = p.asInstanceOf[MetricsFeedPartition]
+    new PartitionReader[InternalRow] {
+      // aggregate the slice once, up front: per-kind (count, sum, min, max)
+      private val kinds = Array("gauge", "counter", "timer")
+      private val out: Array[InternalRow] = {
+        val cnt = new Array[Long](3)
+        val sum = new Array[Long](3)
+        val mn = Array.fill(3)(Long.MaxValue)
+        val mx = Array.fill(3)(Long.MinValue)
+        var id = mp.start
+        while (id < mp.end) {
+          val k = (id % 3).toInt
+          val v = MetricsFeedSource.valueOf(id)
+          cnt(k) += 1; sum(k) += v
+          if (v < mn(k)) mn(k) = v
+          if (v > mx(k)) mx(k) = v
+          id += 1
+        }
+        (0 until 3).filter(cnt(_) > 0).map { k =>
+          val vals = new Array[Any](1 + funcs.length)
+          vals(0) = UTF8String.fromString(kinds(k))
+          var i = 0
+          while (i < funcs.length) {
+            vals(1 + i) = funcs(i) match {
+              case "count_star" => cnt(k)
+              case "sum_value"  => sum(k)
+              case "min_value"  => mn(k)
+              case "max_value"  => mx(k)
+            }
+            i += 1
+          }
+          new GenericInternalRow(vals): InternalRow
+        }.toArray
+      }
+      private var cur = -1
+      override def next(): Boolean = { cur += 1; cur < out.length }
+      override def get(): InternalRow = {
+        MetricsFeedSource.rowsEmitted.incrementAndGet()
+        out(cur)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,

@@ -27,6 +27,25 @@ class ExpressionPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("nfcNormalize: composition, no-op identity, and pure canonical reordering") {
+    def n(s: String): String = TextExprUtil.nfcNormalize(UTF8String.fromString(s)).toString
+    // canonical composition: decomposed e/a + mark fold to the precomposed point
+    assert(n("e\u0301") == "\u00e9")
+    assert(n("a\u0300") == "\u00e0")
+    // two-step composition: o + circumflex + acute -> U+1ED1
+    assert(n("o\u0302\u0301") == "\u1ed1")
+    // already-NFC input returns the SAME UTF8String (fast-path, no alloc)
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(TextExprUtil.nfcNormalize(ascii) eq ascii)
+    assert(n("\u00e9") == "\u00e9")
+    // pure canonical REORDERING: dot-above (ccc 230) after dot-below
+    // (ccc 220) - bytes change, code-point length does not, nothing
+    // composes
+    val reordered = n("q\u0307\u0323")
+    assert(reordered == "q\u0323\u0307")
+    assert(reordered.codePointCount(0, reordered.length) == 3)
+  }
+
   test("utf8Scan: valid strings decode clean and char counts match the JDK") {
     import graft.multimodal.Multimodal.utf8Scan
     // mixed ASCII / 2-byte / 3-byte / 4-byte code points

@@ -860,6 +860,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"the measured read must not re-merge\n$p")
   }
 
+  test("q58: DSv2 source answers the GROUP BY itself — aggregate pushdown, merge-only plan") {
+    import graft.sources.MetricsFeedSource
+    MetricsFeedSource.lastPushedAggregation = ""
+    val df = SparkEntry.queries("q58_agg_pushdown")(spark, sf)
+    val out = df.collect()
+    assert(out.length == 3)
+    // the source ACCEPTED the aggregation shape...
+    assert(MetricsFeedSource.lastPushedAggregation ==
+      "group=[kind] funcs=[count_star,sum_value,min_value,max_value]")
+    val p = df.queryExecution.executedPlan.toString
+    // ...the scan carries it (and the composed filter) in its description...
+    assert(p.contains("PushedAggregates: [count_star, sum_value, min_value, max_value]"), p)
+    assert(p.contains("range=[0,240000)"), p)
+    // ...and what crossed the connector boundary is |slices|·|kinds| ≤ 24
+    // pre-aggregated rows, not the 240 000 raw feed rows (local-mode
+    // counter — single-JVM observable, AccountingSink scope caveat)
+    val emitted = MetricsFeedSource.rowsEmitted.get()
+    assert(emitted > 0 && emitted <= 24, s"rows crossing the boundary: $emitted")
+    // final merge only: Spark's agg consumes the pushed columns (count
+    // rewritten to a SUM over the source's partial counts), so no
+    // partial_count over raw rows appears anywhere in the plan
+    assert(!p.contains("partial_count"), p)
+  }
+
   test("q51: DSv2 source answers the predicate by planning — pushdown, pruning, fewer slices") {
     import graft.sources.MetricsFeedSource
     MetricsFeedSource.lastPlannedPartitions = -1
