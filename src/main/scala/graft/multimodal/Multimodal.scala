@@ -1334,6 +1334,122 @@ object Multimodal {
       }
   }
 
+  // --------------------------------------- audio energy fingerprint
+
+  case class AudioFp(doc_id: Long, sample_rate: Int, n_frames: Int,
+      mean_energy: Long, sig_lo: Long, sig_hi: Long, valid: Boolean)
+
+  /** 8-bit mono WAV carrying a 64-frame energy CONTOUR (x17's aHash
+    * transplanted to audio — the echoprint-class signature a music/
+    * speech dedup pass runs): 64 frames × 50 samples; frame i's square
+    * wave has amplitude 90 or 30 by bit i of md5("af|" ++ (doc_id div
+    * 20)) — consecutive 20-id blocks share a contour (group SIZE fixed
+    * at every SF, the synthGray scale contract); the first (doc_id%4)
+    * bits are FLIPPED (planted near-dup perturbation, in-group hamming
+    * = |f_a − f_b| ≤ 3); and every frame is cyclically ROTATED by
+    * (doc_id%7) samples — a time-shift re-encode that changes the
+    * payload BYTES (x7's content hash misses these twins) but not one
+    * frame's L1 energy: fingerprint invariance to it is the point. */
+  def synthAudioFpWav(id: Long): Array[Byte] = {
+    val g = id / 20
+    val f = (id % 4).toInt
+    val rot = (id % 7).toInt
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"af|$g".getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+    val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+    def bit(i: Int): Boolean = {
+      val base =
+        if (i < 32) ((lo >>> i) & 1L) == 1L
+        else ((hi >>> (i - 32)) & 1L) == 1L
+      if (i < f) !base else base
+    }
+    val n = 64 * 50
+    val samples = new Array[Byte](n)
+    var fr = 0
+    while (fr < 64) {
+      val amp = if (bit(fr)) 90 else 30
+      var j = 0
+      while (j < 50) {
+        // base square wave (period 10) evaluated at the rotated index —
+        // every sample deviates from the 128 midline by exactly amp
+        val src = (j + rot) % 50
+        samples(fr * 50 + j) =
+          (if ((src / 5) % 2 == 0) 128 + amp else 128 - amp).toByte
+        j += 1
+      }
+      fr += 1
+    }
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++
+      le16(1) ++ le32(8000) ++ le32(8000) ++ le16(1) ++ le16(8)
+    val data = "data".getBytes("US-ASCII") ++ le32(n) ++ samples
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + n) ++
+      "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+  }
+
+  /** Energy-contour fingerprint decode: WAV gate as decodePcmEnergy
+    * (REQUIRE 8-bit mono, clamp declared size to bytes present), then
+    * the first 64 full 50-sample frames → per-frame L1 energy → global
+    * mean (floor) → bit i = e_i ≥ mean, packed into two 32-bit words
+    * (the d25 shift-63 convention). Fewer than 64 full frames fails
+    * valid — a truncated file must never hash into a dedup group. */
+  def decodeAudioFpWav(id: Long, bytes: Array[Byte]): AudioFp = {
+    val bad = AudioFp(id, 0, 0, 0L, 0L, 0L, valid = false)
+    def l16(off: Int) = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    def l32(off: Int) = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+      ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+    if (bytes.length < 44 ||
+        new String(bytes, 0, 4, "US-ASCII") != "RIFF" ||
+        new String(bytes, 8, 4, "US-ASCII") != "WAVE" ||
+        new String(bytes, 12, 4, "US-ASCII") != "fmt " ||
+        new String(bytes, 36, 4, "US-ASCII") != "data") return bad
+    if (l16(22) != 1 || l16(34) != 8) return bad // mono 8-bit only
+    val rate = l32(24)
+    val declared = l32(40)
+    val n = math.min(declared, bytes.length - 44)
+    if (n < 64 * 50) return bad
+    val e = new Array[Long](64)
+    var fr = 0
+    while (fr < 64) {
+      var s = 0L
+      var i = 0
+      while (i < 50) {
+        s += math.abs((bytes(44 + fr * 50 + i) & 0xFF) - 128)
+        i += 1
+      }
+      e(fr) = s
+      fr += 1
+    }
+    val mean = e.sum / 64
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < 64) {
+      if (e(i) >= mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    AudioFp(id, rate, 64, mean, lo, hi, valid = true)
+  }
+
+  def synthesizeAudioFp(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => BinaryDoc(id, synthAudioFpWav(id)))).toDF()
+  }
+
+  def decodeAudioFp(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[AudioFp] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => decodeAudioFpWav(d.doc_id, d.payload)))
+      }
+  }
+
   // ------------------------------------------------ pdf text extract
 
   case class PdfText(doc_id: Long, n_objs: Int, stream_len: Int,

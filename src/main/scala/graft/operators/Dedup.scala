@@ -534,4 +534,114 @@ object Dedup {
       .agg(balances.head, balances.tail: _*)
       .select(col(idCol), expr(bits.mkString("cast(", " + ", " as int)")).as("simhash"))
   }
+
+  /** PERSISTED serving index for the streaming ingest near-dup gate
+    * (s24's build-once contract applied to LSH dedup): one row per
+    * indexed doc carrying its LSH band keys AND its shingle set, so
+    * serving needs neither the index corpus text nor a re-hash. The
+    * bucket cap is an INDEX property: band keys shared by > maxBucket
+    * indexed docs are dropped AT BUILD TIME (at that occupancy the
+    * shared band stops being near-dup evidence — d18's contract), so a
+    * degenerate bucket can never explode a serve-time join: per-bucket
+    * fan-out is ≤ maxBucket·|batch∩bucket|, linear in the batch. */
+  def neardupServingIndex(indexDocs: DataFrame, idCol: String,
+      textCol: String, bands: Int, rows: Int, maxBucket: Int = 64): DataFrame = {
+    val mins = minhashSignatures(indexDocs, idCol, textCol, bands * rows)
+    val kept = bandedKeys(mins, idCol, bands, rows)
+      .groupBy(col("_key"))
+      .agg(sort_array(collect_list(col(idCol))).as("_ids"))
+      .filter(size(col("_ids")) <= maxBucket)
+      .select(col("_key"), explode(col("_ids")).as(idCol))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("_key"))).as("band_keys"))
+    indexDocs.select(col(idCol), sort_array(shingles(textCol)).as("shingles"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("band_keys"),
+          array().cast("array<string>")).as("band_keys"),
+        col("shingles"))
+  }
+
+  /** Streaming-ingest near-dup gate: per BATCH-doc verdict against the
+    * persisted index — band-key equi-join surfaces candidates, exact
+    * shingle Jaccard ≥ threshold verifies, and every batch doc reports
+    * (n_candidates, n_dups, min_dup_id, is_dup) even with zero matches.
+    * Pure stream-static joins + per-row map work, so the same code runs
+    * unchanged inside foreachBatch (StreamingSpec parity face). Batch
+    * docs with no shingles produce no band keys and report clean.
+    * Empty-shingle candidates cannot arise (no keys → no candidates),
+    * so the Jaccard division is never 0/0 (m39 ANSI class). */
+  def neardupIngestGate(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, bands: Int, rows: Int, threshold: Double): DataFrame = {
+    val bm = minhashSignatures(batch, idCol, textCol, bands * rows)
+    val bkeys = bandedKeys(bm, idCol, bands, rows)
+    val ikeys = index.select(col(idCol).as("idx_id"),
+      explode(col("band_keys")).as("_key"))
+    val cand = bkeys.join(ikeys, Seq("_key"))
+      .select(col(idCol), col("idx_id")).distinct()
+      .localCheckpoint()
+    val bsh = batch.select(col(idCol), shingles(textCol).as("b_sh"))
+    val ish = index.select(col(idCol).as("idx_id"), col("shingles").as("i_sh"))
+    val ver = cand.join(bsh, Seq(idCol)).join(ish, Seq("idx_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("b_sh"), col("i_sh"))).cast("double") /
+        size(array_union(col("b_sh"), col("i_sh"))))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dups"), min(col("idx_id")).as("min_dup"))
+    val candAgg = cand.groupBy(col(idCol)).agg(count(lit(1)).as("n_candidates"))
+    batch.select(col(idCol))
+      .join(candAgg, Seq(idCol), "left")
+      .join(ver, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("min_dup"), lit(-1L)).as("min_dup_id"))
+      .withColumn("is_dup",
+        when(col("n_dups") > 0, 1).otherwise(0).cast("int"))
+  }
+
+  /** Hamming-banded near-dup verdicts over 64-bit perceptual signatures
+    * (two 32-bit words — the shift-63 BIGINT convention), shared by the
+    * image (d25/aHash) and audio (d26/energy-contour) dedup passes:
+    * signatures band into 4×16-bit words, candidates share a band
+    * (hamming ≤ 3 with 4 bands ⇒ ≥ 1 band identical — pigeonhole, so
+    * banding loses nothing up to radius 3; callers use maxHamming ≤ 2
+    * where ≥ 2 bands agree), exact hamming verifies via bit_count(xor).
+    * Sig words ride the explode so verification needs no corpus
+    * re-join; never all-pairs. Input must be (id, lo, hi) only —
+    * callers filter valid and checkpoint. Output: per-id verdict
+    * (idCol, n_dups, keeper, is_dup) over ALL input ids. */
+  def hammingNearDup(sigs: DataFrame, idCol: String, loCol: String,
+      hiCol: String, maxHamming: Int): DataFrame = {
+    val bands = sigs.select(col(idCol), col(loCol), col(hiCol),
+      explode(array(
+        struct(lit(0).as("b"), expr(s"$loCol % 65536").as("v")),
+        struct(lit(1).as("b"), expr(s"$loCol div 65536").as("v")),
+        struct(lit(2).as("b"), expr(s"$hiCol % 65536").as("v")),
+        struct(lit(3).as("b"), expr(s"$hiCol div 65536").as("v"))))
+        .as("band"))
+    val pairs = bands
+      .select(col("band"), col(idCol).as("id_a"),
+        col(loCol).as("lo_a"), col(hiCol).as("hi_a"))
+      .join(bands.select(col("band"), col(idCol).as("id_b"),
+        col(loCol).as("lo_b"), col(hiCol).as("hi_b")), Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("lo_a"), col("hi_a"),
+        col("lo_b"), col("hi_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(expr("lo_a ^ lo_b")) + bit_count(expr("hi_a ^ hi_b")))
+      .filter(col("hamming") <= maxHamming)
+    val neigh = pairs.select(col("id_a").as(idCol), col("id_b").as("n_id"))
+      .unionByName(pairs.select(col("id_b").as(idCol), col("id_a").as("n_id")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dups"), min(col("n_id")).as("min_n"))
+    sigs.select(col(idCol)).join(neigh, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        least(coalesce(col("min_n"), col(idCol)), col(idCol)).as("keeper"))
+      .withColumn("is_dup",
+        when(col("keeper") =!= col(idCol), 1).otherwise(0))
+  }
 }

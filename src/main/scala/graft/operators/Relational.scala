@@ -60,6 +60,31 @@ object Relational {
         limitExpr = Some(attr(limitCol))))
   }
 
+  /** Exact 0-based GLOBAL rank of an md5-hex key column within each
+    * group, without a group-wide single-partition window (the TeraSort
+    * two-level rank): the key's 2-hex-char prefix buckets rows into 256
+    * slices that rank in parallel (row_number partitioned by
+    * (group, bucket) — legal because the bucket is a PREFIX of the sort
+    * key, so order by (bucket, key) == order by key), and a
+    * |groups|·256-row bucket-count cumsum lifts local ranks to exact
+    * global positions via a broadcast join. Appends `outCol` (long). */
+  def bucketedGlobalRank(df: DataFrame, keyCol: String,
+      groupCols: Seq[String], outCol: String): DataFrame = {
+    val grp = groupCols.map(col)
+    val keyed = df.withColumn("_bkt", substring(col(keyCol), 1, 2))
+    val within = keyed.withColumn("_rn", row_number().over(
+      Window.partitionBy(grp :+ col("_bkt"): _*).orderBy(col(keyCol))).cast("long"))
+    val offs = keyed.groupBy(grp :+ col("_bkt"): _*)
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(
+        Window.partitionBy(grp: _*).orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(groupCols.map(col) :+ col("_bkt") :+ col("_off"): _*)
+    within.join(broadcast(offs), groupCols :+ "_bkt")
+      .withColumn(outCol, col("_off") + col("_rn") - 1)
+      .drop("_bkt", "_rn", "_off")
+  }
+
   /** Skew-safe aggregation: salt the hot key into `salts` subkeys,
     * aggregate partially per (key, salt), then combine. Results are
     * identical to a direct groupBy — the salt only splits reducer load

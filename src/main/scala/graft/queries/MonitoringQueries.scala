@@ -415,6 +415,39 @@ object MonitoringQueries {
         .orderBy(col("user_id"), col("bucket_us"))
     },
 
+    // LATE-ARRIVAL accounting — the watermark-observability op every
+    // streaming deployment needs BEFORE choosing a watermark delay (st*
+    // keys consume watermarks; this measures what a given delay would
+    // drop): arrival time is event time plus a deterministic delivery
+    // jitter ((event_id%10)·600 s — the generator's events carry no
+    // arrival column, so the jitter IS the modeled network/queue delay),
+    // the watermark replays per entity as the running max event time
+    // over PRIOR arrivals (rows-frame to -1), and an event is late when
+    // its event time trails that max by > 300 s — exactly Structured
+    // Streaming's `withWatermark` drop rule, replayed in batch so the
+    // dropped mass is measurable. Per-entity window (parallel, never a
+    // global sort); per-user report: late count + worst/total lateness.
+    "m54_late_arrivals" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("arr_us"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
+        .withColumn("arr_us",
+          col("ts_us") + pmod(col("event_id"), lit(10)) * lit(600000000L))
+        .withColumn("pm", max(col("ts_us")).over(w))
+        .withColumn("late_us",
+          when(col("pm").isNotNull && col("ts_us") + lit(300000000L) < col("pm"),
+            col("pm") - lit(300000000L) - col("ts_us")).otherwise(lit(0L)))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_us") > 0, 1L).otherwise(0L)).as("n_late"),
+          max(col("late_us")).as("max_late_us"),
+          sum(col("late_us")).as("sum_late_us"))
+        .orderBy(col("user_id"))
+    },
+
     // CDC latest-wins upsert snapshot: events as a changelog keyed by
     // (user_id, event_type); the materialized state is the newest value
     // CORRUPT-RECORD quarantine — the PERMISSIVE-ingest production
@@ -1185,6 +1218,22 @@ object MonitoringQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "m54_late_arrivals" ->
+      s"""WITH e AS (SELECT user_id, event_id, $tsUs AS ts_us FROM events),
+         |a AS (SELECT *, ts_us + (event_id % 10) * 600000000 AS arr_us FROM e),
+         |w AS (SELECT *, max(ts_us) OVER (PARTITION BY user_id
+         |    ORDER BY arr_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM a),
+         |l AS (SELECT user_id,
+         |    CASE WHEN pm IS NOT NULL AND ts_us + 300000000 < pm
+         |      THEN pm - 300000000 - ts_us ELSE 0 END AS late_us
+         |  FROM w)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         |  CAST(max(late_us) AS BIGINT) AS max_late_us,
+         |  CAST(sum(late_us) AS BIGINT) AS sum_late_us
+         |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "m46_variant_ingest" ->
       """WITH lines AS (
         |  SELECT '{"node":{"id":' || user_id || ',"zone":"z' || (user_id % 4) ||

@@ -971,35 +971,25 @@ object PipelineQueries {
         .filter(col("valid"))
         .select(col("doc_id"), col("sig_lo"), col("sig_hi"))
         .localCheckpoint()
-      val bands = sigs.select(col("doc_id"), col("sig_lo"), col("sig_hi"),
-        explode(array(
-          struct(lit(0).as("b"), expr("sig_lo % 65536").as("v")),
-          struct(lit(1).as("b"), expr("sig_lo div 65536").as("v")),
-          struct(lit(2).as("b"), expr("sig_hi % 65536").as("v")),
-          struct(lit(3).as("b"), expr("sig_hi div 65536").as("v"))))
-          .as("band"))
-      val pairs = bands
-        .select(col("band"), col("doc_id").as("id_a"),
-          col("sig_lo").as("lo_a"), col("sig_hi").as("hi_a"))
-        .join(bands.select(col("band"), col("doc_id").as("id_b"),
-          col("sig_lo").as("lo_b"), col("sig_hi").as("hi_b")), Seq("band"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("lo_a"), col("hi_a"),
-          col("lo_b"), col("hi_b"))
-        .distinct()
-        .withColumn("hamming",
-          bit_count(expr("lo_a ^ lo_b")) + bit_count(expr("hi_a ^ hi_b")))
-        .filter(col("hamming") <= 2)
-      val neigh = pairs.select(col("id_a").as("doc_id"), col("id_b").as("n_id"))
-        .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("n_id")))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_dups"), min(col("n_id")).as("min_n"))
-      sigs.select(col("doc_id")).join(neigh, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
-          least(coalesce(col("min_n"), col("doc_id")), col("doc_id")).as("keeper"))
-        .withColumn("is_dup",
-          when(col("keeper") =!= col("doc_id"), 1).otherwise(0))
+      Dedup.hammingNearDup(sigs, "doc_id", "sig_lo", "sig_hi", maxHamming = 2)
+        .orderBy(col("doc_id"))
+    },
+
+    // perceptual AUDIO near-dup dedup (d25's machinery — the SHARED
+    // Dedup.hammingNearDup banding — over x20's energy-contour
+    // signatures, completing the multimodal dedup story for the second
+    // modality): group members whose payload bytes differ by time-shift
+    // rotation AND sub-3-bit contour flips pair up; the distance-3
+    // variants the bands still surface die in exact bit_count(xor)
+    // verification. x7's content hash catches none of these twins —
+    // that gap is what this key closes.
+    "d26_audio_neardup" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeAudioFp(Tables.documents(s, dir))
+      val sigs = Multimodal.decodeAudioFp(payloads, "doc_id", "payload").toDF()
+        .filter(col("valid"))
+        .select(col("doc_id"), col("sig_lo"), col("sig_hi"))
+        .localCheckpoint()
+      Dedup.hammingNearDup(sigs, "doc_id", "sig_lo", "sig_hi", maxHamming = 2)
         .orderBy(col("doc_id"))
     },
 
@@ -2829,6 +2819,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // perceptual AUDIO fingerprint (x17's aHash transplanted to the
+    // audio modality — the echoprint-class signature d26 dedups on):
+    // 8-bit mono WAV with a 64-frame energy contour; decode = WAV gate
+    // (8-bit mono REQUIRED, size clamped) → per-frame L1 energies →
+    // global mean threshold → two 32-bit signature words. The planted
+    // per-doc TIME-SHIFT (every frame cyclically rotated by doc_id%7
+    // samples) changes the payload bytes — x7's content hash sees 20
+    // distinct files per group — but not one frame's energy: signature
+    // INVARIANCE to re-encode-class perturbations is the property that
+    // makes it perceptual. Map-side decode, payloads never shuffle.
+    "x20_audio_fingerprint" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeAudioFp(Tables.documents(s, dir))
+      Multimodal.decodeAudioFp(payloads, "doc_id", "payload").toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // TIFF metadata — the x-family's ENDIANNESS exercise: the container
     // declares its own byte order ("II"/"MM"), and the SHORT tag values
     // are left-justified in their 4-byte fields, which a naive
@@ -3320,6 +3326,67 @@ object PipelineQueries {
     "d25_image_neardup" ->
       """WITH p AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS f,
         |    md5('ph|' || CAST(doc_id // 20 AS VARCHAR)) AS h
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, f,
+        |    CAST(list_sum(list_transform(generate_series(0, 7), k ->
+        |      CAST(strpos('0123456789abcdef', substring(h, 1 + k, 1)) - 1 AS BIGINT)
+        |        * (1::BIGINT << (4 * (7 - k))))) AS BIGINT) AS hi0,
+        |    CAST(list_sum(list_transform(generate_series(0, 7), k ->
+        |      CAST(strpos('0123456789abcdef', substring(h, 9 + k, 1)) - 1 AS BIGINT)
+        |        * (1::BIGINT << (4 * (7 - k))))) AS BIGINT) AS lo0
+        |  FROM p),
+        |s AS (SELECT doc_id, xor(lo0, (1::BIGINT << f) - 1) AS sig_lo,
+        |    hi0 AS sig_hi FROM s0),
+        |bd AS (SELECT doc_id, sig_lo, sig_hi, b,
+        |    CASE b WHEN 0 THEN sig_lo % 65536 WHEN 1 THEN sig_lo // 65536
+        |           WHEN 2 THEN sig_hi % 65536 ELSE sig_hi // 65536 END AS v
+        |  FROM s, generate_series(0, 3) t(b)),
+        |pr AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    a.sig_lo AS lo_a, a.sig_hi AS hi_a, c.sig_lo AS lo_b, c.sig_hi AS hi_b
+        |  FROM bd a JOIN bd c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id),
+        |vp AS (SELECT id_a, id_b FROM pr
+        |  WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 2),
+        |ne AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+        |    min(n_id) AS min_n
+        |  FROM (SELECT id_a AS doc_id, id_b AS n_id FROM vp
+        |    UNION ALL SELECT id_b, id_a FROM vp) u GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups,
+        |  CAST(least(coalesce(min_n, d.doc_id), d.doc_id) AS BIGINT) AS keeper,
+        |  CAST(CASE WHEN coalesce(min_n, d.doc_id) < d.doc_id THEN 1 ELSE 0 END
+        |    AS INT) AS is_dup
+        |FROM documents d LEFT JOIN ne USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // closed-form energy-contour fingerprint: group word from
+    // md5('af|'||g) (the x17 construction, audio salt), flip mask
+    // (1<<f)-1 on the LOW word, mean = 1500 + 3000·n_set//64 exactly
+    // (64 frames × 50 samples: e_i ∈ {4500, 1500}, Σ = 96000 +
+    // 3000·n_set); the planted per-frame rotation never reaches the
+    // oracle — L1 energy is permutation-invariant, so no sample
+    // simulation needed
+    "x20_audio_fingerprint" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS f,
+        |    md5('af|' || CAST(doc_id // 20 AS VARCHAR)) AS h
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, f,
+        |    CAST(list_sum(list_transform(generate_series(0, 7), k ->
+        |      CAST(strpos('0123456789abcdef', substring(h, 1 + k, 1)) - 1 AS BIGINT)
+        |        * (1::BIGINT << (4 * (7 - k))))) AS BIGINT) AS hi0,
+        |    CAST(list_sum(list_transform(generate_series(0, 7), k ->
+        |      CAST(strpos('0123456789abcdef', substring(h, 9 + k, 1)) - 1 AS BIGINT)
+        |        * (1::BIGINT << (4 * (7 - k))))) AS BIGINT) AS lo0
+        |  FROM p),
+        |s AS (SELECT doc_id, xor(lo0, (1::BIGINT << f) - 1) AS sig_lo,
+        |    hi0 AS sig_hi FROM s0)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(64 AS INT) AS n_frames,
+        |  CAST(1500 + (3000 * CAST(bit_count(sig_lo) + bit_count(sig_hi) AS BIGINT))
+        |    // 64 AS BIGINT) AS mean_energy,
+        |  sig_lo, sig_hi, TRUE AS valid
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "d26_audio_neardup" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS f,
+        |    md5('af|' || CAST(doc_id // 20 AS VARCHAR)) AS h
         |  FROM documents),
         |s0 AS (SELECT doc_id, f,
         |    CAST(list_sum(list_transform(generate_series(0, 7), k ->

@@ -306,6 +306,35 @@ object RelationalQueries {
         LIMIT 10""")
     },
 
+    // SQL UDFs (Spark 4's CREATE FUNCTION ... RETURN — the DECLARATIVE
+    // function surface that replaces opaque Scala/Python UDFs for
+    // business logic): a scalar cents UDF, a scalar net-revenue UDF
+    // COMPOSED from it, and a TABLE UDF (RETURNS TABLE) holding the
+    // quantity-tier dimension — all three defined in SQL, so Catalyst
+    // INLINES the bodies at analysis time and the physical plan carries
+    // plain codegen'd arithmetic: zero ScalaUDF/Invoke nodes, pushdown
+    // and constant folding see through every call (PlanSpec-gated).
+    // This is the governance surface a 100-TB shop wants: the cents
+    // convention written ONCE, reused by name, and still free.
+    "q59_sql_udf" -> { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("v59_lineitem")
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE) " +
+        "RETURNS BIGINT RETURN CAST(round(x * 100) AS BIGINT)")
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_net_c2(p DOUBLE, d DOUBLE) " +
+        "RETURNS BIGINT RETURN graft_cents(p) * (100 - graft_cents(d))")
+      s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_tiers() " +
+        "RETURNS TABLE (tier INT, lo INT, hi INT) " +
+        "RETURN SELECT * FROM VALUES (1, 0, 10), (2, 10, 25), (3, 25, 100) t(tier, lo, hi)")
+      s.sql("""
+        SELECT l_returnflag, t.tier,
+          CAST(count(*) AS BIGINT) AS n,
+          sum(graft_net_c2(l_extendedprice, l_discount)) AS net_c2
+        FROM v59_lineitem l JOIN graft_qty_tiers() t
+          ON l.l_quantity >= t.lo AND l.l_quantity < t.hi
+        GROUP BY l_returnflag, t.tier
+        ORDER BY l_returnflag, t.tier""")
+    },
+
     // top-n per group through the custom TopNPerKey physical operator
     // (bounded per-key heaps; no per-group sort — see graft.plans).
     "q24_topn_custom" -> { (s, dir) =>
@@ -1763,6 +1792,17 @@ object RelationalQueries {
     "q21_skew_agg" ->
       """SELECT event_type AS key, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY key""".stripMargin,
+
+    // the UDF bodies inlined by hand — byte-identical semantics proves
+    // Spark's SQL-UDF inlining preserved the arithmetic exactly
+    "q59_sql_udf" ->
+      """WITH t(tier, lo, hi) AS (VALUES (1, 0, 10), (2, 10, 25), (3, 25, 100))
+        |SELECT l_returnflag, CAST(t.tier AS INT) AS tier,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS net_c2
+        |FROM lineitem l JOIN t ON l.l_quantity >= t.lo AND l.l_quantity < t.hi
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q23_sql_api" ->
       """SELECT l_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,

@@ -34,6 +34,58 @@ object SamplingQueries {
     s"substr(md5('$salt|' || CAST(doc_id AS VARCHAR)), 1, 2)"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // deterministic EPOCH shuffle — the training-data ORDERING op (every
+    // multi-epoch run needs a different, reproducible global permutation
+    // per epoch; RNG state would make retries non-deterministic): epoch
+    // e's order is md5("ep<e>|" ++ doc_id), and the global position is
+    // computed WITHOUT a corpus-wide single-partition window — the
+    // TeraSort two-level rank: 256 hex-prefix buckets rank in parallel
+    // (row_number partitioned by (epoch, bucket)) and a 768-row bucket-
+    // offset cumsum lifts them to exact global positions. Verification:
+    // per epoch, a position-weighted polynomial DIGEST of the permutation
+    // (order-sensitive yet distributive — Σ((pos+1)·h(doc)) mod p needs
+    // no corpus-sized collect_list), exact distinct-position count
+    // (permutation totality), and displacement mass vs epoch 0 (the
+    // orders genuinely differ). Cross-epoch comparison is a PIVOT into
+    // per-epoch position columns in one groupBy(doc_id) — never an
+    // epoch×epoch self-join.
+    "p25_epoch_shuffle" -> { (s, dir) =>
+      val M = 1000000007L
+      val keyed = Tables.documents(s, dir).select(col("doc_id"))
+        .withColumn("epoch", explode(array(lit(0), lit(1), lit(2))))
+        .withColumn("k", md5(concat(lit("ep"), col("epoch").cast("string"),
+          lit("|"), col("doc_id").cast("string"))))
+      val pos = graft.operators.Relational
+        .bucketedGlobalRank(keyed, "k", Seq("epoch"), "pos")
+        .select(col("doc_id"), col("epoch"), col("pos"))
+      val piv = pos.groupBy(col("doc_id"))
+        .agg(max(when(col("epoch") === 0, col("pos"))).as("p0"),
+          max(when(col("epoch") === 1, col("pos"))).as("p1"),
+          max(when(col("epoch") === 2, col("pos"))).as("p2"))
+        .withColumn("hv", expr(
+          "conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)")
+          .cast("long") % M)
+      val a = piv.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("p0")).as("nd0"),
+        countDistinct(col("p1")).as("nd1"),
+        countDistinct(col("p2")).as("nd2"),
+        sum(expr(s"((p0 + 1) * hv) % $M")).as("dg0"),
+        sum(expr(s"((p1 + 1) * hv) % $M")).as("dg1"),
+        sum(expr(s"((p2 + 1) * hv) % $M")).as("dg2"),
+        sum(expr("abs(p1 - p0)")).as("disp1"),
+        sum(expr("abs(p2 - p0)")).as("disp2")).localCheckpoint()
+      def row(e: Int, nd: String, dg: String,
+          disp: org.apache.spark.sql.Column): DataFrame =
+        a.select(lit(e).as("epoch"), col("n_docs"),
+          col(nd).as("n_distinct_pos"), col(dg).as("perm_digest"),
+          disp.as("disp_vs_e0"))
+      row(0, "nd0", "dg0", lit(0L))
+        .unionByName(row(1, "nd1", "dg1", col("disp1")))
+        .unionByName(row(2, "nd2", "dg2", col("disp2")))
+        .orderBy(col("epoch"))
+    },
+
     // deterministic train/val/test split: hex-threshold on the draw
     // ('1a' = 26/256 ≈ 10% test, '33' → next ≈10% val). Map-only per
     // row; the groupBy here only summarizes the split for checking.
@@ -829,6 +881,43 @@ object SamplingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // global row_number per epoch — positionally identical to the Spark
+    // side's two-level bucket rank because the bucket is a PREFIX of the
+    // sort key (order by (prefix, k) == order by k)
+    "p25_epoch_shuffle" ->
+      """WITH e AS (SELECT doc_id, unnest([0, 1, 2]) AS epoch FROM documents),
+        |k AS (SELECT doc_id, epoch,
+        |    md5('ep' || CAST(epoch AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM e),
+        |p AS (SELECT doc_id, epoch,
+        |    CAST(row_number() OVER (PARTITION BY epoch ORDER BY k) - 1 AS BIGINT) AS pos
+        |  FROM k),
+        |piv AS (SELECT doc_id,
+        |    max(CASE WHEN epoch = 0 THEN pos END) AS p0,
+        |    max(CASE WHEN epoch = 1 THEN pos END) AS p1,
+        |    max(CASE WHEN epoch = 2 THEN pos END) AS p2
+        |  FROM p GROUP BY doc_id),
+        |h AS (SELECT *, CAST(list_sum(list_transform(generate_series(0, 7), j ->
+        |    CAST(strpos('0123456789abcdef',
+        |      substring(md5(CAST(doc_id AS VARCHAR)), 1 + j, 1)) - 1 AS BIGINT)
+        |      * (1::BIGINT << (4 * (7 - j))))) AS BIGINT) % 1000000007 AS hv
+        |  FROM piv),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT p0) AS BIGINT) AS nd0,
+        |    CAST(count(DISTINCT p1) AS BIGINT) AS nd1,
+        |    CAST(count(DISTINCT p2) AS BIGINT) AS nd2,
+        |    CAST(sum(((p0 + 1) * hv) % 1000000007) AS BIGINT) AS dg0,
+        |    CAST(sum(((p1 + 1) * hv) % 1000000007) AS BIGINT) AS dg1,
+        |    CAST(sum(((p2 + 1) * hv) % 1000000007) AS BIGINT) AS dg2,
+        |    CAST(sum(abs(p1 - p0)) AS BIGINT) AS disp1,
+        |    CAST(sum(abs(p2 - p0)) AS BIGINT) AS disp2
+        |  FROM h)
+        |SELECT CAST(0 AS INT) AS epoch, n_docs, nd0 AS n_distinct_pos,
+        |  dg0 AS perm_digest, 0::BIGINT AS disp_vs_e0 FROM a
+        |UNION ALL SELECT CAST(1 AS INT), n_docs, nd1, dg1, disp1 FROM a
+        |UNION ALL SELECT CAST(2 AS INT), n_docs, nd2, dg2, disp2 FROM a
+        |ORDER BY epoch""".stripMargin,
+
     "p15_pipeline_e2e" ->
       s"""WITH dd AS (SELECT * FROM (
          |    SELECT d.*, row_number() OVER (PARTITION BY md5(text)

@@ -47,6 +47,32 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // streaming ingest NEAR-DUP gate, batch form: every arriving doc is
+    // checked against the PERSISTED LSH serving index (d18's incremental
+    // dedup made a serving op — the index is a DerivedLayouts artifact
+    // carrying band keys + shingle sets per indexed doc, built once with
+    // the bucket cap applied at BUILD time, so serving is pure
+    // stream-static joins: band-key probe → exact-Jaccard verify →
+    // per-doc verdict). The same neardupIngestGate code runs inside
+    // foreachBatch over readStream — StreamingSpec proves split-batch
+    // parity. At 100 TB the index never re-hashes per batch and a
+    // degenerate bucket can't explode the probe join (≤ cap·|batch|).
+    "st18_stream_neardup" -> { (s, dir) =>
+      import graft.operators.Dedup
+      import graft.sources.DerivedLayouts
+      val base = DerivedLayouts.once(s"neardupidx|$dir") { path =>
+        Dedup.neardupServingIndex(
+            Tables.documents(s, dir).filter(expr("doc_id % 5 != 4")),
+            "doc_id", "text", bands = 4, rows = 2, maxBucket = 64)
+          .write.parquet(s"$path/index")
+      }
+      val index = s.read.parquet(s"$base/index")
+      val batch = Tables.documents(s, dir).filter(expr("doc_id % 5 = 4"))
+      Dedup.neardupIngestGate(batch, index, "doc_id", "text",
+          bands = 4, rows = 2, threshold = 0.3)
+        .orderBy(col("doc_id"))
+    },
+
     // streaming ingest quality gate, batch form: the same qualityGate
     // code runs over readDocumentStream on arrival (parity + bounded
     // sources×2 state in StreamingSpec); per-(source, kept) counters
@@ -221,6 +247,48 @@ object StreamingQueries {
          |SELECT user_id, CAST(i AS BIGINT) AS pos,
          |  types[i] || ' ' || types[i+1] || ' ' || types[i+2] AS trigram
          |FROM ix ORDER BY user_id, pos""".stripMargin,
+
+    // the full pipeline re-derived: band keys for every doc, the bucket
+    // cap applied over INDEX occupancy only (the build-time rule), batch
+    // probes, exact Jaccard on distinct 3-gram sets (d16's list forms)
+    "st18_stream_neardup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd
+        |  FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(wd) >= 3
+        |    THEN list_transform(generate_series(1, len(wd)-2), i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])
+        |    ELSE [] END) AS s
+        |  FROM w),
+        |sh2 AS (SELECT * FROM sh WHERE len(s) > 0),
+        |sig AS (SELECT doc_id,
+        |  list_transform(generate_series(0, 7), h ->
+        |    list_min(list_transform(s, x -> md5(CAST(h AS VARCHAR) || '|' || x)))) AS g
+        |  FROM sh2),
+        |bands AS (SELECT doc_id, CAST(b AS VARCHAR) || ':' || g[2*b+1] || g[2*b+2] AS k
+        |  FROM sig, generate_series(0, 3) t(b)),
+        |ib AS (SELECT * FROM bands WHERE doc_id % 5 != 4
+        |  QUALIFY count(*) OVER (PARTITION BY k) <= 64),
+        |bb AS (SELECT * FROM bands WHERE doc_id % 5 = 4),
+        |cand AS (SELECT DISTINCT b.doc_id, i.doc_id AS idx_id
+        |  FROM bb b JOIN ib i USING (k)),
+        |jac AS (SELECT c.doc_id, c.idx_id,
+        |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        |      / len(list_distinct(x.s || y.s)) AS j
+        |  FROM cand c JOIN sh2 x ON c.doc_id = x.doc_id
+        |    JOIN sh2 y ON c.idx_id = y.doc_id),
+        |ver AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+        |    min(idx_id) AS min_dup
+        |  FROM jac WHERE j >= 0.3 GROUP BY 1),
+        |ca AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM cand GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(n_candidates, 0::BIGINT) AS n_candidates,
+        |  coalesce(n_dups, 0::BIGINT) AS n_dups,
+        |  CAST(coalesce(min_dup, -1) AS BIGINT) AS min_dup_id,
+        |  CAST(CASE WHEN coalesce(n_dups, 0) > 0 THEN 1 ELSE 0 END AS INT) AS is_dup
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4) d
+        |LEFT JOIN ca USING (doc_id) LEFT JOIN ver USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "st15_stream_quality" ->
       """WITH d AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS w

@@ -347,4 +347,34 @@ class MultimodalSpec extends AnyFunSuite {
       t.total_energy == 0L)
     assert(!Multimodal.decodePcmEnergy(4L, Array.emptyByteArray).valid)
   }
+
+  test("audio fingerprint: time-shift invariance, planted flips, and malformed rejects") {
+    // ids 0 and 8 share group 0 with f = 0 — payloads differ ONLY by the
+    // per-frame rotation (0 vs 1 samples): bytes distinct, sig identical
+    val a = Multimodal.decodeAudioFpWav(0L, Multimodal.synthAudioFpWav(0L))
+    val b = Multimodal.decodeAudioFpWav(8L, Multimodal.synthAudioFpWav(8L))
+    assert(a.valid && b.valid)
+    assert(!Multimodal.synthAudioFpWav(0L).sameElements(Multimodal.synthAudioFpWav(8L)))
+    assert(a.sig_lo == b.sig_lo && a.sig_hi == b.sig_hi)
+    // id 1 (f = 1) flips exactly bit 0 of the low word vs id 0
+    val c = Multimodal.decodeAudioFpWav(1L, Multimodal.synthAudioFpWav(1L))
+    assert((c.sig_lo ^ a.sig_lo) == 1L && c.sig_hi == a.sig_hi)
+    // id 3 (f = 3): hamming 3 from f=0 — surfaced by banding, killed by
+    // the d26 verification radius of 2
+    val e = Multimodal.decodeAudioFpWav(3L, Multimodal.synthAudioFpWav(3L))
+    assert(java.lang.Long.bitCount(e.sig_lo ^ a.sig_lo) +
+      java.lang.Long.bitCount(e.sig_hi ^ a.sig_hi) == 3)
+    // different group ⇒ unrelated contour (md5 words differ)
+    val g = Multimodal.decodeAudioFpWav(20L, Multimodal.synthAudioFpWav(20L))
+    assert(g.sig_lo != a.sig_lo || g.sig_hi != a.sig_hi)
+    // mean energy: 1500 + 3000·n_set/64 (floor), n_set = popcount(sig)
+    val nSet = java.lang.Long.bitCount(a.sig_lo) + java.lang.Long.bitCount(a.sig_hi)
+    assert(a.mean_energy == 1500L + (3000L * nSet) / 64L)
+    // a 16-bit WAV must fail valid, not mis-frame; fewer than 64 full
+    // frames (x19's 400-sample file) must fail valid, not under-hash
+    assert(!Multimodal.decodeAudioFpWav(0L, Multimodal.synthWav(8000, 1, 100)).valid)
+    assert(!Multimodal.decodeAudioFpWav(0L, Multimodal.synthPcmWav(0L)).valid)
+    assert(!Multimodal.decodeAudioFpWav(0L,
+      Multimodal.synthAudioFpWav(0L).take(44 + 63 * 50)).valid)
+  }
 }

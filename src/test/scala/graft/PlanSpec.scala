@@ -860,6 +860,47 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"the measured read must not re-merge\n$p")
   }
 
+  test("p25/bucketedGlobalRank: two-level rank == global row_number; every window stays partitioned") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    // 400 rows, 2 groups, md5 keys — exactly p25's shape pre-checkpoint
+    val df = (0L until 400L).toDF("id")
+      .withColumn("g", (col("id") % 2).cast("int"))
+      .withColumn("k", md5(concat(col("g").cast("string"), lit("|"),
+        col("id").cast("string"))))
+    val ranked = graft.operators.Relational
+      .bucketedGlobalRank(df, "k", Seq("g"), "pos")
+    // positions equal the single-window global rank exactly
+    val truth = df.withColumn("pos2",
+      (row_number().over(W.partitionBy(col("g")).orderBy(col("k"))) - 1).cast("long"))
+    assert(ranked.join(truth, Seq("id", "g", "k"))
+      .filter(col("pos") =!= col("pos2")).count() == 0)
+    // and the plan never windows a group globally: both window passes
+    // carry the group key, the rank pass also the bucket prefix
+    val p = ranked.queryExecution.executedPlan.toString
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, p)
+    // windowspecdefinition(g, ...) — the partition spec leads with the
+    // group key in every window pass
+    windows.foreach { w =>
+      assert(w.contains("windowspecdefinition(g#"), s"unpartitioned window:\n$w\n$p")
+    }
+    assert(windows.exists(_.contains("_bkt")), p)
+  }
+
+  test("q59: SQL UDF bodies are INLINED — no UDF invocation node survives analysis") {
+    val df = SparkEntry.queries("q59_sql_udf")(spark, sf)
+    assert(df.collect().nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    // scalar + composed + table UDFs all dissolve into plain expressions:
+    // the plan carries codegen'd round()/arithmetic, never an opaque call
+    assert(!p.contains("ScalaUDF") && !p.contains("Invoke"), p)
+    assert(p.contains("round("), p)
+    // the table UDF became a 3-row local relation on the broadcast side
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q58: DSv2 source answers the GROUP BY itself — aggregate pushdown, merge-only plan") {
     import graft.sources.MetricsFeedSource
     MetricsFeedSource.lastPushedAggregation = ""

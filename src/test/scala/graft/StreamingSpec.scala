@@ -1133,6 +1133,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(nonEmpty.flatten.sorted == Seq(1L, 2L, 3L), s"no loss, no dupes: $batches")
   }
 
+  test("streaming near-dup ingest gate: split-batch foreachBatch == one-shot batch against the persisted index") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf)
+    // build the serving index ONCE (the DerivedLayouts cost model)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ndidx").toString + "/index"
+    Dedup.neardupServingIndex(docs.filter(expr("doc_id % 5 != 4")),
+      "doc_id", "text", bands = 4, rows = 2, maxBucket = 64)
+      .write.parquet(idxDir)
+    val batchDocs = docs.filter(expr("doc_id % 5 = 4"))
+    val expected = Dedup.neardupIngestGate(batchDocs,
+        spark.read.parquet(idxDir), "doc_id", "text", 4, 2, 0.3)
+      .orderBy("doc_id").collect().toSeq
+    assert(expected.nonEmpty &&
+      expected.exists(_.getAs[Int]("is_dup") == 1) &&
+      expected.exists(_.getAs[Int]("is_dup") == 0),
+      "gate must both flag and clear on this corpus or the parity proves nothing")
+    // stage arrivals as TWO files → two micro-batches (maxFilesPerTrigger=1)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_ndstream")
+    Seq("doc_id % 10 = 4", "doc_id % 10 = 9").zipWithIndex.foreach { case (p, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ndpart").toString + "/p"
+      batchDocs.filter(expr(p)).coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(s"b$i.parquet"))
+    }
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    val out = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+    var nBatches = 0
+    val q = stream.writeStream.foreachBatch {
+      (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val v = Dedup.neardupIngestGate(b, spark.read.parquet(idxDir),
+          "doc_id", "text", 4, 2, 0.3)
+        out.synchronized { out ++= v.collect(); nBatches += 1 }; ()
+    }.start()
+    q.processAllAvailable(); q.stop()
+    assert(nBatches >= 2, s"parity must span micro-batches, got $nBatches")
+    val streamed = out.sortBy(_.getAs[Long]("doc_id")).toSeq
+    assert(streamed == expected)
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) == declarative sessions") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
