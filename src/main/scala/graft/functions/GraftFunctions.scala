@@ -13,6 +13,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.inject(ext)
     ext.injectPlannerStrategy(_ => graft.plans.TopNPerKeyStrategy)
+    // materialized-view substitution (opt-in via spark.graft.mv.enabled)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
   }
 }
 

@@ -306,6 +306,48 @@ object RelationalQueries {
         LIMIT 10""")
     },
 
+    // MATERIALIZED-VIEW rewrite (the custom Rule[LogicalPlan] extension
+    // surface — injectOptimizerRule — made to do real work): a rollup
+    // layout over (l_returnflag, l_linestatus) is built ONCE
+    // (DerivedLayouts); the query a user writes aggregates the FACT at
+    // coarser grain (l_returnflag only), and the registered MvRewrite
+    // rule substitutes the 6-row MV for the fact scan — the query never
+    // reads lineitem (PlanSpec: mv path scanned, no fact file, rewrite
+    // counter fired, and flag-off runs match row-for-row). Sums stay
+    // exact: the MV stores integer-cents partials, COUNT rewrites to
+    // SUM(n_rows) — decomposable aggregation, the same algebra as m27's
+    // incremental rollup, now applied BY THE OPTIMIZER. At 100 TB this
+    // is the BI-dashboard lever: the repeated coarse aggregate costs
+    // |groups| rows instead of a fact scan. Opt-in per session so a
+    // registry hit never silently changes another query's plan gates.
+    "q60_mv_rewrite" -> { (s, dir) =>
+      import graft.plans.MvRewrite
+      import graft.sources.DerivedLayouts
+      val base = DerivedLayouts.once(s"mvrollup|$dir") { path =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(cents(col("l_quantity"))).as("qty_c"),
+            sum(cents(col("l_extendedprice"))).as("price_c"),
+            count(lit(1)).as("n_rows"))
+          .write.parquet(s"$path/mv")
+      }
+      MvRewrite.register(MvRewrite.MvDef(
+        factFragment = s"$dir/lineitem.parquet", mvPath = s"$base/mv",
+        groupCols = Set("l_returnflag", "l_linestatus"),
+        centsCols = Map("l_quantity" -> "qty_c", "l_extendedprice" -> "price_c"),
+        countCol = "n_rows"))
+      s.conf.set("spark.graft.mv.enabled", "true")
+      // the user's query — written against the FACT, answered by the MV
+      // (bare integer-cents sums: the rule vetoes any wrapped aggregate,
+      // so matched queries are exactly the decomposable-sum shape)
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // SQL UDFs (Spark 4's CREATE FUNCTION ... RETURN — the DECLARATIVE
     // function surface that replaces opaque Scala/Python UDFs for
     // business logic): a scalar cents UDF, a scalar net-revenue UDF
@@ -1792,6 +1834,15 @@ object RelationalQueries {
     "q21_skew_agg" ->
       """SELECT event_type AS key, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY key""".stripMargin,
+
+    // the oracle aggregates the FACT directly — identical results prove
+    // the MV substitution is semantics-preserving (decomposable sums)
+    "q60_mv_rewrite" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the UDF bodies inlined by hand — byte-identical semantics proves
     // Spark's SQL-UDF inlining preserved the arithmetic exactly

@@ -889,6 +889,37 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.exists(_.contains("_bkt")), p)
   }
 
+  test("q60: MV substitution answers the aggregate from the rollup — fact never scanned, off-flag identical") {
+    import graft.plans.MvRewrite
+    try {
+      MvRewrite.rewrites.set(0L)
+      val df = SparkEntry.queries("q60_mv_rewrite")(spark, sf)
+      val rewrittenRows = df.collect().toSeq
+      val p = df.queryExecution.executedPlan.toString
+      // the rule fired, the scan reads the MV layout, the fact is gone
+      assert(MvRewrite.rewrites.get() >= 1L, p)
+      assert(p.contains("graft_mvrollup"), p)
+      assert(!p.contains("lineitem.parquet"), s"fact scanned despite MV\n$p")
+      // soundness: flag off → the same query scans the fact and agrees
+      spark.conf.set("spark.graft.mv.enabled", "false")
+      val off = SparkEntry.queries("q60_mv_rewrite")(spark, sf)
+      spark.conf.set("spark.graft.mv.enabled", "false") // query re-enables at build
+      val offRows = off.collect().toSeq
+      assert(off.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+      assert(rewrittenRows == offRows)
+      // narrowness: a WRAPPED aggregate (division over the sum) vetoes —
+      // the rule never rewrites shapes it cannot prove
+      spark.conf.set("spark.graft.mv.enabled", "true")
+      val wrapped = graft.sources.Tables.lineitem(spark, sf)
+        .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
+        .agg((org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.round(
+            org.apache.spark.sql.functions.col("l_quantity") * 100)
+            .cast("long")) / 100.0).as("q"))
+      assert(wrapped.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
+    } finally spark.conf.set("spark.graft.mv.enabled", "false")
+  }
+
   test("q59: SQL UDF bodies are INLINED — no UDF invocation node survives analysis") {
     val df = SparkEntry.queries("q59_sql_udf")(spark, sf)
     assert(df.collect().nonEmpty)
