@@ -47,6 +47,33 @@ object StreamingQueries {
         .orderBy(col("user_id"), col("event_type"))
     },
 
+    // custom DSv2 MICRO-BATCH STREAMING source (the connector trilogy
+    // completed: q51 batch read with pushdown, q52 transactional sink,
+    // now the streaming face the reference's polling daemons map to —
+    // chStats.py:538-579 polls on a cadence; on Spark the engine
+    // schedules a MicroBatchStream): each trigger admits the next
+    // streamStep rows, a micro-batch plans the same closed-form range
+    // partitions as the batch scan over [start,end), and exactly-once
+    // falls out of the offset contract — every row belongs to precisely
+    // ONE offset interval, the checkpoint is the O(1) offset itself.
+    // The query RUNS the stream (5 micro-batches, complete-mode agg,
+    // memory sink) and returns the final totals: the oracle's
+    // closed-form range sums prove no row was dropped or double-counted
+    // across batch boundaries. StreamingSpec gates the batch count and
+    // stream≡batch parity.
+    "st19_stream_source" -> { (s, _) =>
+      s.catalog.dropTempView("st19_out")
+      val stream = s.readStream.format("graft.sources.MetricsFeedSource")
+        .option("rows", "120000").option("partitions", "4")
+        .option("streamStep", "25000").load()
+      val q = stream.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("st19_out").start()
+      q.processAllAvailable(); q.stop()
+      s.table("st19_out").orderBy(col("kind"))
+    },
+
     // streaming ingest NEAR-DUP gate, batch form: every arriving doc is
     // checked against the PERSISTED LSH serving index (d18's incremental
     // dedup made a serving op — the index is a DerivedLayouts artifact
@@ -247,6 +274,16 @@ object StreamingQueries {
          |SELECT user_id, CAST(i AS BIGINT) AS pos,
          |  types[i] || ' ' || types[i+1] || ' ' || types[i+2] AS trigram
          |FROM ix ORDER BY user_id, pos""".stripMargin,
+
+    "st19_stream_source" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value
+        |FROM (
+        |  SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 120000) t(id)) u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the full pipeline re-derived: band keys for every doc, the bucket
     // cap applied over INDEX occupancy only (the build-time rule), batch

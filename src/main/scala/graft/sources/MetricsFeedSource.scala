@@ -61,6 +61,12 @@ object MetricsFeedSource {
   // single-JVM counter, same scope caveat as AccountingSink.abortedTasks)
   @volatile var lastPushedAggregation: String = ""
   val rowsEmitted = new java.util.concurrent.atomic.AtomicLong(0L)
+  // streaming observable: the distinct non-empty offset intervals
+  // planned (local-mode/test hook; Spark may re-plan one micro-batch
+  // several times — the INTERVAL SET, not the call count, is the
+  // exactly-once observable: it must partition [0, rows))
+  val streamIntervals =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long)]()
 
   def nodeOf(id: Long): String = "node" + (id % 50)
   def kindOf(id: Long): String = (id % 3) match {
@@ -78,19 +84,22 @@ class MetricsFeedSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new MetricsFeedTable(
       properties.getOrDefault("rows", "100000").toLong,
-      properties.getOrDefault("partitions", "8").toInt)
+      properties.getOrDefault("partitions", "8").toInt,
+      properties.getOrDefault("streamStep", "25000").toLong)
 }
 
-class MetricsFeedTable(rows: Long, parts: Int) extends Table with SupportsRead {
+class MetricsFeedTable(rows: Long, parts: Int, streamStep: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"metrics_feed($rows)"
   override def schema(): StructType = MetricsFeedSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MetricsFeedScanBuilder(rows, parts)
+    new MetricsFeedScanBuilder(rows, parts, streamStep)
 }
 
-class MetricsFeedScanBuilder(rows: Long, parts: Int) extends ScanBuilder
+class MetricsFeedScanBuilder(rows: Long, parts: Int, streamStep: Long = 25000L)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   private var lo = 0L
@@ -164,8 +173,51 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int) extends ScanBuilder
     case Some(funcs) =>
       new MetricsFeedAggScan(rows, parts, lo, hi, funcs, pushed)
     case None =>
-      new MetricsFeedScan(rows, parts, lo, hi, required, pushed)
+      new MetricsFeedScan(rows, parts, lo, hi, required, pushed, streamStep)
   }
+}
+
+/** Row-index offset for the micro-batch stream (exclusive high-water
+  * mark into the feed's row space). */
+case class MetricsFeedOffset(hwm: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = hwm.toString
+}
+
+/** The STREAMING half of the connector (the reference's pollers run on
+  * a cadence — chStats.py:538-579; on Spark the idiomatic form is a
+  * MicroBatchStream the engine schedules): each trigger admits the next
+  * `streamStep` rows of the feed, a micro-batch plans the SAME
+  * closed-form range partitions as the batch scan over [start, end),
+  * and exactly-once falls out of the offset contract — a row belongs to
+  * precisely one [start, end) interval, restarts resume from the
+  * committed offset, and no source state exists beyond the offset
+  * itself (O(1) checkpoint). */
+class MetricsFeedMicroBatch(rows: Long, parts: Int, step: Long,
+    required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+  private var hwm = 0L
+  override def initialOffset(): Offset = MetricsFeedOffset(0L)
+  override def latestOffset(): Offset = {
+    hwm = math.min(rows, hwm + step)
+    MetricsFeedOffset(hwm)
+  }
+  override def deserializeOffset(json: String): Offset =
+    MetricsFeedOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[MetricsFeedOffset].hwm
+    val hi = end.asInstanceOf[MetricsFeedOffset].hwm
+    if (lo < hi) MetricsFeedSource.streamIntervals.add((lo, hi))
+    val width = math.max(1L, (hi - lo + parts - 1) / parts)
+    (lo until hi by width).map { s =>
+      MetricsFeedPartition(s, math.min(s + width, hi)): InputPartition
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MetricsFeedReaderFactory(required.fieldNames)
 }
 
 /** Pre-aggregated scan: readSchema is the pushed aggregation's shape
@@ -247,9 +299,13 @@ class MetricsFeedAggReaderFactory(funcs: Array[String])
 }
 
 class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter],
+    streamStep: Long = 25000L) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new MetricsFeedMicroBatch(rows, parts, streamStep, required)
   override def description(): String =
     s"MetricsFeed range=[$lo,$hi) of $rows, " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
