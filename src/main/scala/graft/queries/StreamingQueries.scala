@@ -56,7 +56,7 @@ object StreamingQueries {
     // partitions as the batch scan over [start,end), and exactly-once
     // falls out of the offset contract — every row belongs to precisely
     // ONE offset interval, the checkpoint is the O(1) offset itself.
-    // The query RUNS the stream (5 micro-batches, complete-mode agg,
+    // The query RUNS the stream (3 micro-batches, complete-mode agg,
     // memory sink) and returns the final totals: the oracle's
     // closed-form range sums prove no row was dropped or double-counted
     // across batch boundaries. StreamingSpec gates the batch count and
@@ -64,8 +64,8 @@ object StreamingQueries {
     "st19_stream_source" -> { (s, _) =>
       s.catalog.dropTempView("st19_out")
       val stream = s.readStream.format("graft.sources.MetricsFeedSource")
-        .option("rows", "120000").option("partitions", "4")
-        .option("streamStep", "25000").load()
+        .option("rows", "60000").option("partitions", "4")
+        .option("streamStep", "20000").load()
       val q = stream.groupBy(col("kind"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
         .writeStream.outputMode("complete").format("memory")
@@ -282,7 +282,7 @@ object StreamingQueries {
         |  SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
         |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
         |    (id * 2654435761) % 100000 AS value
-        |  FROM range(0, 120000) t(id)) u
+        |  FROM range(0, 60000) t(id)) u
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the full pipeline re-derived: band keys for every doc, the bucket

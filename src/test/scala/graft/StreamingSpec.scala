@@ -1176,22 +1176,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == expected)
   }
 
-  test("DSv2 micro-batch stream: 5 offset intervals, exactly-once totals == one-shot batch read") {
+  test("DSv2 micro-batch stream: 3 offset intervals, exactly-once totals == one-shot batch read") {
     import graft.sources.MetricsFeedSource
     MetricsFeedSource.streamIntervals.clear()
     val streamed = SparkEntry.queries("st19_stream_source")(spark, sf)
       .collect().toSeq
-    // 120000 rows / 25000-step triggers → the planned offset intervals
-    // PARTITION the row space: 5 intervals, no gap, no overlap — the
+    // 60000 rows / 20000-step triggers → the planned offset intervals
+    // PARTITION the row space: 3 intervals, no gap, no overlap — the
     // exactly-once contract made visible
     import scala.jdk.CollectionConverters._
     val ivs = MetricsFeedSource.streamIntervals.asScala.toSeq.sorted
-    assert(ivs == Seq((0L, 25000L), (25000L, 50000L), (50000L, 75000L),
-      (75000L, 100000L), (100000L, 120000L)), ivs.toString)
+    assert(ivs == Seq((0L, 20000L), (20000L, 40000L), (40000L, 60000L)),
+      ivs.toString)
     // exactly-once across batch boundaries: the complete-mode totals
     // equal a single batch read of the same feed
     val batch = spark.read.format("graft.sources.MetricsFeedSource")
-      .option("rows", "120000").option("partitions", "4").load()
+      .option("rows", "60000").option("partitions", "4").load()
       .groupBy("kind")
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
       .orderBy("kind").collect().toSeq
