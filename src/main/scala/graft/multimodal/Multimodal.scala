@@ -1334,6 +1334,110 @@ object Multimodal {
       }
   }
 
+  // ------------------------------------- jpeg exif orientation (x21)
+
+  case class ExifMeta(doc_id: Long, byte_len: Int, exif_present: Boolean,
+      byte_order: String, orientation: Int, needs_transform: Int,
+      valid: Boolean)
+
+  /** JPEG carrying an APP1 Exif segment — the metadata a camera writes
+    * and a dedup/vision pipeline MUST apply before pixels are compared
+    * (a rotated twin hashes differently under x17's aHash unless
+    * orientation-normalized first): "Exif\0\0" + an embedded TIFF whose
+    * IFD holds ImageWidth and Orientation (tag 274, values 1-8). Even
+    * doc_ids embed little-endian TIFFs, odd big-endian (the x13 mixed-
+    * order crawl); doc_id%5==4 files carry NO Exif at all (stripped by
+    * an upstream optimizer — the default-orientation path). */
+  def synthJpegExif(id: Long): Array[Byte] = {
+    val pad = (id % 7).toInt
+    val base = synthJpeg(64, 48, pad)
+    if (id % 5 == 4) return base
+    val little = id % 2 == 0
+    val orientation = 1 + (id % 8).toInt
+    def e16(v: Int) = if (little) le16(v) else be16(v)
+    def e32(v: Int) = if (little) le32(v) else be32(v)
+    val order = (if (little) "II" else "MM").getBytes("US-ASCII")
+    def entry(tag: Int, v: Int): Array[Byte] =
+      e16(tag) ++ e16(3) ++ e32(1) ++ (e16(v) ++ e16(0))
+    val ifd = e16(2) ++ entry(256, 64) ++ entry(274, orientation) ++ e32(0)
+    val tiff = order ++ e16(42) ++ e32(8) ++ ifd
+    val payload = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val app1 = Array(0xFF, 0xE1).map(_.toByte) ++ be16(2 + payload.length) ++ payload
+    base.take(2) ++ app1 ++ base.drop(2)
+  }
+
+  /** Orientation decode: JPEG marker walk to APP1, "Exif\0\0" check,
+    * then a TIFF IFD walk INSIDE the segment (offsets relative to the
+    * TIFF base, either byte order) for tag 274. Missing or unparseable
+    * Exif ⇒ orientation 1 / exif_present false (the assume-upright
+    * default every viewer applies); only a non-JPEG fails valid. */
+  def decodeJpegExif(id: Long, bytes: Array[Byte]): ExifMeta = {
+    val len = bytes.length
+    val none = ExifMeta(id, len, exif_present = false, "none", 1, 0, valid = true)
+    if (len < 4 || (bytes(0) & 0xFF) != 0xFF || (bytes(1) & 0xFF) != 0xD8)
+      return ExifMeta(id, len, exif_present = false, "none", 0, 0, valid = false)
+    var off = 2
+    while (off + 4 <= len && (bytes(off) & 0xFF) == 0xFF) {
+      val marker = bytes(off + 1) & 0xFF
+      if (marker == 0xD9 || marker == 0xDA) return none
+      val segLen = ((bytes(off + 2) & 0xFF) << 8) | (bytes(off + 3) & 0xFF)
+      if (marker == 0xE1 && off + 2 + segLen <= len && segLen >= 8 &&
+          new String(bytes, off + 4, 4, "US-ASCII") == "Exif" &&
+          bytes(off + 8) == 0 && bytes(off + 9) == 0) {
+        val tb = off + 10 // TIFF base
+        if (tb + 8 > len) return none
+        val mark = new String(bytes, tb, 2, "US-ASCII")
+        val little = mark == "II"
+        if (!little && mark != "MM") return none
+        def u16(o: Int) =
+          if (little) (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+          else ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+        def u32(o: Int) =
+          if (little) (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+            ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+          else ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+            ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+        if (u16(tb + 2) != 42) return none
+        val ifd = tb + u32(tb + 4)
+        if (ifd + 2 > len) return none
+        val n = u16(ifd)
+        var i = 0
+        while (i < n && ifd + 2 + 12 * (i + 1) <= len) {
+          val e = ifd + 2 + 12 * i
+          if (u16(e) == 274 && u16(e + 2) == 3) {
+            val ori = u16(e + 8) // SHORT left-justified in the value field
+            if (ori >= 1 && ori <= 8)
+              return ExifMeta(id, len, exif_present = true,
+                if (little) "II" else "MM", ori,
+                if (ori != 1) 1 else 0, valid = true)
+          }
+          i += 1
+        }
+        return none // Exif present but no usable orientation tag
+      }
+      off += 2 + segLen
+    }
+    none
+  }
+
+  def synthesizeJpegExif(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => BinaryDoc(id, synthJpegExif(id)))).toDF()
+  }
+
+  def decodeExif(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[ExifMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => decodeJpegExif(d.doc_id, d.payload)))
+      }
+  }
+
   // --------------------------------------- audio energy fingerprint
 
   case class AudioFp(doc_id: Long, sample_rate: Int, n_frames: Int,

@@ -2819,6 +2819,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // EXIF ORIENTATION decode (the metadata pass that must precede any
+    // pixel-level dedup: a rotated twin hashes differently under x17's
+    // aHash unless orientation-normalized first): JPEG marker walk to
+    // APP1 + "Exif\0\0" gate + a TIFF IFD walk INSIDE the segment for
+    // tag 274 — x1's marker walk composed with x13's both-byte-orders
+    // IFD walk, offsets relative to the embedded TIFF base (the bug
+    // absolute-offset parsers hit). doc_id%5==4 files carry no Exif
+    // and take the assume-upright default (orientation 1, present
+    // false) — the path every viewer implements. Closed-form oracle
+    // from the synthesis formulas; map-side decode.
+    "x21_exif_orientation" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeJpegExif(Tables.documents(s, dir))
+      Multimodal.decodeExif(payloads, "doc_id", "payload").toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // perceptual AUDIO fingerprint (x17's aHash transplanted to the
     // audio modality — the echoprint-class signature d26 dedups on):
     // 8-bit mono WAV with a 64-frame energy contour; decode = WAV gate
@@ -3355,6 +3371,24 @@ object PipelineQueries {
         |  CAST(CASE WHEN coalesce(min_n, d.doc_id) < d.doc_id THEN 1 ELSE 0 END
         |    AS INT) AS is_dup
         |FROM documents d LEFT JOIN ne USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // closed-form from the synthesis: base jpeg = 41 + doc_id%7 bytes
+    // (soi 2 + app0 18 + sof0 19 + pad + eoi 2), the Exif APP1 adds 48
+    // (4 header + 6 "Exif\0\0" + 38 TIFF); orientation 1 + doc_id%8,
+    // byte order by doc_id parity, %5==4 stripped
+    "x21_exif_orientation" ->
+      """SELECT doc_id,
+        |  CAST(41 + doc_id % 7
+        |    + CASE WHEN doc_id % 5 = 4 THEN 0 ELSE 48 END AS INT) AS byte_len,
+        |  doc_id % 5 <> 4 AS exif_present,
+        |  CASE WHEN doc_id % 5 = 4 THEN 'none'
+        |    WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 1
+        |    ELSE 1 + doc_id % 8 END AS INT) AS orientation,
+        |  CAST(CASE WHEN doc_id % 5 = 4 OR doc_id % 8 = 0
+        |    THEN 0 ELSE 1 END AS INT) AS needs_transform,
+        |  TRUE AS valid
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // closed-form energy-contour fingerprint: group word from
     // md5('af|'||g) (the x17 construction, audio salt), flip mask

@@ -348,6 +348,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.decodePcmEnergy(4L, Array.emptyByteArray).valid)
   }
 
+  test("exif orientation: both byte orders round-trip; stripped/tampered Exif takes the upright default") {
+    // id 2: little-endian, orientation 1 + 2%8 = 3
+    val a = Multimodal.decodeJpegExif(2L, Multimodal.synthJpegExif(2L))
+    assert(a.valid && a.exif_present && a.byte_order == "II" &&
+      a.orientation == 3 && a.needs_transform == 1)
+    // id 7: big-endian, orientation 1 + 7%8 = 8
+    val b = Multimodal.decodeJpegExif(7L, Multimodal.synthJpegExif(7L))
+    assert(b.valid && b.exif_present && b.byte_order == "MM" &&
+      b.orientation == 8)
+    // id 8: orientation 1 + 8%8 = 1 — present but upright, no transform
+    val c = Multimodal.decodeJpegExif(8L, Multimodal.synthJpegExif(8L))
+    assert(c.exif_present && c.orientation == 1 && c.needs_transform == 0)
+    // id 4 (%5==4): Exif stripped — upright default, present=false
+    val d = Multimodal.decodeJpegExif(4L, Multimodal.synthJpegExif(4L))
+    assert(d.valid && !d.exif_present && d.orientation == 1 && d.byte_order == "none")
+    // tampered TIFF magic inside APP1 → unusable Exif, upright default
+    val t = Multimodal.synthJpegExif(2L).clone()
+    t(14) = 99.toByte // the embedded TIFF's magic-42 low byte (LE)
+    val e = Multimodal.decodeJpegExif(2L, t)
+    assert(e.valid && !e.exif_present && e.orientation == 1)
+    // not a JPEG at all → invalid, never a fabricated orientation
+    assert(!Multimodal.decodeJpegExif(0L, Array[Byte](1, 2, 3, 4)).valid)
+  }
+
   test("audio fingerprint: time-shift invariance, planted flips, and malformed rejects") {
     // ids 0 and 8 share group 0 with f = 0 — payloads differ ONLY by the
     // per-frame rotation (0 vs 1 samples): bytes distinct, sig identical
