@@ -1398,8 +1398,13 @@ object Multimodal {
           else ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
             ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
         if (u16(tb + 2) != 42) return none
-        val ifd = tb + u32(tb + 4)
-        if (ifd + 2 > len) return none
+        // parse wide + bounds-check BEFORE use (the x16/x18 lesson): a
+        // tampered IFD offset with the high bit set reads back negative
+        // from u32 and would index before the buffer
+        val ifdOff = u32(tb + 4)
+        if (ifdOff < 0 || ifdOff > len) return none
+        val ifd = tb + ifdOff
+        if (ifd < 0 || ifd + 2 > len) return none
         val n = u16(ifd)
         var i = 0
         while (i < n && ifd + 2 + 12 * (i + 1) <= len) {

@@ -113,6 +113,10 @@ object MvRewrite extends Rule[LogicalPlan] {
     val mvPlan = SparkSession.active.read.parquet(d.mvPath)
       .queryExecution.analyzed
     val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
+    // a mis-registered MV (missing group/sum/count columns) must veto,
+    // not throw mid-optimization
+    val needed = d.groupCols ++ d.centsCols.values ++ Seq(d.countCol)
+    if (!needed.forall(mvAttr.contains)) return None
 
     val rewritten: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
       case g: AttributeReference if d.groupCols.contains(g.name) =>

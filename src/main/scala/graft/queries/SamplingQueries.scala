@@ -86,6 +86,37 @@ object SamplingQueries {
         .orderBy(col("epoch"))
     },
 
+    // corpus DATA CARD (Gebru et al. 2018, "Datasheets for Datasets" —
+    // the release artifact every published training set ships): per
+    // (source, lang) cell — doc/unique counts with exact duplicate
+    // share, token and char mass, mean doc length, and the t2-class
+    // quality-gate pass share, all in one scan + one grouped aggregate
+    // (the countDistinct is the standard two-phase expand). Integer bp
+    // ratios (floor div). At 100 TB this is the cheap pass that runs
+    // LAST and gets read FIRST.
+    "p26_data_card" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("_w", split(trim(col("text")), "\\s+"))
+        .withColumn("n_tokens", size(col("_w")).cast("long"))
+        .withColumn("q_ok",
+          (expr("size(array_distinct(_w)) * 10000 div size(_w)") >= 4500 &&
+            col("n_tokens") >= 20).cast("long"))
+        .withColumn("h", md5(col("text")))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_unique"),
+          sum(col("n_tokens")).as("tokens_total"),
+          sum(col("n_chars").cast("long")).as("chars_total"),
+          sum(col("q_ok")).as("n_quality"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_unique"),
+          expr("(n_docs - n_unique) * 10000 div n_docs").as("dup_bp"),
+          col("tokens_total"),
+          expr("tokens_total div n_docs").as("tokens_avg"),
+          col("chars_total"),
+          expr("n_quality * 10000 div n_docs").as("quality_bp"))
+        .orderBy(col("source"), col("lang"))
+    },
+
     // deterministic train/val/test split: hex-threshold on the draw
     // ('1a' = 26/256 ≈ 10% test, '33' → next ≈10% val). Map-only per
     // row; the groupBy here only summarizes the split for checking.
@@ -881,6 +912,23 @@ object SamplingQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "p26_data_card" ->
+      """WITH d AS (SELECT source, lang, n_chars, md5(text) AS h,
+        |    regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+        |q AS (SELECT source, lang, n_chars, h,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(list_distinct(w)) * 10000 // len(w) >= 4500
+        |      AND len(w) >= 20 THEN 1 ELSE 0 END AS q_ok
+        |  FROM d)
+        |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+        |  CAST((count(*) - count(DISTINCT h)) * 10000 // count(*) AS BIGINT) AS dup_bp,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+        |  CAST(sum(n_tokens) // count(*) AS BIGINT) AS tokens_avg,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(q_ok) * 10000 // count(*) AS BIGINT) AS quality_bp
+        |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // global row_number per epoch — positionally identical to the Spark
     // side's two-level bucket rank because the bucket is a PREFIX of the
     // sort key (order by (prefix, k) == order by k)
