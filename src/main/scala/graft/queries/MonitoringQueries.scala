@@ -415,6 +415,44 @@ object MonitoringQueries {
         .orderBy(col("user_id"), col("bucket_us"))
     },
 
+    // DECAYED "trending" scores (the half-life counter behind every
+    // trending-now panel — recent activity dominates, old mass halves
+    // per idle hour; m48 smooths VALUES, this decays COUNTS): per
+    // event type, hourly counts fold through s' = (s >> gap) + c — an
+    // integer exponential decay where gap is the ELAPSED hours since
+    // the type's last activity (idle hours decay without being
+    // materialized — never a dense hour grid), then every type
+    // fast-forwards to the global latest hour so scores are comparable.
+    // Scale shape: one (type, hour) partial-agg shuffle, then the
+    // st14/m48 fold template — ONE aggregate() HOF over the type's
+    // sorted hour list on aggregate rows (|types|·|hours|, never event
+    // rows). Shifts guarded at 63 (the d12 DuckDB 1<<63 overflow trap;
+    // Scala shift-wrap lesson). Oracle replays the recurrence as a
+    // recursive CTE walk (list_reduce banned).
+    "m55_decayed_topk" -> { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("c"))
+      val glob = hourly.agg(max(col("hr")).as("hmax"))
+      hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          array_sort(collect_list(struct(col("hr"), col("c")))).as("seq"))
+        .crossJoin(broadcast(glob))
+        .withColumn("state", expr(
+          "aggregate(seq, named_struct('lh', CAST(-1 AS BIGINT), 's', CAST(0 AS BIGINT)), " +
+          "(acc, x) -> named_struct('lh', x.hr, 's', " +
+          "IF(acc.lh < 0, x.c, " +
+          "IF(x.hr - acc.lh >= 63, CAST(0 AS BIGINT), " +
+          "shiftright(acc.s, CAST(x.hr - acc.lh AS INT))) + x.c)))"))
+        .withColumn("score", expr(
+          "IF(hmax - state.lh >= 63, CAST(0 AS BIGINT), " +
+          "shiftright(state.s, CAST(hmax - state.lh AS INT)))"))
+        .select(col("event_type"), col("n_hours"), col("score"))
+        .orderBy(col("score").desc, col("event_type"))
+    },
+
     // LATE-ARRIVAL accounting — the watermark-observability op every
     // streaming deployment needs BEFORE choosing a watermark delay (st*
     // keys consume watermarks; this measures what a given delay would
@@ -1218,6 +1256,36 @@ object MonitoringQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // the decay recurrence as a recursive walk rn → rn+1 per type
+    // (st14/m48 pattern); // (1 << gap) == shiftright for nonnegative
+    // scores, shifts guarded ≤ 62
+    "m55_decayed_topk" ->
+      s"""WITH RECURSIVE h0 AS (SELECT event_type,
+         |    $tsUs // 3600000000 AS hr FROM events),
+         |h AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS c
+         |  FROM h0 GROUP BY 1, 2),
+         |hs AS (SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+         |    ORDER BY hr) AS BIGINT) AS rn FROM h),
+         |nh AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+         |  FROM hs GROUP BY 1),
+         |gm AS (SELECT max(hr) AS hmax FROM h),
+         |walk(event_type, rn, lh, s) AS (
+         |  SELECT event_type, rn, hr, c FROM hs WHERE rn = 1
+         |  UNION ALL
+         |  SELECT hs.event_type, hs.rn, hs.hr,
+         |    CASE WHEN hs.hr - w.lh >= 63 THEN 0
+         |      ELSE w.s // (1::BIGINT << CAST(hs.hr - w.lh AS INT)) END + hs.c
+         |  FROM walk w JOIN hs ON hs.event_type = w.event_type
+         |    AND hs.rn = w.rn + 1),
+         |fin AS (SELECT w.event_type, w.lh, w.s FROM walk w
+         |  JOIN nh ON nh.event_type = w.event_type AND w.rn = nh.n_hours)
+         |SELECT f.event_type, nh.n_hours,
+         |  CAST(CASE WHEN gm.hmax - f.lh >= 63 THEN 0
+         |    ELSE f.s // (1::BIGINT << CAST(gm.hmax - f.lh AS INT)) END
+         |    AS BIGINT) AS score
+         |FROM fin f JOIN nh ON nh.event_type = f.event_type CROSS JOIN gm
+         |ORDER BY score DESC, f.event_type""".stripMargin,
+
     "m54_late_arrivals" ->
       s"""WITH e AS (SELECT user_id, event_id, $tsUs AS ts_us FROM events),
          |a AS (SELECT *, ts_us + (event_id % 10) * 600000000 AS arr_us FROM e),
