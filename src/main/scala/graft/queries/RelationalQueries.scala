@@ -320,9 +320,15 @@ object RelationalQueries {
     // is the BI-dashboard lever: the repeated coarse aggregate costs
     // |groups| rows instead of a fact scan. Opt-in per session so a
     // registry hit never silently changes another query's plan gates.
-    "q60_mv_rewrite" -> { (s, dir) =>
+    "q60_mv_rewrite" -> { (s0, dir) =>
       import graft.plans.MvRewrite
       import graft.sources.DerivedLayouts
+      // isolated session (the q39 pattern): the opt-in flag lives and
+      // dies with THIS query — in a shared session a later bare
+      // count(*) by l_returnflag over lineitem (q10's n_lines leg)
+      // would silently answer from the MV too: result-identical, but a
+      // plan/bench distortion no flag audit would catch
+      val s = s0.newSession()
       val base = DerivedLayouts.once(s"mvrollup|$dir") { path =>
         Tables.lineitem(s, dir)
           .groupBy(col("l_returnflag"), col("l_linestatus"))

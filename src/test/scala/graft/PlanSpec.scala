@@ -889,35 +889,46 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.exists(_.contains("_bkt")), p)
   }
 
-  test("q60: MV substitution answers the aggregate from the rollup — fact never scanned, off-flag identical") {
+  test("q60: MV substitution answers the aggregate from the rollup — fact never scanned, session-isolated") {
+    import org.apache.spark.sql.functions._
     import graft.plans.MvRewrite
-    try {
-      MvRewrite.rewrites.set(0L)
-      val df = SparkEntry.queries("q60_mv_rewrite")(spark, sf)
-      val rewrittenRows = df.collect().toSeq
-      val p = df.queryExecution.executedPlan.toString
-      // the rule fired, the scan reads the MV layout, the fact is gone
-      assert(MvRewrite.rewrites.get() >= 1L, p)
-      assert(p.contains("graft_mvrollup"), p)
-      assert(!p.contains("lineitem.parquet"), s"fact scanned despite MV\n$p")
-      // soundness: flag off → the same query scans the fact and agrees
-      spark.conf.set("spark.graft.mv.enabled", "false")
-      val off = SparkEntry.queries("q60_mv_rewrite")(spark, sf)
-      spark.conf.set("spark.graft.mv.enabled", "false") // query re-enables at build
-      val offRows = off.collect().toSeq
-      assert(off.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
-      assert(rewrittenRows == offRows)
-      // narrowness: a WRAPPED aggregate (division over the sum) vetoes —
-      // the rule never rewrites shapes it cannot prove
-      spark.conf.set("spark.graft.mv.enabled", "true")
-      val wrapped = graft.sources.Tables.lineitem(spark, sf)
-        .groupBy(org.apache.spark.sql.functions.col("l_returnflag"))
-        .agg((org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.round(
-            org.apache.spark.sql.functions.col("l_quantity") * 100)
-            .cast("long")) / 100.0).as("q"))
-      assert(wrapped.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
-    } finally spark.conf.set("spark.graft.mv.enabled", "false")
+    MvRewrite.rewrites.set(0L)
+    val df = SparkEntry.queries("q60_mv_rewrite")(spark, sf)
+    val rewrittenRows = df.collect().toSeq
+    val p = df.queryExecution.executedPlan.toString
+    // the rule fired, the scan reads the MV layout, the fact is gone
+    assert(MvRewrite.rewrites.get() >= 1L, p)
+    assert(p.contains("graft_mvrollup"), p)
+    assert(!p.contains("lineitem.parquet"), s"fact scanned despite MV\n$p")
+    // soundness: the same aggregate on the PARENT session (flag never
+    // set there) scans the fact and agrees row-for-row
+    def factAgg(s: org.apache.spark.sql.SparkSession) =
+      graft.sources.Tables.lineitem(s, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_c"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_c"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    val off = factAgg(spark)
+    assert(off.queryExecution.executedPlan.toString.contains("lineitem.parquet"),
+      "the parent session must be untouched by q60's opt-in")
+    assert(off.collect().toSeq == rewrittenRows)
+    // the isolation is load-bearing: in a flag-ON session even a bare
+    // count(*) by l_returnflag (q10's n_lines leg) answers from the MV —
+    // result-identical but a plan distortion, which is exactly why the
+    // query scopes the flag to its own session
+    val on = spark.newSession()
+    on.conf.set("spark.graft.mv.enabled", "true")
+    val bare = graft.sources.Tables.lineitem(on, sf)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_lines"))
+    assert(bare.queryExecution.executedPlan.toString.contains("graft_mvrollup"))
+    // narrowness: a WRAPPED aggregate (division over the sum) vetoes
+    // even with the flag on — the rule never rewrites shapes it cannot
+    // prove
+    val wrapped = graft.sources.Tables.lineitem(on, sf)
+      .groupBy(col("l_returnflag"))
+      .agg((sum(round(col("l_quantity") * 100).cast("long")) / 100.0).as("q"))
+    assert(wrapped.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
   }
 
   test("q59: SQL UDF bodies are INLINED — no UDF invocation node survives analysis") {
