@@ -601,6 +601,14 @@ object Dedup {
         when(col("n_dups") > 0, 1).otherwise(0).cast("int"))
   }
 
+  /** In-bucket pair explode over a sorted (_id, _lo, _hi) struct array
+    * (sort_array orders by _id first, so id_a < id_b by construction). */
+  private val hammingPairsExpr: String =
+    "flatten(transform(sequence(0, size(_g) - 2), i -> " +
+    "transform(slice(_g, i + 2, size(_g) - i - 1), y -> " +
+    "struct(_g[i]._id AS id_a, y._id AS id_b, _g[i]._lo AS lo_a, " +
+    "_g[i]._hi AS hi_a, y._lo AS lo_b, y._hi AS hi_b))))"
+
   /** Hamming-banded near-dup verdicts over 64-bit perceptual signatures
     * (two 32-bit words — the shift-63 BIGINT convention), shared by the
     * image (d25/aHash) and audio (d26/energy-contour) dedup passes:
@@ -608,27 +616,80 @@ object Dedup {
     * (hamming ≤ 3 with 4 bands ⇒ ≥ 1 band identical — pigeonhole, so
     * banding loses nothing up to radius 3; callers use maxHamming ≤ 2
     * where ≥ 2 bands agree), exact hamming verifies via bit_count(xor).
-    * Sig words ride the explode so verification needs no corpus
-    * re-join; never all-pairs. Input must be (id, lo, hi) only —
-    * callers filter valid and checkpoint. Output: per-id verdict
-    * (idCol, n_dups, keeper, is_dup) over ALL input ids. */
+    *
+    * Skew guard (the lshCandidates/subSplitBlocks precedent ported): a
+    * band VALUE shared by B docs would fan out to B²/2 candidate pairs —
+    * a corpus of near-constant images (all-white pages → identical aHash
+    * words) makes one band hot and quadratic. Buckets are therefore
+    * censused first (≤ 4·65536 level-0 rows regardless of corpus size —
+    * broadcastable forever); whether ANY bucket is hot is probed at plan
+    * time off that bounded census (the q56 driver-probe class) so the
+    * common no-hot corpus pays zero refinement joins, and an
+    * over-`maxBucket` bucket SUB-SPLITS by
+    * the signature's OPPOSITE 16-bit word ((b+2)%4) instead of dropping;
+    * a sub-bucket still over cap (> maxBucket docs sharing 32 sig bits)
+    * is dropped from that band — at that density the mass is
+    * exact-signature duplication, which belongs to a cheap groupBy on
+    * (lo, hi) (the x7/d1 exact pass), not to pair generation. Recall
+    * consequence at the radius: a pair is lost only when EVERY band the
+    * two signatures agree on was over cap AND its opposite word differs
+    * between them — e.g. at maxHamming ≤ 2 with both errors in words
+    * 2,3, buckets 0 and 1 refine by words 2 and 3 and both mismatch;
+    * under-cap buckets keep the full pigeonhole guarantee.
+    *
+    * Pair generation is collect-and-explode (no self-join — the
+    * lshCandidates shape): every collected bucket is ≤ maxBucket
+    * structs, so per-row memory and fan-out are bounded. Sig words ride
+    * the bucket so verification needs no corpus re-join; never
+    * all-pairs. Input must be (id, lo, hi) only — callers filter valid
+    * and checkpoint. Output: per-id verdict (idCol, n_dups, keeper,
+    * is_dup) over ALL input ids. */
   def hammingNearDup(sigs: DataFrame, idCol: String, loCol: String,
-      hiCol: String, maxHamming: Int): DataFrame = {
-    val bands = sigs.select(col(idCol), col(loCol), col(hiCol),
-      explode(array(
-        struct(lit(0).as("b"), expr(s"$loCol % 65536").as("v")),
-        struct(lit(1).as("b"), expr(s"$loCol div 65536").as("v")),
-        struct(lit(2).as("b"), expr(s"$hiCol % 65536").as("v")),
-        struct(lit(3).as("b"), expr(s"$hiCol div 65536").as("v"))))
-        .as("band"))
-    val pairs = bands
-      .select(col("band"), col(idCol).as("id_a"),
-        col(loCol).as("lo_a"), col(hiCol).as("hi_a"))
-      .join(bands.select(col("band"), col(idCol).as("id_b"),
-        col(loCol).as("lo_b"), col(hiCol).as("hi_b")), Seq("band"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("lo_a"), col("hi_a"),
-        col("lo_b"), col("hi_b"))
+      hiCol: String, maxHamming: Int, maxBucket: Int = 256): DataFrame = {
+    val bands = sigs.select(col(idCol).as("_id"), col(loCol).as("_lo"),
+        col(hiCol).as("_hi"),
+        explode(array(
+          struct(lit(0).as("b"), expr(s"$loCol % 65536").as("v")),
+          struct(lit(1).as("b"), expr(s"$loCol div 65536").as("v")),
+          struct(lit(2).as("b"), expr(s"$hiCol % 65536").as("v")),
+          struct(lit(3).as("b"), expr(s"$hiCol div 65536").as("v"))))
+          .as("band"))
+      .select(col("_id"), col("_lo"), col("_hi"),
+        col("band.b").as("_b"), col("band.v").as("_v"))
+    // level-0 census: ≤ 4·65536 occupied (band, value) cells at ANY
+    // corpus size — the broadcast is structurally tiny. Whether any
+    // bucket is hot is a PLAN-TIME decision off that bounded census
+    // (the q56/SketchPlanner driver-probe class): the common no-hot path
+    // must not pay the refinement joins it doesn't need.
+    val c0 = bands.groupBy(col("_b"), col("_v")).agg(count(lit(1)).as("_n0"))
+    val anyHot = c0.filter(col("_n0") > maxBucket).limit(1).count() > 0
+    val keyed = if (!anyHot) bands.withColumn("_sub", lit(-1L)) else {
+      val refined = bands.join(broadcast(c0), Seq("_b", "_v"))
+        .withColumn("_sub",
+          when(col("_n0") <= maxBucket, lit(-1L))
+            .otherwise( // opposite word of band b: (b+2) % 4
+              when(col("_b") === 0, expr("_hi % 65536"))
+                .when(col("_b") === 1, expr("_hi div 65536"))
+                .when(col("_b") === 2, expr("_lo % 65536"))
+                .otherwise(expr("_lo div 65536"))))
+      // level-1 census covers only hot-bucket rows; the join key equals
+      // the bucket groupBy key, so no extra corpus exchange is introduced
+      val c1 = refined.filter(col("_n0") > maxBucket)
+        .groupBy(col("_b"), col("_v"), col("_sub"))
+        .agg(count(lit(1)).as("_n1"))
+      refined.join(c1, Seq("_b", "_v", "_sub"), "left")
+        .filter(col("_n1").isNull || col("_n1") <= maxBucket)
+        .drop("_n0", "_n1")
+    }
+    val pairs = keyed
+      .groupBy(col("_b"), col("_v"), col("_sub"))
+      .agg(sort_array(collect_list(struct(col("_id"), col("_lo"),
+        col("_hi")))).as("_g"))
+      .filter(size(col("_g")) >= 2)
+      .select(explode(expr(hammingPairsExpr)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.lo_a").as("lo_a"), col("p.hi_a").as("hi_a"),
+        col("p.lo_b").as("lo_b"), col("p.hi_b").as("hi_b"))
       .distinct()
       .withColumn("hamming",
         bit_count(expr("lo_a ^ lo_b")) + bit_count(expr("hi_a ^ hi_b")))

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -23,10 +23,11 @@ import org.apache.spark.sql.types.LongType
   *   - every grouping expression must be a bare column ⊆ the MV's
   *     grouping columns (a SUBSET is legal — the rewrite re-aggregates
   *     the finer-grained MV rows, sums being decomposable);
-  *   - every aggregate must be SUM(cents(col)) for a registered cents
-  *     column (the repo's exact-integer convention, matched as
-  *     Cast(Round(col·100))→long) or COUNT(1)/COUNT(*), rewritten to
-  *     SUM over the MV's partial sums / row counts.
+  *   - every aggregate must be SUM/MIN/MAX over cents(col) for a
+  *     registered partial column (the repo's exact-integer convention,
+  *     matched as Cast(Round(col·100))→long) or COUNT(<non-null lit>),
+  *     rewritten to the same decomposable aggregate over the MV's
+  *     partials (SUM of sums, MIN of mins, MAX of maxes, SUM of counts).
   * Anything else leaves the plan untouched — one unmatched aggregate
   * vetoes the whole rewrite (soundness over coverage).
   *
@@ -35,34 +36,83 @@ import org.apache.spark.sql.types.LongType
   * rewrites to coalesce(SUM(n),0) to preserve non-nullability. The rule
   * is OPT-IN per session via spark.graft.mv.enabled — a registry hit
   * must never silently change an unrelated query's plan gates.
+  *
+  * register() resolves everything expensive ONCE: the MV's analyzed
+  * plan is cached (per-rewrite substitution only refreshes exprIds via
+  * newInstance — no file listing per optimization pass) and the fact's
+  * file listing is fingerprinted, so a fact rewritten after
+  * registration VETOES the rewrite instead of serving stale MV rows.
   */
 object MvRewrite extends Rule[LogicalPlan] {
 
   /** A registered rollup: fact path fragment → MV parquet path, the MV's
-    * grouping columns, fact column name → MV partial-sum column for the
-    * cents sums, and the MV's row-count column. */
+    * grouping columns, fact column name → MV partial column for the
+    * cents sums / mins / maxes, and the MV's row-count column. MIN/MAX
+    * are decomposable exactly like SUM (min of per-group mins == global
+    * min), so they share the contract. */
   case class MvDef(factFragment: String, mvPath: String,
-      groupCols: Set[String], centsCols: Map[String, String], countCol: String)
+      groupCols: Set[String], centsCols: Map[String, String], countCol: String,
+      minCols: Map[String, String] = Map.empty,
+      maxCols: Map[String, String] = Map.empty)
 
-  @volatile private var defs: List[MvDef] = Nil
+  /** Registration record: the MvDef plus everything register() resolves
+    * ONCE — the analyzed MV plan (so the rule never re-lists the MV
+    * parquet per optimization pass) and a freshness fingerprint of the
+    * fact's file listing (so a fact rewritten AFTER registration vetoes
+    * the rewrite instead of serving stale MV rows). */
+  private case class MvReg(d: MvDef, template: LogicalPlan,
+      factFingerprint: Option[String])
+
+  @volatile private var defs: List[MvReg] = Nil
   // test observable: how many Aggregates the rule replaced
   val rewrites = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  def register(d: MvDef): Unit = synchronized {
-    defs = d :: defs.filterNot(_.factFragment == d.factFragment)
+  private def listingFingerprint(rel: HadoopFsRelation): String = {
+    val files = rel.location.inputFiles.sorted.mkString("\n")
+    val bytes = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${rel.location.sizeInBytes}|$files".getBytes("UTF-8"))
+    bytes.map(b => f"$b%02x").mkString
+  }
+
+  private def relationOf(plan: LogicalPlan): Option[HadoopFsRelation] =
+    plan match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => Some(fs)
+        case _                    => None
+      }
+      case _ => None
+    }
+
+  def register(d: MvDef, session: SparkSession = null): Unit = synchronized {
+    val spark = Option(session).getOrElse(SparkSession.active)
+    // resolve the MV ONCE: the analyzed plan carries the file listing;
+    // per-rewrite instantiation only refreshes exprIds (newInstance),
+    // never re-lists
+    val template = spark.read.parquet(d.mvPath).queryExecution.analyzed
+    // fingerprint the fact listing as of registration; a non-path
+    // fragment (or an unreadable fact) degrades to no freshness check
+    val fp = scala.util.Try(
+      relationOf(spark.read.parquet(d.factFragment).queryExecution.analyzed)
+        .map(listingFingerprint)).toOption.flatten
+    defs = MvReg(d, template, fp) :: defs.filterNot(_.d.factFragment == d.factFragment)
   }
   def clear(): Unit = synchronized { defs = Nil }
 
   private def enabled: Boolean =
     SQLConf.get.getConfString("spark.graft.mv.enabled", "false") == "true"
 
-  private def isFactScan(plan: LogicalPlan, frag: String): Boolean = plan match {
+  private def isFactScan(plan: LogicalPlan, reg: MvReg): Boolean = plan match {
     case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation => fs.location.rootPaths.exists(_.toString.contains(frag))
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.exists(_.toString.contains(reg.d.factFragment)) &&
+          // freshness veto: the fact's CURRENT listing must still match
+          // the one fingerprinted at register time — rewritten/compacted
+          // fact files silently invalidate the MV
+          reg.factFingerprint.forall(_ == listingFingerprint(fs))
       case _ => false
     }
     case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      isFactScan(p.child, frag)
+      isFactScan(p.child, reg)
     case _ => false
   }
 
@@ -89,8 +139,10 @@ object MvRewrite extends Rule[LogicalPlan] {
   }
 
   private def isCountStar(c: Count): Boolean = c.children match {
-    case Seq(Literal(_, _)) => true
-    case _                  => false
+    // non-null literal only: COUNT(NULL) evaluates to 0 on the fact and
+    // must NOT rewrite to the row count
+    case Seq(Literal(v, _)) if v != null => true
+    case _                               => false
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
@@ -98,24 +150,31 @@ object MvRewrite extends Rule[LogicalPlan] {
     plan.transformUp {
       case agg: Aggregate =>
         defs.collectFirst {
-          case d if isFactScan(agg.child, d.factFragment) =>
-            tryRewrite(agg, d).getOrElse(agg)
+          case reg if isFactScan(agg.child, reg) =>
+            tryRewrite(agg, reg).getOrElse(agg)
         }.getOrElse(agg)
     }
   }
 
-  private def tryRewrite(agg: Aggregate, d: MvDef): Option[Aggregate] = {
+  private def tryRewrite(agg: Aggregate, reg: MvReg): Option[Aggregate] = {
+    val d = reg.d
     val groupsOk = agg.groupingExpressions.forall {
       case a: AttributeReference => d.groupCols.contains(a.name)
       case _                     => false
     }
     if (!groupsOk) return None
-    val mvPlan = SparkSession.active.read.parquet(d.mvPath)
-      .queryExecution.analyzed
+    // fresh exprIds per substitution (two rewritten Aggregates in one
+    // query must not share attribute ids) WITHOUT re-analyzing: the
+    // cached template's relations re-instantiate in place
+    val mvPlan = reg.template.transformUp {
+      case mi: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+        mi.newInstance()
+    }
     val mvAttr = mvPlan.output.map(a => a.name -> a).toMap
     // a mis-registered MV (missing group/sum/count columns) must veto,
     // not throw mid-optimization
-    val needed = d.groupCols ++ d.centsCols.values ++ Seq(d.countCol)
+    val needed = d.groupCols ++ d.centsCols.values ++ d.minCols.values ++
+      d.maxCols.values ++ Seq(d.countCol)
     if (!needed.forall(mvAttr.contains)) return None
 
     val rewritten: Seq[Option[NamedExpression]] = agg.aggregateExpressions.map {
@@ -125,6 +184,16 @@ object MvRewrite extends Rule[LogicalPlan] {
         ae.aggregateFunction match {
           case s: Sum => centsOf(s.child).flatMap(d.centsCols.get).map { mvCol =>
             Alias(Sum(mvAttr(mvCol)).toAggregateExpression(),
+              name)(exprId = al.exprId)
+          }
+          // MIN/MAX decompose identically: min over per-group partial
+          // mins IS the global min (same for max)
+          case m: Min => centsOf(m.child).flatMap(d.minCols.get).map { mvCol =>
+            Alias(Min(mvAttr(mvCol)).toAggregateExpression(),
+              name)(exprId = al.exprId)
+          }
+          case m: Max => centsOf(m.child).flatMap(d.maxCols.get).map { mvCol =>
+            Alias(Max(mvAttr(mvCol)).toAggregateExpression(),
               name)(exprId = al.exprId)
           }
           case c: Count if isCountStar(c) =>

@@ -334,14 +334,20 @@ object RelationalQueries {
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(sum(cents(col("l_quantity"))).as("qty_c"),
             sum(cents(col("l_extendedprice"))).as("price_c"),
+            min(cents(col("l_extendedprice"))).as("price_min_c"),
+            max(cents(col("l_extendedprice"))).as("price_max_c"),
             count(lit(1)).as("n_rows"))
           .write.parquet(s"$path/mv")
       }
+      // register() resolves the MV plan + fact fingerprint ONCE — the
+      // rule never re-lists files per optimization pass
       MvRewrite.register(MvRewrite.MvDef(
         factFragment = s"$dir/lineitem.parquet", mvPath = s"$base/mv",
         groupCols = Set("l_returnflag", "l_linestatus"),
         centsCols = Map("l_quantity" -> "qty_c", "l_extendedprice" -> "price_c"),
-        countCol = "n_rows"))
+        countCol = "n_rows",
+        minCols = Map("l_extendedprice" -> "price_min_c"),
+        maxCols = Map("l_extendedprice" -> "price_max_c")), s)
       s.conf.set("spark.graft.mv.enabled", "true")
       // the user's query — written against the FACT, answered by the MV
       // (bare integer-cents sums: the rule vetoes any wrapped aggregate,

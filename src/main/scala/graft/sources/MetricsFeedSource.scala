@@ -197,19 +197,29 @@ class MetricsFeedMicroBatch(rows: Long, parts: Int, step: Long,
     required: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
-  private var hwm = 0L
+  // the in-memory high-water mark RATCHETS from every offset the engine
+  // hands back (deserialize on restart, commit, planned batch ends):
+  // after a checkpoint restart with committed offset C, latestOffset
+  // must never return < C — a regressed offset makes MicroBatchExecution
+  // re-plan and re-process already-committed rows (exactly-once broken)
+  @volatile private var hwm = 0L
   override def initialOffset(): Offset = MetricsFeedOffset(0L)
   override def latestOffset(): Offset = {
     hwm = math.min(rows, hwm + step)
     MetricsFeedOffset(hwm)
   }
-  override def deserializeOffset(json: String): Offset =
-    MetricsFeedOffset(json.toLong)
-  override def commit(end: Offset): Unit = ()
+  override def deserializeOffset(json: String): Offset = {
+    val v = json.toLong
+    hwm = math.max(hwm, v)
+    MetricsFeedOffset(v)
+  }
+  override def commit(end: Offset): Unit =
+    hwm = math.max(hwm, end.asInstanceOf[MetricsFeedOffset].hwm)
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[MetricsFeedOffset].hwm
     val hi = end.asInstanceOf[MetricsFeedOffset].hwm
+    hwm = math.max(hwm, hi)
     if (lo < hi) MetricsFeedSource.streamIntervals.add((lo, hi))
     val width = math.max(1L, (hi - lo + parts - 1) / parts)
     (lo until hi by width).map { s =>

@@ -587,4 +587,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.getAs[Long]("pair_cnt") == 5L)
     assert(out.getAs[Long]("syms_after") == 4L)
   }
+
+  test("hammingNearDup: hot band sub-splits instead of going quadratic; cold verdicts unchanged") {
+    import spark.implicits._
+    def sig(w0: Long, w1: Long, w2: Long, w3: Long): (Long, Long) =
+      (w0 | (w1 << 16), w2 | (w3 << 16))
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    def add(id: Long, s: (Long, Long)): Unit = rows += ((id, s._1, s._2))
+    // planted COLD group: 3 sigs pairwise hamming <= 2, keeper = 0
+    add(0L, sig(0x1234, 0x2345, 0x3456, 0x4567))
+    add(1L, sig(0x1234, 0x2345 ^ 1, 0x3456, 0x4567))
+    add(2L, sig(0x1234, 0x2345 ^ 2, 0x3456, 0x4567))
+    // hot populations: 20 docs each sharing ONE band value, all other
+    // words spread (37·id mod 2^16 is injective and any two distinct
+    // values repeated across three words give hamming >= 3 — no pairs)
+    def spread(id: Long) = (37L * id) % 65536L
+    (100L until 120L).foreach(i => add(i, sig(0xAAAA, spread(i), spread(i), spread(i))))
+    (200L until 220L).foreach(i => add(i, sig(spread(i), 0xDDDD, spread(i), spread(i))))
+    (300L until 320L).foreach(i => add(i, sig(spread(i), spread(i), 0xCCCC, spread(i))))
+    // C pair: agrees ONLY on the two HOT opposite bands (0 and 2); the
+    // sub-split key of each hot band is the other — found via refinement
+    add(400L, sig(0xAAAA, 0x0101, 0xCCCC, 0x0202))
+    add(401L, sig(0xAAAA, 0x0101 ^ 4, 0xCCCC, 0x0202 ^ 4))
+    // D pair: agrees only on ADJACENT hot bands (0 and 1); both
+    // refinement keys (words 2 and 3) differ — the documented recall
+    // loss at the cap
+    add(500L, sig(0xAAAA, 0xDDDD, 0x0303, 0x0404))
+    add(501L, sig(0xAAAA, 0xDDDD, 0x0303 ^ 8, 0x0404 ^ 8))
+    val sigs = rows.toSeq.toDF("doc_id", "sig_lo", "sig_hi").localCheckpoint()
+
+    def verdicts(cap: Int) = Dedup.hammingNearDup(sigs, "doc_id", "sig_lo",
+        "sig_hi", maxHamming = 2, maxBucket = cap)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toMap
+    val capped = verdicts(8)
+    // cold planted group: verdicts unchanged by the cap machinery
+    Seq(0L, 1L, 2L).foreach { id =>
+      assert(capped(id) == ((2L, 0L, if (id == 0L) 0 else 1)), s"id=$id ${capped(id)}")
+    }
+    // hot populations never pair (spread words are >= 3 apart)
+    assert((100L until 120L).forall(capped(_)._1 == 0L))
+    // C pair survives the hot buckets via the opposite-word sub-split
+    assert(capped(400L) == ((1L, 400L, 0)) && capped(401L) == ((1L, 400L, 1)), capped(400L))
+    // D pair is the priced loss: adjacent hot bands, both sub-keys differ
+    assert(capped(500L)._1 == 0L && capped(501L)._1 == 0L)
+    // an uncapped run (cap >> any bucket) finds D — proving the loss is
+    // exactly the cap trade, not a banding bug
+    val uncapped = verdicts(100000)
+    assert(uncapped(500L) == ((1L, 500L, 0)) && uncapped(501L) == ((1L, 500L, 1)))
+    assert(uncapped(400L) == ((1L, 400L, 0)))
+    Seq(0L, 1L, 2L).foreach(id => assert(uncapped(id) == capped(id)))
+  }
 }

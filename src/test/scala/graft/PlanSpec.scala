@@ -931,6 +931,64 @@ class PlanSpec extends AnyFunSuite {
     assert(wrapped.queryExecution.executedPlan.toString.contains("lineitem.parquet"))
   }
 
+  test("q60v2: MIN/MAX rewrite from MV partials; COUNT(NULL) and a stale fact veto") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.MvRewrite
+    // q60 registers the MV (with min/max partial columns) as a side
+    // effect; run it first so the registry is populated
+    SparkEntry.queries("q60_mv_rewrite")(spark, sf).collect()
+    val on = spark.newSession()
+    on.conf.set("spark.graft.mv.enabled", "true")
+    def li = graft.sources.Tables.lineitem(on, sf)
+    def centsP = round(col("l_extendedprice") * 100).cast("long")
+    // MIN and MAX queries answer from the MV (decomposable partials)
+    val mm = li.groupBy(col("l_returnflag"))
+      .agg(min(centsP).as("lo_c"), max(centsP).as("hi_c"))
+    val pmm = mm.queryExecution.executedPlan.toString
+    assert(pmm.contains("graft_mvrollup"), pmm)
+    assert(!pmm.contains("lineitem.parquet"), pmm)
+    // ...and agree exactly with the fact-scan answer (flag-off session)
+    val truth = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("lo_c"),
+        max(round(col("l_extendedprice") * 100).cast("long")).as("hi_c"))
+      .orderBy(col("l_returnflag"))
+    assert(mm.orderBy(col("l_returnflag")).collect().toSeq == truth.collect().toSeq)
+    // COUNT(NULL) is 0 on the fact — it must NOT rewrite to the row count
+    val cn = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(null)).as("n_null"))
+    val pcn = cn.queryExecution.executedPlan.toString
+    assert(pcn.contains("lineitem.parquet"), pcn)
+    assert(cn.collect().forall(_.getLong(1) == 0L))
+    // freshness: a registration whose fact fingerprint no longer matches
+    // the live listing vetoes (register against a copy, then append a
+    // file to the copy — the MV is silently stale and must not answer)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mvfresh").toString
+    val factCopy = s"$tmp/factcopy.parquet"
+    graft.sources.Tables.lineitem(spark, sf).write.parquet(factCopy)
+    val mvPath = s"$tmp/mv"
+    spark.read.parquet(factCopy)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"),
+        count(lit(1)).as("n_rows"))
+      .write.parquet(mvPath)
+    MvRewrite.register(MvRewrite.MvDef(
+      factFragment = factCopy, mvPath = mvPath,
+      groupCols = Set("l_returnflag", "l_linestatus"),
+      centsCols = Map("l_quantity" -> "qty_c"), countCol = "n_rows"), spark)
+    def copyAgg = on.read.parquet(factCopy)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("q_c"))
+    // fresh listing → rewrite fires
+    assert(copyAgg.queryExecution.executedPlan.toString.contains("/mv"),
+      copyAgg.queryExecution.executedPlan.toString)
+    // append a file (fact changed after registration) → veto
+    graft.sources.Tables.lineitem(spark, sf).limit(5)
+      .write.mode("append").parquet(factCopy)
+    val pStale = copyAgg.queryExecution.executedPlan.toString
+    assert(pStale.contains("factcopy.parquet") && !pStale.contains("/mv"), pStale)
+  }
+
   test("q59: SQL UDF bodies are INLINED — no UDF invocation node survives analysis") {
     val df = SparkEntry.queries("q59_sql_udf")(spark, sf)
     assert(df.collect().nonEmpty)
