@@ -998,6 +998,169 @@ object Multimodal {
       }
   }
 
+  // -------------- oriented raw gray + orientation-NORMALIZED aHash (x22)
+
+  case class OrientedHash(doc_id: Long, width: Int, height: Int,
+      orientation: Int, byte_order: String, mean: Int,
+      sig_lo: Long, sig_hi: Long, valid: Boolean)
+
+  /** EXIF display transform f_o on an n×n grid: upright[r][c] =
+    * stored[f_o(r,c)] for tag-274 value `o`. All eight values are
+    * axis-aligned (mirror / rotate / transpose), so f maps 2×2 pixel
+    * blocks onto 2×2 blocks — the transform COMMUTES with average
+    * pooling, which is what lets the decoder normalize on the 8×8
+    * POOLED grid (64 integer index moves, no pixel resampling). */
+  private def orientMap(o: Int, n: Int, r: Int, c: Int): (Int, Int) = o match {
+    case 2 => (r, n - 1 - c)         // mirror horizontal
+    case 3 => (n - 1 - r, n - 1 - c) // rotate 180
+    case 4 => (n - 1 - r, c)         // mirror vertical
+    case 5 => (c, r)                 // transpose
+    case 6 => (n - 1 - c, r)         // rotate 90 CW to display
+    case 7 => (n - 1 - c, n - 1 - r) // transverse
+    case 8 => (c, n - 1 - r)         // rotate 90 CCW to display
+    case _ => (r, c)
+  }
+
+  /** x17's gray payload with a CAMERA orientation: the same 16×16 base
+    * image (md5("po|" ++ doc_id div 20) block word, (doc_id%4)-flip
+    * perturbation, +doc_id%3 sub-quantization noise), but the pixels are
+    * stored the way a sensor writes them — transformed AWAY from upright
+    * by orientation o = 1 + doc_id%8, with tag 274 recording how to
+    * display. Container: "GROR8" + be16 w/h + w·h stored pixels + a REAL
+    * trailing TIFF (II/MM by doc_id parity — the x13/x21 mixed-order
+    * crawl) holding the orientation; doc_id%5==4 ships NO trailer
+    * (stripped by an upstream optimizer) and stores upright. Rotated
+    * twins of one group hash differently under plain x17 aHash; after
+    * tag-274 normalization the whole group collapses to the x17 formula
+    * on the "po|" salt — which is exactly what the closed-form oracle
+    * checks. */
+  def synthGrayOriented(id: Long): Array[Byte] = {
+    val g = id / 20
+    val f = (id % 4).toInt
+    val stripped = id % 5 == 4
+    val o = if (stripped) 1 else 1 + (id % 8).toInt
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"po|$g".getBytes("US-ASCII")).map(b => f"$b%02x").mkString
+    val hi = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    val lo = java.lang.Long.parseLong(hex.substring(8, 16), 16)
+    def bit(i: Int): Boolean = {
+      val base =
+        if (i < 32) ((lo >>> i) & 1L) == 1L
+        else ((hi >>> (i - 32)) & 1L) == 1L
+      if (i < f) !base else base
+    }
+    val st = new Array[Int](256)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val i = (y / 2) * 8 + (x / 2)
+        var v = if (bit(i)) 150 else 50
+        if (x == 14 && y == 14) v += (id % 3).toInt
+        val (fr, fc) = orientMap(o, 16, y, x)
+        st(fr * 16 + fc) = v
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GROR8".getBytes("US-ASCII"))
+    out.write(Array[Byte](0, 16, 0, 16)) // be16 w, be16 h
+    st.foreach(out.write)
+    if (!stripped) {
+      val little = id % 2 == 0
+      def e16(v: Int) = if (little) le16(v) else be16(v)
+      def e32(v: Int) = if (little) le32(v) else be32(v)
+      val order = (if (little) "II" else "MM").getBytes("US-ASCII")
+      def entry(tag: Int, v: Int): Array[Byte] =
+        e16(tag) ++ e16(3) ++ e32(1) ++ (e16(v) ++ e16(0))
+      out.write(order ++ e16(42) ++ e32(8) ++
+        (e16(2) ++ entry(256, 16) ++ entry(274, o) ++ e32(0)))
+    }
+    out.toByteArray
+  }
+
+  /** Orientation-NORMALIZED aHash: pool the STORED pixels 8×8 exactly
+    * like decodeGrayHash, decode tag 274 from the trailing TIFF (the
+    * SAME IFD walk x21 uses), then move the 64 pooled cells through the
+    * display transform before thresholding — upright[r][c] =
+    * pooled[f_o(r,c)]. The global mean is permutation-invariant, so the
+    * normalized signature of a rotated twin is bit-identical to its
+    * upright sibling's. Missing trailer ⇒ assume upright (x21's
+    * default); only a malformed container fails valid. */
+  def decodeOrientedHash(id: Long, bytes: Array[Byte]): OrientedHash = {
+    val bad = OrientedHash(id, 0, 0, 0, "none", 0, 0L, 0L, valid = false)
+    if (bytes.length < 9 || new String(bytes, 0, 5, "US-ASCII") != "GROR8")
+      return bad
+    val w = ((bytes(5) & 0xFF) << 8) | (bytes(6) & 0xFF)
+    val h = ((bytes(7) & 0xFF) << 8) | (bytes(8) & 0xFF)
+    // rotations need a square grid; pooling needs divisibility by 8
+    if (w <= 0 || w != h || w % 8 != 0 || bytes.length < 9 + w * h) return bad
+    val (order, o) =
+      if (bytes.length == 9 + w * h) ("none", 1)
+      else tiffOrientation(bytes, 9 + w * h, bytes.length).getOrElse(("none", 1))
+    val bw = w / 8
+    val st = new Array[Long](64)
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        var sum = 0L
+        var dy = 0
+        while (dy < bw) {
+          var dx = 0
+          while (dx < bw) {
+            sum += bytes(9 + (by * bw + dy) * w + bx * bw + dx) & 0xFF
+            dx += 1
+          }
+          dy += 1
+        }
+        st(by * 8 + bx) = sum / (bw.toLong * bw)
+        bx += 1
+      }
+      by += 1
+    }
+    val up = new Array[Long](64)
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        val (fr, fc) = orientMap(o, 8, r, c)
+        up(r * 8 + c) = st(fr * 8 + fc)
+        c += 1
+      }
+      r += 1
+    }
+    val mean = up.sum / 64
+    var lo = 0L; var hi = 0L
+    var i = 0
+    while (i < 64) {
+      if (up(i) >= mean) {
+        if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+      }
+      i += 1
+    }
+    OrientedHash(id, w, h, o, order, mean.toInt, lo, hi, valid = true)
+  }
+
+  def synthesizeGrayOriented(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => BinaryDoc(id, synthGrayOriented(id)))).toDF()
+  }
+
+  def decodeOriented(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[OrientedHash] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => decodeOrientedHash(d.doc_id, d.payload)))
+      }
+  }
+
   // ------------------------------------------------------------ utf-8
 
   case class Utf8Audit(doc_id: Long, n_bytes: Int, n_ascii: Int,
@@ -1366,6 +1529,46 @@ object Multimodal {
     base.take(2) ++ app1 ++ base.drop(2)
   }
 
+  /** TIFF IFD walk for tag 274 at TIFF base `tb` (offsets relative to
+    * the base, either byte order) — shared by the JPEG/APP1 path (x21)
+    * and the oriented-gray trailer (x22). Returns (byte order, 1-8
+    * orientation) or None for anything unparseable. */
+  private def tiffOrientation(bytes: Array[Byte], tb: Int,
+      len: Int): Option[(String, Int)] = {
+    if (tb < 0 || tb + 8 > len) return None
+    val mark = new String(bytes, tb, 2, "US-ASCII")
+    val little = mark == "II"
+    if (!little && mark != "MM") return None
+    def u16(o: Int) =
+      if (little) (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
+      else ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+    def u32(o: Int) =
+      if (little) (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
+        ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
+      else ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+        ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+    if (u16(tb + 2) != 42) return None
+    // parse wide + bounds-check BEFORE use (the x16/x18 lesson): a
+    // tampered IFD offset with the high bit set reads back negative
+    // from u32 and would index before the buffer
+    val ifdOff = u32(tb + 4)
+    if (ifdOff < 0 || ifdOff > len) return None
+    val ifd = tb + ifdOff
+    if (ifd < 0 || ifd + 2 > len) return None
+    val n = u16(ifd)
+    var i = 0
+    while (i < n && ifd + 2 + 12 * (i + 1) <= len) {
+      val e = ifd + 2 + 12 * i
+      if (u16(e) == 274 && u16(e + 2) == 3) {
+        val ori = u16(e + 8) // SHORT left-justified in the value field
+        if (ori >= 1 && ori <= 8)
+          return Some((if (little) "II" else "MM", ori))
+      }
+      i += 1
+    }
+    None // no usable orientation tag
+  }
+
   /** Orientation decode: JPEG marker walk to APP1, "Exif\0\0" check,
     * then a TIFF IFD walk INSIDE the segment (offsets relative to the
     * TIFF base, either byte order) for tag 274. Missing or unparseable
@@ -1384,41 +1587,12 @@ object Multimodal {
       if (marker == 0xE1 && off + 2 + segLen <= len && segLen >= 8 &&
           new String(bytes, off + 4, 4, "US-ASCII") == "Exif" &&
           bytes(off + 8) == 0 && bytes(off + 9) == 0) {
-        val tb = off + 10 // TIFF base
-        if (tb + 8 > len) return none
-        val mark = new String(bytes, tb, 2, "US-ASCII")
-        val little = mark == "II"
-        if (!little && mark != "MM") return none
-        def u16(o: Int) =
-          if (little) (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8)
-          else ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
-        def u32(o: Int) =
-          if (little) (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
-            ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
-          else ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
-            ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
-        if (u16(tb + 2) != 42) return none
-        // parse wide + bounds-check BEFORE use (the x16/x18 lesson): a
-        // tampered IFD offset with the high bit set reads back negative
-        // from u32 and would index before the buffer
-        val ifdOff = u32(tb + 4)
-        if (ifdOff < 0 || ifdOff > len) return none
-        val ifd = tb + ifdOff
-        if (ifd < 0 || ifd + 2 > len) return none
-        val n = u16(ifd)
-        var i = 0
-        while (i < n && ifd + 2 + 12 * (i + 1) <= len) {
-          val e = ifd + 2 + 12 * i
-          if (u16(e) == 274 && u16(e + 2) == 3) {
-            val ori = u16(e + 8) // SHORT left-justified in the value field
-            if (ori >= 1 && ori <= 8)
-              return ExifMeta(id, len, exif_present = true,
-                if (little) "II" else "MM", ori,
-                if (ori != 1) 1 else 0, valid = true)
-          }
-          i += 1
+        return tiffOrientation(bytes, off + 10, len) match {
+          case Some((order, ori)) =>
+            ExifMeta(id, len, exif_present = true, order, ori,
+              if (ori != 1) 1 else 0, valid = true)
+          case None => none // Exif present but no usable orientation tag
         }
-        return none // Exif present but no usable orientation tag
       }
       off += 2 + segLen
     }

@@ -993,6 +993,39 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // orientation-NORMALIZED perceptual hash (x21 composed INTO x17 —
+    // the gap x21's own row names: a rotated twin hashes differently
+    // under plain aHash until tag 274 is applied): pixels arrive in
+    // CAMERA orientation with a real trailing TIFF, the decoder walks
+    // the same IFD x21 walks, pools 8×8 like x17, then moves the 64
+    // pooled cells through the display transform — an integer index
+    // permutation, no resampling (all 8 tag values are axis-aligned, so
+    // the transform commutes with pooling). The normalized signature of
+    // every rotated/mirrored/stripped member collapses to the upright
+    // formula, which is exactly what the closed-form oracle predicts.
+    // Map-side decode, payload bytes never shuffle (x-family contract).
+    "x22_oriented_phash" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeGrayOriented(Tables.documents(s, dir))
+      Multimodal.decodeOriented(payloads, "doc_id", "payload").toDF()
+        .orderBy(col("doc_id"))
+    },
+
+    // orientation-ROBUST image near-dup dedup (d25 made robust to the
+    // single most common benign transform in a crawl): groups whose
+    // members were stored under 8 different camera orientations — split
+    // into singletons by unnormalized aHash — band and pair exactly like
+    // d25 once x22's normalization runs first. Same shared
+    // Dedup.hammingNearDup (hot-band capped), same verify radius.
+    "d27_oriented_neardup" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeGrayOriented(Tables.documents(s, dir))
+      val sigs = Multimodal.decodeOriented(payloads, "doc_id", "payload").toDF()
+        .filter(col("valid"))
+        .select(col("doc_id"), col("sig_lo"), col("sig_hi"))
+        .localCheckpoint()
+      Dedup.hammingNearDup(sigs, "doc_id", "sig_lo", "sig_hi", maxHamming = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // PII redaction: regex scrubbing of emails / IPv4s / long digit runs
     // with per-doc detection counts and a hash of the redacted text.
     // The documents text is digit-free word soup, so a deterministic
@@ -3342,6 +3375,69 @@ object PipelineQueries {
     "d25_image_neardup" ->
       """WITH p AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS f,
         |    md5('ph|' || CAST(doc_id // 20 AS VARCHAR)) AS h
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, f,
+        |    CAST(list_sum(list_transform(generate_series(0, 7), k ->
+        |      CAST(strpos('0123456789abcdef', substring(h, 1 + k, 1)) - 1 AS BIGINT)
+        |        * (1::BIGINT << (4 * (7 - k))))) AS BIGINT) AS hi0,
+        |    CAST(list_sum(list_transform(generate_series(0, 7), k ->
+        |      CAST(strpos('0123456789abcdef', substring(h, 9 + k, 1)) - 1 AS BIGINT)
+        |        * (1::BIGINT << (4 * (7 - k))))) AS BIGINT) AS lo0
+        |  FROM p),
+        |s AS (SELECT doc_id, xor(lo0, (1::BIGINT << f) - 1) AS sig_lo,
+        |    hi0 AS sig_hi FROM s0),
+        |bd AS (SELECT doc_id, sig_lo, sig_hi, b,
+        |    CASE b WHEN 0 THEN sig_lo % 65536 WHEN 1 THEN sig_lo // 65536
+        |           WHEN 2 THEN sig_hi % 65536 ELSE sig_hi // 65536 END AS v
+        |  FROM s, generate_series(0, 3) t(b)),
+        |pr AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+        |    a.sig_lo AS lo_a, a.sig_hi AS hi_a, c.sig_lo AS lo_b, c.sig_hi AS hi_b
+        |  FROM bd a JOIN bd c ON a.b = c.b AND a.v = c.v AND a.doc_id < c.doc_id),
+        |vp AS (SELECT id_a, id_b FROM pr
+        |  WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 2),
+        |ne AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+        |    min(n_id) AS min_n
+        |  FROM (SELECT id_a AS doc_id, id_b AS n_id FROM vp
+        |    UNION ALL SELECT id_b, id_a FROM vp) u GROUP BY 1)
+        |SELECT d.doc_id, CAST(coalesce(n_dups, 0) AS BIGINT) AS n_dups,
+        |  CAST(least(coalesce(min_n, d.doc_id), d.doc_id) AS BIGINT) AS keeper,
+        |  CAST(CASE WHEN coalesce(min_n, d.doc_id) < d.doc_id THEN 1 ELSE 0 END
+        |    AS INT) AS is_dup
+        |FROM documents d LEFT JOIN ne USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the x17 closed form on the 'po|' salt: ORIENTATION NEVER REACHES
+    // THE ORACLE — the synthesis stores T⁻¹(upright) and the decoder
+    // applies T on the pooled grid, so the normalized signature is the
+    // upright formula for every tag value (that invariance IS the
+    // operator's contract; the oracle checking it needs no rotation
+    // simulation). orientation/byte_order are the x21 closed forms.
+    "x22_oriented_phash" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS f,
+        |    md5('po|' || CAST(doc_id // 20 AS VARCHAR)) AS h
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, f,
+        |    CAST(list_sum(list_transform(generate_series(0, 7), k ->
+        |      CAST(strpos('0123456789abcdef', substring(h, 1 + k, 1)) - 1 AS BIGINT)
+        |        * (1::BIGINT << (4 * (7 - k))))) AS BIGINT) AS hi0,
+        |    CAST(list_sum(list_transform(generate_series(0, 7), k ->
+        |      CAST(strpos('0123456789abcdef', substring(h, 9 + k, 1)) - 1 AS BIGINT)
+        |        * (1::BIGINT << (4 * (7 - k))))) AS BIGINT) AS lo0
+        |  FROM p),
+        |s AS (SELECT doc_id, xor(lo0, (1::BIGINT << f) - 1) AS sig_lo,
+        |    hi0 AS sig_hi FROM s0)
+        |SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 5 = 4 THEN 1
+        |    ELSE 1 + doc_id % 8 END AS INT) AS orientation,
+        |  CASE WHEN doc_id % 5 = 4 THEN 'none'
+        |    WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(50 + (100 * CAST(bit_count(sig_lo) + bit_count(sig_hi) AS BIGINT))
+        |    // 64 AS INT) AS mean,
+        |  sig_lo, sig_hi, TRUE AS valid
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "d27_oriented_neardup" ->
+      """WITH p AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS f,
+        |    md5('po|' || CAST(doc_id // 20 AS VARCHAR)) AS h
         |  FROM documents),
         |s0 AS (SELECT doc_id, f,
         |    CAST(list_sum(list_transform(generate_series(0, 7), k ->

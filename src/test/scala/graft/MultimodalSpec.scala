@@ -401,4 +401,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.decodeAudioFpWav(0L,
       Multimodal.synthAudioFpWav(0L).take(44 + 63 * 50)).valid)
   }
+
+  test("oriented aHash: every tag-274 value normalizes to the upright signature; unnormalized splits") {
+    // one group (ids 160-179 share g=8): id 160 is upright (o=1,f=0),
+    // id 165 is a rotate-90 twin (o = 1+165%8 = 6, f = 1)
+    val up = Multimodal.decodeOrientedHash(160L, Multimodal.synthGrayOriented(160L))
+    val tw = Multimodal.decodeOrientedHash(165L, Multimodal.synthGrayOriented(165L))
+    assert(up.valid && tw.valid)
+    assert(up.orientation == 1 && tw.orientation == 6)
+    // normalized signatures differ only by the planted flip bit — the
+    // rotated twin LANDS IN THE SAME NEAR-DUP GROUP (d27 radius 2)
+    def ham(a: Multimodal.OrientedHash, b: Multimodal.OrientedHash): Int =
+      java.lang.Long.bitCount(a.sig_lo ^ b.sig_lo) +
+        java.lang.Long.bitCount(a.sig_hi ^ b.sig_hi)
+    assert(ham(up, tw) == 1, s"$up vs $tw")
+    // the same stored pixels WITHOUT normalization (x17's plain aHash
+    // over the rotated grid) split the twin away — the gap this key
+    // closes
+    val stored = Multimodal.synthGrayOriented(165L)
+    val gray = "GRAY8".getBytes("US-ASCII") ++ stored.slice(5, 9 + 256)
+    val unnorm = Multimodal.decodeGrayHash(165L, gray)
+    assert(unnorm.valid)
+    val hamUn = java.lang.Long.bitCount(unnorm.sig_lo ^ up.sig_lo) +
+      java.lang.Long.bitCount(unnorm.sig_hi ^ up.sig_hi)
+    assert(hamUn > 2, s"unnormalized twin unexpectedly close: $hamUn")
+    // every tag value 1..8 appears inside one 20-id group; members with
+    // the same flip count must normalize to the IDENTICAL signature
+    // regardless of stored orientation (ids 160,168 share f=0,o=1,... —
+    // pick the f=0 members across orientations: 160 o=1, 168 o=1; use
+    // the o-spread f-equal pairs (164 stripped o=1), (165,169 f=1,2...)
+    // — strongest direct check: all 20 group members land within ham 3)
+    val sigs = (160L until 180L).map(i =>
+      Multimodal.decodeOrientedHash(i, Multimodal.synthGrayOriented(i)))
+    assert(sigs.forall(_.valid))
+    for (a <- sigs; b <- sigs) assert(ham(a, b) <= 3, s"$a vs $b")
+    // stripped trailer (id%5==4) takes the upright default and still
+    // joins the group: id 164 (o stored upright, f=0 — 164%4=0)
+    val st = Multimodal.decodeOrientedHash(164L, Multimodal.synthGrayOriented(164L))
+    assert(st.valid && st.orientation == 1 && st.byte_order == "none")
+    assert(ham(up, st) == 0)
+  }
 }
