@@ -1057,6 +1057,32 @@ object RelationalQueries {
         .orderBy(col("kind"))
     },
 
+    // DSv2 REPORTED PARTITIONING (the third federation lever after
+    // predicate q51 and aggregate q58 pushdown): the source DECLARES
+    // its splits clustered by kind (KeyGroupedPartitioning + per-split
+    // HasPartitionKey), so the groupBy(kind) aggregate plans BOTH
+    // phases with ZERO exchange — the raw rows never shuffle
+    // (PlanSpec: no Exchange node above the scan; min/max on `id`
+    // deliberately reject the q58 agg-pushdown path so the clustering
+    // does the work). The trade is parallelism = |kinds| splits — the
+    // honest contract of source-declared clustering, same as a
+    // bucketed table. The same key also gates LIMIT/ORDER-BY-id-LIMIT
+    // folding INTO the scan (SupportsPushDownLimit/TopN — the feed's
+    // ascending-id layout makes top-n a range clamp; PlanSpec asserts
+    // the planned range shrank). Session-isolated: v2 bucketing is
+    // opt-in per session (the q60 pattern).
+    "q61_clustered_source" -> { (s0, _) =>
+      val s = s0.newSession()
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val feed = s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "240000").option("partitions", "8")
+        .option("clusterByKind", "true").load()
+      feed.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("kind"))
+    },
+
     // custom DataSourceV2 SINK (graft.sources.AccountingSink —
     // MetricsFeedSource's write-side twin, the reference's uploadEvents
     // emit half as a V2 BatchWrite): per-task writers stream rows and
@@ -1424,6 +1450,19 @@ object RelationalQueries {
         |    (id * 2654435761) % 100000 AS value
         |  FROM range(0, 300000) t(id)
         |  WHERE id < 240000) u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q61_clustered_source" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(min(id) AS BIGINT) AS min_id,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 240000) t(id)) u
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q55_collated_group" ->

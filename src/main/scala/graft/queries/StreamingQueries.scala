@@ -74,6 +74,48 @@ object StreamingQueries {
       s.table("st19_out").orderBy(col("kind"))
     },
 
+    // custom DSv2 STREAMING SINK (the connector matrix's last face:
+    // batch read q51/q58, batch write q52, streaming read st19 — now the
+    // StreamingWrite the reference's collector POST would receive on
+    // Spark): the st19 feed streams INTO AccountingSink's epoch-keyed
+    // commit protocol — per-epoch task writers surrender (rows, Σ value)
+    // only in WriterCommitMessages, and the driver's commit(epochId, …)
+    // folds them under the (runId, epoch) key. Exactly-once under
+    // recovery is the KEY's property: an engine replay of a committed
+    // epoch overwrites the same key with the identical fold (StreamingSpec
+    // replays a checkpoint range twice and hash-checks the totals). The
+    // per-epoch rows are the output — the oracle's closed-form range sums
+    // prove every epoch carries exactly its offset interval's rows.
+    "st20_stream_sink" -> { (s, _) =>
+      import graft.sources.AccountingSink
+      val runId = "st20_stream_sink"
+      AccountingSink.clear(runId)
+      // fixed checkpoint path + delete (bench passes must not accumulate
+      // /tmp checkpoints); recovery/replay semantics are StreamingSpec's
+      // job — CORRECTNESS runs the clean 3-epoch ingest
+      val cp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_st20_checkpoint")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(cp)
+      val q = s.readStream.format("graft.sources.MetricsFeedSource")
+        .option("rows", "60000").option("partitions", "4")
+        .option("streamStep", "20000").load()
+        .writeStream.format("graft.sources.AccountingSink")
+        .option("runId", runId)
+        .option("checkpointLocation", cp.getAbsolutePath)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable(); q.stop()
+      import s.implicits._
+      AccountingSink.epochResults(runId)
+        .map { case (e, (n, sv, _)) => (e, n, sv) }
+        .toDF("epoch_id", "n_rows", "sum_value")
+        .orderBy(col("epoch_id"))
+    },
+
     // streaming ingest NEAR-DUP gate, batch form: every arriving doc is
     // checked against the PERSISTED LSH serving index (d18's incremental
     // dedup made a serving op — the index is a DerivedLayouts artifact
@@ -283,6 +325,14 @@ object StreamingQueries {
         |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
         |    (id * 2654435761) % 100000 AS value
         |  FROM range(0, 60000) t(id)) u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // each epoch is exactly one 20000-row offset interval of the feed
+    "st20_stream_sink" ->
+      """SELECT CAST(id // 20000 AS BIGINT) AS epoch_id,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum((id * 2654435761) % 100000) AS BIGINT) AS sum_value
+        |FROM range(0, 60000) t(id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the full pipeline re-derived: band keys for every doc, the bucket

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.{LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -34,6 +35,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 object AccountingSink {
   /** runId -> (n_rows, sum_value, n_writers) from a COMMITTED write. */
   private val committed = new ConcurrentHashMap[String, (Long, Long, Int)]()
+  /** (runId, epochId) -> (n_rows, sum_value, n_writers) from a COMMITTED
+    * streaming epoch. Keying by epoch is what makes the streaming sink
+    * exactly-once under recovery: when the engine REPLAYS an epoch whose
+    * sink commit ran but whose source commit was lost (the crash window
+    * the checkpoint protocol defines), the re-commit folds the identical
+    * messages into the same key — an idempotent overwrite, never a
+    * double-count. */
+  private val epochCommitted =
+    new ConcurrentHashMap[(String, Long), (Long, Long, Int)]()
   /** runId -> count of aborted task attempts (accounting discarded).
     * NOTE: recordAbort runs in DataWriter.abort() ON EXECUTORS and
     * writes to this JVM-static map, so the counter is observable only
@@ -47,10 +57,23 @@ object AccountingSink {
     Option(committed.get(runId))
   def abortedTasks(runId: String): Int =
     Option(aborted.get(runId)).map(_.intValue).getOrElse(0)
-  def clear(runId: String): Unit = { committed.remove(runId); aborted.remove(runId) }
+  def clear(runId: String): Unit = {
+    committed.remove(runId); aborted.remove(runId)
+    epochResults(runId).foreach { case (e, _) => epochCommitted.remove((runId, e)) }
+  }
+  /** Committed streaming epochs for a run, epoch-ordered. */
+  def epochResults(runId: String): Seq[(Long, (Long, Long, Int))] = {
+    import scala.jdk.CollectionConverters._
+    epochCommitted.asScala.collect {
+      case ((r, e), v) if r == runId => e -> v
+    }.toSeq.sortBy(_._1)
+  }
 
   private[sources] def publish(runId: String, v: (Long, Long, Int)): Unit =
     committed.put(runId, v)
+  private[sources] def publishEpoch(runId: String, epochId: Long,
+      v: (Long, Long, Int)): Unit =
+    epochCommitted.put((runId, epochId), v)
   private[sources] def recordAbort(runId: String): Unit =
     aborted.merge(runId, Integer.valueOf(1), (a, b) => Integer.valueOf(a + b))
 
@@ -72,7 +95,8 @@ class AccountingTable(schema0: StructType) extends Table with SupportsWrite {
   override def name(): String = "accounting_sink"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new AccountingWrite(
@@ -81,22 +105,51 @@ class AccountingTable(schema0: StructType) extends Table with SupportsWrite {
 }
 
 class AccountingWrite(runId: String, schema: StructType) extends Write {
+  private def valueIdx: Int = schema.fields.indexWhere(f =>
+    f.name == "value" && f.dataType == LongType)
+  private def fold(messages: Array[WriterCommitMessage]): (Long, Long, Int) = {
+    var rows = 0L
+    var sv = 0L
+    messages.foreach { case AccountingSink.TaskAccounting(r, s) =>
+      rows += r; sv += s
+    }
+    (rows, sv, messages.length)
+  }
+
   override def toBatch: BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(info: PhysicalWriteInfo)
         : DataWriterFactory =
-      new AccountingWriterFactory(runId,
-        schema.fields.indexWhere(f =>
-          f.name == "value" && f.dataType == LongType))
-    override def commit(messages: Array[WriterCommitMessage]): Unit = {
-      var rows = 0L
-      var sv = 0L
-      messages.foreach { case AccountingSink.TaskAccounting(r, s) =>
-        rows += r; sv += s
-      }
-      AccountingSink.publish(runId, (rows, sv, messages.length))
-    }
+      new AccountingWriterFactory(runId, valueIdx)
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      AccountingSink.publish(runId, fold(messages))
     override def abort(messages: Array[WriterCommitMessage]): Unit = ()
   }
+
+  /** The STREAMING face of the same commit protocol (st20 — the
+    * connector matrix's last surface after batch read q51/q58, batch
+    * write q52, streaming read st19): per-epoch task writers surrender
+    * their accounting only in WriterCommitMessages, and the driver's
+    * epoch-keyed commit IS the exactly-once point — an engine replay of
+    * a committed epoch (the crash window between sink commit and
+    * checkpoint commit) re-folds identical messages into the same
+    * (runId, epochId) key, so totals never double-count. */
+  override def toStreaming: StreamingWrite = new StreamingWrite {
+    override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+        : StreamingDataWriterFactory =
+      new AccountingStreamingWriterFactory(runId, valueIdx)
+    override def commit(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit =
+      AccountingSink.publishEpoch(runId, epochId, fold(messages))
+    override def abort(epochId: Long,
+        messages: Array[WriterCommitMessage]): Unit = ()
+  }
+}
+
+class AccountingStreamingWriterFactory(runId: String, valueIdx: Int)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new AccountingWriterFactory(runId, valueIdx).createWriter(partitionId, taskId)
 }
 
 class AccountingWriterFactory(runId: String, valueIdx: Int)

@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.{SortDirection, Transform, Expression => V2Expression, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -60,6 +60,8 @@ object MetricsFeedSource {
   // rows actually crossed the source boundary (local-mode/test hook — a
   // single-JVM counter, same scope caveat as AccountingSink.abortedTasks)
   @volatile var lastPushedAggregation: String = ""
+  // limit/top-N pushdown observable: "limit:N" or "topn:N" when folded
+  @volatile var lastPushedLimit: String = ""
   val rowsEmitted = new java.util.concurrent.atomic.AtomicLong(0L)
   // streaming observable: the distinct non-empty offset intervals
   // planned (local-mode/test hook; Spark may re-plan one micro-batch
@@ -85,28 +87,33 @@ class MetricsFeedSource extends TableProvider {
     new MetricsFeedTable(
       properties.getOrDefault("rows", "100000").toLong,
       properties.getOrDefault("partitions", "8").toInt,
-      properties.getOrDefault("streamStep", "25000").toLong)
+      properties.getOrDefault("streamStep", "25000").toLong,
+      properties.getOrDefault("clusterByKind", "false").toBoolean)
 }
 
-class MetricsFeedTable(rows: Long, parts: Int, streamStep: Long)
+class MetricsFeedTable(rows: Long, parts: Int, streamStep: Long,
+    clusterByKind: Boolean)
     extends Table with SupportsRead {
   override def name(): String = s"metrics_feed($rows)"
   override def schema(): StructType = MetricsFeedSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MetricsFeedScanBuilder(rows, parts, streamStep)
+    new MetricsFeedScanBuilder(rows, parts, streamStep, clusterByKind)
 }
 
-class MetricsFeedScanBuilder(rows: Long, parts: Int, streamStep: Long = 25000L)
+class MetricsFeedScanBuilder(rows: Long, parts: Int,
+    streamStep: Long = 25000L, clusterByKind: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
   private var required = MetricsFeedSource.schema
   private var aggFuncs: Option[Seq[String]] = None
+  private var pushedLimit: String = ""
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (acc, rest) = filters.partition {
@@ -139,6 +146,31 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int, streamStep: Long = 25000L)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // ---- SupportsPushDownLimit / SupportsPushDownTopN: the feed emits
+  // ids ASCENDING within and ACROSS its fixed-width slices, so LIMIT n
+  // folds to planning only [lo, lo+n) — and ORDER BY id ASC LIMIT n is
+  // the SAME clamp (the first n ids ARE the ascending top-n). Partial
+  // push (isPartiallyPushed=true): Spark keeps its global limit/sort on
+  // the ≤n surviving rows — free — while the source never plans the
+  // pruned span (the federation lever: a dashboard's top-k probe costs
+  // k rows of feed, not a full scan).
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    pushedLimit = s"limit:$limit"
+    MetricsFeedSource.lastPushedLimit = pushedLimit
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+  override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
+    val idAsc = orders.length == 1 && isCol(orders(0).expression, "id") &&
+      orders(0).direction == SortDirection.ASCENDING
+    if (!idAsc) return false
+    hi = math.min(hi, lo + limit)
+    pushedLimit = s"topn:$limit"
+    MetricsFeedSource.lastPushedLimit = pushedLimit
+    true
+  }
+
   // ---- SupportsPushDownAggregates (the JDBC-pushdown shape for a
   // synthetic feed): accept GROUP BY kind with COUNT(*)/SUM/MIN/MAX on
   // `value`. PARTIAL pushdown (supportCompletePushDown = false) — each
@@ -152,6 +184,12 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int, streamStep: Long = 25000L)
   }
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
   override def pushAggregation(agg: Aggregation): Boolean = {
+    // the clustered mode (q61) and aggregate pushdown (q58) are
+    // ALTERNATIVE federation levers: when the source declares its
+    // kind-partitioning, Spark plans the whole aggregate shuffle-free
+    // over raw rows — pushing partials too would just hide which lever
+    // did the work
+    if (clusterByKind) return false
     val groupOk = agg.groupByExpressions.length == 1 &&
       isCol(agg.groupByExpressions()(0), "kind")
     if (!groupOk) return false
@@ -173,7 +211,8 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int, streamStep: Long = 25000L)
     case Some(funcs) =>
       new MetricsFeedAggScan(rows, parts, lo, hi, funcs, pushed)
     case None =>
-      new MetricsFeedScan(rows, parts, lo, hi, required, pushed, streamStep)
+      new MetricsFeedScan(rows, parts, lo, hi, required, pushed, streamStep,
+        clusterByKind, pushedLimit)
   }
 }
 
@@ -195,31 +234,36 @@ case class MetricsFeedOffset(hwm: Long)
   * itself (O(1) checkpoint). */
 class MetricsFeedMicroBatch(rows: Long, parts: Int, step: Long,
     required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
-  // the in-memory high-water mark RATCHETS from every offset the engine
-  // hands back (deserialize on restart, commit, planned batch ends):
-  // after a checkpoint restart with committed offset C, latestOffset
-  // must never return < C — a regressed offset makes MicroBatchExecution
-  // re-plan and re-process already-committed rows (exactly-once broken)
-  @volatile private var hwm = 0L
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  // NO instance state: availability is a pure function of the
+  // engine-supplied start offset (SupportsAdmissionControl — the
+  // Kafka/rate-source protocol). A self-advancing in-memory high-water
+  // mark is NOT restart-safe: the engine's first latestOffset() on a
+  // restarted stream fires BEFORE any deserializeOffset/plan call
+  // reaches the new instance, so a fresh hwm=0 would REGRESS below the
+  // committed offset C — MicroBatchExecution then logs a backwards
+  // offset and replans already-committed rows (exactly-once broken;
+  // StreamingSpec pins the restart).
   override def initialOffset(): Offset = MetricsFeedOffset(0L)
-  override def latestOffset(): Offset = {
-    hwm = math.min(rows, hwm + step)
-    MetricsFeedOffset(hwm)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(step.toInt)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[MetricsFeedOffset].hwm
+    MetricsFeedOffset(math.min(rows, s + step))
   }
-  override def deserializeOffset(json: String): Offset = {
-    val v = json.toLong
-    hwm = math.max(hwm, v)
-    MetricsFeedOffset(v)
-  }
-  override def commit(end: Offset): Unit =
-    hwm = math.max(hwm, end.asInstanceOf[MetricsFeedOffset].hwm)
+  override def latestOffset(): Offset =
+    // the engine never calls the stateless-source form on an
+    // admission-controlled stream (Kafka throws here too)
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+  override def deserializeOffset(json: String): Offset =
+    MetricsFeedOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[MetricsFeedOffset].hwm
     val hi = end.asInstanceOf[MetricsFeedOffset].hwm
-    hwm = math.max(hwm, hi)
     if (lo < hi) MetricsFeedSource.streamIntervals.add((lo, hi))
     val width = math.max(1L, (hi - lo + parts - 1) / parts)
     (lo until hi by width).map { s =>
@@ -310,7 +354,9 @@ class MetricsFeedAggReaderFactory(funcs: Array[String])
 
 class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
     required: StructType, pushed: Array[Filter],
-    streamStep: Long = 25000L) extends Scan with Batch {
+    streamStep: Long = 25000L, clusterByKind: Boolean = false,
+    pushedLimit: String = "") extends Scan with Batch
+    with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -319,17 +365,44 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
   override def description(): String =
     s"MetricsFeed range=[$lo,$hi) of $rows, " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      (if (pushedLimit.nonEmpty) s"PushedLimit: $pushedLimit, " else "") +
+      (if (clusterByKind) "KeyGroupedBy: [kind], " else "") +
       s"ReadSchema: ${required.simpleString}"
 
+  // ---- SupportsReportPartitioning (q61): the source DECLARES that its
+  // splits are clustered by `kind`, so a groupBy(kind) consumer plans
+  // both aggregate phases WITHOUT an exchange — the third federation
+  // lever after predicate (q51) and aggregate (q58) pushdown. The trade
+  // is parallelism = |kinds| partitions, which is the honest contract of
+  // source-declared clustering (a real bucketed source declares N
+  // buckets); requires spark.sql.sources.v2.bucketing.enabled.
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (clusterByKind)
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("kind")), 3)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(parts)
+
   override def planInputPartitions(): Array[InputPartition] = {
-    // fixed-width slices of the FULL row space (the feed's "files");
-    // slices wholly outside the pushed range never plan
-    val width = math.max(1L, (rows + parts - 1) / parts)
-    val slices = (0L until rows by width).flatMap { s =>
-      val a = math.max(s, lo)
-      val b = math.min(s + width, hi)
-      if (a < b) Some(MetricsFeedPartition(a, b): InputPartition) else None
-    }.toArray
+    val slices: Array[InputPartition] =
+      if (clusterByKind) {
+        // one stride-3 split per kind; every split carries its partition
+        // key (HasPartitionKey — without it Spark ignores the report)
+        (0 until 3).map { k =>
+          MetricsFeedKindPartition(lo, hi, k): InputPartition
+        }.toArray
+      } else {
+        // fixed-width slices of the FULL row space (the feed's "files");
+        // slices wholly outside the pushed range never plan
+        val width = math.max(1L, (rows + parts - 1) / parts)
+        (0L until rows by width).flatMap { s =>
+          val a = math.max(s, lo)
+          val b = math.min(s + width, hi)
+          if (a < b) Some(MetricsFeedPartition(a, b): InputPartition) else None
+        }.toArray
+      }
     MetricsFeedSource.lastPlannedPartitions = slices.length
     MetricsFeedSource.lastPlannedRange = (lo, hi)
     slices
@@ -340,28 +413,49 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
 
 case class MetricsFeedPartition(start: Long, end: Long) extends InputPartition
 
+/** A per-kind split: ids ≡ kind (mod 3) within [start, end), declaring
+  * its partition key for KeyGroupedPartitioning. */
+case class MetricsFeedKindPartition(start: Long, end: Long, kind: Int)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](
+      UTF8String.fromString(MetricsFeedSource.kindOf(kind))))
+}
+
 class MetricsFeedReaderFactory(fields: Array[String])
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val mp = p.asInstanceOf[MetricsFeedPartition]
-    new PartitionReader[InternalRow] {
-      private var cur = mp.start - 1
-      override def next(): Boolean = { cur += 1; cur < mp.end }
-      override def get(): InternalRow = {
-        val vals = new Array[Any](fields.length)
-        var i = 0
-        while (i < fields.length) {
-          vals(i) = fields(i) match {
-            case "id"    => cur
-            case "node"  => UTF8String.fromString(MetricsFeedSource.nodeOf(cur))
-            case "kind"  => UTF8String.fromString(MetricsFeedSource.kindOf(cur))
-            case "value" => MetricsFeedSource.valueOf(cur)
-          }
-          i += 1
-        }
-        new GenericInternalRow(vals)
+  private def rowAt(cur: Long): InternalRow = {
+    val vals = new Array[Any](fields.length)
+    var i = 0
+    while (i < fields.length) {
+      vals(i) = fields(i) match {
+        case "id"    => cur
+        case "node"  => UTF8String.fromString(MetricsFeedSource.nodeOf(cur))
+        case "kind"  => UTF8String.fromString(MetricsFeedSource.kindOf(cur))
+        case "value" => MetricsFeedSource.valueOf(cur)
       }
-      override def close(): Unit = ()
+      i += 1
     }
+    new GenericInternalRow(vals)
   }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case mp: MetricsFeedPartition => new PartitionReader[InternalRow] {
+        private var cur = mp.start - 1
+        override def next(): Boolean = { cur += 1; cur < mp.end }
+        override def get(): InternalRow = rowAt(cur)
+        override def close(): Unit = ()
+      }
+      case kp: MetricsFeedKindPartition => new PartitionReader[InternalRow] {
+        // first id >= start with id % 3 == kind, then stride 3
+        private var cur = {
+          val rem = ((kp.kind - kp.start) % 3 + 3) % 3
+          kp.start + rem - 3
+        }
+        override def next(): Boolean = { cur += 3; cur < kp.end }
+        override def get(): InternalRow = rowAt(cur)
+        override def close(): Unit = ()
+      }
+    }
 }

@@ -989,6 +989,45 @@ class PlanSpec extends AnyFunSuite {
     assert(pStale.contains("factcopy.parquet") && !pStale.contains("/mv"), pStale)
   }
 
+  test("q61: reported kind-partitioning plans the aggregate with ZERO hash exchange; limit/top-n fold into the scan") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.MetricsFeedSource
+    val df = SparkEntry.queries("q61_clustered_source")(spark, sf)
+    assert(df.collect().length == 3)
+    val p = df.queryExecution.executedPlan.toString
+    // both aggregate phases sit on the scan — the only exchange left is
+    // the 3-row orderBy's range partitioning
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("KeyGroupedBy: [kind]"), p)
+    assert(p.contains("HashAggregate"), p)
+    // LIMIT folds to planning only [0, n)
+    val s = spark.newSession()
+    val feed = s.read.format("graft.sources.MetricsFeedSource")
+      .option("rows", "200000").option("partitions", "8").load()
+    MetricsFeedSource.lastPushedLimit = ""
+    assert(feed.limit(50000).count() == 50000L)
+    assert(MetricsFeedSource.lastPushedLimit == "limit:50000")
+    assert(MetricsFeedSource.lastPlannedRange == ((0L, 50000L)))
+    // ORDER BY id ASC LIMIT n is the same clamp (ascending layout);
+    // Spark keeps its top-n on the n surviving rows — values must be
+    // exactly the first n ids
+    MetricsFeedSource.lastPushedLimit = ""
+    val top = feed.orderBy(col("id")).limit(1000).collect()
+    assert(MetricsFeedSource.lastPushedLimit == "topn:1000")
+    assert(MetricsFeedSource.lastPlannedRange == ((0L, 1000L)))
+    assert(top.length == 1000 && top.head.getLong(0) == 0L &&
+      top.last.getLong(0) == 999L)
+    // composition: the pushed filter clamps first, the limit rides on top
+    MetricsFeedSource.lastPushedLimit = ""
+    assert(feed.filter(col("id") >= 100000L).limit(500).count() == 500L)
+    assert(MetricsFeedSource.lastPlannedRange == ((100000L, 100500L)))
+    // a DESCENDING top-n must NOT fold (the layout only serves ASC)
+    MetricsFeedSource.lastPushedLimit = ""
+    val desc = feed.orderBy(col("id").desc).limit(10).collect()
+    assert(MetricsFeedSource.lastPushedLimit == "", "desc top-n wrongly pushed")
+    assert(desc.head.getLong(0) == 199999L)
+  }
+
   test("q59: SQL UDF bodies are INLINED — no UDF invocation node survives analysis") {
     val df = SparkEntry.queries("q59_sql_udf")(spark, sf)
     assert(df.collect().nonEmpty)

@@ -1198,6 +1198,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("DSv2 streaming sink: epoch-keyed commits; checkpoint-range replay is idempotent; restart resumes monotone") {
+    import graft.sources.AccountingSink
+    val runId = "st20spec"
+    AccountingSink.clear(runId)
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_st20spec").toFile
+    def run(rows: Int): Unit = {
+      val q = spark.readStream.format("graft.sources.MetricsFeedSource")
+        .option("rows", rows.toString).option("partitions", "4")
+        .option("streamStep", "20000").load()
+        .writeStream.format("graft.sources.AccountingSink")
+        .option("runId", runId)
+        .option("checkpointLocation", cpDir.getAbsolutePath)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      // the manager deregisters asynchronously after stop; a same-
+      // checkpoint restart races it ("concurrently using …/commits")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+    }
+    run(40000)
+    val first = AccountingSink.epochResults(runId)
+    assert(first.map(_._1) == Seq(0L, 1L), first.toString)
+    // REPLAY a committed range: drop the checkpoint's last commit marker
+    // (the crash window between the sink's epoch commit and the engine's
+    // checkpoint commit) — on restart the engine re-executes epoch 1
+    // against the SAME offsets and re-commits it to the sink; the
+    // epoch-keyed fold must come back byte-identical, not double-counted
+    val c1 = new java.io.File(cpDir, "commits/1")
+    assert(c1.exists, "checkpoint layout changed")
+    assert(c1.delete())
+    // the local FS keeps a checksum sidecar; leaving it would block the
+    // re-commit's rename (FileAlreadyExistsException on .1.crc)
+    new java.io.File(cpDir, "commits/.1.crc").delete()
+    run(40000)
+    val replayed = AccountingSink.epochResults(runId)
+    assert(replayed == first, s"replay changed totals: $first -> $replayed")
+    // restart with MORE feed available: latestOffset must resume from
+    // the committed offset (the monotone-hwm contract — a regressed
+    // offset would re-plan committed rows), so exactly one NEW epoch
+    // [40000, 60000) appears and earlier epochs stay untouched
+    run(60000)
+    val resumed = AccountingSink.epochResults(runId)
+    assert(resumed.map(_._1) == Seq(0L, 1L, 2L), resumed.toString)
+    assert(resumed.take(2) == first)
+    // hash-check every epoch against the feed's closed form
+    def intervalSum(lo: Long, hi: Long): Long =
+      (lo until hi).map(i => (i * 2654435761L) % 100000L).sum
+    resumed.foreach { case (e, (n, sv, _)) =>
+      assert(n == 20000L)
+      assert(sv == intervalSum(e * 20000L, (e + 1) * 20000L), s"epoch $e")
+    }
+  }
+
   test("stateful sessionization (flatMapGroupsWithState) == declarative sessions") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
