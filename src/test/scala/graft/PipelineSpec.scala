@@ -588,6 +588,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.getAs[Long]("syms_after") == 4L)
   }
 
+  test("p27: ledger flags reconcile to the standalone gate keys; first-fail partitions the corpus") {
+    import org.apache.spark.sql.Row
+    val led = SparkEntry.queries("p27_curation_ledger")(spark, sf).collect()
+    val n = led.length
+    def cnt(f: Row => Boolean) = led.count(f)
+    // every flag column equals the standalone gate key's own verdict
+    val d7Survivors = SparkEntry.queries("d7_dedup_apply")(spark, sf).count()
+    assert(cnt(_.getAs[Int]("f_near_dup") == 1) == n - d7Survivors)
+    val d23Hits = SparkEntry.queries("d23_substring_dedup")(spark, sf)
+      .filter(col("dup_bp") >= 2500).count()
+    assert(cnt(_.getAs[Int]("f_substring") == 1) == d23Hits)
+    val t2 = SparkEntry.queries("t2_quality")(spark, sf).collect()
+    assert(cnt(_.getAs[Int]("f_short") == 1) ==
+      t2.count(_.getAs[Int]("n_tokens") < 40))
+    assert(cnt(_.getAs[Int]("f_quality") == 1) ==
+      t2.count(_.getAs[Int]("quality") < 40))
+    val t14Hits = SparkEntry.queries("t14_repetition")(spark, sf)
+      .filter(col("dup_tri_bp") > 0).count()
+    assert(cnt(_.getAs[Int]("f_repeat") == 1) == t14Hits)
+    // the removal funnel: first_fail PARTITIONS the corpus (every doc
+    // charged to exactly one rule or to 'none' == keep)
+    val byRule = led.groupBy(_.getAs[String]("first_fail"))
+      .view.mapValues(_.length).toMap
+    assert(byRule.values.sum == n)
+    assert(byRule.getOrElse("none", 0) == cnt(_.getAs[Int]("keep") == 1))
+    // near_dup is the first rule, so its funnel row equals its flag count
+    assert(byRule.getOrElse("near_dup", 0) == cnt(_.getAs[Int]("f_near_dup") == 1))
+    // the fixture corpus exercises survivors plus several live rules
+    assert(byRule.getOrElse("none", 0) > 0 && byRule.size >= 3, byRule.toString)
+  }
+
   test("hammingNearDup: hot band sub-splits instead of going quadratic; cold verdicts unchanged") {
     import spark.implicits._
     def sig(w0: Long, w1: Long, w2: Long, w3: Long): (Long, Long) =
