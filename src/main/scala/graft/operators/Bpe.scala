@@ -72,6 +72,17 @@ object Bpe {
     * exist in this round's candidate table); between-round semantics
     * are unchanged. Both engines implement the identical rule.
     *
+    * PRICED (graft.BpeDeviation, round 12): at the t27 operating point
+    * (8 rounds × batchMax 16 → 82 merges) vs batchMax=1 sequential at
+    * the same merge budget, the merge SETS share 58/82 entries
+    * (Jaccard 54%) and 79/82 rank positions differ — but the metric a
+    * trainer optimizes, corpus symbols after the budget, lands within
+    * 3% (sf0.01: 33 283 batched vs 32 321 sequential; sf0.001: 35 163
+    * vs 34 170). The divergence is corpus-amplified: this 31-word
+    * near-uniform vocabulary produces near-TIED pair counts everywhere,
+    * so rank order is maximally fragile under the one-round queue
+    * delay; Zipfian corpora with separated counts reorder far less.
+    *
     * Scale shape unchanged from learnMerges: one corpus scan, then
     * |V|-row rounds; the selection fold runs on ONE aggregate row of
     * ≤candCap candidate structs (never a driver collect); driver
