@@ -620,11 +620,11 @@ object Dedup {
     * Skew guard (the lshCandidates/subSplitBlocks precedent ported): a
     * band VALUE shared by B docs would fan out to B²/2 candidate pairs —
     * a corpus of near-constant images (all-white pages → identical aHash
-    * words) makes one band hot and quadratic. Buckets are therefore
-    * censused first (≤ 4·65536 level-0 rows regardless of corpus size —
-    * broadcastable forever); whether ANY bucket is hot is probed at plan
-    * time off that bounded census (the q56 driver-probe class) so the
-    * common no-hot corpus pays zero refinement joins, and an
+    * words) makes one band hot and quadratic. Bucket populations are
+    * therefore censused first — as two stacked window counts riding the
+    * SAME hashpartitioning(_b,_v) exchange the bucket groupBy needs
+    * (clustering on a key subset satisfies the finer window), so the
+    * guard costs in-partition passes, not shuffles — and an
     * over-`maxBucket` bucket SUB-SPLITS by
     * the signature's OPPOSITE 16-bit word ((b+2)%4) instead of dropping;
     * a sub-bucket still over cap (> maxBucket docs sharing 32 sig bits)
@@ -656,31 +656,27 @@ object Dedup {
           .as("band"))
       .select(col("_id"), col("_lo"), col("_hi"),
         col("band.b").as("_b"), col("band.v").as("_v"))
-    // level-0 census: ≤ 4·65536 occupied (band, value) cells at ANY
-    // corpus size — the broadcast is structurally tiny. Whether any
-    // bucket is hot is a PLAN-TIME decision off that bounded census
-    // (the q56/SketchPlanner driver-probe class): the common no-hot path
-    // must not pay the refinement joins it doesn't need.
-    val c0 = bands.groupBy(col("_b"), col("_v")).agg(count(lit(1)).as("_n0"))
-    val anyHot = c0.filter(col("_n0") > maxBucket).limit(1).count() > 0
-    val keyed = if (!anyHot) bands.withColumn("_sub", lit(-1L)) else {
-      val refined = bands.join(broadcast(c0), Seq("_b", "_v"))
-        .withColumn("_sub",
-          when(col("_n0") <= maxBucket, lit(-1L))
-            .otherwise( // opposite word of band b: (b+2) % 4
-              when(col("_b") === 0, expr("_hi % 65536"))
-                .when(col("_b") === 1, expr("_hi div 65536"))
-                .when(col("_b") === 2, expr("_lo % 65536"))
-                .otherwise(expr("_lo div 65536"))))
-      // level-1 census covers only hot-bucket rows; the join key equals
-      // the bucket groupBy key, so no extra corpus exchange is introduced
-      val c1 = refined.filter(col("_n0") > maxBucket)
-        .groupBy(col("_b"), col("_v"), col("_sub"))
-        .agg(count(lit(1)).as("_n1"))
-      refined.join(c1, Seq("_b", "_v", "_sub"), "left")
-        .filter(col("_n1").isNull || col("_n1") <= maxBucket)
-        .drop("_n0", "_n1")
-    }
+    // Both census levels ride ONE exchange: hashpartitioning(_b,_v)
+    // satisfies the (_b,_v) window, the finer (_b,_v,_sub) window
+    // (clustering on a subset of the keys), AND the bucket groupBy —
+    // so the cap machinery adds two in-partition passes, zero extra
+    // shuffles and zero driver actions on the common path.
+    import org.apache.spark.sql.expressions.Window
+    val w0 = Window.partitionBy(col("_b"), col("_v"))
+    val w1 = Window.partitionBy(col("_b"), col("_v"), col("_sub"))
+    val keyed = bands
+      .withColumn("_n0", count(lit(1)).over(w0))
+      .withColumn("_sub",
+        when(col("_n0") <= maxBucket, lit(-1L))
+          .otherwise( // opposite word of band b: (b+2) % 4
+            when(col("_b") === 0, expr("_hi % 65536"))
+              .when(col("_b") === 1, expr("_hi div 65536"))
+              .when(col("_b") === 2, expr("_lo % 65536"))
+              .otherwise(expr("_lo div 65536"))))
+      .withColumn("_n1",
+        when(col("_n0") <= maxBucket, lit(0L))
+          .otherwise(count(lit(1)).over(w1)))
+      .filter(col("_n0") <= maxBucket || col("_n1") <= maxBucket)
     val pairs = keyed
       .groupBy(col("_b"), col("_v"), col("_sub"))
       .agg(sort_array(collect_list(struct(col("_id"), col("_lo"),
