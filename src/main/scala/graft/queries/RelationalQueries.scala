@@ -1083,6 +1083,34 @@ object RelationalQueries {
         .orderBy(col("kind"))
     },
 
+    // DSv2 RUNTIME filtering (q62 — dynamic pruning generalized to a V2
+    // connector, the LAST pushdown face: static predicates q51 →
+    // aggregates q58 → limit/top-n + declared partitioning q61 → now
+    // the filter that does not EXIST until the join's build side
+    // materializes): joining the feed to a selective dim on `id` makes
+    // the optimizer plant a DynamicPruningSubquery against the scan's
+    // declared filterAttributes; at execution the dim's 300 id values
+    // arrive via SupportsRuntimeV2Filtering.filter() and the scan
+    // re-plans — slices outside the delivered set's [min, max+1] are
+    // never read (PlanSpec: dynamicpruningexpression in-plan, planned
+    // range clamped to [120000, 149901), partitions 16 → 2). Pruning is
+    // a SUPERSET guarantee — the join still verifies exactly — so the
+    // gapped id set is safe. The 100 TB story: the probe side's planned
+    // volume is decided by the OTHER side's DATA at runtime, the
+    // DPP-on-parquet lever (p12) delivered through the connector API.
+    "q62_runtime_prune" -> { (s, _) =>
+      val feed = s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "300000").option("partitions", "16").load()
+      val dim = s.range(0, 3000).toDF("k")
+        .filter(col("k") >= 1200 && col("k") < 1500)
+        .select((col("k") * 100).as("ref_id"))
+      feed.join(dim, col("id") === col("ref_id"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("kind"))
+    },
+
     // custom DataSourceV2 SINK (graft.sources.AccountingSink —
     // MetricsFeedSource's write-side twin, the reference's uploadEvents
     // emit half as a V2 BatchWrite): per-task writers stream rows and
@@ -1450,6 +1478,21 @@ object RelationalQueries {
         |    (id * 2654435761) % 100000 AS value
         |  FROM range(0, 300000) t(id)
         |  WHERE id < 240000) u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q62_runtime_prune" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(min(id) AS BIGINT) AS min_id,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 300000) t(id)) u
+        |JOIN (SELECT k * 100 AS ref_id FROM range(0, 3000) d(k)
+        |  WHERE k >= 1200 AND k < 1500) d ON u.id = d.ref_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q61_clustered_source" ->

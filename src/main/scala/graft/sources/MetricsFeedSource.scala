@@ -5,7 +5,8 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{SortDirection, Transform, Expression => V2Expression, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, SortDirection, Transform, Expression => V2Expression, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
@@ -62,6 +63,8 @@ object MetricsFeedSource {
   @volatile var lastPushedAggregation: String = ""
   // limit/top-N pushdown observable: "limit:N" or "topn:N" when folded
   @volatile var lastPushedLimit: String = ""
+  // runtime (DPP) filtering observable: the clamped range + values seen
+  @volatile var lastRuntimeFilter: String = ""
   val rowsEmitted = new java.util.concurrent.atomic.AtomicLong(0L)
   // streaming observable: the distinct non-empty offset intervals
   // planned (local-mode/test hook; Spark may re-plan one micro-batch
@@ -356,8 +359,41 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
     required: StructType, pushed: Array[Filter],
     streamStep: Long = 25000L, clusterByKind: Boolean = false,
     pushedLimit: String = "") extends Scan with Batch
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
+  // the statically-pushed range, further clamped at RUNTIME when a join
+  // delivers the build side's id set (dynamic pruning)
+  private var rlo = lo
+  private var rhi = hi
   override def readSchema(): StructType = required
+
+  // ---- SupportsRuntimeV2Filtering (q62 — the LAST pushdown face after
+  // static predicates q51, aggregates q58, limit/top-n + declared
+  // partitioning q61): joining the feed to a selective dim on `id`
+  // makes the optimizer plant a DynamicPruningSubquery; once the build
+  // side materializes, its id VALUES arrive here as an IN predicate and
+  // the scan re-plans — slices outside [min, max+1] of the delivered
+  // set are never read. This is DPP generalized to a V2 source: the
+  // probe side's planned volume is decided by the OTHER side's data at
+  // RUNTIME, not by any static predicate.
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("id"))
+  override def filter(predicates: Array[Predicate]): Unit = {
+    predicates.foreach { p =>
+      val vals: Seq[Long] = p.name() match {
+        case "IN" | "=" => p.children().toSeq.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.value.isInstanceOf[Long] => l.value.asInstanceOf[Long]
+        }
+        case _ => Seq.empty
+      }
+      if (vals.nonEmpty) {
+        rlo = math.max(rlo, vals.min)
+        rhi = math.min(rhi, vals.max + 1)
+        MetricsFeedSource.lastRuntimeFilter =
+          s"${p.name()}:${vals.length} -> [$rlo,$rhi)"
+      }
+    }
+  }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -367,6 +403,7 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       (if (pushedLimit.nonEmpty) s"PushedLimit: $pushedLimit, " else "") +
       (if (clusterByKind) "KeyGroupedBy: [kind], " else "") +
+      "RuntimeFilterable: [id], " +
       s"ReadSchema: ${required.simpleString}"
 
   // ---- SupportsReportPartitioning (q61): the source DECLARES that its
@@ -391,20 +428,21 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
         // one stride-3 split per kind; every split carries its partition
         // key (HasPartitionKey — without it Spark ignores the report)
         (0 until 3).map { k =>
-          MetricsFeedKindPartition(lo, hi, k): InputPartition
+          MetricsFeedKindPartition(rlo, rhi, k): InputPartition
         }.toArray
       } else {
         // fixed-width slices of the FULL row space (the feed's "files");
-        // slices wholly outside the pushed range never plan
+        // slices wholly outside the pushed (or runtime-clamped) range
+        // never plan
         val width = math.max(1L, (rows + parts - 1) / parts)
         (0L until rows by width).flatMap { s =>
-          val a = math.max(s, lo)
-          val b = math.min(s + width, hi)
+          val a = math.max(s, rlo)
+          val b = math.min(s + width, rhi)
           if (a < b) Some(MetricsFeedPartition(a, b): InputPartition) else None
         }.toArray
       }
     MetricsFeedSource.lastPlannedPartitions = slices.length
-    MetricsFeedSource.lastPlannedRange = (lo, hi)
+    MetricsFeedSource.lastPlannedRange = (rlo, rhi)
     slices
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -1028,6 +1028,28 @@ class PlanSpec extends AnyFunSuite {
     assert(desc.head.getLong(0) == 199999L)
   }
 
+  test("q62: the dim's id values RUNTIME-prune the V2 scan — dynamicpruningexpression in-plan, range clamped") {
+    import graft.sources.MetricsFeedSource
+    MetricsFeedSource.lastRuntimeFilter = ""
+    val df = SparkEntry.queries("q62_runtime_prune")(spark, sf)
+    val out = df.collect()
+    assert(out.length == 3)
+    val p = df.queryExecution.executedPlan.toString
+    // the optimizer planted the dynamic-pruning subquery against the
+    // scan's declared filterAttributes
+    assert(p.contains("dynamicpruningexpression"), p)
+    assert(p.contains("RuntimeFilterable: [id]"), p)
+    // ...and at execution the 300 build-side values clamped the planned
+    // range to their [min, max+1): slices outside never read
+    assert(MetricsFeedSource.lastRuntimeFilter == "IN:300 -> [120000,149901)",
+      MetricsFeedSource.lastRuntimeFilter)
+    assert(MetricsFeedSource.lastPlannedRange == ((120000L, 149901L)))
+    // 16 static slices of 300k → width 18750; [120000, 149901) spans 2
+    assert(MetricsFeedSource.lastPlannedPartitions == 2)
+    // pruning is a superset — the join still verified exactly
+    assert(out.map(_.getLong(1)).sum == 300L)
+  }
+
   test("q59: SQL UDF bodies are INLINED — no UDF invocation node survives analysis") {
     val df = SparkEntry.queries("q59_sql_udf")(spark, sf)
     assert(df.collect().nonEmpty)
