@@ -1161,6 +1161,86 @@ object Multimodal {
       }
   }
 
+  // ------------------------------ video frames + scene cuts (x23)
+
+  case class SceneCuts(doc_id: Long, n_frames: Int, width: Int, height: Int,
+      n_cuts: Int, cut_frames: String, first_luma: Int, valid: Boolean)
+
+  /** Raw gray frame SEQUENCE ("GVID8" + be16 n/w/h + n·w·h pixels —
+    * codec-free, oracle closed-form): 24 frames of 16×12, segmented into
+    * 2 + doc_id%3 equal-length scenes. All pixels of a frame carry the
+    * scene's luma: 60 + 100·(scene%2) + doc_id%5 (the doc offset shifts
+    * every frame equally, so deltas — what the detector sees — are
+    * invariant to it). Adjacent scenes differ by exactly 100 luma;
+    * intra-scene delta is 0. doc_id%13==5 payloads are truncated
+    * mid-frame (the crawl-reality tamper path). */
+  def synthVideoScenes(id: Long): Array[Byte] = {
+    val nFrames = 24; val w = 16; val h = 12
+    val nScenes = 2 + (id % 3).toInt
+    val perScene = nFrames / nScenes
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GVID8".getBytes("US-ASCII"))
+    out.write(Array[Byte]((nFrames >> 8).toByte, nFrames.toByte,
+      (w >> 8).toByte, w.toByte, (h >> 8).toByte, h.toByte))
+    val px = new Array[Byte](nFrames * w * h)
+    var f = 0
+    while (f < nFrames) {
+      val scene = math.min(f / perScene, nScenes - 1)
+      val luma = 60 + 100 * (scene % 2) + (id % 5).toInt
+      java.util.Arrays.fill(px, f * w * h, (f + 1) * w * h, luma.toByte)
+      f += 1
+    }
+    out.write(px)
+    val full = out.toByteArray
+    if (id % 13 == 5) full.take(11 + 7 * w * h + 37) else full
+  }
+
+  /** Scene-cut detection over decoded frames — the keyframe-extraction
+    * op of a vision-training pipeline (x8 reads the container's
+    * metadata; this reads the CONTENT): per-frame integer mean luma,
+    * a cut wherever |mean_f − mean_{f−1}| ≥ 25 (scene deltas are 100,
+    * intra-scene 0 — the threshold sits far from both). Truncated
+    * payloads fail valid rather than reporting a partial cut list. */
+  def decodeSceneCuts(id: Long, bytes: Array[Byte]): SceneCuts = {
+    val bad = SceneCuts(id, 0, 0, 0, 0, "", 0, valid = false)
+    if (bytes.length < 11 || new String(bytes, 0, 5, "US-ASCII") != "GVID8")
+      return bad
+    def u16(o: Int) = ((bytes(o) & 0xFF) << 8) | (bytes(o + 1) & 0xFF)
+    val n = u16(5); val w = u16(7); val h = u16(9)
+    if (n <= 0 || w <= 0 || h <= 0 || bytes.length != 11 + n * w * h)
+      return bad
+    val means = new Array[Int](n)
+    var f = 0
+    while (f < n) {
+      var sum = 0L
+      var i = 0
+      while (i < w * h) { sum += bytes(11 + f * w * h + i) & 0xFF; i += 1 }
+      means(f) = (sum / (w * h)).toInt
+      f += 1
+    }
+    val cuts = (1 until n).filter(f => math.abs(means(f) - means(f - 1)) >= 25)
+    SceneCuts(id, n, w, h, cuts.length, cuts.mkString(","), means(0),
+      valid = true)
+  }
+
+  def synthesizeVideoScenes(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => BinaryDoc(id, synthVideoScenes(id)))).toDF()
+  }
+
+  def decodeScenes(docs: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): Dataset[SceneCuts] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[BinaryDoc]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap(_.map(d => decodeSceneCuts(d.doc_id, d.payload)))
+      }
+  }
+
   // ------------------------------------------------------------ utf-8
 
   case class Utf8Audit(doc_id: Long, n_bytes: Int, n_ascii: Int,

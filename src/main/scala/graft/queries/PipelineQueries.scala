@@ -1065,6 +1065,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // video SCENE-CUT detection (x8 reads the container's metadata;
+    // this reads the CONTENT — the keyframe-extraction op a
+    // vision-training pipeline runs to pick one frame per scene):
+    // 24-frame raw gray sequences decode map-side to per-frame integer
+    // mean luma; a cut fires where |Δmean| ≥ 25 between consecutive
+    // frames (planted scene deltas are 100, intra-scene 0 — the
+    // threshold sits far from both, and the doc-dependent luma offset
+    // shifts every frame equally so deltas are invariant to it).
+    // Truncated payloads (doc_id%13==5) fail valid rather than
+    // reporting a partial cut list. Map-side decode, payload bytes
+    // never shuffle (x-family contract); oracle closed-form from the
+    // synthesis (scene count 2 + doc_id%3 fixes the cut positions).
+    "x23_scene_cuts" -> { (s, dir) =>
+      val payloads = Multimodal.synthesizeVideoScenes(Tables.documents(s, dir))
+      Multimodal.decodeScenes(payloads, "doc_id", "payload").toDF()
+        .orderBy(col("doc_id"))
+    },
+
     // CURATION-POLICY LEDGER (the "why was this doc dropped" audit
     // artifact a corpus release ships next to p26's data card — round-11
     // verdict missing #5): every existing gate renders ONE per-doc
@@ -3527,6 +3545,25 @@ object PipelineQueries {
         |  CAST(CASE WHEN coalesce(min_n, d.doc_id) < d.doc_id THEN 1 ELSE 0 END
         |    AS INT) AS is_dup
         |FROM documents d LEFT JOIN ne USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // closed-form from the synthesis: scenes = 2 + doc_id%3 equal
+    // slices of 24 frames → cuts at the slice boundaries; first luma =
+    // 60 + doc_id%5; %13==5 truncated → invalid zeros
+    "x23_scene_cuts" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 13 = 5 THEN 0 ELSE 24 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 13 = 5 THEN 0 ELSE 16 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 13 = 5 THEN 0 ELSE 12 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 13 = 5 THEN 0
+        |    ELSE 1 + doc_id % 3 END AS INT) AS n_cuts,
+        |  CASE WHEN doc_id % 13 = 5 THEN ''
+        |    WHEN doc_id % 3 = 0 THEN '12'
+        |    WHEN doc_id % 3 = 1 THEN '8,16'
+        |    ELSE '6,12,18' END AS cut_frames,
+        |  CAST(CASE WHEN doc_id % 13 = 5 THEN 0
+        |    ELSE 60 + doc_id % 5 END AS INT) AS first_luma,
+        |  doc_id % 13 <> 5 AS valid
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // each gate's own oracle form composed as CTEs over the shared `w`
     // word split: d7's nd drop set, d23's window duplication, t2's

@@ -441,4 +441,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(st.valid && st.orientation == 1 && st.byte_order == "none")
     assert(ham(up, st) == 0)
   }
+
+  test("scene cuts: planted boundaries detected, doc luma offset invariant, truncation fails valid") {
+    def cuts(id: Long) = Multimodal.decodeSceneCuts(id, Multimodal.synthVideoScenes(id))
+    // 2 scenes (id%3==0) -> one cut at frame 12; 3 -> 8,16; 4 -> 6,12,18
+    assert(cuts(0L).cut_frames == "12" && cuts(0L).n_cuts == 1)
+    assert(cuts(1L).cut_frames == "8,16" && cuts(1L).n_cuts == 2)
+    assert(cuts(2L).cut_frames == "6,12,18" && cuts(2L).n_cuts == 3)
+    // the per-doc luma offset shifts every frame equally: same scene
+    // structure -> identical cuts, different first_luma
+    assert(cuts(0L).cut_frames == cuts(12L).cut_frames)
+    assert(cuts(0L).first_luma == 60 && cuts(3L).first_luma == 63)
+    // truncated payload (id%13==5) must fail valid, not emit partial cuts
+    assert(!cuts(5L).valid && cuts(5L).cut_frames == "")
+    // a hand-truncated otherwise-valid payload also fails
+    assert(!Multimodal.decodeSceneCuts(0L,
+      Multimodal.synthVideoScenes(0L).dropRight(1)).valid)
+  }
 }
