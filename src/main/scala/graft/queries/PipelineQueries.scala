@@ -570,7 +570,12 @@ object PipelineQueries {
       val perCfg = cand.groupBy(col("cfg")).agg(count(lit(1)).as("n_candidates"))
       val found = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
         .groupBy(col("cfg")).agg(count(lit(1)).as("n_found"))
-      val precise = cand
+      // the config candidate sets NEST ((2,4) ⊆ (4,2) ⊆ (8,1): a
+      // matching slot-pair implies its matching slots), so the exact
+      // Jaccard verification runs ONCE per distinct pair and each
+      // config's precise count attributes by membership — not once per
+      // (config, pair)
+      val verified = cand.select(col("id_a"), col("id_b")).distinct()
         .join(sets.toDF("_id", "set_a"), col("id_a") === col("_id")).drop("_id")
         .join(sets.toDF("_id", "set_b"), col("id_b") === col("_id")).drop("_id")
         .withColumn("inter",
@@ -578,6 +583,8 @@ object PipelineQueries {
         .withColumn("uni",
           (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
         .filter(col("inter") * 10000 >= col("uni") * 8000)
+        .select(col("id_a"), col("id_b"))
+      val precise = cand.join(verified, Seq("id_a", "id_b"), "left_semi")
         .groupBy(col("cfg")).agg(count(lit(1)).as("n_precise"))
       perCfg
         .join(found, Seq("cfg"), "left")
@@ -1111,16 +1118,25 @@ object PipelineQueries {
     // gates' own scale stories apply unchanged); the ledger adds only
     // doc-grain equi-joins of narrow verdict columns.
     "p27_curation_ledger" -> { (s, dir) =>
+      import graft.sources.DerivedLayouts
       val docs = Tables.documents(s, dir)
-      val nd = Dedup.jaccardVerify(
-          Dedup.lshCandidates(docs, "doc_id", "text", bands = 4, rows = 2),
-          docs, "doc_id", "text", threshold = 0.5)
-        .select(col("id_b").as("doc_id")).distinct()
-        .withColumn("_nd", lit(1))
+      // the two expensive gate verdicts persist once (the s24 posture:
+      // d7 and t14 are the keys that MEASURE those pipelines live; the
+      // ledger is an audit JOIN over verdicts, not a recompute)
+      val base = DerivedLayouts.once(s"ledgergates|$dir") { path =>
+        Dedup.jaccardVerify(
+            Dedup.lshCandidates(docs, "doc_id", "text", bands = 4, rows = 2),
+            docs, "doc_id", "text", threshold = 0.5)
+          .select(col("id_b").as("doc_id")).distinct()
+          .write.parquet(s"$path/nd")
+        repetitionFrame(docs).select(col("doc_id"), col("dup_tri_bp"))
+          .write.parquet(s"$path/rep")
+      }
+      val nd = s.read.parquet(s"$base/nd").withColumn("_nd", lit(1))
       val sub = Dedup.substringDupReport(docs, "doc_id", "text", w = 16, stride = 1)
         .select(col("doc_id"), col("dup_bp"))
       val q = qualityFrame(docs).select(col("doc_id"), col("n_tokens"), col("quality"))
-      val rep = repetitionFrame(docs).select(col("doc_id"), col("dup_tri_bp"))
+      val rep = s.read.parquet(s"$base/rep")
       docs.select(col("doc_id"))
         .join(nd, Seq("doc_id"), "left")
         .join(sub, Seq("doc_id"), "left")
