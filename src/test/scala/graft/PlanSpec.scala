@@ -768,14 +768,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), p)
   }
 
-  test("d22: the sweep's final plan re-hashes NOTHING — signatures/truth/sets are checkpointed once") {
+  test("d22: the sweep's final plan re-hashes NOTHING — candidates checkpointed, truth read from the artifact") {
     val p = plan("d22_banding_sweep")
-    // the signature pass, the exact truth, and the shingle sets all
-    // materialize via localCheckpoint at construction; the measured
-    // plan must read them as ExistingRDD with zero md5/shingle recompute
+    // the signature/candidate pass and the shingle sets materialize via
+    // localCheckpoint at construction; the exact truth is the PERSISTED
+    // simtruth artifact (paid once — d20 is the key that measures the
+    // live join); the measured plan reads ExistingRDDs + the artifact
+    // FileScan with zero md5/shingle recompute
     assert(p.contains("ExistingRDD"), p)
     assert(!p.contains("md5"), p)
-    assert(!p.contains("parquet"), p)
+    assert(p.contains("simtruth"), p)
   }
 
   test("s18: the probe sweep runs ONE corpus cell-assignment, not one per probe level") {
