@@ -1165,6 +1165,48 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // mixture REWEIGHTING via multiplicative weights (the DoReMi-class
+    // domain-weight tuner — Xie et al. 2023 learn domain weights by
+    // iteratively upweighting domains with excess signal; the update
+    // rule is the classic multiplicative-weights method, Arora-Hazan-
+    // Kale 2012): per-source mean quality (2-decimal fixed point) is
+    // the domain signal, and three unrolled MW rounds shift weight
+    // toward sources whose signal exceeds the CURRENT mixture mean —
+    // the mixture mean moves as weights move, which is what makes this
+    // an iteration and not a one-shot ranking. Pure integer arithmetic
+    // end to end (scaled weights, truncating div — both engines agree
+    // on negative truncation), so the oracle replays the identical
+    // recurrence. Scale shape: one corpus pass for the per-source
+    // aggregate; every MW round runs on |sources| aggregate rows with
+    // a broadcast 1-row total — the iteration costs nothing at 100 TB.
+    "p28_mixture_reweight" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val dq = qualityFrame(docs)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("quality")).as("_sq"))
+        .withColumn("qs", expr("_sq * 100 div n_docs"))
+        .drop("_sq")
+        // the corpus pass materializes ONCE (|sources| rows): each MW
+        // round's total + update branch would otherwise re-evaluate the
+        // whole aggregate lineage (the N-branch rescan trap)
+        .localCheckpoint()
+      var r = dq.withColumn("w", lit(10000L))
+      for (_ <- 1 to 3) {
+        val tot = r.agg(sum(expr("w * qs")).as("_wq"), sum(col("w")).as("_ws"))
+        r = r.crossJoin(broadcast(tot))
+          .withColumn("w",
+            expr("w * (10000 + (qs - _wq div _ws) * 2) div 10000"))
+          .drop("_wq", "_ws")
+      }
+      val tw = r.agg(sum(col("w")).as("_tw"))
+      r.crossJoin(broadcast(tw))
+        .select(col("source"), col("n_docs"), col("qs"),
+          col("w").as("w_final"),
+          expr("w * 10000 div _tw").as("mix_bp"))
+        .orderBy(col("source"))
+    },
+
     // PII redaction: regex scrubbing of emails / IPv4s / long digit runs
     // with per-doc detection counts and a hash of the redacted text.
     // The documents text is digit-free word soup, so a deterministic
@@ -3593,6 +3635,37 @@ object PipelineQueries {
         |    ELSE 60 + doc_id % 5 END AS INT) AS first_luma,
         |  doc_id % 13 <> 5 AS valid
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the identical integer MW recurrence unrolled (negative division
+    // truncates toward zero in BOTH engines — the verified invariant);
+    // every sum wrapped CAST BIGINT against DuckDB's HUGEINT
+    "p28_mixture_reweight" -> {
+      val en = TextFunctions.enStop.map(w => s"'$w'").mkString(", ")
+      def round(i: Int): String =
+        s"""t$i AS (SELECT CAST(sum(w * qs) AS BIGINT) AS wq,
+           |    CAST(sum(w) AS BIGINT) AS ws FROM r${i - 1}),
+           |r$i AS (SELECT source, n_docs, qs,
+           |    w * (10000 + (qs - (SELECT wq // ws FROM t$i)) * 2) // 10000 AS w
+           |  FROM r${i - 1})""".stripMargin
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS wd
+         |  FROM documents),
+         |qf AS (SELECT doc_id,
+         |    CAST(floor(CAST(len(list_distinct(wd)) AS DOUBLE) / len(wd) * 50.0 +
+         |      CAST(len(list_filter(wd, x -> x IN ($en))) AS DOUBLE) / len(wd) * 20.0 +
+         |      CAST(least(len(wd), 100) AS DOUBLE) / 100.0 * 30.0) AS INT) AS quality
+         |  FROM w),
+         |dq AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(CAST(sum(quality) AS BIGINT) * 100 // count(*) AS BIGINT) AS qs
+         |  FROM qf JOIN documents d USING (doc_id) GROUP BY 1),
+         |r0 AS (SELECT source, n_docs, qs, CAST(10000 AS BIGINT) AS w FROM dq),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |tw AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM r3)
+         |SELECT source, n_docs, qs, CAST(w AS BIGINT) AS w_final,
+         |  CAST(w * 10000 // (SELECT tw FROM tw) AS BIGINT) AS mix_bp
+         |FROM r3 ORDER BY source""".stripMargin
+    },
 
     // each gate's own oracle form composed as CTEs over the shared `w`
     // word split: d7's nd drop set, d23's window duplication, t2's

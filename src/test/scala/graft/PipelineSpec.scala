@@ -619,6 +619,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(byRule.getOrElse("none", 0) > 0 && byRule.size >= 3, byRule.toString)
   }
 
+  test("p28: MW shifts weight toward above-mixture-quality sources; shares sum to ~10000") {
+    val out = SparkEntry.queries("p28_mixture_reweight")(spark, sf).collect()
+    assert(out.length > 1)
+    val best = out.maxBy(_.getAs[Long]("qs"))
+    val worst = out.minBy(_.getAs[Long]("qs"))
+    // the extreme domains sit strictly above/below the weighted mean in
+    // every round, so three multiplicative updates move them apart
+    assert(best.getAs[Long]("w_final") > 10000L, best.toString)
+    assert(worst.getAs[Long]("w_final") < 10000L, worst.toString)
+    // floor-divided shares: sum within |domains| of exactly 10000
+    val tot = out.map(_.getAs[Long]("mix_bp")).sum
+    assert(tot <= 10000L && tot >= 10000L - out.length, tot.toString)
+  }
+
   test("hammingNearDup: hot band sub-splits instead of going quadratic; cold verdicts unchanged") {
     import spark.implicits._
     def sig(w0: Long, w1: Long, w2: Long, w3: Long): (Long, Long) =
