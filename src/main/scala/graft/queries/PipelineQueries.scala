@@ -1165,6 +1165,57 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // VERBATIM-overlap audit (the memorization metric d10's weighted
+    // n-gram contamination does not report — publications report the
+    // LONGEST shared token run between eval and training text, Lee et
+    // al. 2021 / Carlini et al. 2022): even-id docs are the training
+    // half, odd-id docs the eval half; 8-token stride-1 window
+    // fingerprints mark shared positions, and a gaps-and-islands pass
+    // (position − row_number, per-doc window — never global) turns
+    // consecutive shared windows into runs: longest run r ⇒ r + 7
+    // verbatim tokens. Per-eval-doc rows with share-of-doc bp. Scale
+    // shape: one window-fingerprint shuffle (the d23 cost class), a
+    // semi-join against the train fingerprint set, and per-doc windows
+    // over only the SHARED positions.
+    "t31_verbatim_overlap" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val wins = docs
+        .select(col("doc_id"), Dedup.words(col("text")).as("tk"))
+        .select(col("doc_id"),
+          explode(expr("CASE WHEN size(tk) >= 8 " +
+            "THEN sequence(1, size(tk) - 7) ELSE array() END")).as("i"),
+          col("tk"))
+        .select(col("doc_id"), col("i"),
+          expr("md5(concat_ws(' ', slice(tk, i, 8)))").as("fp"))
+      val trainFps = wins.filter(col("doc_id") % 2 === 0)
+        .select(col("fp")).distinct()
+      val shared = wins.filter(col("doc_id") % 2 === 1)
+        .join(trainFps, Seq("fp"), "left_semi")
+        .select(col("doc_id"), col("i"))
+      val runs = shared
+        .withColumn("grp", col("i") - row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+        .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("run")).as("longest_run_win"),
+          sum(col("run")).as("n_shared_win"))
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), size(Dedup.words(col("text"))).as("n_tokens"))
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CAST(greatest(n_tokens - 7, 0) AS BIGINT)").as("n_windows"),
+          coalesce(col("n_shared_win"), lit(0L)).as("n_shared_win"),
+          coalesce(col("longest_run_win"), lit(0L)).as("longest_run_win"),
+          expr("CAST(CASE WHEN coalesce(longest_run_win, 0) > 0 " +
+            "THEN longest_run_win + 7 ELSE 0 END AS BIGINT)")
+            .as("verbatim_tokens"))
+        .withColumn("verbatim_bp",
+          expr("CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE verbatim_tokens * 10000 div n_tokens END"))
+        .orderBy(col("doc_id"))
+    },
+
     // mixture REWEIGHTING via multiplicative weights (the DoReMi-class
     // domain-weight tuner — Xie et al. 2023 learn domain weights by
     // iteratively upweighting domains with excess signal; the update
@@ -3635,6 +3686,37 @@ object PipelineQueries {
         |    ELSE 60 + doc_id % 5 END AS INT) AS first_luma,
         |  doc_id % 13 <> 5 AS valid
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // d23's window-fingerprint form + the gaps-and-islands recurrence
+    // (i − row_number constant per consecutive run)
+    "t31_verbatim_overlap" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS wd
+        |  FROM documents),
+        |win AS (SELECT doc_id, i, md5(array_to_string(wd[i:i+7], ' ')) AS fp
+        |  FROM (SELECT doc_id, wd, unnest(generate_series(1, len(wd) - 7)) AS i
+        |    FROM w WHERE len(wd) >= 8) z),
+        |tr AS (SELECT DISTINCT fp FROM win WHERE doc_id % 2 = 0),
+        |sh AS (SELECT doc_id, i FROM win
+        |  WHERE doc_id % 2 = 1 AND fp IN (SELECT fp FROM tr)),
+        |runs AS (SELECT doc_id,
+        |    i - CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS grp
+        |  FROM sh),
+        |agg AS (SELECT doc_id, CAST(max(run) AS BIGINT) AS longest_run_win,
+        |    CAST(sum(run) AS BIGINT) AS n_shared_win
+        |  FROM (SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run
+        |    FROM runs GROUP BY 1, 2) r GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(wd) AS INT) AS n_tokens,
+        |  CAST(greatest(len(wd) - 7, 0) AS BIGINT) AS n_windows,
+        |  CAST(coalesce(n_shared_win, 0) AS BIGINT) AS n_shared_win,
+        |  CAST(coalesce(longest_run_win, 0) AS BIGINT) AS longest_run_win,
+        |  CAST(CASE WHEN coalesce(longest_run_win, 0) > 0
+        |    THEN longest_run_win + 7 ELSE 0 END AS BIGINT) AS verbatim_tokens,
+        |  CAST(CASE WHEN len(wd) = 0 THEN 0
+        |    WHEN coalesce(longest_run_win, 0) > 0
+        |    THEN (longest_run_win + 7) * 10000 // len(wd)
+        |    ELSE 0 END AS BIGINT) AS verbatim_bp
+        |FROM w d LEFT JOIN agg USING (doc_id)
+        |WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin,
 
     // the identical integer MW recurrence unrolled (negative division
     // truncates toward zero in BOTH engines — the verified invariant);
