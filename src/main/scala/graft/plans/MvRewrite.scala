@@ -74,6 +74,31 @@ object MvRewrite extends Rule[LogicalPlan] {
     bytes.map(b => f"$b%02x").mkString
   }
 
+  // A FileIndex's listing is resolved at analysis and immutable for the
+  // life of the instance, so the O(files) sort+hash above runs ONCE per
+  // FileIndex — not once per optimizer invocation × fixed-point re-run
+  // (a large fact has thousands of files; the rule fires on every
+  // Aggregate). IDENTITY-keyed, deliberately: InMemoryFileIndex defines
+  // equals by root paths, so an equals-keyed cache would hand a fresh
+  // post-rewrite FileIndex the STALE fingerprint and defeat the
+  // freshness veto. Bounded (cleared at 64 entries) instead of weak —
+  // the JDK has no identity+weak map, and the population is one index
+  // per fact read, so the clear is a re-hash, not a correctness event.
+  private val fpCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.IdentityHashMap[AnyRef, String]())
+  private def fingerprintCached(fs: HadoopFsRelation): String = {
+    val key: AnyRef = fs.location
+    val hit = fpCache.get(key)
+    if (hit != null) hit
+    else {
+      val fp = listingFingerprint(fs)
+      if (fpCache.size() >= 64) fpCache.clear()
+      fpCache.put(key, fp)
+      fp
+    }
+  }
+
   private def relationOf(plan: LogicalPlan): Option[HadoopFsRelation] =
     plan match {
       case lr: LogicalRelation => lr.relation match {
@@ -108,7 +133,7 @@ object MvRewrite extends Rule[LogicalPlan] {
           // freshness veto: the fact's CURRENT listing must still match
           // the one fingerprinted at register time — rewritten/compacted
           // fact files silently invalidate the MV
-          reg.factFingerprint.forall(_ == listingFingerprint(fs))
+          reg.factFingerprint.forall(_ == fingerprintCached(fs))
       case _ => false
     }
     case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>

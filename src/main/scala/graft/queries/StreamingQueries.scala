@@ -95,8 +95,12 @@ object StreamingQueries {
       // job — CORRECTNESS runs the clean 3-epoch ingest
       val cp = new java.io.File(
         sys.props("java.io.tmpdir"), "graft_st20_checkpoint")
+      // symlink-safe: File.isDirectory follows links, so recursing
+      // through a planted symlink under the fixed /tmp path would delete
+      // the TARGET's contents — unlink the link itself instead
       def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(rm))
+        if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles).foreach(_.foreach(rm))
         f.delete(); ()
       }
       rm(cp)

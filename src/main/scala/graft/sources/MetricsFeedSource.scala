@@ -251,9 +251,25 @@ class MetricsFeedMicroBatch(rows: Long, parts: Int, step: Long,
   // StreamingSpec pins the restart).
   override def initialOffset(): Offset = MetricsFeedOffset(0L)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(step.toInt)
+  // honor the ENGINE-supplied limit, not the captured step: under
+  // Trigger.AvailableNow or an engine-composed limit the admission
+  // contract is that availability advances by what the engine allows
+  // (min over a composite's max-rows components; allAvailable admits
+  // the full remainder). The default limit above IS maxRows(step), so
+  // steady-state epochs are unchanged.
+  private def admit(limit: ReadLimit): Long = limit match {
+    case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+      rows
+    case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+      r.maxRows()
+    case c: org.apache.spark.sql.connector.read.streaming.CompositeReadLimit =>
+      val caps = c.getReadLimits.map(admit)
+      if (caps.isEmpty) step else caps.min
+    case _ => step // ReadMinRows etc. impose no cap — fall back to the step
+  }
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[MetricsFeedOffset].hwm
-    MetricsFeedOffset(math.min(rows, s + step))
+    MetricsFeedOffset(math.min(rows, s + admit(limit)))
   }
   override def latestOffset(): Offset =
     // the engine never calls the stateless-source form on an
@@ -360,10 +376,18 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
     streamStep: Long = 25000L, clusterByKind: Boolean = false,
     pushedLimit: String = "") extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
-  // the statically-pushed range, further clamped at RUNTIME when a join
-  // delivers the build side's id set (dynamic pruning)
-  private var rlo = lo
-  private var rhi = hi
+  // Runtime (DPP) clamp: filter() only RECORDS the delivered id bounds;
+  // planInputPartitions combines them with the statically-pushed [lo, hi)
+  // per invocation. Keeping the static range immutable means a repeated
+  // or re-entrant filter() call can never compound destructively, and
+  // the planned range is always derivable from (static push, last
+  // runtime delivery). One Scan instance must still not be SHARED by two
+  // plan subtrees — a clamp delivered for one join narrows the other —
+  // but each DataFrame plan builds its own ScanBuilder/Scan, so sharing
+  // requires deliberate plan surgery.
+  @volatile private var runtimeClamp: Option[(Long, Long)] = None
+  private def rlo: Long = math.max(lo, runtimeClamp.map(_._1).getOrElse(lo))
+  private def rhi: Long = math.min(hi, runtimeClamp.map(_._2).getOrElse(hi))
   override def readSchema(): StructType = required
 
   // ---- SupportsRuntimeV2Filtering (q62 — the LAST pushdown face after
@@ -378,6 +402,11 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column("id"))
   override def filter(predicates: Array[Predicate]): Unit = {
+    // combine all predicates delivered in THIS call, then record the
+    // result — never narrow an already-recorded clamp in place
+    var cLo = Long.MinValue
+    var cHi = Long.MaxValue
+    var seen = 0
     predicates.foreach { p =>
       val vals: Seq[Long] = p.name() match {
         case "IN" | "=" => p.children().toSeq.collect {
@@ -387,11 +416,14 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
         case _ => Seq.empty
       }
       if (vals.nonEmpty) {
-        rlo = math.max(rlo, vals.min)
-        rhi = math.min(rhi, vals.max + 1)
-        MetricsFeedSource.lastRuntimeFilter =
-          s"${p.name()}:${vals.length} -> [$rlo,$rhi)"
+        cLo = math.max(cLo, vals.min)
+        cHi = math.min(cHi, vals.max + 1)
+        seen += vals.length
       }
+    }
+    if (seen > 0) {
+      runtimeClamp = Some((cLo, cHi))
+      MetricsFeedSource.lastRuntimeFilter = s"IN:$seen -> [$rlo,$rhi)"
     }
   }
   override def toBatch: Batch = this

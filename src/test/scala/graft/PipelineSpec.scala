@@ -683,4 +683,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(uncapped(400L) == ((1L, 400L, 0)))
     Seq(0L, 1L, 2L).foreach(id => assert(uncapped(id) == capped(id)))
   }
+
+  test("d25/d26/d27 band buckets stay under the hammingNearDup cap at every gated SF " +
+      "(the capped Spark plan == uncapped DuckDB oracle exactness contract)") {
+    // hammingNearDup drops pairs only from a band bucket > maxBucket
+    // whose opposite-word sub-split is ALSO > maxBucket; the d25/d26/d27
+    // oracles are uncapped all-band-pair joins, so exactness requires no
+    // bucket at the CORRECTNESS-gated SFs (sf0.001/sf0.01) — and the
+    // benched sf0.1 — to exceed the cap. This is that gate: if the
+    // generator's group sizes ever grow past it, this fails before the
+    // driver's hash compare does.
+    val cap = 256L
+    def maxBucket(sigs: org.apache.spark.sql.DataFrame): Long =
+      sigs.select(col("doc_id"),
+          explode(array(
+            struct(lit(0).as("b"), expr("sig_lo % 65536").as("v")),
+            struct(lit(1).as("b"), expr("sig_lo div 65536").as("v")),
+            struct(lit(2).as("b"), expr("sig_hi % 65536").as("v")),
+            struct(lit(3).as("b"), expr("sig_hi div 65536").as("v")))).as("_bv"))
+        .groupBy(col("_bv.b"), col("_bv.v")).count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+      .filter(d => new java.io.File(d).isDirectory)
+    assert(dirs.size >= 2, s"expected gated SF dirs, found $dirs")
+    for (d <- dirs) {
+      val docs = Tables.documents(spark, d)
+      val image = Multimodal.decodeGray(
+        Multimodal.synthesizeGray(docs), "doc_id", "payload").toDF()
+        .filter(col("valid")).select(col("doc_id"), col("sig_lo"), col("sig_hi"))
+      val audio = Multimodal.decodeAudioFp(
+        Multimodal.synthesizeAudioFp(docs), "doc_id", "payload").toDF()
+        .filter(col("valid")).select(col("doc_id"), col("sig_lo"), col("sig_hi"))
+      val orient = Multimodal.decodeOriented(
+        Multimodal.synthesizeGrayOriented(docs), "doc_id", "payload").toDF()
+        .filter(col("valid")).select(col("doc_id"), col("sig_lo"), col("sig_hi"))
+      for ((name, sigs) <- Seq("d25" -> image, "d26" -> audio, "d27" -> orient)) {
+        val m = maxBucket(sigs)
+        assert(m <= cap,
+          s"$name at $d: max band-bucket population $m exceeds the " +
+            s"hammingNearDup cap $cap — the capped plan can now drop pairs " +
+            "the uncapped oracle reports; mirror the cap in the oracle or " +
+            "raise maxBucket")
+      }
+    }
+  }
 }
