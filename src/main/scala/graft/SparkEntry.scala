@@ -14,12 +14,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ MonitoringQueries.queries ++
       PipelineQueries.queries ++ StreamingQueries.queries ++
-      SamplingQueries.queries
+      SamplingQueries.queries ++ CatalogQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ MonitoringQueries.oracles ++
       PipelineQueries.oracles ++ StreamingQueries.oracles ++
-      SamplingQueries.oracles
+      SamplingQueries.oracles ++ CatalogQueries.oracles
 }

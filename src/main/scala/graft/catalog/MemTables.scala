@@ -1,0 +1,281 @@
+package graft.catalog
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.{And => V2And, Not => V2Not, Or => V2Or, Predicate}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** In-memory tables under the graft catalog's `mem` namespace — the
+  * ROW-LEVEL-OPERATIONS face of the connector matrix (read q51, write
+  * q52, stream st19/st20, pushdown q58/q61/q62 — this adds the DML
+  * protocol a lakehouse table format plugs into): CREATE TABLE through
+  * TableCatalog.createTable, INSERT INTO through a commit-message
+  * BatchWrite (task writers surrender their buffered rows ONLY in
+  * WriterCommitMessages; the driver folds exactly the one successful
+  * attempt per task — the q52 exactly-once contract), and DELETE FROM
+  * through SupportsDeleteV2: Spark translates the WHERE into V2
+  * Predicates, canDeleteWhere vets that EVERY predicate is evaluable
+  * here (a partial evaluation would delete the wrong rows — soundness
+  * over coverage, the MvRewrite posture), and deleteWhere applies them
+  * atomically against the row store.
+  *
+  * Deliberately single-JVM (a ConcurrentHashMap registry keyed by table
+  * name — the AccountingSink scope): the POINT is the catalog/DML
+  * protocol, which is identical on a cluster; a distributed store would
+  * demonstrate storage, not the protocol. Row snapshots ride the
+  * InputPartitions, so reads are consistent under concurrent DML. */
+object MemTables {
+  final class State(val schema: StructType) {
+    val rows = new AtomicReference[Vector[Array[Any]]](Vector.empty)
+  }
+  private val registry = new ConcurrentHashMap[String, State]()
+
+  def create(name: String, schema: StructType): Unit =
+    if (registry.putIfAbsent(name, new State(schema)) != null)
+      throw new IllegalStateException(s"mem table $name already exists")
+  def drop(name: String): Boolean = registry.remove(name) != null
+  def get(name: String): Option[State] = Option(registry.get(name))
+  def names: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    registry.keySet().asScala.toSeq.sorted
+  }
+  def append(name: String, batch: Seq[Array[Any]]): Unit =
+    registry.get(name).rows.updateAndGet(_ ++ batch)
+  def deleteWhere(name: String, keep: Array[Any] => Boolean): Unit =
+    registry.get(name).rows.updateAndGet(_.filter(keep))
+}
+
+/** Structural check + interpreter for the V2 predicate tree DELETE
+  * delivers: AND/OR/NOT over {=, <>, <, <=, >, >=, IN, IS_NULL,
+  * IS_NOT_NULL} leaves comparing a named field to literals. `supported`
+  * and `eval` walk the same shapes — canDeleteWhere accepts exactly
+  * what deleteWhere can apply. */
+object MemPredicates {
+  private def flip(op: String): String = op match {
+    case "<" => ">"
+    case "<=" => ">="
+    case ">" => "<"
+    case ">=" => "<="
+    case other => other // = and <> are symmetric
+  }
+
+  /** Leaf normal form: (field, op, literal values). */
+  private def leaf(p: Predicate): Option[(String, String, Seq[Any])] = {
+    val kids = p.children()
+    p.name() match {
+      case op @ ("=" | "<>" | "<" | "<=" | ">" | ">=") => kids match {
+        case Array(r: NamedReference, l: V2Literal[_]) =>
+          Some((r.fieldNames.mkString("."), op, Seq(l.value)))
+        case Array(l: V2Literal[_], r: NamedReference) =>
+          Some((r.fieldNames.mkString("."), flip(op), Seq(l.value)))
+        case _ => None
+      }
+      case "IN" => kids.headOption match {
+        case Some(r: NamedReference)
+            if kids.tail.forall(_.isInstanceOf[V2Literal[_]]) =>
+          Some((r.fieldNames.mkString("."), "IN",
+            kids.tail.toSeq.map(_.asInstanceOf[V2Literal[_]].value)))
+        case _ => None
+      }
+      case op @ ("IS_NULL" | "IS_NOT_NULL") => kids match {
+        case Array(r: NamedReference) =>
+          Some((r.fieldNames.mkString("."), op, Seq.empty))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  def supported(p: Predicate, fields: Set[String]): Boolean = p match {
+    case a: V2And => supported(a.left(), fields) && supported(a.right(), fields)
+    case o: V2Or  => supported(o.left(), fields) && supported(o.right(), fields)
+    case n: V2Not => supported(n.child(), fields)
+    case _ if p.name() == "ALWAYS_TRUE" || p.name() == "ALWAYS_FALSE" => true
+    case _ => leaf(p).exists { case (f, _, vs) =>
+      fields.contains(f) && vs.forall(v =>
+        v == null || v.isInstanceOf[java.lang.Long] ||
+          v.isInstanceOf[java.lang.Integer] || v.isInstanceOf[UTF8String] ||
+          v.isInstanceOf[java.lang.Double] || v.isInstanceOf[java.lang.Boolean])
+    }
+  }
+
+  /** Three-valued comparison collapsed to Boolean at the leaf (SQL
+    * semantics: a NULL comparison is not-true, so the row is KEPT by
+    * DELETE — matching what Spark's own filter would do). */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null) => None
+    case (x: java.lang.Long, y: java.lang.Long) => Some(java.lang.Long.compare(x, y))
+    case (x: java.lang.Long, y: java.lang.Integer) => Some(java.lang.Long.compare(x, y.longValue()))
+    case (x: java.lang.Integer, y: java.lang.Long) => Some(java.lang.Long.compare(x.longValue(), y))
+    case (x: java.lang.Integer, y: java.lang.Integer) => Some(Integer.compare(x, y))
+    case (x: java.lang.Double, y: java.lang.Double) => Some(java.lang.Double.compare(x, y))
+    case (x: String, y: UTF8String) => Some(x.compareTo(y.toString))
+    case (x: String, y: String) => Some(x.compareTo(y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case _ => None
+  }
+
+  def eval(p: Predicate, idx: Map[String, Int], row: Array[Any]): Boolean = p match {
+    case a: V2And => eval(a.left(), idx, row) && eval(a.right(), idx, row)
+    case o: V2Or  => eval(o.left(), idx, row) || eval(o.right(), idx, row)
+    case n: V2Not => !eval(n.child(), idx, row)
+    case _ if p.name() == "ALWAYS_TRUE"  => true
+    case _ if p.name() == "ALWAYS_FALSE" => false
+    case _ => leaf(p) match {
+      case Some((f, op, vs)) =>
+        val v = row(idx(f))
+        op match {
+          case "="  => cmp(v, vs.head).contains(0)
+          case "<>" => cmp(v, vs.head).exists(_ != 0)
+          case "<"  => cmp(v, vs.head).exists(_ < 0)
+          case "<=" => cmp(v, vs.head).exists(_ <= 0)
+          case ">"  => cmp(v, vs.head).exists(_ > 0)
+          case ">=" => cmp(v, vs.head).exists(_ >= 0)
+          case "IN" => vs.exists(x => cmp(v, x).contains(0))
+          case "IS_NULL"     => v == null
+          case "IS_NOT_NULL" => v != null
+        }
+      case None => false // unreachable when canDeleteWhere vetted
+    }
+  }
+}
+
+class MemTable(tableName: String) extends Table
+    with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+  private def state: MemTables.State = MemTables.get(tableName).getOrElse(
+    throw new IllegalStateException(s"mem table $tableName was dropped"))
+  override def name(): String = s"graft.mem.$tableName"
+  override def schema(): StructType = state.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new MemScan(tableName, state.schema)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var truncateFirst = false
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new MemBatchWrite(tableName, state.schema, truncateFirst)
+      }
+    }
+
+  override def canDeleteWhere(predicates: Array[Predicate]): Boolean = {
+    val fields = state.schema.fieldNames.toSet
+    predicates.forall(MemPredicates.supported(_, fields))
+  }
+  override def deleteWhere(predicates: Array[Predicate]): Unit = {
+    val idx = state.schema.fieldNames.zipWithIndex.toMap
+    // delete rows matching ALL predicates (Spark ANDs the array); keep
+    // the complement in one atomic swap
+    MemTables.deleteWhere(tableName,
+      row => !predicates.forall(MemPredicates.eval(_, idx, row)))
+  }
+}
+
+class MemScan(tableName: String, schema: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = s"MemTable $tableName"
+  override def planInputPartitions(): Array[InputPartition] = {
+    // snapshot ONCE; slices ride the partitions, so the read is
+    // consistent even if DML lands mid-query
+    val snap = MemTables.get(tableName).map(_.rows.get()).getOrElse(Vector.empty)
+    val nSplits = math.max(1, math.min(8, snap.size / 1024))
+    val width = math.max(1, (snap.size + nSplits - 1) / nSplits)
+    snap.grouped(width).map(chunk =>
+      MemPartition(chunk.toArray): InputPartition).toArray match {
+      case empty if empty.isEmpty => Array(MemPartition(Array.empty))
+      case parts => parts
+    }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MemReaderFactory(schema.fields.map(_.dataType))
+}
+
+case class MemPartition(rows: Array[Array[Any]]) extends InputPartition
+
+class MemReaderFactory(types: Array[DataType]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows = p.asInstanceOf[MemPartition].rows
+    new PartitionReader[InternalRow] {
+      private var cur = -1
+      override def next(): Boolean = { cur += 1; cur < rows.length }
+      override def get(): InternalRow = {
+        val src = rows(cur)
+        val vals = new Array[Any](types.length)
+        var i = 0
+        while (i < types.length) {
+          vals(i) = src(i) match {
+            case s: String => UTF8String.fromString(s)
+            case other     => other
+          }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Rows live ONLY in commit messages until the driver folds them —
+  * retried/speculative attempts abort and their buffers vanish, so the
+  * store sees exactly one successful attempt per task. */
+case class MemRowsMessage(rows: Array[Array[Any]]) extends WriterCommitMessage
+
+class MemBatchWrite(tableName: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new MemWriterFactory(schema.fields.map(_.dataType))
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    if (truncate) MemTables.deleteWhere(tableName, _ => false)
+    MemTables.append(tableName,
+      messages.toSeq.flatMap(_.asInstanceOf[MemRowsMessage].rows))
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class MemWriterFactory(types: Array[DataType]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      override def write(row: InternalRow): Unit = {
+        val vals = new Array[Any](types.length)
+        var i = 0
+        while (i < types.length) {
+          vals(i) =
+            if (row.isNullAt(i)) null
+            else types(i) match {
+              case LongType    => row.getLong(i)
+              case IntegerType => row.getInt(i)
+              case DoubleType  => row.getDouble(i)
+              case BooleanType => row.getBoolean(i)
+              case StringType  => row.getUTF8String(i).toString
+              case dt => throw new UnsupportedOperationException(
+                s"mem table column type $dt")
+            }
+          i += 1
+        }
+        buf += vals
+      }
+      override def commit(): WriterCommitMessage = MemRowsMessage(buf.toArray)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}

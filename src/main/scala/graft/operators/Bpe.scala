@@ -83,6 +83,21 @@ object Bpe {
     * so rank order is maximally fragile under the one-round queue
     * delay; Zipfian corpora with separated counts reorder far less.
     *
+    * HYBRID SCHEDULE REJECTED (round 13, measured via BpeDeviation over
+    * learnMergesScheduled): the suggested decay toward sequential at the
+    * same 8-round budget (16,16,16,16,8,4,4,2) is strictly WORSE here —
+    * it learns only 66 merges in the 8 rounds (the late small-batch
+    * rounds waste the compositions the big batches exist to amortize),
+    * rank fidelity does NOT improve (first divergence still position 3;
+    * Jaccard 48% vs flat's 54% over the common prefix), and compression
+    * after the budget degrades (46 496 vs 33 283 symbols). Root cause is
+    * the paragraph above: divergence starts at rank 3 — in the HEAD,
+    * where every schedule still batches — because counts are near-tied
+    * from the start on this corpus, so no tail-sequencing can recover
+    * order fidelity. A true sequential tail at the 82-merge point costs
+    * one driver round per merge and blows the ≤8-round budget by
+    * construction. Flat batchMax stays the operating point.
+    *
     * Scale shape unchanged from learnMerges: one corpus scan, then
     * |V|-row rounds; the selection fold runs on ONE aggregate row of
     * ≤candCap candidate structs (never a driver collect); driver
@@ -90,8 +105,22 @@ object Bpe {
     * batchMax=16. Output: (round, rnk, left_sym, right_sym, merged,
     * pair_cnt, syms_after) — global merge order is (round, rnk). */
   def learnMergesBatched(docs: DataFrame, textCol: String, rounds: Int,
-      batchMax: Int, candCap: Int = 256): DataFrame = {
-    require(rounds >= 1 && batchMax >= 1 && candCap >= batchMax)
+      batchMax: Int, candCap: Int = 256): DataFrame =
+    learnMergesScheduled(docs, textCol, Seq.fill(rounds)(batchMax), candCap)
+
+  /** Schedule-generalized batched learning: round i accepts up to
+    * schedule(i) conflict-free pairs (same selection fold, same
+    * disjointness proof). A DECAYING schedule (e.g. 16,16,16,16,8,4,4,2)
+    * is the hybrid the round-12 pricing suggested — big batches while
+    * pair counts are separated, shrinking toward sequential as the
+    * near-tied tail approaches — at the SAME driver-round budget.
+    * Measured (graft.BpeDeviation, round 13): the decay does NOT close
+    * the gap on THIS corpus — see the scaladoc numbers below. */
+  def learnMergesScheduled(docs: DataFrame, textCol: String,
+      schedule: Seq[Int], candCap: Int = 256): DataFrame = {
+    require(schedule.nonEmpty && schedule.forall(_ >= 1) &&
+      candCap >= schedule.max)
+    val rounds = schedule.length
     var segs = docs
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
@@ -104,6 +133,7 @@ object Bpe {
     var exhausted = false
     while (rnd < rounds && !exhausted) {
       rnd += 1
+      val batchMax = schedule(rnd - 1)
       val cands = segs
         .select(col("cnt"), explode(expr(
           "IF(size(syms) < 2, array(), transform(sequence(0, size(syms) - 2), " +

@@ -1111,6 +1111,86 @@ object RelationalQueries {
         .orderBy(col("kind"))
     },
 
+    // DSv2 REPORTED STATISTICS (q65 — the OPTIMIZER-facing twin of q56's
+    // sketch-driven join strategy, delivered through the connector API:
+    // q56 probes sketches and HINTS; here the source itself reports
+    // filter-aware statistics and Spark's OWN planner flips the join):
+    // estimateStatistics() runs AFTER pushdown, so the selective id
+    // filter makes the probe feed broadcast-sized (1000 rows × pruned
+    // width ≪ 10 MB) and the feed⋈feed join plans BroadcastHashJoin
+    // with ZERO hints — remove the filter (or disable the threshold) and
+    // the same join plans SMJ (PlanSpec gates both directions, results
+    // identical). The 100 TB story: federation sources stop being
+    // stats-blind defaultSize walls; the planner sees through them.
+    "q65_source_stats" -> { (s, _) =>
+      def feed = s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "300000").option("partitions", "8").load()
+      val probe = feed.filter(col("id") >= 299000L)
+        .select(col("id"), col("value"))
+      val big = feed.select(col("id").as("bid"), col("kind"),
+        col("value").as("bvalue"))
+      big.join(probe, col("bid") === col("id"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value") + col("bvalue")).as("sum_vv"))
+        .orderBy(col("kind"))
+    },
+
+    // COLUMNAR (vectorized) DSv2 read path (q66 — the throughput face of
+    // the connector matrix; read/write/stream/pushdown/DPP/partitioning/
+    // stats are covered, this is the last): with columnar=true the
+    // reader fills OnHeapColumnVector batches directly — no per-row
+    // InternalRow allocation — and Spark plans ColumnarToRow above the
+    // scan exactly as for vectorized parquet (PlanSpec: columnar scan
+    // in-plan, row-mode twin byte-identical). Pushdown composes: the id
+    // range folds first, the vectors fill only the planned span.
+    "q66_columnar_scan" -> { (s, _) =>
+      val feed = s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "400000").option("partitions", "8")
+        .option("columnar", "true").load()
+      feed.filter(col("id") >= 100000L)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+          sum(col("id")).as("sum_id"))
+        .orderBy(col("kind"))
+    },
+
+    // DSv2 CUSTOM METRICS (q68 — the engine's own connectors stop being
+    // its observability blind spot, the reference's whole ethos):
+    // slices planned/pruned are DRIVER metrics (reportDriverMetrics
+    // fires after planInputPartitions), rows read is a TASK metric each
+    // reader streams via currentMetricsValues — all three land as SQL
+    // metrics on the scan node, so q62's prune count is now a
+    // first-class metric instead of plan-string parsing. The key
+    // executes a pruned scan (16 slices → 2 planned, 14 pruned, 50k
+    // rows) and emits the scan node's metric values — closed-form
+    // deterministic, so the METRICS themselves are oracle-checked.
+    // AQE off in an isolated session so the static plan carries the
+    // scan node the probe reads (the q60 isolation pattern).
+    "q68_scan_metrics" -> { (s0, _) =>
+      val s = s0.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      val feed = s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "400000").option("partitions", "16").load()
+      // min(id) deliberately REJECTS the q58 aggregate-pushdown path (an
+      // agg-pushed plan scans MetricsFeedAggScan, which has no reader
+      // metrics) — the raw scan must do the work the metrics observe
+      val inner = feed.filter(col("id") >= 350000L)
+        .groupBy(col("kind")).agg(count(lit(1)).as("n"), min(col("id")).as("m"))
+      val plan = inner.queryExecution.executedPlan
+      // run the physical plan once; task metrics fold into the scan
+      // node's SQLMetric accumulators, driver metrics post at planning
+      plan.execute().foreachPartition(
+        (_: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => ())
+      val scan = plan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.head
+      import s.implicits._
+      Seq("feed_rows_read", "feed_slices_planned", "feed_slices_pruned")
+        .map(k => (k, scan.metrics(k).value))
+        .toDF("metric", "value").orderBy(col("metric"))
+    },
+
     // custom DataSourceV2 SINK (graft.sources.AccountingSink —
     // MetricsFeedSource's write-side twin, the reference's uploadEvents
     // emit half as a V2 BatchWrite): per-task writers stream rows and
@@ -1147,13 +1227,8 @@ object RelationalQueries {
     // delta backfills the rest.
     "q53_snapshot_read" -> { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val base = DerivedLayouts.once(s"snap|$dir") { path =>
-        val docs = Tables.documents(s, dir)
-        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
-          .write.parquet(s"$path/v1")
-        docs.filter(pmod(col("doc_id"), lit(10)) === 7)
-          .write.parquet(s"$path/v2")
-      }
+      // layout shared with the graft catalog's VERSION AS OF face (q63)
+      val base = graft.sources.SnapshotLayout.ensure(s, dir)
       s.read.parquet(s"$base/v1", s"$base/v2")
         .withColumn("version",
           when(input_file_name().contains("/v1/"), 1).otherwise(2))
@@ -1465,6 +1540,41 @@ object RelationalQueries {
         |  FROM range(0, 200000) t(id)
         |  WHERE id >= 150000) u
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q65_source_stats" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(2 * value) AS BIGINT) AS sum_vv
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 300000) t(id)
+        |  WHERE id >= 299000) u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q66_columnar_scan" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(sum(id) AS BIGINT) AS sum_id
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 400000) t(id)
+        |  WHERE id >= 100000) u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // closed form from the q68 plan: 400000 rows / 16 slices = 25000
+    // wide; id >= 350000 leaves slices 14,15 → 2 planned, 14 pruned,
+    // 50000 rows read
+    "q68_scan_metrics" ->
+      """SELECT metric, CAST(value AS BIGINT) AS value FROM (VALUES
+        |  ('feed_rows_read', 50000),
+        |  ('feed_slices_planned', 2),
+        |  ('feed_slices_pruned', 14)) t(metric, value)
+        |ORDER BY metric""".stripMargin,
 
     "q58_agg_pushdown" ->
       """SELECT kind, CAST(count(*) AS BIGINT) AS n,

@@ -104,7 +104,23 @@ class AccountingTable(schema0: StructType) extends Table with SupportsWrite {
     }
 }
 
+/** q68's sink half: rows streamed through the writers surface as a SQL
+  * metric on the write node — the commit-message accounting becomes
+  * driver-visible observability, not just a registry entry. */
+class SinkRowsWrittenMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "sink_rows_written"
+  override def description(): String = "rows streamed through the accounting writers"
+}
+case class SinkTaskMetric(metricValue: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = "sink_rows_written"
+  override def value(): Long = metricValue
+}
+
 class AccountingWrite(runId: String, schema: StructType) extends Write {
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new SinkRowsWrittenMetric)
   private def valueIdx: Int = schema.fields.indexWhere(f =>
     f.name == "value" && f.dataType == LongType)
   private def fold(messages: Array[WriterCommitMessage]): (Long, Long, Int) = {
@@ -166,6 +182,9 @@ class AccountingWriterFactory(runId: String, valueIdx: Int)
     override def commit(): WriterCommitMessage =
       AccountingSink.TaskAccounting(rows, sumValue)
     override def abort(): Unit = AccountingSink.recordAbort(runId)
+    override def currentMetricsValues()
+        : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      Array(SinkTaskMetric(rows))
     override def close(): Unit = ()
   }
 }

@@ -91,22 +91,24 @@ class MetricsFeedSource extends TableProvider {
       properties.getOrDefault("rows", "100000").toLong,
       properties.getOrDefault("partitions", "8").toInt,
       properties.getOrDefault("streamStep", "25000").toLong,
-      properties.getOrDefault("clusterByKind", "false").toBoolean)
+      properties.getOrDefault("clusterByKind", "false").toBoolean,
+      properties.getOrDefault("columnar", "false").toBoolean)
 }
 
 class MetricsFeedTable(rows: Long, parts: Int, streamStep: Long,
-    clusterByKind: Boolean)
+    clusterByKind: Boolean, columnar: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"metrics_feed($rows)"
   override def schema(): StructType = MetricsFeedSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MetricsFeedScanBuilder(rows, parts, streamStep, clusterByKind)
+    new MetricsFeedScanBuilder(rows, parts, streamStep, clusterByKind, columnar)
 }
 
 class MetricsFeedScanBuilder(rows: Long, parts: Int,
-    streamStep: Long = 25000L, clusterByKind: Boolean = false)
+    streamStep: Long = 25000L, clusterByKind: Boolean = false,
+    columnar: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -215,7 +217,7 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int,
       new MetricsFeedAggScan(rows, parts, lo, hi, funcs, pushed)
     case None =>
       new MetricsFeedScan(rows, parts, lo, hi, required, pushed, streamStep,
-        clusterByKind, pushedLimit)
+        clusterByKind, pushedLimit, columnar)
   }
 }
 
@@ -374,8 +376,9 @@ class MetricsFeedAggReaderFactory(funcs: Array[String])
 class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
     required: StructType, pushed: Array[Filter],
     streamStep: Long = 25000L, clusterByKind: Boolean = false,
-    pushedLimit: String = "") extends Scan with Batch
-    with SupportsReportPartitioning with SupportsRuntimeV2Filtering {
+    pushedLimit: String = "", columnar: Boolean = false) extends Scan with Batch
+    with SupportsReportPartitioning with SupportsRuntimeV2Filtering
+    with SupportsReportStatistics {
   // Runtime (DPP) clamp: filter() only RECORDS the delivered id bounds;
   // planInputPartitions combines them with the statically-pushed [lo, hi)
   // per invocation. Keeping the static range immutable means a repeated
@@ -426,6 +429,39 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
       MetricsFeedSource.lastRuntimeFilter = s"IN:$seen -> [$rlo,$rhi)"
     }
   }
+  // ---- SupportsReportStatistics (q65 — the OPTIMIZER-facing twin of
+  // q56's sketch-driven join planning, delivered through the connector
+  // API): statistics are estimated AFTER pushdown, so the reported row
+  // count is the PLANNED range's, not the table's — a selective id
+  // filter makes the feed broadcast-sized and Spark's own join planner
+  // flips SMJ → BHJ from source-reported stats alone, zero hints
+  // (PlanSpec gates both directions). Width = the PRUNED schema's
+  // default sizes: column pruning shrinks the estimate too.
+  override def estimateStatistics(): Statistics = {
+    val n = math.max(0L, rhi - rlo)
+    val width = math.max(8, required.fields.map(_.dataType.defaultSize).sum)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n * width)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n)
+    }
+  }
+
+  // ---- DSv2 custom metrics (q68 — the connectors stop being the
+  // engine's observability blind spot): slices planned/pruned are
+  // DRIVER metrics reported after planning; rows read is a TASK metric
+  // each reader streams via currentMetricsValues. All three surface as
+  // SQL metrics on the scan node — the q62 prune count becomes a
+  // first-class metric instead of plan-string parsing.
+  private var plannedSlices = -1
+  private var prunedSlices = -1
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new FeedRowsReadMetric, new FeedSlicesPlannedMetric, new FeedSlicesPrunedMetric)
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(FeedTaskMetric("feed_slices_planned", plannedSlices.toLong),
+      FeedTaskMetric("feed_slices_pruned", prunedSlices.toLong))
+
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -475,10 +511,32 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
       }
     MetricsFeedSource.lastPlannedPartitions = slices.length
     MetricsFeedSource.lastPlannedRange = (rlo, rhi)
+    plannedSlices = slices.length
+    prunedSlices = (if (clusterByKind) 3 else parts) - slices.length
     slices
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new MetricsFeedReaderFactory(required.fieldNames)
+    new MetricsFeedReaderFactory(required.fieldNames, columnar)
+}
+
+// ---- q68 metric classes: driver + task values fold by SUM into the
+// scan node's SQL metrics
+class FeedRowsReadMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "feed_rows_read"
+  override def description(): String = "rows emitted by the feed readers"
+}
+class FeedSlicesPlannedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "feed_slices_planned"
+  override def description(): String = "feed slices planned after pushdown/pruning"
+}
+class FeedSlicesPrunedMetric extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "feed_slices_pruned"
+  override def description(): String = "feed slices pruned by static + runtime filters"
+}
+case class FeedTaskMetric(metricName: String, metricValue: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = metricValue
 }
 
 case class MetricsFeedPartition(start: Long, end: Long) extends InputPartition
@@ -492,7 +550,8 @@ case class MetricsFeedKindPartition(start: Long, end: Long, kind: Int)
       UTF8String.fromString(MetricsFeedSource.kindOf(kind))))
 }
 
-class MetricsFeedReaderFactory(fields: Array[String])
+class MetricsFeedReaderFactory(fields: Array[String],
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
   private def rowAt(cur: Long): InternalRow = {
     val vals = new Array[Any](fields.length)
@@ -509,12 +568,19 @@ class MetricsFeedReaderFactory(fields: Array[String])
     new GenericInternalRow(vals)
   }
 
+  private def taskMetrics(rows: Long) =
+    Array[org.apache.spark.sql.connector.metric.CustomTaskMetric](
+      FeedTaskMetric("feed_rows_read", rows))
+
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case mp: MetricsFeedPartition => new PartitionReader[InternalRow] {
         private var cur = mp.start - 1
-        override def next(): Boolean = { cur += 1; cur < mp.end }
+        private var n = 0L
+        override def next(): Boolean =
+          { cur += 1; val ok = cur < mp.end; if (ok) n += 1; ok }
         override def get(): InternalRow = rowAt(cur)
+        override def currentMetricsValues() = taskMetrics(n)
         override def close(): Unit = ()
       }
       case kp: MetricsFeedKindPartition => new PartitionReader[InternalRow] {
@@ -523,9 +589,77 @@ class MetricsFeedReaderFactory(fields: Array[String])
           val rem = ((kp.kind - kp.start) % 3 + 3) % 3
           kp.start + rem - 3
         }
-        override def next(): Boolean = { cur += 3; cur < kp.end }
+        private var n = 0L
+        override def next(): Boolean =
+          { cur += 3; val ok = cur < kp.end; if (ok) n += 1; ok }
         override def get(): InternalRow = rowAt(cur)
+        override def currentMetricsValues() = taskMetrics(n)
         override def close(): Unit = ()
       }
     }
+
+  // ---- COLUMNAR read path (q66 — the throughput face of the connector
+  // matrix): the reader fills OnHeapColumnVector batches directly, so
+  // the scan feeds whole-stage codegen's vectorized loop without a
+  // per-row InternalRow allocation; Spark inserts ColumnarToRow above
+  // the scan (PlanSpec-gated) exactly as it does for vectorized parquet.
+  override def supportColumnarReads(p: InputPartition): Boolean =
+    columnar && p.isInstanceOf[MetricsFeedPartition]
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.ColumnarBatch
+    val mp = p.asInstanceOf[MetricsFeedPartition]
+    new PartitionReader[ColumnarBatch] {
+      private val capacity = 4096
+      private val types = fields.map {
+        case "id" | "value"  => LongType: DataType
+        case "node" | "kind" => StringType: DataType
+      }
+      private val vectors =
+        types.map(t => new OnHeapColumnVector(capacity, t))
+      private val batch = new ColumnarBatch(
+        vectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector))
+      private var cur = mp.start
+      private var rowsRead = 0L
+      override def next(): Boolean = {
+        if (cur >= mp.end) return false
+        val n = math.min(capacity.toLong, mp.end - cur).toInt
+        var f = 0
+        while (f < fields.length) {
+          val v = vectors(f)
+          v.reset()
+          fields(f) match {
+            case "id" =>
+              var i = 0
+              while (i < n) { v.putLong(i, cur + i); i += 1 }
+            case "value" =>
+              var i = 0
+              while (i < n) { v.putLong(i, MetricsFeedSource.valueOf(cur + i)); i += 1 }
+            case "node" =>
+              var i = 0
+              while (i < n) {
+                val b = MetricsFeedSource.nodeOf(cur + i).getBytes("UTF-8")
+                v.putByteArray(i, b, 0, b.length); i += 1
+              }
+            case "kind" =>
+              var i = 0
+              while (i < n) {
+                val b = MetricsFeedSource.kindOf(cur + i).getBytes("UTF-8")
+                v.putByteArray(i, b, 0, b.length); i += 1
+              }
+          }
+          f += 1
+        }
+        batch.setNumRows(n)
+        cur += n
+        rowsRead += n
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def currentMetricsValues() = taskMetrics(rowsRead)
+      override def close(): Unit = vectors.foreach(_.close())
+    }
+  }
 }

@@ -1105,4 +1105,121 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ReadSchema"), p)
     assert(!p.contains("node"), s"unrequested column must not be materialized\n$p")
   }
+
+  test("q65: source-reported statistics flip the join — BHJ from stats alone, SMJ when stats say big") {
+    import org.apache.spark.sql.functions._
+    // the key's selective probe (1000 rows reported post-pushdown) plans
+    // a broadcast join with ZERO hints
+    val df = SparkEntry.queries("q65_source_stats")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // direction 2: an UNFILTERED 1M-row probe reports rows × pruned
+    // width (16 B for id+value) ≈ 16 MB > the 10 MB threshold on BOTH
+    // sides — the same join shape plans a shuffle join, purely because
+    // the source said so (the probe's value is aggregated so pruning
+    // cannot shrink it below the threshold)
+    def feed = spark.read.format("graft.sources.MetricsFeedSource")
+      .option("rows", "1000000").option("partitions", "8").load()
+    val bigProbe = feed.select(col("id"), col("value"))
+    val big = feed.select(col("id").as("bid"), col("kind"))
+    val p2 = big.join(bigProbe, col("bid") === col("id"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("BroadcastHashJoin"), p2)
+    // direction 3: threshold off → even the selective probe shuffles,
+    // and the result is row-identical (the stats changed the PLAN only)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df2 = SparkEntry.queries("q65_source_stats")(s2, sf)
+    val p3 = df2.queryExecution.executedPlan.toString
+    assert(!p3.contains("BroadcastHashJoin"), p3)
+    assert(df.collect().map(_.toString).toSeq == df2.collect().map(_.toString).toSeq)
+  }
+
+  test("q66: the V2 scan is COLUMNAR — ColumnarToRow above the scan, row-mode twin row-identical") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q66_columnar_scan")(spark, sf)
+    // AQE inserts the row/columnar transitions when a stage
+    // MATERIALIZES — execute first, then read the final adaptive plan
+    val rows = df.collect().map(_.toString).toSeq
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ColumnarToRow"), p)
+    assert(p.contains("range=[100000,400000)"), p) // pushdown composes
+    // row-mode twin: same query, columnar off — byte-identical rows
+    val feedRow = spark.read.format("graft.sources.MetricsFeedSource")
+      .option("rows", "400000").option("partitions", "8").load()
+    val twin = feedRow.filter(col("id") >= 100000L)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+        sum(col("id")).as("sum_id"))
+      .orderBy(col("kind"))
+    val twinRows = twin.collect().map(_.toString).toSeq
+    assert(!twin.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    assert(rows == twinRows)
+  }
+
+  test("q68/sink: rows through the V2 writer surface as a SQL metric on the write node (listener-read)") {
+    import graft.sources.AccountingSink
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    @volatile var captured: Option[QueryExecution] = None
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit =
+        if (qe.executedPlan.toString.contains("AccountingWrite"))
+          captured = Some(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      AccountingSink.clear("planspec_metrics")
+      spark.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "20000").option("partitions", "4").load()
+        .write.format("graft.sources.AccountingSink")
+        .option("runId", "planspec_metrics").mode("append").save()
+      // QueryExecutionListener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (captured.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val qe = captured.getOrElse(fail("write execution never reached the listener"))
+      val writeNodes = qe.executedPlan.collect {
+        case n if n.metrics.contains("sink_rows_written") => n
+      }
+      assert(writeNodes.nonEmpty,
+        s"no node carries sink_rows_written:\n${qe.executedPlan}")
+      assert(writeNodes.head.metrics("sink_rows_written").value == 20000L)
+      // and the metric agrees with the commit-message accounting
+      assert(AccountingSink.result("planspec_metrics").exists(_._1 == 20000L))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("q63: resolution goes THROUGH the catalog — identifier in-plan, pushdown and pruning intact") {
+    val df = SparkEntry.queries("q63_table_catalog")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // catalog-qualified identifiers survive into the scans (the v1/v2
+    // time-travel scans resolve to the snapshot layout's parquet)
+    assert(p.contains("graft.corpus.documents"), p)
+    assert(p.contains("graft.corpus.embeddings"), p)
+    // the lang predicate reached the parquet scan THROUGH the catalog —
+    // same PushedFilters a path-based read plans
+    assert(p.contains("EqualTo(lang,en)"), p)
+    // pruning: no scan in the whole union reads `text` (only counts and
+    // n_chars/label are needed anywhere)
+    assert(!p.linesIterator.exists(l => l.contains("ReadSchema") && l.contains("text")),
+      s"text must be pruned from every catalog scan\n$p")
+  }
+
+  test("q64: V2 catalog functions plan as codegen'd Invoke — zero ScalaUDF, zero row-boxing fallback") {
+    val df = SparkEntry.queries("q64_fn_catalog")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // magic-method dispatch: Invoke on the bound function, never the
+    // interpreted ApplyFunctionExpression fallback or an opaque ScalaUDF
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.toLowerCase.contains("applyfunctionexpression"), p)
+    assert(p.contains("invoke"), s"expected Invoke dispatch in-plan\n$p")
+    // and the call sites resolved through the function catalog
+    assert(p.contains("token_count") || p.contains("TokenCount"), p)
+  }
 }
