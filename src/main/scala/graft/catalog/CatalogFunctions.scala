@@ -19,13 +19,15 @@ import graft.functions.expressions.{TextExprUtil, VectorExprUtil}
   * (PlanSpec-gated), and bit-identical results to the expression forms
   * because the kernel IS the same code. */
 object CatalogFunctions {
-  val names: Seq[String] = Seq("cosine_sim", "hamming64", "token_count")
+  val names: Seq[String] =
+    Seq("cosine_sim", "hamming64", "token_count", "sig_majority")
 
   def load(name: String): Option[UnboundFunction] = name match {
-    case "cosine_sim"  => Some(CosineSimUnbound)
-    case "hamming64"   => Some(Hamming64Unbound)
-    case "token_count" => Some(TokenCountUnbound)
-    case _             => None
+    case "cosine_sim"   => Some(CosineSimUnbound)
+    case "hamming64"    => Some(Hamming64Unbound)
+    case "token_count"  => Some(TokenCountUnbound)
+    case "sig_majority" => Some(SigMajorityUnbound)
+    case _              => None
   }
 
   // bind() sees the CALL-SITE types; Spark implicit-casts arguments to
@@ -109,5 +111,73 @@ object CatalogFunctions {
     def invoke(s: UTF8String): Int = TextExprUtil.tokenCount(s)
     override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Int =
       TextExprUtil.tokenCount(input.getUTF8String(0))
+  }
+
+  // ---- V2 AggregateFunction (q73 — the last FunctionCatalog face after
+  // q64's ScalarFunctions): a CUSTOM aggregate callable by name from
+  // pure SQL, with the full partial-aggregation protocol —
+  // newAggregationState per partition, update per row, MERGE across
+  // partitions (map-side partials survive, the 100 TB contract: what
+  // crosses the shuffle is one 49-long state per group per partition,
+  // never rows), produceResult at the end. The kernel: per-bit MAJORITY
+  // vote over 48-bit signatures — the cluster-representative
+  // fingerprint op a perceptual-dedup pipeline runs to elect one
+  // signature per near-dup family (d25's natural companion).
+  object SigMajorityUnbound extends UnboundFunction {
+    override def name(): String = "sig_majority"
+    override def description(): String =
+      "sig_majority(sig BIGINT) -> BIGINT: per-bit majority vote over " +
+        "48-bit signatures (ties -> 0, the deterministic convention)"
+    override def bind(inputType: StructType): BoundFunction = {
+      val ok = inputType.fields.length == 1 &&
+        (inputType.fields.head.dataType == LongType ||
+          inputType.fields.head.dataType == IntegerType)
+      if (!ok) throw new UnsupportedOperationException(
+        s"sig_majority expects one BIGINT arg, got ${inputType.simpleString}")
+      new SigMajorityBound
+    }
+  }
+
+  /** counts(0..47) = ones per bit, counts(48) = rows seen. */
+  final class SigMajorityState(val counts: Array[Long]) extends Serializable
+
+  class SigMajorityBound extends
+      org.apache.spark.sql.connector.catalog.functions.AggregateFunction[SigMajorityState, java.lang.Long] {
+    override def name(): String = "sig_majority"
+    override def inputTypes(): Array[DataType] = Array(LongType)
+    override def resultType(): DataType = LongType
+    override def isDeterministic: Boolean = true
+    override def newAggregationState(): SigMajorityState =
+      new SigMajorityState(new Array[Long](49))
+    override def update(state: SigMajorityState,
+        input: org.apache.spark.sql.catalyst.InternalRow): SigMajorityState = {
+      if (!input.isNullAt(0)) {
+        val v = input.getLong(0)
+        val c = state.counts
+        var b = 0
+        while (b < 48) {
+          c(b) += (v >>> b) & 1L
+          b += 1
+        }
+        c(48) += 1
+      }
+      state
+    }
+    override def merge(a: SigMajorityState, b: SigMajorityState): SigMajorityState = {
+      var i = 0
+      while (i < 49) { a.counts(i) += b.counts(i); i += 1 }
+      a
+    }
+    override def produceResult(state: SigMajorityState): java.lang.Long = {
+      val c = state.counts
+      val n = c(48)
+      var out = 0L
+      var b = 0
+      while (b < 48) {
+        if (c(b) * 2 > n) out |= 1L << b
+        b += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
   }
 }

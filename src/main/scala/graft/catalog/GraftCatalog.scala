@@ -41,6 +41,26 @@ import graft.sources.SnapshotLayout
   * same FileTable a 1000-executor scan plans from; nothing here touches
   * rows. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+  // modern DDL faces the mem tables accept (q76/q77): column DEFAULTs
+  // are analyzer-filled from column metadata when this capability is
+  // declared; CHECK constraints ride TableInfo into createTable and are
+  // engine-enforced on every write
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  // the TableInfo form is the ONLY one that carries constraints — the
+  // Column[]/StructType defaults drop them silently
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    if (!ident.namespace().sameElements(Array("mem")))
+      throw new UnsupportedOperationException(
+        s"only graft.mem tables are writable, got $ident")
+    if (info.partitions().nonEmpty)
+      throw new UnsupportedOperationException("mem tables are unpartitioned")
+    MemTables.create(ident.name(), info.schema(), info.constraints())
+    new MemTable(ident.name())
+  }
+
   private var catName: String = "graft"
   private var dir: String = ""
 

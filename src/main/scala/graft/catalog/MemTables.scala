@@ -35,13 +35,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * demonstrate storage, not the protocol. Row snapshots ride the
   * InputPartitions, so reads are consistent under concurrent DML. */
 object MemTables {
-  final class State(val schema: StructType) {
+  final class State(val schema: StructType,
+      val constraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = Array.empty) {
     val rows = new AtomicReference[Vector[Array[Any]]](Vector.empty)
   }
   private val registry = new ConcurrentHashMap[String, State]()
 
-  def create(name: String, schema: StructType): Unit =
-    if (registry.putIfAbsent(name, new State(schema)) != null)
+  // test observable: the last row-level command that went through the
+  // GROUP-BASED rewrite (vs the metadata deleteWhere path) — single-JVM
+  // scope, same caveat as AccountingSink.abortedTasks
+  @volatile var lastRowLevelCommand: String = ""
+
+  def create(name: String, schema: StructType,
+      constraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = Array.empty): Unit =
+    if (registry.putIfAbsent(name, new State(schema, constraints)) != null)
       throw new IllegalStateException(s"mem table $name already exists")
   def drop(name: String): Boolean = registry.remove(name) != null
   def get(name: String): Option[State] = Option(registry.get(name))
@@ -51,6 +58,8 @@ object MemTables {
   }
   def append(name: String, batch: Seq[Array[Any]]): Unit =
     registry.get(name).rows.updateAndGet(_ ++ batch)
+  def replace(name: String, rows: Vector[Array[Any]]): Unit =
+    registry.get(name).rows.set(rows)
   def deleteWhere(name: String, keep: Array[Any] => Boolean): Unit =
     registry.get(name).rows.updateAndGet(_.filter(keep))
 }
@@ -151,7 +160,8 @@ object MemPredicates {
 }
 
 class MemTable(tableName: String) extends Table
-    with SupportsRead with SupportsWrite with SupportsDeleteV2 {
+    with SupportsRead with SupportsWrite with SupportsDeleteV2
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
   private def state: MemTables.State = MemTables.get(tableName).getOrElse(
     throw new IllegalStateException(s"mem table $tableName was dropped"))
   override def name(): String = s"graft.mem.$tableName"
@@ -160,10 +170,49 @@ class MemTable(tableName: String) extends Table
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new MemScan(tableName, state.schema)
+  // ---- metadata columns (q72 — the Iceberg _file/_pos analog): _pos is
+  // the row's position in the store snapshot. Readable from SQL
+  // (SELECT _pos, * FROM graft.mem.t) and — the load-bearing use — the
+  // column the row-level rewrite REQUESTS so its write receives cleanly
+  // projected data rows (Spark's group-based task dispatches on the
+  // __row_operation marker and projects data/metadata separately ONLY
+  // when the operation requires metadata attrs; without one, the raw
+  // rewrite row including the marker reaches the writer — probed).
+  // CHECK constraints created with the table (q77): Spark's write path
+  // reads these from Table.constraints() and enforces enforced CHECKs
+  // row-by-row before any data reaches the writer
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    state.constraints
+
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_pos"
+      override def dataType(): DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "row position in the mem-store snapshot"
+    })
+
+  // ---- UPDATE / MERGE through the GROUP-BASED row-level rewrite (q71
+  // — the protocol Iceberg's copy-on-write tables implement): Spark
+  // rewrites a row-level command into scan-affected-groups →
+  // recompute-rows → ReplaceData. The operation's scan defines the
+  // group universe; with no metadata columns to narrow groups, the
+  // whole table is one group, so the write REPLACES the table content
+  // atomically with the rewritten rows (unchanged + updated + merge
+  // inserts together — they arrive in ONE BatchWrite commit, the
+  // copy-on-write contract). DELETE keeps taking the cheaper
+  // SupportsDeleteV2 metadata path when canDeleteWhere accepts; Spark
+  // falls back to this rewrite when it vetoes — both faces on one
+  // table, dispatched by predicate evaluability.
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new MemRowLevelOperation(tableName, info.command())
     }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemScanBuilder(tableName, state.schema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -188,43 +237,63 @@ class MemTable(tableName: String) extends Table
   }
 }
 
-class MemScan(tableName: String, schema: StructType) extends Scan with Batch {
-  override def readSchema(): StructType = schema
+class MemScanBuilder(tableName: String, schema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  // the pruned schema may include the _pos METADATA column (requested
+  // by SQL or by the row-level rewrite) — resolve each projected field
+  // to a table-column index, or -1 for _pos
+  private var projected: StructType = schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    projected = requiredSchema
+  override def build(): Scan = new MemScan(tableName, schema, projected)
+}
+
+class MemScan(tableName: String, schema: StructType, projected: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = projected
   override def toBatch: Batch = this
   override def description(): String = s"MemTable $tableName"
   override def planInputPartitions(): Array[InputPartition] = {
     // snapshot ONCE; slices ride the partitions, so the read is
-    // consistent even if DML lands mid-query
+    // consistent even if DML lands mid-query. Each slice carries its
+    // base offset so _pos is the row's global snapshot position.
     val snap = MemTables.get(tableName).map(_.rows.get()).getOrElse(Vector.empty)
     val nSplits = math.max(1, math.min(8, snap.size / 1024))
     val width = math.max(1, (snap.size + nSplits - 1) / nSplits)
-    snap.grouped(width).map(chunk =>
-      MemPartition(chunk.toArray): InputPartition).toArray match {
-      case empty if empty.isEmpty => Array(MemPartition(Array.empty))
+    snap.grouped(width).zipWithIndex.map { case (chunk, i) =>
+      MemPartition(chunk.toArray, i.toLong * width): InputPartition
+    }.toArray match {
+      case empty if empty.isEmpty => Array(MemPartition(Array.empty, 0L))
       case parts => parts
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new MemReaderFactory(schema.fields.map(_.dataType))
+    new MemReaderFactory(
+      projected.fields.map(f => schema.fieldNames.indexOf(f.name)))
 }
 
-case class MemPartition(rows: Array[Array[Any]]) extends InputPartition
+case class MemPartition(rows: Array[Array[Any]], base: Long) extends InputPartition
 
-class MemReaderFactory(types: Array[DataType]) extends PartitionReaderFactory {
+/** srcIdx(i) = table-column index of projected field i, or -1 for the
+  * _pos metadata column (emitted as base + row offset). */
+class MemReaderFactory(srcIdx: Array[Int]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val rows = p.asInstanceOf[MemPartition].rows
+    val mp = p.asInstanceOf[MemPartition]
+    val rows = mp.rows
     new PartitionReader[InternalRow] {
       private var cur = -1
       override def next(): Boolean = { cur += 1; cur < rows.length }
       override def get(): InternalRow = {
         val src = rows(cur)
-        val vals = new Array[Any](types.length)
+        val vals = new Array[Any](srcIdx.length)
         var i = 0
-        while (i < types.length) {
-          vals(i) = src(i) match {
-            case s: String => UTF8String.fromString(s)
-            case other     => other
-          }
+        while (i < srcIdx.length) {
+          vals(i) =
+            if (srcIdx(i) < 0) mp.base + cur
+            else src(srcIdx(i)) match {
+              case s: String => UTF8String.fromString(s)
+              case other     => other
+            }
           i += 1
         }
         new GenericInternalRow(vals)
@@ -234,42 +303,98 @@ class MemReaderFactory(types: Array[DataType]) extends PartitionReaderFactory {
   }
 }
 
+/** The group-based row-level operation: the scan is the plain table
+  * scan (the one group), the write replaces the table with the
+  * rewritten rows in one atomic swap. */
+class MemRowLevelOperation(tableName: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+  private def schema: StructType = MemTables.get(tableName).map(_.schema)
+    .getOrElse(throw new IllegalStateException(s"mem table $tableName dropped"))
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"MemRowLevel[$cmd] $tableName"
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemScanBuilder(tableName, schema)
+  // requesting _pos is what flips Spark's rewrite into the
+  // data/metadata-projecting write task: the writer then receives rows
+  // in exactly the data schema (the __row_operation marker and _pos are
+  // projected around it) — the Iceberg copy-on-write contract
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // the rewrite plan's write schema is NOT the table schema: Spark
+    // prepends bookkeeping columns (__row_operation) for row-level
+    // commands — map write fields to table columns BY NAME and drop the
+    // extras (found empirically: a positional decode read the operation
+    // marker as the first data column)
+    val writeSchema = info.schema()
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new MemBatchWrite(tableName, schema, truncate = false,
+            replaceAll = true, writeSchema = Some(writeSchema),
+            rowLevelCmd = cmd.toString)
+      }
+    }
+  }
+}
+
 /** Rows live ONLY in commit messages until the driver folds them —
   * retried/speculative attempts abort and their buffers vanish, so the
   * store sees exactly one successful attempt per task. */
 case class MemRowsMessage(rows: Array[Array[Any]]) extends WriterCommitMessage
 
-class MemBatchWrite(tableName: String, schema: StructType, truncate: Boolean)
+class MemBatchWrite(tableName: String, schema: StructType, truncate: Boolean,
+    replaceAll: Boolean = false, writeSchema: Option[StructType] = None,
+    rowLevelCmd: String = "")
     extends BatchWrite {
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new MemWriterFactory(schema.fields.map(_.dataType))
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val ws = writeSchema.getOrElse(schema)
+    // target table position per write field; -1 = bookkeeping column
+    // (e.g. __row_operation), decoded-but-dropped
+    val target = ws.fields.map(f => schema.fieldNames.indexOf(f.name))
+    new MemWriterFactory(ws.fields.map(_.dataType), target, schema.length)
+  }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    if (truncate) MemTables.deleteWhere(tableName, _ => false)
-    MemTables.append(tableName,
-      messages.toSeq.flatMap(_.asInstanceOf[MemRowsMessage].rows))
+    val batch = messages.toSeq.flatMap(_.asInstanceOf[MemRowsMessage].rows)
+    if (replaceAll) {
+      // copy-on-write commit: the rewritten groups REPLACE the store in
+      // one atomic swap — a concurrent reader sees old or new, never a
+      // half-replaced mix. The observable records the command only when
+      // the rewrite COMMITS (the operation also gets built speculatively
+      // for deletes that OptimizeMetadataOnlyDeleteFromTable then routes
+      // to the cheap deleteWhere path).
+      MemTables.lastRowLevelCommand = rowLevelCmd
+      MemTables.replace(tableName, batch.toVector)
+    } else {
+      if (truncate) MemTables.deleteWhere(tableName, _ => false)
+      MemTables.append(tableName, batch)
+    }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class MemWriterFactory(types: Array[DataType]) extends DataWriterFactory {
+class MemWriterFactory(types: Array[DataType], target: Array[Int],
+    tableWidth: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
       override def write(row: InternalRow): Unit = {
-        val vals = new Array[Any](types.length)
+        val vals = new Array[Any](tableWidth)
         var i = 0
         while (i < types.length) {
-          vals(i) =
-            if (row.isNullAt(i)) null
-            else types(i) match {
-              case LongType    => row.getLong(i)
-              case IntegerType => row.getInt(i)
-              case DoubleType  => row.getDouble(i)
-              case BooleanType => row.getBoolean(i)
-              case StringType  => row.getUTF8String(i).toString
-              case dt => throw new UnsupportedOperationException(
-                s"mem table column type $dt")
-            }
+          if (target(i) >= 0) {
+            vals(target(i)) =
+              if (row.isNullAt(i)) null
+              else types(i) match {
+                case LongType    => row.getLong(i)
+                case IntegerType => row.getInt(i)
+                case DoubleType  => row.getDouble(i)
+                case BooleanType => row.getBoolean(i)
+                case StringType  => row.getUTF8String(i).toString
+                case dt => throw new UnsupportedOperationException(
+                  s"mem table column type $dt")
+              }
+          }
           i += 1
         }
         buf += vals

@@ -114,6 +114,173 @@ object CatalogQueries {
           min(id) AS min_id, max(id) AS max_id
         FROM graft.mem.metrics67
         GROUP BY kind ORDER BY kind""")
+    },
+
+    // connector UPDATE + MERGE through the GROUP-BASED row-level
+    // rewrite (q71 — SupportsRowLevelOperations, the copy-on-write
+    // protocol Iceberg implements; q67's DELETE face completed with
+    // the two commands that CANNOT be metadata operations because they
+    // produce NEW row versions): Spark rewrites UPDATE into
+    // scan-groups → recompute → ReplaceData, and MERGE into the same
+    // shape with the source joined in — the rewritten rows (unchanged
+    // + updated + merge-inserts) arrive in ONE BatchWrite commit that
+    // atomically replaces the affected groups (here: the whole table,
+    // the honest group universe of a storeless demo; a real format
+    // narrows groups by file metadata columns). DELETE keeps the
+    // cheap SupportsDeleteV2 metadata path when its predicates are
+    // evaluable; CatalogSpec pins the ESCALATION — a predicate the
+    // metadata path vetoes falls back to this rewrite and still
+    // deletes exactly. Lifecycle: CREATE → INSERT 30k feed rows →
+    // UPDATE shifts every gauge by +1,000,000 → MERGE overlays ids
+    // [15000, 40000) with doubled values (matched rows update,
+    // unmatched insert) → per-kind accounting, closed-form oracle.
+    "q71_update_rewrite" -> { (s0, _) =>
+      val s = catalogSession(s0, "")
+      s.sql("DROP TABLE IF EXISTS graft.mem.metrics71")
+      s.sql("CREATE TABLE graft.mem.metrics71 " +
+        "(id BIGINT, kind STRING, value BIGINT)")
+      s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "30000").option("partitions", "8").load()
+        .createOrReplaceTempView("v71_feed")
+      s.sql("INSERT INTO graft.mem.metrics71 " +
+        "SELECT id, kind, value FROM v71_feed")
+      s.sql("UPDATE graft.mem.metrics71 SET value = value + 1000000 " +
+        "WHERE kind = 'gauge'")
+      s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "40000").option("partitions", "8").load()
+        .createOrReplaceTempView("v71_src")
+      s.sql("""
+        MERGE INTO graft.mem.metrics71 t
+        USING (SELECT id, kind, value * 2 AS value2 FROM v71_src
+               WHERE id >= 15000) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET value = s.value2
+        WHEN NOT MATCHED THEN INSERT (id, kind, value)
+          VALUES (s.id, s.kind, s.value2)""")
+      s.sql("""
+        SELECT kind, CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value,
+          min(value) AS min_value, max(id) AS max_id
+        FROM graft.mem.metrics71
+        GROUP BY kind ORDER BY kind""")
+    },
+
+    // METADATA COLUMNS (q72 — SupportsMetadataColumns, the Iceberg
+    // _file/_pos analog): `_pos` is the row's position in the store
+    // snapshot — hidden from SELECT * but addressable by name from SQL,
+    // served by the SAME pruning path as data columns (the scan's
+    // projected schema maps _pos to the slice base + offset, zero extra
+    // cost when unreferenced). Its load-bearing role is q71's rewrite
+    // (the operation REQUESTS _pos so writes project cleanly); here it
+    // is exercised as a USER-facing column: a single-task ordered
+    // INSERT pins store order to id order (documented determinism
+    // contract — multi-task inserts commit in task order), a DELETE
+    // compacts the store, and the query reads the SURVIVORS' positions
+    // — row_number-after-compaction semantics, closed-form oracle.
+    "q72_metadata_cols" -> { (s0, _) =>
+      val s = catalogSession(s0, "")
+      s.sql("DROP TABLE IF EXISTS graft.mem.metrics72")
+      s.sql("CREATE TABLE graft.mem.metrics72 " +
+        "(id BIGINT, kind STRING, value BIGINT)")
+      // partitions=1 → one writer task → store order == query order
+      s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "30000").option("partitions", "1").load()
+        .createOrReplaceTempView("v72_feed")
+      s.sql("INSERT INTO graft.mem.metrics72 " +
+        "SELECT id, kind, value FROM v72_feed ORDER BY id")
+      s.sql("DELETE FROM graft.mem.metrics72 WHERE value < 20000")
+      s.sql("""
+        SELECT kind, CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value,
+          sum(_pos) AS sum_pos, min(_pos) AS min_pos, max(_pos) AS max_pos
+        FROM graft.mem.metrics72
+        GROUP BY kind ORDER BY kind""")
+    },
+
+    // V2 AggregateFunction (q73 — the last FunctionCatalog face after
+    // q64's scalars): a custom aggregate callable BY NAME from pure
+    // SQL, executing the full partial-aggregation protocol — per-bit
+    // MAJORITY vote over 48-bit signatures, electing one representative
+    // fingerprint per near-dup family (the d25 companion op). What
+    // crosses the shuffle is one 49-counter state per (group,
+    // partition), never rows — map-side partials survive because the
+    // function implements merge(). Signatures: 48 bits from
+    // md5(family), each member flipping its low (doc_id % 3) bits — so
+    // the majority must recover the family base on bit 1 (flipped by
+    // ~1/3) and the alignment-dependent verdict on bit 0 (flipped by
+    // ~2/3); the oracle recomputes the vote generically, so any
+    // update/merge/tie bug breaks the hash.
+    "q73_catalog_udaf" -> { (s0, dir) =>
+      val s = catalogSession(s0, dir)
+      s.sql("""
+        SELECT fam, graft.fn.sig_majority(sig) AS centroid,
+          CAST(count(*) AS BIGINT) AS n
+        FROM (
+          SELECT doc_id div 20 AS fam,
+            CAST(conv(substring(md5(concat('sig|',
+              CAST(doc_id div 20 AS STRING))), 1, 12), 16, 10) AS BIGINT)
+              ^ (CAST(shiftleft(1, CAST(doc_id % 3 AS INT)) AS BIGINT) - 1) AS sig
+          FROM graft.corpus.documents)
+        GROUP BY fam ORDER BY fam""")
+    },
+
+    // COLUMN DEFAULT VALUES (q76 — TableCatalogCapability
+    // SUPPORT_COLUMN_DEFAULT_VALUE, the modern-DDL face every lakehouse
+    // format ships: schema evolution adds a column, old writers keep
+    // inserting the narrow shape, the ANALYZER fills the declared
+    // default — no connector code runs, the default lives in column
+    // metadata and resolution happens at plan time): three insert
+    // shapes against one 3-column table — id-only (both defaults
+    // fill), id+kind (score defaults), full-width (no defaults) — and
+    // the explicit DEFAULT keyword (CatalogSpec); per-kind accounting
+    // is closed-form over which shape covered which id range, so a
+    // default that failed to fill, filled the wrong value, or
+    // clobbered provided values breaks the hash.
+    "q76_column_defaults" -> { (s0, _) =>
+      val s = catalogSession(s0, "")
+      s.sql("DROP TABLE IF EXISTS graft.mem.metrics76")
+      s.sql("CREATE TABLE graft.mem.metrics76 (id BIGINT, " +
+        "kind STRING DEFAULT 'unknown', score BIGINT DEFAULT 50)")
+      s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "30000").option("partitions", "8").load()
+        .createOrReplaceTempView("v76_feed")
+      s.sql("INSERT INTO graft.mem.metrics76 (id) " +
+        "SELECT id FROM v76_feed WHERE id < 10000")
+      s.sql("INSERT INTO graft.mem.metrics76 (id, kind) " +
+        "SELECT id, kind FROM v76_feed WHERE id >= 10000 AND id < 20000")
+      s.sql("INSERT INTO graft.mem.metrics76 " +
+        "SELECT id, kind, value FROM v76_feed WHERE id >= 20000")
+      s.sql("""
+        SELECT kind, CAST(count(*) AS BIGINT) AS n, sum(score) AS sum_score,
+          min(score) AS min_score, max(id) AS max_id
+        FROM graft.mem.metrics76
+        GROUP BY kind ORDER BY kind""")
+    },
+
+    // CHECK CONSTRAINTS (q77 — TableCatalogCapability
+    // SUPPORT_TABLE_CONSTRAINT: the constraint rides TableInfo into
+    // createTable — the ONLY createTable form that carries it — is
+    // stored on the table, surfaces through Table.constraints(), and
+    // the ENGINE enforces it row-by-row on every write before data
+    // reaches the writer; CatalogSpec pins the violation path — a bad
+    // row fails the whole INSERT with CHECK_CONSTRAINT_VIOLATION and
+    // the q52 commit protocol keeps the store untouched, exactly-once
+    // even under rejection): the key ingests 20k feed rows through the
+    // enforced gate (every row checked against value ∈ [0, 100000) —
+    // true by the feed's construction, so enforcement cost is the
+    // observable and the accounting is closed-form).
+    "q77_check_constraint" -> { (s0, _) =>
+      val s = catalogSession(s0, "")
+      s.sql("DROP TABLE IF EXISTS graft.mem.metrics77")
+      s.sql("CREATE TABLE graft.mem.metrics77 (id BIGINT, kind STRING, " +
+        "value BIGINT, CONSTRAINT v_ok CHECK (value >= 0 AND value < 100000))")
+      s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "20000").option("partitions", "8").load()
+        .createOrReplaceTempView("v77_feed")
+      s.sql("INSERT INTO graft.mem.metrics77 SELECT id, kind, value FROM v77_feed")
+      s.sql("""
+        SELECT kind, CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value,
+          min(value) AS min_value, max(value) AS max_value
+        FROM graft.mem.metrics77
+        GROUP BY kind ORDER BY kind""")
     }
   )
 
@@ -160,6 +327,99 @@ object CatalogQueries {
         |    (id * 2654435761) % 100000 AS value
         |  FROM range(0, 100000) t(id)) u
         |WHERE NOT (kind = 'timer' OR id >= 90000)
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // final state closed-form: ids [0,15000) keep the UPDATE result
+    // (base value, +1e6 on gauges); ids [15000,40000) carry the MERGE
+    // overlay (2× base — matched rows updated, new ids inserted)
+    "q71_update_rewrite" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(min(value) AS BIGINT) AS min_value,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    CASE WHEN id >= 15000 THEN 2 * ((id * 2654435761) % 100000)
+        |      WHEN CAST(id % 3 AS INT) = 0
+        |        THEN (id * 2654435761) % 100000 + 1000000
+        |      ELSE (id * 2654435761) % 100000 END AS value
+        |  FROM range(0, 40000) t(id)) u
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // survivors of the value floor, positions = compacted rank by the
+    // insert order (== id order under the single-task ordered insert)
+    "q72_metadata_cols" ->
+      """WITH survivors AS (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 30000) t(id)
+        |  WHERE (id * 2654435761) % 100000 >= 20000),
+        |pos AS (
+        |  SELECT kind, value,
+        |    CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS _pos
+        |  FROM survivors)
+        |SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(sum(_pos) AS BIGINT) AS sum_pos,
+        |  CAST(min(_pos) AS BIGINT) AS min_pos,
+        |  CAST(max(_pos) AS BIGINT) AS max_pos
+        |FROM pos GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "q73_catalog_udaf" ->
+      """WITH f AS (
+        |  SELECT doc_id, doc_id // 20 AS fam,
+        |    md5('sig|' || CAST(doc_id // 20 AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT fam,
+        |    xor(CAST(list_sum(list_transform(generate_series(0, 11), k ->
+        |      CAST(strpos('0123456789abcdef', substring(h, 1 + k, 1)) - 1 AS BIGINT)
+        |        * (1::BIGINT << (4 * (11 - k))))) AS BIGINT),
+        |      (1::BIGINT << CAST(doc_id % 3 AS INT)) - 1) AS sig
+        |  FROM f),
+        |bits AS (
+        |  SELECT fam, b,
+        |    sum(CASE WHEN (sig >> b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+        |    count(*) AS n
+        |  FROM s, generate_series(0, 47) t(b) GROUP BY fam, b)
+        |SELECT fam,
+        |  CAST(sum(CASE WHEN ones * 2 > n THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS centroid,
+        |  CAST(max(n) AS BIGINT) AS n
+        |FROM bits GROUP BY fam ORDER BY fam""".stripMargin,
+
+    // shape 1 (id < 10000): kind='unknown', score=50; shape 2
+    // ([10000, 20000)): feed kind, score=50; shape 3 (≥20000): feed
+    // kind + value as score
+    "q76_column_defaults" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM (
+        |  SELECT id,
+        |    CASE WHEN id < 10000 THEN 'unknown'
+        |      ELSE CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |        WHEN 1 THEN 'counter' ELSE 'timer' END END AS kind,
+        |    CASE WHEN id < 20000 THEN 50
+        |      ELSE (id * 2654435761) % 100000 END AS score
+        |  FROM range(0, 30000) t(id)) u
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    "q77_check_constraint" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(min(value) AS BIGINT) AS min_value,
+        |  CAST(max(value) AS BIGINT) AS max_value
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 20000) t(id)) u
         |GROUP BY kind ORDER BY kind""".stripMargin
   )
 }

@@ -1611,6 +1611,40 @@ object PipelineQueries {
         rounds = 8, batchMax = 16)
     },
 
+    // DETOKENIZATION round-trip audit (t32 — the losslessness gate a
+    // tokenizer ships with: encode → decode must reproduce the input,
+    // or training/serving silently see different text): every corpus
+    // token decodes THROUGH the BPE segmentation (t22's vocab-grain
+    // join — the segmentation and its decode are computed once per
+    // DISTINCT word, never per token) and must equal the original word
+    // in place; a document is ok only if EVERY token round-trips. The
+    // oracle asserts the identity analytically (concat of merged
+    // symbols IS the word by construction) — the Spark side carries
+    // the burden: any merge-fold or decode bug breaks n_ok and the
+    // hash. Token-grain equality deliberately replaces whole-document
+    // string rebuilding (first cut concat_ws'd every doc back together
+    // for an md5: corpus-byte string synthesis, 7.4 s warm at sf0.1 —
+    // the per-token form audits the same fold at 4× less).
+    "t32_detok_roundtrip" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val segs = Bpe.segmentVocab(docs, "text", n = 3)
+        .select(col("w"), concat_ws("", col("syms")).as("rebuilt"),
+          size(col("syms")).cast("long").as("n_syms"))
+      docs.select(col("doc_id"), col("lang"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(segs, Seq("w"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(
+          sum(when(col("rebuilt") === col("w"), 0L).otherwise(1L)).as("n_bad"),
+          sum(col("n_syms")).as("n_syms"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_bad") === 0L, 1L).otherwise(0L)).as("n_ok"),
+          sum(col("n_syms")).as("n_syms"))
+        .orderBy(col("lang"))
+    },
+
     "t22_bpe_apply" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val segs = Bpe.segmentVocab(docs, "text", n = 3)
@@ -4259,6 +4293,24 @@ object PipelineQueries {
 
     // same shared CTE chain as t21; the apply half joins the final
     // segmentation s3 back to the exploded corpus
+    // the identity is analytic in the oracle (merged symbols concat to
+    // the word by construction) — n_ok == n_docs; n_syms prices the
+    // segmentation so a wrong merge fold still breaks the hash
+    "t32_detok_roundtrip" ->
+      s"""$bpeOracleCtes,
+         |d AS (SELECT doc_id, lang, w FROM (
+         |    SELECT doc_id, lang,
+         |      unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |    FROM documents) x WHERE length(w) > 0),
+         |j AS (SELECT d.doc_id, d.lang, len(s.syms) AS n_syms
+         |  FROM d JOIN s3 s USING (w)),
+         |per AS (SELECT doc_id, lang, CAST(sum(n_syms) AS BIGINT) AS n_syms
+         |  FROM j GROUP BY 1, 2)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_ok,
+         |  CAST(sum(n_syms) AS BIGINT) AS n_syms
+         |FROM per GROUP BY lang ORDER BY lang""".stripMargin,
+
     "t22_bpe_apply" ->
       s"""$bpeOracleCtes,
          |d AS (SELECT doc_id, w FROM (

@@ -1111,6 +1111,78 @@ object RelationalQueries {
         .orderBy(col("kind"))
     },
 
+    // STORAGE-PARTITIONED JOIN (q69 — the join-side payoff of q61's
+    // declared clustering, and Spark's lakehouse answer to q36's
+    // bucketed layout delivered through the connector API): BOTH feeds
+    // report KeyGroupedPartitioning on kind with per-split
+    // HasPartitionKey, so the whole pipeline — baseline aggregate on
+    // one feed, join back onto the other feed's RAW rows, final
+    // re-aggregate — plans with ZERO exchanges: the fact rows never
+    // shuffle ONCE (PlanSpec: no ShuffleExchange anywhere above either
+    // scan; broadcast disabled so co-partitioning, not a broadcast,
+    // does the work). Semantics: count per kind how many current
+    // readings exceed the baseline feed's per-kind mean, compared by
+    // integer cross-multiplication (value·base_n > base_sum — exact,
+    // no division). The 100 TB story: two co-clustered sources join
+    // at fact scale with zero data movement — the SPJ contract
+    // (Iceberg's bucket-join) exercised end-to-end through a V2
+    // connector. Session-isolated (v2 bucketing is opt-in; the q60
+    // pattern).
+    "q69_spj_join" -> { (s0, _) =>
+      val s = s0.newSession()
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def feed(n: Long) = s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", n.toString).option("partitions", "8")
+        .option("clusterByKind", "true").load()
+      val base = feed(120000L).groupBy(col("kind"))
+        .agg(count(lit(1)).as("base_n"), sum(col("value")).as("base_sum"))
+      feed(240000L).join(base, "kind")
+        .groupBy(col("kind"))
+        .agg(
+          sum(when(col("value") * col("base_n") > col("base_sum"), 1L)
+            .otherwise(0L)).as("n_above"),
+          count(lit(1)).as("n_rows"),
+          max(col("base_n")).as("base_n"))
+        .orderBy(col("kind"))
+    },
+
+    // DSv2 REPORTED ORDERING (q70 — SupportsReportOrdering, the
+    // SORT-side twin of q61/q69's partitioning report and the LAST
+    // physical-property face of the connector: partitioning says WHERE
+    // rows live, ordering says HOW they arrive): each feed split emits
+    // [kind ASC, id ASC] (kind constant per clustered split, ids
+    // ascending by construction), the scan REPORTS it, and
+    // EnsureRequirements drops the per-partition SortExec a sort-merge
+    // join would otherwise plant on the FACT scan — composed with
+    // q69's co-partitioning the SMJ streams the 180k fact rows with
+    // zero exchanges AND zero sorts (PlanSpec gates the fact subtree
+    // structurally; the envelope side keeps its 3-row sort because
+    // HashAggregate output is inherently unordered).
+    // Semantics: per-kind range containment — how many current
+    // readings fall inside the baseline feed's [min, max] envelope.
+    // The 100 TB story: a source that stores sorted (every LSM/index
+    // store) stops paying a redundant cluster-wide sort on every
+    // merge join.
+    "q70_report_ordering" -> { (s0, _) =>
+      val s = s0.newSession()
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def feed(n: Long) = s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", n.toString).option("partitions", "8")
+        .option("clusterByKind", "true").load()
+      val envelope = feed(90000L).groupBy(col("kind"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      feed(180000L).join(envelope, "kind")
+        .groupBy(col("kind"))
+        .agg(
+          sum(when(col("value").between(col("lo"), col("hi")), 1L)
+            .otherwise(0L)).as("n_inside"),
+          count(lit(1)).as("n_rows"),
+          min(col("lo")).as("env_lo"), max(col("hi")).as("env_hi"))
+        .orderBy(col("kind"))
+    },
+
     // DSv2 REPORTED STATISTICS (q65 — the OPTIMIZER-facing twin of q56's
     // sketch-driven join strategy, delivered through the connector API:
     // q56 probes sketches and HINTS; here the source itself reports
@@ -1188,6 +1260,74 @@ object RelationalQueries {
       import s.implicits._
       Seq("feed_rows_read", "feed_slices_planned", "feed_slices_pruned")
         .map(k => (k, scan.metrics(k).value))
+        .toDF("metric", "value").orderBy(col("metric"))
+    },
+
+    // SQL SCRIPTING (q75 — Spark 4.1's procedural SQL: BEGIN…END
+    // blocks, DECLAREd session variables, WHILE/SET control flow —
+    // the SQL:2023 stored-procedure surface; q59 inlined declarative
+    // UDFs, this is the IMPERATIVE face a SQL-only analyst uses for
+    // iterative calibration without leaving SQL): a quota-calibration
+    // loop doubles a char threshold from 64 until ≥90% of the corpus
+    // falls below it — the driver composes one bounded count per
+    // iteration (the d9/SketchPlanner plan-time decision class; each
+    // probe is a single-column pushed-down scan), and the script's
+    // final SELECT is the result. Session-isolated (scripting is
+    // opt-in conf). Oracle: the closed-form smallest 64·2^k via an
+    // octave sweep.
+    "q75_sql_scripting" -> { (s0, dir) =>
+      val s = s0.newSession()
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      graft.sources.Tables.documents(s, dir).createOrReplaceTempView("q75_docs")
+      s.sql("""
+        BEGIN
+          DECLARE thr BIGINT DEFAULT 64;
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE kept BIGINT DEFAULT 0;
+          SET total = (SELECT count(*) FROM q75_docs);
+          SET kept = (SELECT count(*) FROM q75_docs WHERE n_chars < thr);
+          WHILE kept * 10 < total * 9 DO
+            SET thr = thr * 2;
+            SET kept = (SELECT count(*) FROM q75_docs WHERE n_chars < thr);
+          END WHILE;
+          SELECT thr AS threshold, kept AS n_kept, total AS n_total;
+        END""")
+    },
+
+    // OBSERVED METRICS / CollectMetrics (q74 — Dataset.observe, the
+    // in-flight data-quality instrument: the reference's whole ethos is
+    // watching pipelines, and observe() is Spark's native way to meter
+    // a DATAFLOW without a second scan — the aggregates ride the SAME
+    // pass the query already makes, collected by accumulator, zero
+    // extra jobs). An ingest gate observes the corpus (rows, en-rows,
+    // char mass, quality-fail count) at the point BEFORE filtering;
+    // the gated output flows on declaratively. The key executes the
+    // gated plan once (the q68 protocol posture), reads the observation
+    // from queryExecution.observedMetrics, and emits BOTH the observed
+    // values and the gate's own output counts — reconciled closed-form,
+    // so a metric that missed rows or double-counted breaks the hash.
+    // PlanSpec additionally proves the plan has exactly ONE scan (the
+    // metrics are not a second aggregation pass).
+    "q74_observed_metrics" -> { (s, dir) =>
+      val docs = graft.sources.Tables.documents(s, dir)
+      val observed = docs.observe("ingest_gate",
+        count(lit(1)).as("n_rows"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(length(col("text"))).as("chars"),
+        sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("n_short"))
+      val gated = observed.filter(col("n_chars") >= 200)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(length(col("text"))).as("kept_chars"))
+      val kept = gated.collect()(0)
+      val m = gated.queryExecution.observedMetrics("ingest_gate")
+      import s.implicits._
+      Seq(
+        ("chars", m.getAs[Long]("chars")),
+        ("kept_chars", kept.getLong(1)),
+        ("n_en", m.getAs[Long]("n_en")),
+        ("n_kept", kept.getLong(0)),
+        ("n_rows", m.getAs[Long]("n_rows")),
+        ("n_short", m.getAs[Long]("n_short")))
         .toDF("metric", "value").orderBy(col("metric"))
     },
 
@@ -1539,6 +1679,79 @@ object RelationalQueries {
         |    (id * 2654435761) % 100000 AS value
         |  FROM range(0, 200000) t(id)
         |  WHERE id >= 150000) u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // base feed = range(0,120000), current = range(0,240000); compare by
+    // integer cross-multiplication, no division anywhere
+    "q69_spj_join" ->
+      """WITH base AS (
+        |  SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    CAST(count(*) AS BIGINT) AS base_n,
+        |    CAST(sum((id * 2654435761) % 100000) AS BIGINT) AS base_sum
+        |  FROM range(0, 120000) t(id) GROUP BY 1),
+        |cur AS (
+        |  SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 240000) t(id))
+        |SELECT cur.kind,
+        |  CAST(sum(CASE WHEN cur.value * base.base_n > base.base_sum
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(max(base.base_n) AS BIGINT) AS base_n
+        |FROM cur JOIN base ON cur.kind = base.kind
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // smallest thr = 64·2^k with ≥90% of docs below it, swept closed-form
+    "q75_sql_scripting" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM documents),
+        |sweep AS (
+        |  SELECT 64 * (1::BIGINT << k) AS thr,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE n_chars < 64 * (1::BIGINT << k)) AS kept
+        |  FROM generate_series(0, 30) s(k)),
+        |hit AS (SELECT thr, kept FROM sweep, t
+        |  WHERE kept * 10 >= total * 9 ORDER BY thr LIMIT 1)
+        |SELECT CAST(hit.thr AS BIGINT) AS threshold,
+        |  CAST(hit.kept AS BIGINT) AS n_kept,
+        |  t.total AS n_total
+        |FROM hit, t""".stripMargin,
+
+    "q74_observed_metrics" ->
+      """SELECT metric, CAST(value AS BIGINT) AS value FROM (
+        |  SELECT 'chars' AS metric, sum(length(text)) AS value FROM documents
+        |  UNION ALL
+        |  SELECT 'kept_chars', sum(length(text)) FROM documents WHERE n_chars >= 200
+        |  UNION ALL
+        |  SELECT 'n_en', count(*) FROM documents WHERE lang = 'en'
+        |  UNION ALL
+        |  SELECT 'n_kept', count(*) FROM documents WHERE n_chars >= 200
+        |  UNION ALL
+        |  SELECT 'n_rows', count(*) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_short', count(*) FROM documents WHERE n_chars < 200) t
+        |ORDER BY metric""".stripMargin,
+
+    "q70_report_ordering" ->
+      """WITH env AS (
+        |  SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    CAST(min((id * 2654435761) % 100000) AS BIGINT) AS lo,
+        |    CAST(max((id * 2654435761) % 100000) AS BIGINT) AS hi
+        |  FROM range(0, 90000) t(id) GROUP BY 1),
+        |cur AS (
+        |  SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 180000) t(id))
+        |SELECT cur.kind,
+        |  CAST(sum(CASE WHEN cur.value BETWEEN env.lo AND env.hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_inside,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(env.lo) AS BIGINT) AS env_lo,
+        |  CAST(max(env.hi) AS BIGINT) AS env_hi
+        |FROM cur JOIN env ON cur.kind = env.kind
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q65_source_stats" ->

@@ -120,6 +120,37 @@ object StreamingQueries {
         .orderBy(col("epoch_id"))
     },
 
+    // STREAMING observed metrics (st21 — q74's streaming half, and the
+    // production form of the pattern: a batch job can re-scan to audit,
+    // a stream CANNOT — observe() is the only way to meter data quality
+    // per micro-batch without forking the stream): the feed stream
+    // carries an observation (rows, value mass, max id) that the engine
+    // collects by accumulator per epoch and surfaces in
+    // StreamingQueryProgress.observedMetrics — the monitoring channel
+    // the reference's poll loop (chStats.py:538-579) maps onto. The key
+    // drains 3 deterministic admission-controlled epochs through a noop
+    // sink and emits the PER-EPOCH observations — closed-form range
+    // sums, so a dropped or double-counted epoch breaks the hash
+    // (exactly-once observed, not just exactly-once written).
+    "st21_stream_observe" -> { (s, _) =>
+      val stream = s.readStream.format("graft.sources.MetricsFeedSource")
+        .option("rows", "60000").option("partitions", "4")
+        .option("streamStep", "20000").load()
+      val q = stream.observe("feed_gate",
+          count(lit(1)).as("n_rows"),
+          sum(col("value")).as("sum_value"),
+          max(col("id")).as("max_id"))
+        .writeStream.format("noop").outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val epochs = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("feed_gate")))
+        .map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("sum_value"),
+          r.getAs[Long]("max_id")))
+        .filter(_._1 > 0)
+      import s.implicits._
+      epochs.toDF("n_rows", "sum_value", "max_id").orderBy(col("max_id"))
+    },
+
     // streaming ingest NEAR-DUP gate, batch form: every arriving doc is
     // checked against the PERSISTED LSH serving index (d18's incremental
     // dedup made a serving op — the index is a DerivedLayouts artifact
@@ -338,6 +369,14 @@ object StreamingQueries {
         |  CAST(sum((id * 2654435761) % 100000) AS BIGINT) AS sum_value
         |FROM range(0, 60000) t(id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // one observation row per 20000-row admission epoch
+    "st21_stream_observe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum((id * 2654435761) % 100000) AS BIGINT) AS sum_value,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM range(0, 60000) t(id)
+        |GROUP BY id // 20000 ORDER BY max_id""".stripMargin,
 
     // the full pipeline re-derived: band keys for every doc, the bucket
     // cap applied over INDEX occupancy only (the build-time rule), batch

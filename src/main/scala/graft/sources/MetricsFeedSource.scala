@@ -378,7 +378,7 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
     streamStep: Long = 25000L, clusterByKind: Boolean = false,
     pushedLimit: String = "", columnar: Boolean = false) extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics with SupportsReportOrdering {
   // Runtime (DPP) clamp: filter() only RECORDS the delivered id bounds;
   // planInputPartitions combines them with the statically-pushed [lo, hi)
   // per invocation. Keeping the static range immutable means a repeated
@@ -402,8 +402,13 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
   // set are never read. This is DPP generalized to a V2 source: the
   // probe side's planned volume is decided by the OTHER side's data at
   // RUNTIME, not by any static predicate.
+  // only declare columns that SURVIVED pruning: PartitionPruning
+  // resolves these refs against the scan's output, so advertising a
+  // pruned-away `id` fails analysis on any query that doesn't select
+  // it (found by q69's kind-only projection)
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("id"))
+    if (required.fieldNames.contains("id")) Array(Expressions.column("id"))
+    else Array.empty
   override def filter(predicates: Array[Predicate]): Unit = {
     // combine all predicates delivered in THIS call, then record the
     // result — never narrow an already-recorded clamp in place
@@ -473,6 +478,24 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
       (if (clusterByKind) "KeyGroupedBy: [kind], " else "") +
       "RuntimeFilterable: [id], " +
       s"ReadSchema: ${required.simpleString}"
+
+  // ---- SupportsReportOrdering (q70 — the SORT-side twin of the
+  // partitioning report): every split's reader emits ids ASCENDING, and
+  // a kind-clustered split carries ONE kind, so [kind ASC, id ASC]
+  // (clustered) / [id ASC] (sliced) is truthful per-partition ordering.
+  // EnsureRequirements then drops the per-partition SortExec a
+  // sort-merge join would otherwise plant on the scan side — composed
+  // with the q69 co-partitioning, an SPJ plans with zero exchanges AND
+  // zero input sorts. Only columns that survived pruning are reported
+  // (the filterAttributes lesson: these refs resolve against output).
+  override def outputOrdering(): Array[V2SortOrder] = {
+    // (ids ascend within a clustered split too — stride 3 — so any
+    // pruned subset of [kind, id] stays truthful per-partition)
+    (if (clusterByKind) Seq("kind", "id") else Seq("id"))
+      .filter(required.fieldNames.contains)
+      .map(c => Expressions.sort(Expressions.column(c),
+        SortDirection.ASCENDING): V2SortOrder).toArray
+  }
 
   // ---- SupportsReportPartitioning (q61): the source DECLARES that its
   // splits are clustered by `kind`, so a groupBy(kind) consumer plans

@@ -67,21 +67,120 @@ class CatalogSpec extends AnyFunSuite {
     assert(MemTables.get("spec_t").isEmpty)
   }
 
-  test("canDeleteWhere soundness veto: a translatable-but-unsupported predicate REFUSES, rows intact") {
+  test("canDeleteWhere veto ESCALATES: an unsupported predicate falls back to the group rewrite and deletes exactly") {
     val s = cataloged()
     s.sql("DROP TABLE IF EXISTS graft.mem.spec_v")
     s.sql("CREATE TABLE graft.mem.spec_v (id BIGINT, node STRING)")
     s.sql("INSERT INTO graft.mem.spec_v VALUES (1, 'node1'), (2, 'node2')")
     // LIKE 'node1%' translates to a STARTS_WITH V2 predicate, which the
-    // mem interpreter does not evaluate — canDeleteWhere must veto the
-    // whole delete (partial evaluation would delete the wrong rows)
-    val e = intercept[Exception] {
-      s.sql("DELETE FROM graft.mem.spec_v WHERE node LIKE 'node1%'")
-    }
-    assert(e.getMessage != null)
-    assert(s.sql("SELECT count(*) FROM graft.mem.spec_v").collect()(0).getLong(0) == 2,
-      "a vetoed delete must leave the table untouched")
+    // metadata path's interpreter does not evaluate — canDeleteWhere
+    // vetoes (partial evaluation would delete wrong rows), and Spark
+    // falls back to the GROUP-BASED row-level rewrite, which evaluates
+    // the predicate itself and replaces the group. Soundness preserved,
+    // coverage gained: both DML faces on one table, dispatched by
+    // predicate evaluability.
+    graft.catalog.MemTables.lastRowLevelCommand = ""
+    s.sql("DELETE FROM graft.mem.spec_v WHERE node LIKE 'node1%'")
+    assert(graft.catalog.MemTables.lastRowLevelCommand == "DELETE",
+      "the vetoed metadata delete must have escalated to the row-level rewrite")
+    val left = s.sql("SELECT id, node FROM graft.mem.spec_v").collect()
+    assert(left.length == 1 && left(0).getLong(0) == 2L &&
+      left(0).getString(1) == "node2", left.mkString(","))
+    // an EVALUABLE predicate still takes the cheap metadata path — no
+    // rewrite command recorded
+    s.sql("INSERT INTO graft.mem.spec_v VALUES (3, 'node3')")
+    graft.catalog.MemTables.lastRowLevelCommand = ""
+    s.sql("DELETE FROM graft.mem.spec_v WHERE id = 3")
+    assert(graft.catalog.MemTables.lastRowLevelCommand == "",
+      "an evaluable delete must stay on the metadata deleteWhere path")
+    assert(s.sql("SELECT count(*) FROM graft.mem.spec_v").collect()(0).getLong(0) == 1)
     s.sql("DROP TABLE graft.mem.spec_v")
+  }
+
+  test("q71: UPDATE and MERGE go through the group-based rewrite — one atomic ReplaceData commit each") {
+    val s = cataloged()
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_u")
+    s.sql("CREATE TABLE graft.mem.spec_u (id BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft.mem.spec_u VALUES (1, 10), (2, 20), (3, 30)")
+    graft.catalog.MemTables.lastRowLevelCommand = ""
+    val upd = s.sql("UPDATE graft.mem.spec_u SET v = v + 1 WHERE id >= 2")
+    assert(graft.catalog.MemTables.lastRowLevelCommand == "UPDATE")
+    // the UPDATE plan is the group rewrite: ReplaceData, not a metadata op
+    assert(upd.queryExecution.executedPlan.toString.contains("ReplaceData") ||
+      upd.queryExecution.logical.toString.contains("ReplaceData"),
+      upd.queryExecution.logical.toString)
+    val after = s.sql("SELECT id, v FROM graft.mem.spec_u ORDER BY id").collect()
+    assert(after.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 21L), (3L, 31L)))
+    // MERGE: matched update + unmatched insert in ONE commit
+    s.sql("SELECT * FROM VALUES (3, 300), (4, 400) AS t(id, v)")
+      .createOrReplaceTempView("spec_u_src")
+    graft.catalog.MemTables.lastRowLevelCommand = ""
+    s.sql("""MERGE INTO graft.mem.spec_u t USING spec_u_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    assert(graft.catalog.MemTables.lastRowLevelCommand == "MERGE")
+    val merged = s.sql("SELECT id, v FROM graft.mem.spec_u ORDER BY id").collect()
+    assert(merged.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 21L), (3L, 300L), (4L, 400L)))
+    s.sql("DROP TABLE graft.mem.spec_u")
+  }
+
+  test("q72: _pos metadata column — hidden from SELECT *, addressable by name, positions compact after DELETE") {
+    val s = cataloged()
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_m")
+    s.sql("CREATE TABLE graft.mem.spec_m (id BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft.mem.spec_m SELECT id, id * 10 FROM range(0, 6) ORDER BY id")
+    // hidden unless requested
+    assert(s.sql("SELECT * FROM graft.mem.spec_m").columns.toSeq == Seq("id", "v"))
+    // addressable: single-task ordered insert pins _pos == id
+    val withPos = s.sql("SELECT _pos, id FROM graft.mem.spec_m ORDER BY id").collect()
+    assert(withPos.forall(r => r.getLong(0) == r.getLong(1)), withPos.mkString(","))
+    // DELETE compacts the store — positions re-rank densely
+    s.sql("DELETE FROM graft.mem.spec_m WHERE id IN (0, 2, 4)")
+    val after = s.sql("SELECT _pos, id FROM graft.mem.spec_m ORDER BY id").collect()
+    assert(after.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 1L), (1L, 3L), (2L, 5L)), after.mkString(","))
+    s.sql("DROP TABLE graft.mem.spec_m")
+  }
+
+  test("q76: column DEFAULTs fill analyzer-side — narrow inserts, explicit DEFAULT keyword, provided values never clobbered") {
+    val s = cataloged()
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_d")
+    s.sql("CREATE TABLE graft.mem.spec_d " +
+      "(id BIGINT, kind STRING DEFAULT 'gauge', score BIGINT DEFAULT 100)")
+    s.sql("INSERT INTO graft.mem.spec_d (id) VALUES (1)")
+    s.sql("INSERT INTO graft.mem.spec_d (id, kind) VALUES (2, DEFAULT)")
+    s.sql("INSERT INTO graft.mem.spec_d VALUES (3, 'timer', 7)")
+    val rows = s.sql("SELECT id, kind, score FROM graft.mem.spec_d ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq((1L, "gauge", 100L), (2L, "gauge", 100L),
+      (3L, "timer", 7L)), rows.toString)
+    s.sql("DROP TABLE graft.mem.spec_d")
+  }
+
+  test("q77: CHECK constraint — engine-enforced on write, violating INSERT rejected with the store untouched") {
+    val s = cataloged()
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_c")
+    s.sql("CREATE TABLE graft.mem.spec_c (id BIGINT, v BIGINT, " +
+      "CONSTRAINT v_range CHECK (v >= 0 AND v < 1000))")
+    s.sql("INSERT INTO graft.mem.spec_c VALUES (1, 10), (2, 999)")
+    // the constraint round-trips through loadTable
+    val t = new graft.catalog.GraftCatalog {
+      initialize("graft", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    }.loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array("mem"), "spec_c"))
+    assert(t.constraints().exists(_.name() == "v_range"), t.constraints().mkString(","))
+    // one bad row fails the WHOLE insert; commit protocol keeps the store intact
+    val e = intercept[Exception] {
+      s.sql("INSERT INTO graft.mem.spec_c VALUES (3, 500), (4, -5)")
+    }
+    assert(e.getMessage.contains("CHECK_CONSTRAINT_VIOLATION"), e.getMessage)
+    assert(e.getMessage.contains("v_range"), e.getMessage)
+    val left = s.sql("SELECT count(*), sum(v) FROM graft.mem.spec_c").collect()(0)
+    assert(left.getLong(0) == 2L && left.getLong(1) == 1009L, left.toString)
+    s.sql("DROP TABLE graft.mem.spec_c")
   }
 
   test("function catalog: bind rejects wrong arity/types as an analysis error") {

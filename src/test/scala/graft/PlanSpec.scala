@@ -1030,6 +1030,106 @@ class PlanSpec extends AnyFunSuite {
     assert(desc.head.getLong(0) == 199999L)
   }
 
+  test("q69: storage-partitioned join — baseline agg, fact join, re-agg all plan with ZERO exchanges") {
+    val df = SparkEntry.queries("q69_spj_join")(spark, sf)
+    val out = df.collect()
+    assert(out.length == 3)
+    val p = df.queryExecution.executedPlan.toString
+    // not a single shuffle anywhere except the 3-row orderBy's range
+    // partitioning: both scans declare KeyGroupedPartitioning(kind) and
+    // every stage (baseline agg, fact-side join, final agg) rides it
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    // co-partitioning, not a broadcast, did the work
+    assert(!p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    // the fact side really was the 240k-row raw scan (80k rows per kind)
+    assert(out.map(_.getLong(2)).sum == 240000L)
+    // base_n = 120000/3 per kind
+    assert(out.forall(_.getLong(3) == 40000L))
+  }
+
+  test("q70: reported ordering feeds the merge join sort-free on the fact side") {
+    val df = SparkEntry.queries("q70_report_ordering")(spark, sf)
+    val out = df.collect()
+    assert(out.length == 3)
+    val exec = df.queryExecution.executedPlan
+    val p = exec.toString
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("SortMergeJoin"), p)
+    // the FACT side feeds the merge join with NO sort: the scan REPORTS
+    // [kind ASC, id ASC] so EnsureRequirements plants nothing above it.
+    // (The envelope side keeps its 3-row sort — HashAggregate output is
+    // unordered, inherently.) Assert structurally on the final plan:
+    // the SMJ's streamed (fact) subtree contains the 180k scan and zero
+    // SortExec nodes.
+    val finalPlan = exec match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    // AQE wraps subtrees in QueryStageExec LEAVES — expand them so the
+    // collect really walks the whole physical tree
+    def deepCollect[T](n: org.apache.spark.sql.execution.SparkPlan)(
+        pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] =
+      n.collect(pf) ++ n.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q.plan
+      }.flatMap(deepCollect(_)(pf))
+    val smj = deepCollect(finalPlan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.length == 1, finalPlan.toString)
+    val factSide = smj.head.left
+    assert(deepCollect(factSide) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.isEmpty, factSide.toString)
+    assert(factSide.toString.contains("metrics_feed(180000)"), factSide.toString)
+    // the envelope is [min, max] of the SAME generator — every current
+    // value of a kind whose domain is covered lands inside
+    assert(out.map(_.getLong(2)).sum == 180000L)
+  }
+
+  test("q73: the V2 catalog aggregate runs two-phase — map-side partial states merge across ONE exchange") {
+    val df = SparkEntry.queries("q73_catalog_udaf")(spark, sf)
+    val out = df.collect()
+    assert(out.nonEmpty)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SigMajorityBound"), p)
+    // partial (update) below the hash exchange, final (merge) above —
+    // rows never cross the shuffle, 49-counter states do
+    assert(p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("partial_v2aggregator"), p)
+    // the scan reads ONLY doc_id — pruning composes with the catalog fn
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"), p)
+    // every family elects SOME 48-bit centroid
+    assert(out.forall { r =>
+      val c = r.getLong(1); c >= 0 && c < (1L << 48)
+    })
+  }
+
+  test("q74: observe() meters the SAME pass — CollectMetrics in-plan, ONE scan, observed values reconcile with the gate") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("q74_observed_metrics")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the gate partitions the corpus exactly: kept + short == rows
+    assert(out("n_kept") + out("n_short") == out("n_rows"), out.toString)
+    assert(out("kept_chars") <= out("chars"), out.toString)
+    // plan shape: the observation rides the one existing scan
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val gated = docs.observe("g", count(lit(1)).as("n"))
+      .filter(col("n_chars") >= 200)
+      .agg(count(lit(1)).as("n_kept"))
+    gated.collect()
+    val opt = gated.queryExecution.optimizedPlan
+    assert(opt.toString.contains("CollectMetrics"), opt.toString)
+    val scans = opt.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }
+    assert(scans.length == 1, opt.toString)
+    // the observation really was collected on this pass
+    assert(gated.queryExecution.observedMetrics("g").getAs[Long]("n") > 0)
+  }
+
   test("q62: the dim's id values RUNTIME-prune the V2 scan — dynamicpruningexpression in-plan, range clamped") {
     import graft.sources.MetricsFeedSource
     MetricsFeedSource.lastRuntimeFilter = ""
