@@ -9,7 +9,7 @@ import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.sources.SnapshotLayout
@@ -146,8 +146,62 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     MemTables.create(ident.name(), schema)
     new MemTable(ident.name())
   }
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft tables are append/delete only")
+  // ---- schema evolution on mem tables (q78): ADD COLUMN (with an
+  // optional DEFAULT materialized into existing rows — the "exists
+  // default" a lakehouse format records in metadata; materializing at
+  // alter time gives identical reads with a storeless row format),
+  // RENAME COLUMN (pure metadata), DROP COLUMN (row projection). Each
+  // change swaps schema + rows atomically.
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!ident.namespace().sameElements(Array("mem")))
+      throw new UnsupportedOperationException(
+        s"only graft.mem tables can be altered, got $ident")
+    val state = MemTables.get(ident.name()).getOrElse(
+      throw new NoSuchTableException(ident))
+    changes.foldLeft(state.schema) { (schema, change) =>
+      change match {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1,
+            "mem tables have no nested columns")
+          val dv: Any = Option(add.defaultValue())
+            .map(_.getValue.value() match {
+              case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+              case other => other
+            }).orNull
+          val field = StructField(add.fieldNames()(0), add.dataType(),
+            add.isNullable)
+          val withMeta = Option(add.defaultValue()).map { d =>
+            val sql = d.getSql
+            field.withComment(field.getComment().getOrElse(""))
+              .copy(metadata = new MetadataBuilder()
+                .putString("CURRENT_DEFAULT", sql)
+                .putString("EXISTS_DEFAULT", sql).build())
+          }.getOrElse(field)
+          val next = schema.add(withMeta)
+          MemTables.evolve(ident.name(), next, row => row :+ dv)
+          next
+        case ren: TableChange.RenameColumn =>
+          val idx = schema.fieldNames.indexOf(ren.fieldNames()(0))
+          require(idx >= 0, s"no column ${ren.fieldNames()(0)}")
+          val next = StructType(schema.fields.updated(idx,
+            schema.fields(idx).copy(name = ren.newName())))
+          MemTables.evolve(ident.name(), next, identity)
+          next
+        case del: TableChange.DeleteColumn =>
+          val idx = schema.fieldNames.indexOf(del.fieldNames()(0))
+          require(idx >= 0, s"no column ${del.fieldNames()(0)}")
+          val next = StructType(
+            schema.fields.patch(idx, Nil, 1))
+          MemTables.evolve(ident.name(), next,
+            row => row.patch(idx, Nil, 1))
+          next
+        case other =>
+          throw new UnsupportedOperationException(
+            s"unsupported table change: $other")
+      }
+    }
+    new MemTable(ident.name())
+  }
   override def dropTable(ident: Identifier): Boolean =
     ident.namespace().sameElements(Array("mem")) && MemTables.drop(ident.name())
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

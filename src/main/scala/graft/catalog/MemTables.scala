@@ -56,6 +56,17 @@ object MemTables {
     import scala.jdk.CollectionConverters._
     registry.keySet().asScala.toSeq.sorted
   }
+  /** Schema evolution (q78): swap schema + rows under the registry lock
+    * (computeIfPresent) so readers snapshot either the old or the new
+    * shape, never a mix. */
+  def evolve(name: String, newSchema: StructType,
+      remap: Array[Any] => Array[Any]): Unit =
+    registry.computeIfPresent(name, (_, old) => {
+      val next = new State(newSchema, old.constraints)
+      next.rows.set(old.rows.get().map(remap))
+      next
+    })
+
   def append(name: String, batch: Seq[Array[Any]]): Unit =
     registry.get(name).rows.updateAndGet(_ ++ batch)
   def replace(name: String, rows: Vector[Array[Any]]): Unit =

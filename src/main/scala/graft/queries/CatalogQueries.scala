@@ -281,6 +281,40 @@ object CatalogQueries {
           min(value) AS min_value, max(value) AS max_value
         FROM graft.mem.metrics77
         GROUP BY kind ORDER BY kind""")
+    },
+
+    // ALTER TABLE schema evolution (q78 — TableCatalog.alterTable with
+    // TableChange: the DDL half of q38's schema-evolution READ story,
+    // through the connector protocol a lakehouse format implements):
+    // ADD COLUMN with DEFAULT (the default is recorded as the column's
+    // exists-default AND materialized into existing rows — identical
+    // reads, storeless row format), RENAME COLUMN (pure metadata; data
+    // addressed by the new name), ADD + DROP of a scratch column (row
+    // projection). Each change swaps schema + rows atomically under the
+    // registry lock, so a concurrent reader snapshots old or new shape,
+    // never a mix. Old-shape inserts before the evolution, new-shape
+    // after; closed-form accounting over both eras under the renamed
+    // column proves nothing was lost, null-filled, or mis-defaulted.
+    "q78_alter_table" -> { (s0, _) =>
+      val s = catalogSession(s0, "")
+      s.sql("DROP TABLE IF EXISTS graft.mem.metrics78")
+      s.sql("CREATE TABLE graft.mem.metrics78 (id BIGINT, kind STRING)")
+      s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "20000").option("partitions", "8").load()
+        .createOrReplaceTempView("v78_feed")
+      s.sql("INSERT INTO graft.mem.metrics78 " +
+        "SELECT id, kind FROM v78_feed WHERE id < 10000")
+      s.sql("ALTER TABLE graft.mem.metrics78 ADD COLUMN score BIGINT DEFAULT 50")
+      s.sql("INSERT INTO graft.mem.metrics78 " +
+        "SELECT id, kind, value FROM v78_feed WHERE id >= 10000")
+      s.sql("ALTER TABLE graft.mem.metrics78 RENAME COLUMN kind TO metric_kind")
+      s.sql("ALTER TABLE graft.mem.metrics78 ADD COLUMN scratch STRING DEFAULT 'x'")
+      s.sql("ALTER TABLE graft.mem.metrics78 DROP COLUMN scratch")
+      s.sql("""
+        SELECT metric_kind, CAST(count(*) AS BIGINT) AS n,
+          sum(score) AS sum_score, min(score) AS min_score, max(id) AS max_id
+        FROM graft.mem.metrics78
+        GROUP BY metric_kind ORDER BY metric_kind""")
     }
   )
 
@@ -420,6 +454,22 @@ object CatalogQueries {
         |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
         |    (id * 2654435761) % 100000 AS value
         |  FROM range(0, 20000) t(id)) u
-        |GROUP BY kind ORDER BY kind""".stripMargin
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // old era (id < 10000): score materialized from the ADD COLUMN
+    // default; new era: feed value
+    "q78_alter_table" ->
+      """SELECT metric_kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS metric_kind,
+        |    CASE WHEN id < 10000 THEN 50
+        |      ELSE (id * 2654435761) % 100000 END AS score
+        |  FROM range(0, 20000) t(id)) u
+        |GROUP BY metric_kind ORDER BY metric_kind""".stripMargin
   )
 }

@@ -1230,6 +1230,44 @@ object PipelineQueries {
     // recurrence. Scale shape: one corpus pass for the per-source
     // aggregate; every MW round runs on |sources| aggregate rows with
     // a broadcast 1-row total — the iteration costs nothing at 100 TB.
+    // SPAN-CORRUPTION sample builder (p29 — the T5/UL2 denoising
+    // objective's data op: mask deterministic token spans with sentinel
+    // tokens, emit (input, target) pairs where the target replays the
+    // masked spans behind their sentinels): span starts at every 7th
+    // token position (1-based p ≡ 4 mod 7, span length 2, stride > span
+    // so spans never overlap — the deterministic analog of the 15%/mean-3
+    // random policy), input replaces each span with <extra_id_k>, target
+    // is the sentinel-keyed concatenation of the masked tokens. Pure
+    // per-row array algebra over ONE corpus pass — no shuffle at all
+    // until the output sort; both engines build byte-identical strings
+    // so the md5s are the gate. Guard: Spark sequence(1, 0) DESCENDS —
+    // empty-token docs need the explicit empty array.
+    "p29_span_corruption" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks",
+          expr("filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)"))
+        .withColumn("n", size(col("toks")))
+        .filter(col("n") > 0)
+        .withColumn("pos", expr("IF(n = 0, array(), sequence(1, n))"))
+        .withColumn("input_str", expr(
+          """concat_ws(' ', filter(transform(pos, p ->
+            |  CASE WHEN p % 7 = 4 AND p < n
+            |         THEN concat('<extra_id_', CAST(p div 7 AS STRING), '>')
+            |       WHEN p % 7 = 5 AND p > 4 THEN CAST(NULL AS STRING)
+            |       ELSE element_at(toks, p) END),
+            |  x -> x IS NOT NULL))""".stripMargin))
+        .withColumn("starts", expr("filter(pos, p -> p % 7 = 4 AND p < n)"))
+        .withColumn("target_str", expr(
+          """concat_ws(' ', transform(starts, p ->
+            |  concat('<extra_id_', CAST(p div 7 AS STRING), '> ',
+            |    element_at(toks, p), ' ', element_at(toks, p + 1))))""".stripMargin))
+        .select(col("doc_id"), col("n").cast("long").as("n_tokens"),
+          size(col("starts")).cast("long").as("n_spans"),
+          md5(col("input_str")).as("input_md5"),
+          md5(col("target_str")).as("target_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     "p28_mixture_reweight" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val dq = qualityFrame(docs)
@@ -3751,6 +3789,34 @@ object PipelineQueries {
         |    ELSE 0 END AS BIGINT) AS verbatim_bp
         |FROM w d LEFT JOIN agg USING (doc_id)
         |WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin,
+
+    // byte-identical string synthesis both sides: sentinel ids are
+    // 0-based span ranks p//7, positions 1-based, spans [p, p+1]
+    "p29_span_corruption" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      w -> length(w) > 0) AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0),
+        |built AS (
+        |  SELECT doc_id, n,
+        |    array_to_string(list_filter(list_transform(generate_series(1, n), p ->
+        |      CASE WHEN p % 7 = 4 AND p < n
+        |             THEN '<extra_id_' || CAST(p // 7 AS VARCHAR) || '>'
+        |           WHEN p % 7 = 5 AND p > 4 THEN NULL
+        |           ELSE toks[p] END),
+        |      x -> x IS NOT NULL), ' ') AS input_str,
+        |    list_filter(generate_series(1, n), p -> p % 7 = 4 AND p < n) AS starts,
+        |    array_to_string(list_transform(
+        |      list_filter(generate_series(1, n), p -> p % 7 = 4 AND p < n),
+        |      p -> '<extra_id_' || CAST(p // 7 AS VARCHAR) || '> '
+        |        || toks[p] || ' ' || toks[p + 1]), ' ') AS target_str
+        |  FROM n)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(len(starts) AS BIGINT) AS n_spans,
+        |  md5(input_str) AS input_md5, md5(target_str) AS target_md5
+        |FROM built ORDER BY doc_id""".stripMargin,
 
     // the identical integer MW recurrence unrolled (negative division
     // truncates toward zero in BOTH engines — the verified invariant);

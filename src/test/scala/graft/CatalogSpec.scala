@@ -183,6 +183,34 @@ class CatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft.mem.spec_c")
   }
 
+  test("q78: ALTER TABLE evolution — ADD COLUMN default materializes, RENAME readdresses, DROP projects; corpus stays immutable") {
+    val s = cataloged()
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_a")
+    s.sql("CREATE TABLE graft.mem.spec_a (id BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft.mem.spec_a VALUES (1, 10), (2, 20)")
+    s.sql("ALTER TABLE graft.mem.spec_a ADD COLUMN tag STRING DEFAULT 'old'")
+    s.sql("INSERT INTO graft.mem.spec_a VALUES (3, 30, 'new')")
+    // existing rows carry the materialized default; new rows their value
+    val tags = s.sql("SELECT id, tag FROM graft.mem.spec_a ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(tags == Seq((1L, "old"), (2L, "old"), (3L, "new")), tags.toString)
+    // ...and the narrow insert shape still works post-evolution (the
+    // added column's CURRENT_DEFAULT fills analyzer-side)
+    s.sql("INSERT INTO graft.mem.spec_a (id, v) VALUES (4, 40)")
+    assert(s.sql("SELECT tag FROM graft.mem.spec_a WHERE id = 4")
+      .collect()(0).getString(0) == "old")
+    s.sql("ALTER TABLE graft.mem.spec_a RENAME COLUMN v TO val")
+    assert(s.sql("SELECT sum(val) FROM graft.mem.spec_a").collect()(0).getLong(0) == 100L)
+    s.sql("ALTER TABLE graft.mem.spec_a DROP COLUMN tag")
+    assert(s.sql("SELECT * FROM graft.mem.spec_a").columns.toSeq == Seq("id", "val"))
+    assert(s.sql("SELECT count(*) FROM graft.mem.spec_a").collect()(0).getLong(0) == 4L)
+    // corpus tables reject DDL
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.corpus.documents ADD COLUMN x BIGINT")
+    }
+    s.sql("DROP TABLE graft.mem.spec_a")
+  }
+
   test("function catalog: bind rejects wrong arity/types as an analysis error") {
     val s = cataloged()
     intercept[Exception] {
