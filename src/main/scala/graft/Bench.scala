@@ -153,9 +153,12 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$headQs,"sf":"$sfDir","runs":$iters,"n_queries":${results.length},"errors":$errsJson,"full":"$fullPath"}"""
     spark.stop()
-    // stderr carries the full map; stdout's last line is the compact JSON
+    // stdout carries EXACTLY ONE JSON line (the compact). The full map
+    // used to precede it on stdout too — with the driver's bounded tail
+    // window that's how a stale pass's fragment ended up embedded in
+    // BENCH_r13.json (r13 advisory). Full map lives in $fullPath
+    // (truncate-on-write) and on stderr only.
     System.err.println(full)
-    System.out.println(full)
     System.out.println(compact)
     System.out.flush()
   }

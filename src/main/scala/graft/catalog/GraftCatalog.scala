@@ -172,10 +172,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
             add.isNullable)
           val withMeta = Option(add.defaultValue()).map { d =>
             val sql = d.getSql
-            field.withComment(field.getComment().getOrElse(""))
-              .copy(metadata = new MetadataBuilder()
-                .putString("CURRENT_DEFAULT", sql)
-                .putString("EXISTS_DEFAULT", sql).build())
+            field.copy(metadata = new MetadataBuilder()
+              .putString("CURRENT_DEFAULT", sql)
+              .putString("EXISTS_DEFAULT", sql).build())
           }.getOrElse(field)
           val next = schema.add(withMeta)
           MemTables.evolve(ident.name(), next, row => row :+ dv)
@@ -183,6 +182,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case ren: TableChange.RenameColumn =>
           val idx = schema.fieldNames.indexOf(ren.fieldNames()(0))
           require(idx >= 0, s"no column ${ren.fieldNames()(0)}")
+          // a CHECK constraint stores its predicate as SQL TEXT — a
+          // rename would leave it pointing at a nonexistent name and
+          // fail analysis on the NEXT enforced write; reject up front
+          // (rewriting constraint SQL is a parser job, out of scope)
+          val colRef = s"\\b${java.util.regex.Pattern.quote(ren.fieldNames()(0))}\\b".r
+          state.constraints.collectFirst {
+            case c: org.apache.spark.sql.connector.catalog.constraints.Check
+                if colRef.findFirstIn(c.predicateSql()).isDefined => c
+          }.foreach { c =>
+            throw new UnsupportedOperationException(
+              s"cannot rename ${ren.fieldNames()(0)}: referenced by CHECK " +
+                s"constraint ${c.name()} (${c.predicateSql()})")
+          }
           val next = StructType(schema.fields.updated(idx,
             schema.fields(idx).copy(name = ren.newName())))
           MemTables.evolve(ident.name(), next, identity)

@@ -67,12 +67,20 @@ object MemTables {
       next
     })
 
+  // DML helpers route through the same dropped-table guard the read
+  // path uses — a table dropped mid-command surfaces as a clear
+  // IllegalStateException, never a bare NPE. (DDL racing DML remains
+  // out of scope for this single-JVM demo store: an `evolve` between a
+  // command's scan and its commit can still discard a State the commit
+  // then writes to — the keys serialize DDL before DML.)
+  private def live(name: String): State = Option(registry.get(name)).getOrElse(
+    throw new IllegalStateException(s"mem table $name was dropped"))
   def append(name: String, batch: Seq[Array[Any]]): Unit =
-    registry.get(name).rows.updateAndGet(_ ++ batch)
+    live(name).rows.updateAndGet(_ ++ batch)
   def replace(name: String, rows: Vector[Array[Any]]): Unit =
-    registry.get(name).rows.set(rows)
+    live(name).rows.set(rows)
   def deleteWhere(name: String, keep: Array[Any] => Boolean): Unit =
-    registry.get(name).rows.updateAndGet(_.filter(keep))
+    live(name).rows.updateAndGet(_.filter(keep))
 }
 
 /** Structural check + interpreter for the V2 predicate tree DELETE
@@ -223,7 +231,7 @@ class MemTable(tableName: String) extends Table
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(tableName, state.schema)
+    new MemScanBuilder(tableName, state)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -248,27 +256,34 @@ class MemTable(tableName: String) extends Table
   }
 }
 
-class MemScanBuilder(tableName: String, schema: StructType)
+/** Captures the State ONCE at build time: schema and rows are always
+  * read from the SAME State object, so a concurrent `evolve` (which
+  * swaps in a fresh State) can never pair old-schema column indices
+  * with remapped rows — the scan just keeps reading its pre-evolve
+  * snapshot shape. */
+class MemScanBuilder(tableName: String, state: MemTables.State)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   // the pruned schema may include the _pos METADATA column (requested
   // by SQL or by the row-level rewrite) — resolve each projected field
   // to a table-column index, or -1 for _pos
-  private var projected: StructType = schema
+  private var projected: StructType = state.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     projected = requiredSchema
-  override def build(): Scan = new MemScan(tableName, schema, projected)
+  override def build(): Scan = new MemScan(tableName, state, projected)
 }
 
-class MemScan(tableName: String, schema: StructType, projected: StructType)
+class MemScan(tableName: String, state: MemTables.State, projected: StructType)
     extends Scan with Batch {
+  private def schema: StructType = state.schema
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
   override def description(): String = s"MemTable $tableName"
   override def planInputPartitions(): Array[InputPartition] = {
-    // snapshot ONCE; slices ride the partitions, so the read is
-    // consistent even if DML lands mid-query. Each slice carries its
-    // base offset so _pos is the row's global snapshot position.
-    val snap = MemTables.get(tableName).map(_.rows.get()).getOrElse(Vector.empty)
+    // snapshot ONCE from the build-time State; slices ride the
+    // partitions, so the read is consistent even if DML lands
+    // mid-query. Each slice carries its base offset so _pos is the
+    // row's global snapshot position.
+    val snap = state.rows.get()
     val nSplits = math.max(1, math.min(8, snap.size / 1024))
     val width = math.max(1, (snap.size + nSplits - 1) / nSplits)
     snap.grouped(width).zipWithIndex.map { case (chunk, i) =>
@@ -319,12 +334,13 @@ class MemReaderFactory(srcIdx: Array[Int]) extends PartitionReaderFactory {
   * rewritten rows in one atomic swap. */
 class MemRowLevelOperation(tableName: String,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
-  private def schema: StructType = MemTables.get(tableName).map(_.schema)
+  private def state: MemTables.State = MemTables.get(tableName)
     .getOrElse(throw new IllegalStateException(s"mem table $tableName dropped"))
+  private def schema: StructType = state.schema
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"MemRowLevel[$cmd] $tableName"
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MemScanBuilder(tableName, schema)
+    new MemScanBuilder(tableName, state)
   // requesting _pos is what flips Spark's rewrite into the
   // data/metadata-projecting write task: the writer then receives rows
   // in exactly the data schema (the __row_operation marker and _pos are

@@ -476,7 +476,10 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       (if (pushedLimit.nonEmpty) s"PushedLimit: $pushedLimit, " else "") +
       (if (clusterByKind) "KeyGroupedBy: [kind], " else "") +
-      "RuntimeFilterable: [id], " +
+      // truthful only when id SURVIVED pruning — same condition
+      // filterAttributes() uses (kind-only projections report none)
+      (if (required.fieldNames.contains("id")) "RuntimeFilterable: [id], "
+       else "") +
       s"ReadSchema: ${required.simpleString}"
 
   // ---- SupportsReportOrdering (q70 — the SORT-side twin of the
