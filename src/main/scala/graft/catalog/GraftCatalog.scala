@@ -57,8 +57,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"only graft.mem tables are writable, got $ident")
     if (info.partitions().nonEmpty)
       throw new UnsupportedOperationException("mem tables are unpartitioned")
-    MemTables.create(ident.name(), info.schema(), info.constraints())
+    MemTables.create(ident.name(), info.schema(), info.constraints(),
+      memProps(info.properties()))
     new MemTable(ident.name())
+  }
+
+  // user-facing table properties (write.mode, row.id) — Spark mixes in
+  // reserved keys like owner/provider; keep only what MemTables reads
+  private def memProps(properties: util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    properties.asScala.view.filterKeys(Set("write.mode", "row.id")).toMap
   }
 
   private var catName: String = "graft"
@@ -143,7 +151,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         s"only graft.mem tables are writable, got $ident")
     if (partitions.nonEmpty)
       throw new UnsupportedOperationException("mem tables are unpartitioned")
-    MemTables.create(ident.name(), schema)
+    MemTables.create(ident.name(), schema, props = memProps(properties))
     new MemTable(ident.name())
   }
   // ---- schema evolution on mem tables (q78): ADD COLUMN (with an

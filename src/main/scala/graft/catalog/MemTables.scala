@@ -36,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * InputPartitions, so reads are consistent under concurrent DML. */
 object MemTables {
   final class State(val schema: StructType,
-      val constraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = Array.empty) {
+      val constraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = Array.empty,
+      val props: Map[String, String] = Map.empty) {
     val rows = new AtomicReference[Vector[Array[Any]]](Vector.empty)
   }
   private val registry = new ConcurrentHashMap[String, State]()
@@ -45,10 +46,14 @@ object MemTables {
   // GROUP-BASED rewrite (vs the metadata deleteWhere path) — single-JVM
   // scope, same caveat as AccountingSink.abortedTasks
   @volatile var lastRowLevelCommand: String = ""
+  // test observable: per-op counts of the last DELTA (merge-on-read)
+  // commit — (inserts, updates, deletes)
+  @volatile var lastDeltaCounts: (Long, Long, Long) = (0L, 0L, 0L)
 
   def create(name: String, schema: StructType,
-      constraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = Array.empty): Unit =
-    if (registry.putIfAbsent(name, new State(schema, constraints)) != null)
+      constraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = Array.empty,
+      props: Map[String, String] = Map.empty): Unit =
+    if (registry.putIfAbsent(name, new State(schema, constraints, props)) != null)
       throw new IllegalStateException(s"mem table $name already exists")
   def drop(name: String): Boolean = registry.remove(name) != null
   def get(name: String): Option[State] = Option(registry.get(name))
@@ -62,7 +67,7 @@ object MemTables {
   def evolve(name: String, newSchema: StructType,
       remap: Array[Any] => Array[Any]): Unit =
     registry.computeIfPresent(name, (_, old) => {
-      val next = new State(newSchema, old.constraints)
+      val next = new State(newSchema, old.constraints, old.props)
       next.rows.set(old.rows.get().map(remap))
       next
     })
@@ -223,11 +228,17 @@ class MemTable(tableName: String) extends Table
   // SupportsDeleteV2 metadata path when canDeleteWhere accepts; Spark
   // falls back to this rewrite when it vetoes — both faces on one
   // table, dispatched by predicate evaluability.
+  // Protocol selection is a TABLE property (the Iceberg write.*.mode
+  // pattern): 'write.mode'='merge-on-read' plans WriteDelta (q79 —
+  // SupportsDelta, O(changed rows)); default is the copy-on-write
+  // group rewrite (q71 — ReplaceData, O(touched group)).
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new MemRowLevelOperation(tableName, info.command())
+        if (state.props.get("write.mode").contains("merge-on-read"))
+          new MemDeltaOperation(tableName, info.command())
+        else new MemRowLevelOperation(tableName, info.command())
     }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -400,34 +411,147 @@ class MemBatchWrite(tableName: String, schema: StructType, truncate: Boolean,
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
+/** InternalRow → JVM-value decoding shared by the batch and delta
+  * writers (strings come back as java.lang.String so the store is
+  * engine-agnostic). */
+private[catalog] object MemRowCodec {
+  def decodeValue(row: InternalRow, i: Int, dt: DataType): Any =
+    if (row.isNullAt(i)) null
+    else dt match {
+      case LongType    => row.getLong(i)
+      case IntegerType => row.getInt(i)
+      case DoubleType  => row.getDouble(i)
+      case BooleanType => row.getBoolean(i)
+      case StringType  => row.getUTF8String(i).toString
+      case other => throw new UnsupportedOperationException(
+        s"mem table column type $other")
+    }
+  /** Decode a write row into a table-width array, mapping write field i
+    * to table position target(i); target(i) < 0 = bookkeeping column,
+    * decoded-but-dropped. */
+  def decodeRow(row: InternalRow, types: Array[DataType], target: Array[Int],
+      tableWidth: Int): Array[Any] = {
+    val vals = new Array[Any](tableWidth)
+    var i = 0
+    while (i < types.length) {
+      if (target(i) >= 0) vals(target(i)) = decodeValue(row, i, types(i))
+      i += 1
+    }
+    vals
+  }
+}
+
 class MemWriterFactory(types: Array[DataType], target: Array[Int],
     tableWidth: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       private val buf = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
-      override def write(row: InternalRow): Unit = {
-        val vals = new Array[Any](tableWidth)
-        var i = 0
-        while (i < types.length) {
-          if (target(i) >= 0) {
-            vals(target(i)) =
-              if (row.isNullAt(i)) null
-              else types(i) match {
-                case LongType    => row.getLong(i)
-                case IntegerType => row.getInt(i)
-                case DoubleType  => row.getDouble(i)
-                case BooleanType => row.getBoolean(i)
-                case StringType  => row.getUTF8String(i).toString
-                case dt => throw new UnsupportedOperationException(
-                  s"mem table column type $dt")
-              }
-          }
-          i += 1
-        }
-        buf += vals
-      }
+      override def write(row: InternalRow): Unit =
+        buf += MemRowCodec.decodeRow(row, types, target, tableWidth)
       override def commit(): WriterCommitMessage = MemRowsMessage(buf.toArray)
       override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
+}
+
+/** MERGE-ON-READ row-level operation (q79 — SupportsDelta, the half of
+  * the row-level protocol real lakehouses run at 100 TB): q71's
+  * copy-on-write ReplaceData rewrites EVERY row of a touched group;
+  * this plans WriteDelta instead — each output row reaches the writer
+  * TAGGED insert/update/delete (dispatched to the matching DeltaWriter
+  * method), keyed by the declared rowId, so the write is O(changed
+  * rows) not O(touched group). A real format would append a
+  * delete-file + data-file pair and reconcile at read; the mem store
+  * applies the same delta atomically at commit — the PROTOCOL (what
+  * crosses the write boundary) is identical. */
+class MemDeltaOperation(tableName: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation with SupportsDelta {
+  private def state: MemTables.State = MemTables.get(tableName)
+    .getOrElse(throw new IllegalStateException(s"mem table $tableName dropped"))
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"MemDelta[$cmd] $tableName"
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new MemScanBuilder(tableName, state)
+  // the row identity Spark hands back to delete()/update() — a real
+  // format uses its primary key / file+pos; mem tables declare it as a
+  // table property (default: the `id` column)
+  private def idCol: String = state.props.getOrElse("row.id", "id")
+  override def rowId(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(idCol))
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new MemDeltaBatchWrite(tableName, state.schema, info, idCol,
+            cmd.toString)
+      }
+    }
+}
+
+/** Deltas live ONLY in commit messages until the driver folds them —
+  * the q52 exactly-once contract extended to three op kinds. */
+case class MemDeltaMessage(inserts: Array[Array[Any]],
+    updates: Array[(Any, Array[Any])],
+    deletes: Array[Any]) extends WriterCommitMessage
+
+class MemDeltaBatchWrite(tableName: String, schema: StructType,
+    info: LogicalWriteInfo, idCol: String, cmdName: String)
+    extends DeltaBatchWrite {
+  override def createBatchWriterFactory(
+      pinfo: PhysicalWriteInfo): DeltaWriterFactory = {
+    // write fields map to table columns BY NAME (the q71 lesson); the
+    // rowId row's schema arrives separately through LogicalWriteInfo
+    val types = info.schema().fields.map(_.dataType)
+    val target = info.schema().fields.map(f => schema.fieldNames.indexOf(f.name))
+    val idType = info.rowIdSchema().orElseThrow(() =>
+      new IllegalStateException("delta write without rowIdSchema"))
+      .fields(0).dataType
+    new MemDeltaWriterFactory(types, target, schema.length, idType)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.toSeq.map(_.asInstanceOf[MemDeltaMessage])
+    val inserts = msgs.flatMap(_.inserts)
+    val updates = msgs.flatMap(_.updates).toMap
+    val deletes = msgs.flatMap(_.deletes).toSet
+    MemTables.lastRowLevelCommand = s"DELTA:$cmdName"
+    MemTables.lastDeltaCounts =
+      (inserts.size.toLong, updates.size.toLong, msgs.map(_.deletes.length.toLong).sum)
+    val idIdx = schema.fieldNames.indexOf(idCol)
+    require(idIdx >= 0, s"rowId column $idCol not in table schema")
+    // ONE atomic swap applies the whole delta: drop deleted ids,
+    // substitute updated rows in place (store order preserved — the
+    // _pos contract), append inserts
+    MemTables.get(tableName).getOrElse(
+      throw new IllegalStateException(s"mem table $tableName dropped"))
+      .rows.updateAndGet { rows =>
+        rows.flatMap { r =>
+          val id = r(idIdx)
+          if (deletes.contains(id)) None
+          else updates.get(id).orElse(Some(r))
+        } ++ inserts
+      }
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class MemDeltaWriterFactory(types: Array[DataType], target: Array[Int],
+    tableWidth: Int, idType: DataType) extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val ins = scala.collection.mutable.ArrayBuffer.empty[Array[Any]]
+      private val upd = scala.collection.mutable.ArrayBuffer.empty[(Any, Array[Any])]
+      private val del = scala.collection.mutable.ArrayBuffer.empty[Any]
+      override def insert(row: InternalRow): Unit =
+        ins += MemRowCodec.decodeRow(row, types, target, tableWidth)
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit =
+        upd += ((MemRowCodec.decodeValue(id, 0, idType),
+          MemRowCodec.decodeRow(row, types, target, tableWidth)))
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        del += MemRowCodec.decodeValue(id, 0, idType)
+      override def commit(): WriterCommitMessage =
+        MemDeltaMessage(ins.toArray, upd.toArray, del.toArray)
+      override def abort(): Unit = { ins.clear(); upd.clear(); del.clear() }
       override def close(): Unit = ()
     }
 }

@@ -164,6 +164,53 @@ object CatalogQueries {
         GROUP BY kind ORDER BY kind""")
     },
 
+    // MERGE-ON-READ row-level writes (q79 — SupportsDelta, the half of
+    // the row-level protocol real lakehouses run at 100 TB; q71's
+    // copy-on-write twin): the table DECLARES
+    // 'write.mode'='merge-on-read', so the SAME UPDATE + MERGE
+    // lifecycle plans **WriteDelta** instead of ReplaceData — each
+    // output row reaches the writer TAGGED insert/update/delete
+    // (dispatched to DeltaWriter.insert/update/delete, keyed by the
+    // declared rowId), and the write is O(changed rows), not O(touched
+    // group): the UPDATE here surrenders ~10k update deltas instead of
+    // rewriting all 30k rows. Per-op counts ride WriterCommitMessages
+    // (the q52 accounting contract, CatalogSpec-pinned along with the
+    // WriteDelta-not-ReplaceData plan gate and the delta-DELETE
+    // fallback for predicates the metadata path vetoes). Same final
+    // accounting as q71 — same answer, different write protocol.
+    "q79_delta_merge" -> { (s0, _) =>
+      val s = catalogSession(s0, "")
+      s.sql("DROP TABLE IF EXISTS graft.mem.metrics79")
+      // the rowId column MUST be NOT NULL — Spark rejects a nullable
+      // row identity at analysis (NULLABLE_ROW_ID_ATTRIBUTES, probed)
+      s.sql("CREATE TABLE graft.mem.metrics79 " +
+        "(id BIGINT NOT NULL, kind STRING, value BIGINT) " +
+        "TBLPROPERTIES ('write.mode'='merge-on-read')")
+      s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "30000").option("partitions", "8").load()
+        .createOrReplaceTempView("v79_feed")
+      s.sql("INSERT INTO graft.mem.metrics79 " +
+        "SELECT id, kind, value FROM v79_feed")
+      s.sql("UPDATE graft.mem.metrics79 SET value = value + 1000000 " +
+        "WHERE kind = 'gauge'")
+      s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "40000").option("partitions", "8").load()
+        .createOrReplaceTempView("v79_src")
+      s.sql("""
+        MERGE INTO graft.mem.metrics79 t
+        USING (SELECT id, kind, value * 2 AS value2 FROM v79_src
+               WHERE id >= 15000) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET value = s.value2
+        WHEN NOT MATCHED THEN INSERT (id, kind, value)
+          VALUES (s.id, s.kind, s.value2)""")
+      s.sql("""
+        SELECT kind, CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value,
+          min(value) AS min_value, max(id) AS max_id
+        FROM graft.mem.metrics79
+        GROUP BY kind ORDER BY kind""")
+    },
+
     // METADATA COLUMNS (q72 — SupportsMetadataColumns, the Iceberg
     // _file/_pos analog): `_pos` is the row's position in the store
     // snapshot — hidden from SELECT * but addressable by name from SQL,
@@ -367,6 +414,24 @@ object CatalogQueries {
     // (base value, +1e6 on gauges); ids [15000,40000) carry the MERGE
     // overlay (2× base — matched rows updated, new ids inserted)
     "q71_update_rewrite" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(min(value) AS BIGINT) AS min_value,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    CASE WHEN id >= 15000 THEN 2 * ((id * 2654435761) % 100000)
+        |      WHEN CAST(id % 3 AS INT) = 0
+        |        THEN (id * 2654435761) % 100000 + 1000000
+        |      ELSE (id * 2654435761) % 100000 END AS value
+        |  FROM range(0, 40000) t(id)) u
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // q71's closed form verbatim — same lifecycle, merge-on-read
+    // protocol; matching hashes ARE the protocol-equivalence evidence
+    "q79_delta_merge" ->
       """SELECT kind, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(value) AS BIGINT) AS sum_value,
         |  CAST(min(value) AS BIGINT) AS min_value,

@@ -151,6 +151,50 @@ object StreamingQueries {
       epochs.toDF("n_rows", "sum_value", "max_id").orderBy(col("max_id"))
     },
 
+    // STATE-STORE READER (st22 — the engine's own streaming STATE made
+    // queryable, Spark 4's `statestore` batch source; the reference's
+    // monitoring ethos aimed at the one internals face still dark:
+    // q74/st21 observe the DATA in flight, this audits what the
+    // stateful operator has DURABLY CHECKPOINTED): run the st19 feed
+    // through a streaming aggregation to a RocksDB/HDFS checkpoint,
+    // then batch-read the checkpoint — `state-metadata` inventories the
+    // operators (stateStoreSave / store `default` / batches 0..2) and
+    // `statestore` returns the live aggregation buffers (key.kind,
+    // value.count, value.sum — the PHYSICAL buffer names, probed). The
+    // output reconciles the state rows closed-form against the feed
+    // formulas: a state row that lost an epoch's fold, double-merged,
+    // or leaked a key breaks the hash. At 100 TB this is the debugging
+    // face that matters: state bugs (skew, leaks, watermark eviction)
+    // are invisible in output parity but obvious in the store itself.
+    "st22_state_reader" -> { (s, _) =>
+      val cp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_st22_checkpoint")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(cp)
+      val q = s.readStream.format("graft.sources.MetricsFeedSource")
+        .option("rows", "60000").option("partitions", "4")
+        .option("streamStep", "20000").load()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", cp.getAbsolutePath).start()
+      q.processAllAvailable(); q.stop()
+      // operator inventory: exactly one stateful operator, 3 committed
+      // batches — a 1-row broadcast leg (the scalar crossJoin pattern)
+      val meta = s.read.format("state-metadata").load(cp.getAbsolutePath)
+        .agg(max(col("maxBatchId")).as("max_batch_id"),
+          count(lit(1)).as("n_operators"))
+      s.read.format("statestore").option("path", cp.getAbsolutePath).load()
+        .select(col("key.kind").as("kind"),
+          col("value.count").as("n"), col("value.sum").as("sum_value"))
+        .crossJoin(broadcast(meta))
+        .orderBy(col("kind"))
+    },
+
     // streaming ingest NEAR-DUP gate, batch form: every arriving doc is
     // checked against the PERSISTED LSH serving index (d18's incremental
     // dedup made a serving op — the index is a DerivedLayouts artifact
@@ -355,6 +399,20 @@ object StreamingQueries {
     "st19_stream_source" ->
       """SELECT kind, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(value) AS BIGINT) AS sum_value
+        |FROM (
+        |  SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 60000) t(id)) u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the durable state must equal the full-feed aggregation (every
+    // epoch folded exactly once); 3 admission epochs → max batch id 2
+    "st22_state_reader" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(2 AS BIGINT) AS max_batch_id,
+        |  CAST(1 AS BIGINT) AS n_operators
         |FROM (
         |  SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
         |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,

@@ -126,6 +126,58 @@ class CatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft.mem.spec_u")
   }
 
+  test("q79: merge-on-read table plans WriteDelta — per-op counts in commit messages, delta-DELETE fallback, CoW equivalence") {
+    val s = cataloged()
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_d")
+    // rowId must be NOT NULL (NULLABLE_ROW_ID_ATTRIBUTES otherwise)
+    s.sql("CREATE TABLE graft.mem.spec_d (id BIGINT NOT NULL, v BIGINT) " +
+      "TBLPROPERTIES ('write.mode'='merge-on-read')")
+    s.sql("INSERT INTO graft.mem.spec_d VALUES (1, 10), (2, 20), (3, 30)")
+    MemTables.lastRowLevelCommand = ""
+    val upd = s.sql("UPDATE graft.mem.spec_d SET v = v + 1 WHERE id >= 2")
+    // the plan is WriteDelta, NOT the copy-on-write ReplaceData
+    val updPlan = upd.queryExecution.logical.toString +
+      upd.queryExecution.executedPlan.toString
+    assert(updPlan.contains("WriteDelta") && !updPlan.contains("ReplaceData"),
+      updPlan)
+    assert(MemTables.lastRowLevelCommand == "DELTA:UPDATE")
+    // O(changed rows): 2 update deltas, row 1 never crossed the write
+    assert(MemTables.lastDeltaCounts == ((0L, 2L, 0L)), MemTables.lastDeltaCounts)
+    assert(s.sql("SELECT id, v FROM graft.mem.spec_d ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 21L), (3L, 31L)))
+    // MERGE: 1 matched update + 1 unmatched insert in ONE delta commit
+    s.sql("SELECT * FROM VALUES (3, 300), (4, 400) AS t(id, v)")
+      .createOrReplaceTempView("spec_d_src")
+    MemTables.lastRowLevelCommand = ""
+    s.sql("""MERGE INTO graft.mem.spec_d t USING spec_d_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    assert(MemTables.lastRowLevelCommand == "DELTA:MERGE")
+    assert(MemTables.lastDeltaCounts == ((1L, 1L, 0L)), MemTables.lastDeltaCounts)
+    // the final content matches the IDENTICAL lifecycle run
+    // copy-on-write in the q71 test above — same answer, different
+    // write protocol
+    assert(s.sql("SELECT id, v FROM graft.mem.spec_d ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 21L), (3L, 300L), (4L, 400L)))
+    // a DELETE the metadata path vetoes (arithmetic leaf) falls back to
+    // the row-level rewrite — on THIS table that's a delta of delete
+    // ops, not a group rewrite
+    MemTables.lastRowLevelCommand = ""
+    s.sql("DELETE FROM graft.mem.spec_d WHERE v % 2 = 1")
+    assert(MemTables.lastRowLevelCommand == "DELTA:DELETE")
+    // rows are (1,10),(2,21),(3,300),(4,400) — only v=21 is odd
+    assert(MemTables.lastDeltaCounts == ((0L, 0L, 1L)), MemTables.lastDeltaCounts)
+    assert(s.sql("SELECT id FROM graft.mem.spec_d ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    // an EVALUABLE delete still takes the cheap metadata path
+    MemTables.lastRowLevelCommand = ""
+    s.sql("DELETE FROM graft.mem.spec_d WHERE id = 1")
+    assert(MemTables.lastRowLevelCommand == "")
+    s.sql("DROP TABLE graft.mem.spec_d")
+  }
+
   test("q72: _pos metadata column — hidden from SELECT *, addressable by name, positions compact after DELETE") {
     val s = cataloged()
     s.sql("DROP TABLE IF EXISTS graft.mem.spec_m")

@@ -451,6 +451,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("st22: statestore batch read == the in-flight aggregation; batchId option time-travels state") {
+    import org.apache.spark.sql.functions._
+    // 3 admission epochs of 3000 rows through a streaming agg
+    val chk = java.nio.file.Files.createTempDirectory("graft_st22_spec")
+    val q = spark.readStream.format("graft.sources.MetricsFeedSource")
+      .option("rows", "9000").option("partitions", "4")
+      .option("streamStep", "3000").load()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .writeStream.outputMode("update").format("noop")
+      .option("checkpointLocation", chk.toString).start()
+    q.processAllAvailable(); q.stop()
+    // inventory: ONE stateful operator, the agg's stateStoreSave
+    val md = spark.read.format("state-metadata").load(chk.toString).collect()
+    assert(md.length == 1 &&
+      md(0).getAs[String]("operatorName") == "stateStoreSave" &&
+      md(0).getAs[String]("stateStoreName") == "default" &&
+      md(0).getAs[Long]("maxBatchId") == 2L, md.mkString(","))
+    def stateAt(batch: Option[Long]) = {
+      val r = spark.read.format("statestore").option("path", chk.toString)
+      batch.foreach(b => r.option("batchId", b.toString))
+      r.load().select(col("key.kind"), col("value.count"), col("value.sum"))
+        .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+        .sortBy(_._1).toSeq
+    }
+    def batchAgg(n: Long) = spark.read
+      .format("graft.sources.MetricsFeedSource")
+      .option("rows", n.toString).option("partitions", "4").load()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+      .sortBy(_._1).toSeq
+    // final durable state == the full-feed aggregation, exactly
+    assert(stateAt(None) == batchAgg(9000))
+    // batchId=0 time-travels to the FIRST epoch's fold — the state the
+    // job had durably committed after admitting rows [0, 3000)
+    assert(stateAt(Some(0L)) == batchAgg(3000))
+  }
+
   test("checkpoint recovery: a RESTARTED query resumes state — no loss, no double-count") {
     import spark.implicits._
     // the operational contract a 100-TB deployment actually relies on:
