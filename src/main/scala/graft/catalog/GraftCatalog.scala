@@ -40,14 +40,16 @@ import graft.sources.SnapshotLayout
   * Scale: the catalog resolves NAMES, not data — loadTable returns the
   * same FileTable a 1000-executor scan plans from; nothing here touches
   * rows. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog with StagingTableCatalog {
   // modern DDL faces the mem tables accept (q76/q77): column DEFAULTs
   // are analyzer-filled from column metadata when this capability is
   // declared; CHECK constraints ride TableInfo into createTable and are
   // engine-enforced on every write
   override def capabilities(): util.Set[TableCatalogCapability] =
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
-      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
 
   // the TableInfo form is the ONLY one that carries constraints — the
   // Column[]/StructType defaults drop them silently
@@ -55,12 +57,78 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (!ident.namespace().sameElements(Array("mem")))
       throw new UnsupportedOperationException(
         s"only graft.mem tables are writable, got $ident")
-    if (info.partitions().nonEmpty)
-      throw new UnsupportedOperationException("mem tables are unpartitioned")
+    // identity columns ride TableInfo.columns() ONLY — info.schema()
+    // strips the spec (probed: empty field metadata), so this is the
+    // one place the declaration can be captured
+    val identities = info.columns().toSeq
+      .flatMap(c => Option(c.identityColumnSpec()).map(sp =>
+        MemTables.IdentitySpec(c.name(), sp.getStart, sp.getStep,
+          sp.isAllowExplicitInsert)))
+    if (identities.length > 1)
+      throw new UnsupportedOperationException(
+        "mem tables support at most one identity column")
     MemTables.create(ident.name(), info.schema(), info.constraints(),
-      memProps(info.properties()))
+      memProps(info.properties()),
+      partitionColumns(info.partitions(), info.schema()),
+      identities.headOption)
     new MemTable(ident.name())
   }
+
+  /** Identity-transform partitioning (q81) — the only transform a row
+    * store can honor exactly; bucket/days/etc are rejected loudly. */
+  private def partitionColumns(partitions: Array[Transform],
+      schema: StructType): Seq[String] =
+    partitions.toSeq.map {
+      case t if t.name() == "identity" && t.references().length == 1 =>
+        val c = t.references()(0).fieldNames().mkString(".")
+        if (!schema.fieldNames.contains(c))
+          throw new IllegalArgumentException(s"no partition column $c")
+        c
+      case other => throw new UnsupportedOperationException(
+        s"mem tables support only identity partitioning, got $other")
+    }
+
+  // ---- atomic CTAS / RTAS (q80 — StagingTableCatalog): Spark routes
+  // CREATE/REPLACE TABLE AS SELECT through stageCreate/stageReplace,
+  // writes INTO the returned StagedTable, and only then calls
+  // commitStagedChanges — commit-or-vanish DDL (the staged protocol's
+  // Column[] overloads are the ones Spark's defaults funnel into;
+  // overriding them covers the TableInfo entry points too).
+  private def stage(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: util.Map[String, String],
+      replace: Boolean): StagedTable = {
+    if (!ident.namespace().sameElements(Array("mem")))
+      throw new UnsupportedOperationException(
+        s"only graft.mem tables are writable, got $ident")
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException("mem tables are unpartitioned")
+    val schema = StructType(columns.map(c =>
+      StructField(c.name(), c.dataType(), c.nullable())))
+    new StagedMemTable(ident.name(), schema, memProps(properties), replace)
+  }
+  override def stageCreate(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (MemTables.get(ident.name()).isDefined)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array("mem", ident.name()))
+    stage(ident, columns, partitions, properties, replace = false)
+  }
+  override def stageReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (MemTables.get(ident.name()).isEmpty)
+      throw new NoSuchTableException(ident)
+    stage(ident, columns, partitions, properties, replace = true)
+  }
+  override def stageCreateOrReplace(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable =
+    stage(ident, columns, partitions, properties, replace = true)
 
   // user-facing table properties (write.mode, row.id) — Spark mixes in
   // reserved keys like owner/provider; keep only what MemTables reads
@@ -149,9 +217,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
     if (!ident.namespace().sameElements(Array("mem")))
       throw new UnsupportedOperationException(
         s"only graft.mem tables are writable, got $ident")
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException("mem tables are unpartitioned")
-    MemTables.create(ident.name(), schema, props = memProps(properties))
+    MemTables.create(ident.name(), schema, props = memProps(properties),
+      partitionCols = partitionColumns(partitions, schema))
     new MemTable(ident.name())
   }
   // ---- schema evolution on mem tables (q78): ADD COLUMN (with an
@@ -190,6 +257,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case ren: TableChange.RenameColumn =>
           val idx = schema.fieldNames.indexOf(ren.fieldNames()(0))
           require(idx >= 0, s"no column ${ren.fieldNames()(0)}")
+          if (state.partitionCols.contains(ren.fieldNames()(0)))
+            throw new UnsupportedOperationException(
+              s"cannot rename partition column ${ren.fieldNames()(0)}")
           // a CHECK constraint stores its predicate as SQL TEXT — a
           // rename would leave it pointing at a nonexistent name and
           // fail analysis on the NEXT enforced write; reject up front
@@ -210,6 +280,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces with FunctionCat
         case del: TableChange.DeleteColumn =>
           val idx = schema.fieldNames.indexOf(del.fieldNames()(0))
           require(idx >= 0, s"no column ${del.fieldNames()(0)}")
+          if (state.partitionCols.contains(del.fieldNames()(0)))
+            throw new UnsupportedOperationException(
+              s"cannot drop partition column ${del.fieldNames()(0)}")
           val next = StructType(
             schema.fields.patch(idx, Nil, 1))
           MemTables.evolve(ident.name(), next,

@@ -35,10 +35,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * demonstrate storage, not the protocol. Row snapshots ride the
   * InputPartitions, so reads are consistent under concurrent DML. */
 object MemTables {
+  /** Identity-column declaration (q82): column, start, step,
+    * allowExplicitInsert (BY DEFAULT vs ALWAYS). */
+  final case class IdentitySpec(col: String, start: Long, step: Long,
+      allowExplicitInsert: Boolean)
+
   final class State(val schema: StructType,
       val constraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = Array.empty,
-      val props: Map[String, String] = Map.empty) {
+      val props: Map[String, String] = Map.empty,
+      val partitionCols: Seq[String] = Nil,
+      val identity: Option[IdentitySpec] = None) {
     val rows = new AtomicReference[Vector[Array[Any]]](Vector.empty)
+    // the identity high-water mark — the table-level sequence a real
+    // format persists in table metadata
+    val identityNext = new java.util.concurrent.atomic.AtomicLong(
+      identity.map(_.start).getOrElse(0L))
   }
   private val registry = new ConcurrentHashMap[String, State]()
 
@@ -52,8 +63,11 @@ object MemTables {
 
   def create(name: String, schema: StructType,
       constraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = Array.empty,
-      props: Map[String, String] = Map.empty): Unit =
-    if (registry.putIfAbsent(name, new State(schema, constraints, props)) != null)
+      props: Map[String, String] = Map.empty,
+      partitionCols: Seq[String] = Nil,
+      identity: Option[IdentitySpec] = None): Unit =
+    if (registry.putIfAbsent(name,
+        new State(schema, constraints, props, partitionCols, identity)) != null)
       throw new IllegalStateException(s"mem table $name already exists")
   def drop(name: String): Boolean = registry.remove(name) != null
   def get(name: String): Option[State] = Option(registry.get(name))
@@ -67,10 +81,27 @@ object MemTables {
   def evolve(name: String, newSchema: StructType,
       remap: Array[Any] => Array[Any]): Unit =
     registry.computeIfPresent(name, (_, old) => {
-      val next = new State(newSchema, old.constraints, old.props)
+      val next = new State(newSchema, old.constraints, old.props,
+        old.partitionCols, old.identity)
+      next.identityNext.set(old.identityNext.get())
       next.rows.set(old.rows.get().map(remap))
       next
     })
+
+  /** Atomic publish of a staged table (q80 — the commit half of the
+    * StagedTable protocol): the fully-written rows become visible in
+    * ONE registry operation. `replace=false` = atomic CTAS
+    * (putIfAbsent — a concurrent create loses cleanly);
+    * `replace=true` = atomic RTAS (the old table stays readable until
+    * this single put swaps it). */
+  def publish(name: String, schema: StructType, props: Map[String, String],
+      rows: Vector[Array[Any]], replace: Boolean): Unit = {
+    val st = new State(schema, Array.empty, props)
+    st.rows.set(rows)
+    if (replace) { registry.put(name, st); () }
+    else if (registry.putIfAbsent(name, st) != null)
+      throw new IllegalStateException(s"mem table $name already exists")
+  }
 
   // DML helpers route through the same dropped-table guard the read
   // path uses — a table dropped mid-command surfaces as a clear
@@ -86,6 +117,11 @@ object MemTables {
     live(name).rows.set(rows)
   def deleteWhere(name: String, keep: Array[Any] => Boolean): Unit =
     live(name).rows.updateAndGet(_.filter(keep))
+  /** Predicate-scoped overwrite (q81): drop-matching + append in ONE
+    * swap, so readers never observe the partition half-replaced. */
+  def overwriteWhere(name: String, drop: Array[Any] => Boolean,
+      batch: Seq[Array[Any]]): Unit =
+    live(name).rows.updateAndGet(_.filterNot(drop) ++ batch)
 }
 
 /** Structural check + interpreter for the V2 predicate tree DELETE
@@ -106,7 +142,7 @@ object MemPredicates {
   private def leaf(p: Predicate): Option[(String, String, Seq[Any])] = {
     val kids = p.children()
     p.name() match {
-      case op @ ("=" | "<>" | "<" | "<=" | ">" | ">=") => kids match {
+      case op @ ("=" | "<=>" | "<>" | "<" | "<=" | ">" | ">=") => kids match {
         case Array(r: NamedReference, l: V2Literal[_]) =>
           Some((r.fieldNames.mkString("."), op, Seq(l.value)))
         case Array(l: V2Literal[_], r: NamedReference) =>
@@ -169,6 +205,10 @@ object MemPredicates {
         val v = row(idx(f))
         op match {
           case "="  => cmp(v, vs.head).contains(0)
+          // null-safe equality — how static INSERT OVERWRITE PARTITION
+          // specs arrive (probed): NULL <=> NULL is TRUE
+          case "<=>" =>
+            (v == null && vs.head == null) || cmp(v, vs.head).contains(0)
           case "<>" => cmp(v, vs.head).exists(_ != 0)
           case "<"  => cmp(v, vs.head).exists(_ < 0)
           case "<=" => cmp(v, vs.head).exists(_ <= 0)
@@ -190,9 +230,17 @@ class MemTable(tableName: String) extends Table
     throw new IllegalStateException(s"mem table $tableName was dropped"))
   override def name(): String = s"graft.mem.$tableName"
   override def schema(): StructType = state.schema
+  // identity partitioning (q81): declared at CREATE TABLE PARTITIONED
+  // BY; the load-bearing consumer is the predicate-scoped INSERT
+  // OVERWRITE below (static PARTITION (col=v) specs arrive as
+  // overwrite predicates)
+  override def partitioning(): Array[
+      org.apache.spark.sql.connector.expressions.Transform] =
+    state.partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
 
   // ---- metadata columns (q72 — the Iceberg _file/_pos analog): _pos is
   // the row's position in the store snapshot. Readable from SQL
@@ -244,13 +292,26 @@ class MemTable(tableName: String) extends Table
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MemScanBuilder(tableName, state)
 
+  // SupportsOverwriteV2 (q81 — the ingest-idempotency face): a static
+  // INSERT OVERWRITE ... PARTITION (col=v) arrives as overwrite
+  // predicates scoped to that partition; plain INSERT OVERWRITE is the
+  // default truncate() = overwrite(ALWAYS_TRUE). canOverwrite vets
+  // every predicate with the SAME interpreter deleteWhere uses —
+  // soundness over coverage (a partial match would drop wrong rows).
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
-      private var truncateFirst = false
-      override def truncate(): WriteBuilder = { truncateFirst = true; this }
+    new WriteBuilder with SupportsOverwriteV2 {
+      private var overwritePreds: Array[Predicate] = Array.empty
+      override def canOverwrite(predicates: Array[Predicate]): Boolean = {
+        val fields = state.schema.fieldNames.toSet
+        predicates.forall(MemPredicates.supported(_, fields))
+      }
+      override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+        overwritePreds = predicates; this
+      }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new MemBatchWrite(tableName, state.schema, truncateFirst)
+          new MemBatchWrite(tableName, state.schema,
+            overwrite = overwritePreds)
       }
     }
 
@@ -368,7 +429,7 @@ class MemRowLevelOperation(tableName: String,
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new MemBatchWrite(tableName, schema, truncate = false,
+          new MemBatchWrite(tableName, schema,
             replaceAll = true, writeSchema = Some(writeSchema),
             rowLevelCmd = cmd.toString)
       }
@@ -381,7 +442,8 @@ class MemRowLevelOperation(tableName: String,
   * store sees exactly one successful attempt per task. */
 case class MemRowsMessage(rows: Array[Array[Any]]) extends WriterCommitMessage
 
-class MemBatchWrite(tableName: String, schema: StructType, truncate: Boolean,
+class MemBatchWrite(tableName: String, schema: StructType,
+    overwrite: Array[Predicate] = Array.empty,
     replaceAll: Boolean = false, writeSchema: Option[StructType] = None,
     rowLevelCmd: String = "")
     extends BatchWrite {
@@ -393,7 +455,29 @@ class MemBatchWrite(tableName: String, schema: StructType, truncate: Boolean,
     new MemWriterFactory(ws.fields.map(_.dataType), target, schema.length)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val batch = messages.toSeq.flatMap(_.asInstanceOf[MemRowsMessage].rows)
+    val decoded = messages.toSeq.flatMap(_.asInstanceOf[MemRowsMessage].rows)
+    // identity assignment (q82) happens AT COMMIT, where the fold is
+    // already serialized — values come off the table's high-water-mark
+    // sequence (start + k·step), so they are unique and monotone across
+    // commits by construction. (A distributed format reserves per-task
+    // ranges off the same high-water mark; the mem store's driver-side
+    // fold makes the reservation trivially the whole batch.) GENERATED
+    // ALWAYS rejects explicit values — the analyzer does NOT enforce
+    // this (probed: an explicit insert reaches the writer), so the
+    // connector must.
+    val batch = MemTables.get(tableName).flatMap(_.identity) match {
+      case Some(MemTables.IdentitySpec(col, _, step, allowExplicit))
+          if !replaceAll =>
+        val idIdx = schema.fieldNames.indexOf(col)
+        val seq = MemTables.get(tableName).get.identityNext
+        decoded.map { r =>
+          if (r(idIdx) == null) r(idIdx) = seq.getAndAdd(step)
+          else if (!allowExplicit) throw new IllegalArgumentException(
+            s"cannot INSERT into GENERATED ALWAYS AS IDENTITY column $col")
+          r
+        }
+      case _ => decoded
+    }
     if (replaceAll) {
       // copy-on-write commit: the rewritten groups REPLACE the store in
       // one atomic swap — a concurrent reader sees old or new, never a
@@ -403,12 +487,62 @@ class MemBatchWrite(tableName: String, schema: StructType, truncate: Boolean,
       // to the cheap deleteWhere path).
       MemTables.lastRowLevelCommand = rowLevelCmd
       MemTables.replace(tableName, batch.toVector)
-    } else {
-      if (truncate) MemTables.deleteWhere(tableName, _ => false)
+    } else if (overwrite.isEmpty) {
       MemTables.append(tableName, batch)
+    } else {
+      // predicate-scoped overwrite in ONE atomic swap: rows matching
+      // ALL predicates (Spark ANDs the array; ALWAYS_TRUE = truncate)
+      // vanish, the new batch appends — other partitions SURVIVE
+      val idx = schema.fieldNames.zipWithIndex.toMap
+      MemTables.overwriteWhere(tableName,
+        row => overwrite.forall(MemPredicates.eval(_, idx, row)), batch)
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** STAGED table (q80 — StagingTableCatalog's commit-or-vanish DDL
+  * protocol, the atomic-CTAS/RTAS twin of the q52 write-commit
+  * contract): the CTAS query writes into THIS object's buffer — the
+  * registry never sees a row until commitStagedChanges publishes the
+  * complete table in one atomic registry operation. A failure anywhere
+  * between stage and commit leaves the catalog exactly as it was (no
+  * half-table after a failed CREATE; the old table intact after a
+  * failed REPLACE) — Spark calls abortStagedChanges and the buffer
+  * vanishes with this instance. CatalogSpec injects a mid-write
+  * failure on both paths. */
+class StagedMemTable(tableName: String, stagedSchema: StructType,
+    props: Map[String, String], replace: Boolean)
+    extends StagedTable with SupportsWrite {
+  private val staged = new AtomicReference[Vector[Array[Any]]](Vector.empty)
+  override def name(): String = s"graft.mem.$tableName (staged)"
+  override def schema(): StructType = stagedSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    // RTAS plans its write as truncate-then-append (probed: REPLACE
+    // TABLE AS SELECT fails without SupportsTruncate) — truncating an
+    // empty staging buffer is the identity
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new BatchWrite {
+          override def createBatchWriterFactory(
+              pinfo: PhysicalWriteInfo): DataWriterFactory =
+            new MemWriterFactory(stagedSchema.fields.map(_.dataType),
+              stagedSchema.indices.toArray, stagedSchema.length)
+          // rows land in the STAGED buffer only — the q52 exactly-once
+          // fold, but the visibility boundary is commitStagedChanges
+          override def commit(messages: Array[WriterCommitMessage]): Unit =
+            staged.set(messages.toVector
+              .flatMap(_.asInstanceOf[MemRowsMessage].rows))
+          override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+        }
+      }
+    }
+  override def commitStagedChanges(): Unit =
+    MemTables.publish(tableName, stagedSchema, props, staged.get(), replace)
+  override def abortStagedChanges(): Unit = staged.set(Vector.empty)
 }
 
 /** InternalRow → JVM-value decoding shared by the batch and delta

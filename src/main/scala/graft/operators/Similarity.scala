@@ -534,6 +534,63 @@ object Similarity {
       .select(col("query_id"), col("rnk"), col("vec_id"), col("score"))
   }
 
+  /** BUILD half of the persisted IVF-PQ serving index (s27 — the
+    * build/serve split s12 lacks: s12 re-trains codebooks inside every
+    * query; production builds ONCE and serves many query batches).
+    * Returns the three tables a serving index persists: IVF centroids
+    * (cent_id, c_vec), trained PQ codebooks (s, cent_id, c), and the
+    * compressed corpus codes (s, cent_id, _vid, ivf_cell) — 8 one-byte
+    * code ids + one cell id per vector, the only corpus-sized artifact.
+    * Training math identical to ivfPqTopK (same centroids, same Lloyd
+    * iterations), so serving through the artifact answers exactly what
+    * the in-query build answers (PipelineSpec pins the parity). */
+  def ivfPqIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, subs: Int, width: Int, pqK: Int, iters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cents = centroids.select(col(idCol).as("cent_id"), col(vecCol).as("c_vec"))
+    val assigned = nearestCell(vectors, cents, idCol, vecCol, "_aid", "_v")
+      .withColumnRenamed("cell", "ivf_cell")
+      .localCheckpoint()
+    val sub = pqSubRows(assigned, "_aid", "_v", subs, width, keep = Seq("ivf_cell"))
+    val book = trainPqCodebooks(sub, width, pqK, iters)
+    val codes = assignPq(sub, book, keep = Seq("ivf_cell"))
+      .select(col("s"), col("cell").as("cent_id"), col("_vid"), col("ivf_cell"))
+    (cents, book, codes)
+  }
+
+  /** SERVE half (s27): answer a FRESH query batch from the persisted
+    * index. The only raw-vector compute is the query batch's own cell
+    * assignment + sub-vector quantization (O(|batch|), broadcast
+    * centroids); the corpus is touched ONLY through the codes table —
+    * the broadcast LUT carries each query's cell so other-cell code
+    * rows drop at the map-side hash probe, and the score aggregate sees
+    * ~1/|cells| of the codes. At 100 TB the index is built nightly and
+    * this path is the per-request cost. */
+  def ivfPqServe(queries: DataFrame, idCol: String, vecCol: String,
+      ivfCents: DataFrame, book: DataFrame, codes: DataFrame,
+      subs: Int, width: Int, k: Int): DataFrame = {
+    val qAssigned = nearestCell(queries, ivfCents, idCol, vecCol, "_aid", "_v")
+      .withColumnRenamed("cell", "ivf_cell")
+    val qsub = pqSubRows(qAssigned, "_aid", "_v", subs, width,
+      keep = Seq("ivf_cell"))
+    val lut = qsub.join(broadcast(book), Seq("s"))
+      .select(col("_vid").as("query_id"), col("ivf_cell"), col("s"),
+        col("cent_id"),
+        expr("aggregate(zip_with(sv, c, (x, y) -> x * y), " +
+          "CAST(0 AS BIGINT), (acc, t) -> acc + t)").as("dot"))
+    val scores = codes
+      .join(broadcast(lut), Seq("s", "cent_id", "ivf_cell"))
+      .filter(col("_vid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("_vid").as("vec_id"))
+      .agg(sum(col("dot")).as("score"))
+    val top = Relational.topNPerGroupFast(scores, k,
+      Seq("query_id"), Seq(("score", false), ("vec_id", true)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("query_id"), col("rnk"), col("vec_id"), col("score"))
+  }
+
   /** Embedding near-duplicate pairs, blocked by a key (label, cluster,
     * or LSH bucket) to avoid the full cross product.
     *

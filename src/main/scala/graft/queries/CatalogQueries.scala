@@ -211,6 +211,104 @@ object CatalogQueries {
         GROUP BY kind ORDER BY kind""")
     },
 
+    // ATOMIC CTAS / RTAS (q80 — StagingTableCatalog, commit-or-vanish
+    // DDL: the catalog's plain createTable is non-atomic — a failed
+    // CTAS would leave a half-table; the staged protocol routes
+    // CREATE/REPLACE TABLE AS SELECT through stageCreate/stageReplace,
+    // the query writes INTO the StagedTable's private buffer, and ONE
+    // registry operation at commitStagedChanges makes the complete
+    // table visible — the DDL twin of the q52 write-commit contract;
+    // CatalogSpec injects a mid-write failure on both paths and proves
+    // no half-table after a failed CREATE, old table intact after a
+    // failed REPLACE): CTAS materializes the feed's sub-20k slice,
+    // RTAS atomically replaces it with the tripled ≥10k slice —
+    // closed-form accounting over the REPLACED content proves the swap
+    // was total (no old rows bleed through) and complete.
+    "q80_atomic_ctas" -> { (s0, _) =>
+      val s = catalogSession(s0, "")
+      s.sql("DROP TABLE IF EXISTS graft.mem.metrics80")
+      s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "30000").option("partitions", "8").load()
+        .createOrReplaceTempView("v80_feed")
+      s.sql("CREATE TABLE graft.mem.metrics80 AS " +
+        "SELECT id, kind, value FROM v80_feed WHERE id < 20000")
+      s.sql("REPLACE TABLE graft.mem.metrics80 AS " +
+        "SELECT id, kind, value * 3 AS value FROM v80_feed WHERE id >= 10000")
+      s.sql("""
+        SELECT kind, CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value,
+          min(id) AS min_id, max(id) AS max_id
+        FROM graft.mem.metrics80
+        GROUP BY kind ORDER BY kind""")
+    },
+
+    // PARTITIONED tables + predicate-scoped INSERT OVERWRITE (q81 —
+    // SupportsOverwriteV2, the daily-reingest idempotency face every
+    // date-partitioned 100-TB table runs: yesterday's partition arrives
+    // again corrected, the overwrite REPLACES exactly that partition
+    // and every other partition survives): the table declares identity
+    // partitioning on kind, the static PARTITION (kind='gauge') spec
+    // arrives as a null-safe-equality V2 predicate (probed: <=>, not =)
+    // vetted by the SAME interpreter the delete path uses, and the
+    // store applies drop-matching + append in ONE atomic swap. The
+    // overwrite runs TWICE with identical input — idempotency is the
+    // point (a re-run ingest job must not double rows). Gauge rows
+    // carry the corrected ×3 values; counter/timer prove survival.
+    "q81_partition_overwrite" -> { (s0, _) =>
+      val s = catalogSession(s0, "")
+      s.sql("DROP TABLE IF EXISTS graft.mem.metrics81")
+      s.sql("CREATE TABLE graft.mem.metrics81 " +
+        "(id BIGINT, kind STRING, value BIGINT) PARTITIONED BY (kind)")
+      s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "30000").option("partitions", "8").load()
+        .createOrReplaceTempView("v81_feed")
+      s.sql("INSERT INTO graft.mem.metrics81 " +
+        "SELECT id, kind, value FROM v81_feed")
+      val reingest = "INSERT OVERWRITE graft.mem.metrics81 " +
+        "PARTITION (kind = 'gauge') " +
+        "SELECT id, value * 3 FROM v81_feed WHERE kind = 'gauge'"
+      s.sql(reingest)
+      s.sql(reingest) // idempotent: the re-run replaces, never doubles
+      s.sql("""
+        SELECT kind, CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value,
+          min(value) AS min_value, max(id) AS max_id
+        FROM graft.mem.metrics81
+        GROUP BY kind ORDER BY kind""")
+    },
+
+    // IDENTITY COLUMNS (q82 — TableCatalogCapability
+    // SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS, the surrogate-key
+    // face completing the modern-DDL trio after q76 defaults and q77
+    // constraints): the declaration rides TableInfo.columns() ONLY
+    // (info.schema() strips the spec — probed, empty field metadata),
+    // assignment is WRITER-SIDE off the table's high-water-mark
+    // sequence (start + k·step, unique and monotone across commits by
+    // construction — a distributed format reserves per-task ranges off
+    // the same sequence), and GENERATED ALWAYS enforcement is the
+    // CONNECTOR'S job too (probed: the analyzer lets an explicit
+    // insert straight through to the writer; CatalogSpec pins the
+    // rejection and the BY DEFAULT variant). Single-task ordered
+    // insert (the q72 determinism contract) pins row_id = 1000 + 2·id
+    // — the closed-form oracle proves uniqueness, density, and spec
+    // adherence (START WITH 1000 INCREMENT BY 2) in one hash.
+    "q82_identity_columns" -> { (s0, _) =>
+      val s = catalogSession(s0, "")
+      s.sql("DROP TABLE IF EXISTS graft.mem.metrics82")
+      s.sql("CREATE TABLE graft.mem.metrics82 (" +
+        "row_id BIGINT GENERATED ALWAYS AS IDENTITY " +
+        "(START WITH 1000 INCREMENT BY 2), " +
+        "id BIGINT, kind STRING, value BIGINT)")
+      s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "20000").option("partitions", "1").load()
+        .createOrReplaceTempView("v82_feed")
+      s.sql("INSERT INTO graft.mem.metrics82 (id, kind, value) " +
+        "SELECT id, kind, value FROM v82_feed ORDER BY id")
+      s.sql("""
+        SELECT kind, CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value,
+          sum(row_id) AS sum_rid, min(row_id) AS min_rid, max(row_id) AS max_rid
+        FROM graft.mem.metrics82
+        GROUP BY kind ORDER BY kind""")
+    },
+
     // METADATA COLUMNS (q72 — SupportsMetadataColumns, the Iceberg
     // _file/_pos analog): `_pos` is the row's position in the store
     // snapshot — hidden from SELECT * but addressable by name from SQL,
@@ -445,6 +543,52 @@ object CatalogQueries {
         |        THEN (id * 2654435761) % 100000 + 1000000
         |      ELSE (id * 2654435761) % 100000 END AS value
         |  FROM range(0, 40000) t(id)) u
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // the RTAS content only: ids [10000, 30000) at value*3 — any CTAS
+    // row bleeding through the atomic swap breaks min_id/counts
+    "q80_atomic_ctas" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  min(id) AS min_id, max(id) AS max_id
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    3 * ((id * 2654435761) % 100000) AS value
+        |  FROM range(10000, 30000) t(id)) u
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // gauge partition re-ingested at ×3 (idempotent under the re-run);
+    // counter/timer untouched
+    "q81_partition_overwrite" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(min(value) AS BIGINT) AS min_value,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    CASE WHEN CAST(id % 3 AS INT) = 0
+        |      THEN 3 * ((id * 2654435761) % 100000)
+        |      ELSE (id * 2654435761) % 100000 END AS value
+        |  FROM range(0, 30000) t(id)) u
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // row_id = 1000 + 2·id under the single-task ordered insert
+    "q82_identity_columns" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(sum(1000 + 2 * id) AS BIGINT) AS sum_rid,
+        |  CAST(min(1000 + 2 * id) AS BIGINT) AS min_rid,
+        |  CAST(max(1000 + 2 * id) AS BIGINT) AS max_rid
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 20000) t(id)) u
         |GROUP BY kind ORDER BY kind""".stripMargin,
 
     // survivors of the value floor, positions = compacted rank by the

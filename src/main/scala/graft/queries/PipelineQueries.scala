@@ -3013,6 +3013,43 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // PERSISTED serving index, IVF-PQ edition (s27 — the build/serve
+    // split completing the lifecycle story: s12 trains codebooks INSIDE
+    // the query; production builds the index once — nightly — and
+    // serves many query batches against the artifact; d21/d22/s24
+    // DerivedLayouts precedent). BUILD (once, memoized): IVF cell
+    // assignment + 2-iteration PQ codebook training + corpus encoding,
+    // persisted as three parquet tables (centroids / codebooks / codes
+    // — the codes are the only corpus-sized artifact, 8 one-byte code
+    // ids + a cell id per vector). SERVE (the measured op): a FRESH
+    // query batch (vec_id % 50 = 25 — ids s12 never queried) is
+    // cell-assigned and quantized (O(|batch|), broadcast centroids),
+    // then scored purely in the compressed domain — broadcast LUT into
+    // the codes join, other-cell rows drop at the map-side probe,
+    // TopNPerKey bounds the shuffle. The oracle re-derives the whole
+    // index closed-form, so a stale/wrong artifact breaks the hash;
+    // PipelineSpec pins serve-through-artifact == s12's in-query build
+    // on s12's own query set (recall parity by construction).
+    "s27_ann_serve" -> { (s, dir) =>
+      import graft.sources.DerivedLayouts
+      val base = DerivedLayouts.once(s"ivfpq_index|$dir") { path =>
+        val vecs = Tables.embeddings(s, dir)
+        val cents = vecs.filter(col("vec_id") < 8)
+        val (ivfCents, book, codes) = Similarity.ivfPqIndex(
+          vecs, "vec_id", "embedding", cents,
+          subs = 8, width = 8, pqK = 16, iters = 2)
+        ivfCents.write.parquet(s"$path/cents")
+        book.write.parquet(s"$path/book")
+        codes.write.parquet(s"$path/codes")
+      }
+      val queries = Tables.embeddings(s, dir)
+        .filter(pmod(col("vec_id"), lit(50)) === 25)
+      Similarity.ivfPqServe(queries, "vec_id", "embedding",
+        s.read.parquet(s"$base/cents"), s.read.parquet(s"$base/book"),
+        s.read.parquet(s"$base/codes"), subs = 8, width = 8, k = 3)
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // two-stage retrieval: quantized coarse top-10 → full-precision
     // rerank top-3 (the production ANN serving shape: compressed scan,
     // exact rerank of survivors only).
@@ -5685,6 +5722,46 @@ object PipelineQueries {
          |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
          |      q.sv[i] * c.c[i])) AS BIGINT) AS dot
          |  FROM (SELECT * FROM sr WHERE vec_id % 50 = 0) q
+         |  JOIN cells qc ON q.vec_id = qc.vec_id
+         |  JOIN c2 c ON q.s = c.s),
+         |sc AS (SELECT l.query_id, d._vid AS vec_id, CAST(sum(l.dot) AS BIGINT) AS score
+         |  FROM cod d JOIN cells dc ON d._vid = dc.vec_id
+         |  JOIN lut l ON d.s = l.s AND d.cell = l.cent_id AND dc.cell = l.q_cell
+         |  WHERE d._vid <> l.query_id GROUP BY 1, 2)
+         |SELECT query_id, CAST(rn AS INT) AS rnk, vec_id, score FROM (
+         |  SELECT query_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rn
+         |  FROM sc) t
+         |WHERE rn <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // s12's closed form verbatim with the FRESH query batch (% 50 =
+    // 25): the oracle re-derives the persisted index end-to-end, so a
+    // stale or wrongly-trained artifact breaks the hash
+    "s27_ann_serve" ->
+      s"""WITH $vecCte,
+         |c AS (SELECT vec_id AS cent_id, e AS c_vec, n2 AS c_n2 FROM v WHERE vec_id < 8),
+         |asg0 AS (SELECT a.vec_id, c.cent_id,
+         |    round(list_sum(list_transform(generate_series(1, len(a.e)), i ->
+         |      CAST(a.e[i] AS DOUBLE) * CAST(c.c_vec[i] AS DOUBLE))) / sqrt(a.n2 * c.c_n2), 6) AS csim
+         |  FROM v a CROSS JOIN c),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS arn
+         |    FROM asg0) t WHERE arn = 1),
+         |p64 AS (SELECT vec_id, list_transform(embedding, x ->
+         |    64 * CAST(greatest(-127.0, least(127.0,
+         |      floor(CAST(x AS DOUBLE) * 127.0 + 0.5))) AS BIGINT)) AS v64
+         |  FROM embeddings),
+         |sr AS (SELECT vec_id, s,
+         |    list_transform(generate_series(1, 8), i -> v64[s * 8 + i]) AS sv
+         |  FROM p64, generate_series(0, 7) t(s)),
+         |c0 AS (SELECT s, vec_id AS cent_id, sv AS c FROM sr WHERE vec_id < 16),
+         |${pqIterCte("c0", "a1", "c1")},
+         |${pqIterCte("c1", "a2", "c2")},
+         |${pqAssignCte("c2", "cod")},
+         |lut AS (SELECT q.vec_id AS query_id, qc.cell AS q_cell, q.s, c.cent_id,
+         |    CAST(list_sum(list_transform(generate_series(1, 8), i ->
+         |      q.sv[i] * c.c[i])) AS BIGINT) AS dot
+         |  FROM (SELECT * FROM sr WHERE vec_id % 50 = 25) q
          |  JOIN cells qc ON q.vec_id = qc.vec_id
          |  JOIN c2 c ON q.s = c.s),
          |sc AS (SELECT l.query_id, d._vid AS vec_id, CAST(sum(l.dot) AS BIGINT) AS score

@@ -178,6 +178,112 @@ class CatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft.mem.spec_d")
   }
 
+  test("q80: staged CTAS/RTAS is commit-or-vanish — a mid-write failure leaves the catalog untouched") {
+    val s = cataloged()
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_s")
+    // failed CTAS: the query dies mid-write, commitStagedChanges never
+    // runs → NO half-table (the non-atomic createTable would have left
+    // an empty shell)
+    intercept[Exception] {
+      s.sql("CREATE TABLE graft.mem.spec_s AS SELECT id, " +
+        "CASE WHEN id = 7 THEN raise_error('boom') " +
+        "ELSE CAST(id AS STRING) END AS v FROM range(0, 10)")
+    }
+    assert(MemTables.get("spec_s").isEmpty, "failed CTAS must leave NO table")
+    // successful CTAS is immediately queryable
+    s.sql("CREATE TABLE graft.mem.spec_s AS " +
+      "SELECT id, CAST(id AS STRING) AS v FROM range(0, 5)")
+    assert(s.sql("SELECT count(*) FROM graft.mem.spec_s")
+      .collect()(0).getLong(0) == 5)
+    // failed REPLACE: the OLD table survives untouched
+    intercept[Exception] {
+      s.sql("REPLACE TABLE graft.mem.spec_s AS SELECT id, " +
+        "CASE WHEN id = 3 THEN raise_error('boom') " +
+        "ELSE CAST(id AS STRING) END AS v FROM range(0, 10)")
+    }
+    assert(s.sql("SELECT count(*) FROM graft.mem.spec_s")
+      .collect()(0).getLong(0) == 5, "failed RTAS must keep the old table")
+    // successful REPLACE swaps in one atomic registry operation
+    s.sql("REPLACE TABLE graft.mem.spec_s AS " +
+      "SELECT id, CAST(id * 2 AS STRING) AS v FROM range(0, 3)")
+    val swapped = s.sql("SELECT id, v FROM graft.mem.spec_s ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(swapped == Seq((0L, "0"), (1L, "2"), (2L, "4")))
+    // stage-time existence checks: CREATE of an existing table and
+    // REPLACE of a missing one are rejected before any write runs
+    intercept[Exception] {
+      s.sql("CREATE TABLE graft.mem.spec_s AS SELECT 1 AS id") }
+    intercept[Exception] {
+      s.sql("REPLACE TABLE graft.mem.spec_nope AS SELECT 1 AS id") }
+    s.sql("DROP TABLE graft.mem.spec_s")
+  }
+
+  test("q81: partitioned mem table — scoped INSERT OVERWRITE replaces ONE partition, others survive; DDL guards") {
+    val s = cataloged()
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_p")
+    s.sql("CREATE TABLE graft.mem.spec_p (id BIGINT, day STRING, v BIGINT) " +
+      "PARTITIONED BY (day)")
+    // partitioning is REPORTED (identity transform on day)
+    assert(MemTables.get("spec_p").get.partitionCols == Seq("day"))
+    s.sql("INSERT INTO graft.mem.spec_p VALUES " +
+      "(1, 'd1', 10), (2, 'd1', 20), (3, 'd2', 30), (4, 'd3', 40)")
+    // re-ingest day d1 corrected — d2/d3 must SURVIVE
+    s.sql("INSERT OVERWRITE graft.mem.spec_p PARTITION (day = 'd1') " +
+      "VALUES (1, 11), (2, 21), (9, 91)")
+    val after = s.sql("SELECT id, day, v FROM graft.mem.spec_p ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(after == Seq((1L, "d1", 11L), (2L, "d1", 21L), (3L, "d2", 30L),
+      (4L, "d3", 40L), (9L, "d1", 91L)), after)
+    // plain INSERT OVERWRITE = truncate (overwrite ALWAYS_TRUE)
+    s.sql("INSERT OVERWRITE graft.mem.spec_p VALUES (7, 'd9', 70)")
+    assert(s.sql("SELECT count(*) FROM graft.mem.spec_p")
+      .collect()(0).getLong(0) == 1)
+    // partition-column DDL is guarded: rename/drop would orphan the
+    // declared partitioning
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.mem.spec_p RENAME COLUMN day TO dt") }
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.mem.spec_p DROP COLUMN day") }
+    // non-identity transforms are rejected loudly at CREATE
+    intercept[Exception] {
+      s.sql("CREATE TABLE graft.mem.spec_pb (id BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(4, id))") }
+    s.sql("DROP TABLE graft.mem.spec_p")
+  }
+
+  test("q82: identity columns — writer-side assignment off the table sequence; ALWAYS rejects explicit, BY DEFAULT allows") {
+    val s = cataloged()
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_i")
+    s.sql("CREATE TABLE graft.mem.spec_i (rid BIGINT GENERATED ALWAYS AS " +
+      "IDENTITY (START WITH 10 INCREMENT BY 5), v STRING)")
+    s.sql("INSERT INTO graft.mem.spec_i (v) VALUES ('a'), ('b')")
+    // a SECOND insert continues the sequence — the high-water mark is
+    // table state, not per-command
+    s.sql("INSERT INTO graft.mem.spec_i (v) VALUES ('c')")
+    val got = s.sql("SELECT rid, v FROM graft.mem.spec_i ORDER BY rid")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((10L, "a"), (15L, "b"), (20L, "c")), got)
+    // GENERATED ALWAYS: an explicit value is rejected BY THE CONNECTOR
+    // (the analyzer passes it through — probed) and the q52 commit
+    // protocol keeps the store untouched
+    intercept[Exception] {
+      s.sql("INSERT INTO graft.mem.spec_i VALUES (999, 'x')") }
+    assert(s.sql("SELECT count(*) FROM graft.mem.spec_i")
+      .collect()(0).getLong(0) == 3)
+    // GENERATED BY DEFAULT: explicit values pass through, omitted ones
+    // still draw from the sequence
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_i2")
+    s.sql("CREATE TABLE graft.mem.spec_i2 (rid BIGINT GENERATED BY DEFAULT " +
+      "AS IDENTITY, v STRING)")
+    s.sql("INSERT INTO graft.mem.spec_i2 VALUES (100, 'x')")
+    s.sql("INSERT INTO graft.mem.spec_i2 (v) VALUES ('y')")
+    val byDef = s.sql("SELECT rid, v FROM graft.mem.spec_i2 ORDER BY rid")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(byDef == Seq((1L, "y"), (100L, "x")), byDef)
+    s.sql("DROP TABLE graft.mem.spec_i")
+    s.sql("DROP TABLE graft.mem.spec_i2")
+  }
+
   test("q72: _pos metadata column — hidden from SELECT *, addressable by name, positions compact after DELETE") {
     val s = cataloged()
     s.sql("DROP TABLE IF EXISTS graft.mem.spec_m")

@@ -164,6 +164,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.nonEmpty && r.head._3 == 30L, s"expected the duplicate top-1, got ${r.toList}")
   }
 
+  test("s27: serving through the PERSISTED index == s12's in-query build (recall parity by construction)") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+    val cents = vecs.filter(col("vec_id") < 8)
+    // in-query build on s12's own query set
+    val inQuery = Similarity.ivfPqTopK(vecs, "vec_id", "embedding", cents,
+        pmod(col("_vid"), lit(50)) === 0, subs = 8, width = 8,
+        pqK = 16, iters = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // build the artifact, round-trip it through parquet, serve the SAME
+    // query batch — identical answers, zero retraining at serve time
+    val dir = java.nio.file.Files.createTempDirectory("graft_s27_spec").toString
+    val (ivfCents, book, codes) = Similarity.ivfPqIndex(
+      vecs, "vec_id", "embedding", cents, subs = 8, width = 8, pqK = 16, iters = 2)
+    ivfCents.write.parquet(s"$dir/cents")
+    book.write.parquet(s"$dir/book")
+    codes.write.parquet(s"$dir/codes")
+    val served = Similarity.ivfPqServe(
+        vecs.filter(pmod(col("vec_id"), lit(50)) === 0), "vec_id", "embedding",
+        spark.read.parquet(s"$dir/cents"), spark.read.parquet(s"$dir/book"),
+        spark.read.parquet(s"$dir/codes"), subs = 8, width = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(served == inQuery,
+      s"serve-through-artifact diverged: ${served.take(5)} vs ${inQuery.take(5)}")
+  }
+
   test("multi-probe IVF: recall(nprobe=2) >= recall(nprobe=1) against brute-force truth") {
     import spark.implicits._
     // real fixture: the sf0.001 embeddings with s3's query/centroid split
