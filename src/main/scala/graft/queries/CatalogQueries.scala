@@ -309,6 +309,37 @@ object CatalogQueries {
         GROUP BY kind ORDER BY kind""")
     },
 
+    // JOIN PUSHDOWN (q83 — SupportsPushDownJoin, new in Spark 4.1 and
+    // the LAST pushdown face after predicates q51 / aggregates q58 /
+    // limit+topN q61 / runtime filters q62; conf-gated by
+    // spark.sql.optimizer.datasourceV2JoinPushdown, probed usable by a
+    // NON-JDBC V2 source): a feed⋈feed INNER equi-join on id is
+    // ABSORBED into one scan — the engine hands the left builder both
+    // sides' pruning-surviving columns (collisions aliased: right id →
+    // id_1) and the condition rewritten over post-alias names; the
+    // joined scan plans the RANGE INTERSECTION of the two feeds and the
+    // physical plan has NO join operator at all (PlanSpec: single
+    // BatchScan with PushedJoin, zero Join/Exchange below the agg's).
+    // Soundness gate: both sides plain, INNER, condition exactly the
+    // two id columns — anything else declines and Spark plans the
+    // normal join (spec pins the decline + parity). The federation
+    // endgame: the join crosses the wire as its RESULT, zero build side.
+    "q83_join_pushdown" -> { (s0, _) =>
+      val s = s0.newSession()
+      s.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+      def feed(n: Int) = s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", n.toString).option("partitions", "8").load()
+      val a = feed(60000)
+      val b = feed(40000)
+      a.join(b, a("id") === b("id"))
+        .select(a("kind").as("kind"), a("id").as("id"),
+          b("value").as("value"))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).cast("long").as("n"), sum(col("value")).as("sum_value"),
+          sum(col("id")).as("sum_id"), max(col("id")).as("max_id"))
+        .orderBy(col("kind"))
+    },
+
     // METADATA COLUMNS (q72 — SupportsMetadataColumns, the Iceberg
     // _file/_pos analog): `_pos` is the row's position in the store
     // snapshot — hidden from SELECT * but addressable by name from SQL,
@@ -589,6 +620,21 @@ object CatalogQueries {
         |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
         |    (id * 2654435761) % 100000 AS value
         |  FROM range(0, 20000) t(id)) u
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // the absorbed join == the feed restricted to the range
+    // intersection [0, 40000)
+    "q83_join_pushdown" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(sum(id) AS BIGINT) AS sum_id,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 40000) t(id)) u
         |GROUP BY kind ORDER BY kind""".stripMargin,
 
     // survivors of the value floor, positions = compacted rank by the

@@ -65,6 +65,8 @@ object MetricsFeedSource {
   @volatile var lastPushedLimit: String = ""
   // runtime (DPP) filtering observable: the clamped range + values seen
   @volatile var lastRuntimeFilter: String = ""
+  // join-pushdown observable (q83): the absorbed join's shape
+  @volatile var lastPushedJoin: String = ""
   val rowsEmitted = new java.util.concurrent.atomic.AtomicLong(0L)
   // streaming observable: the distinct non-empty offset intervals
   // planned (local-mode/test hook; Spark may re-plan one micro-batch
@@ -112,7 +114,77 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int,
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownJoin {
+
+  // ---- SupportsPushDownJoin (q83 — the last pushdown face, new in
+  // Spark 4.1; conf-gated by spark.sql.optimizer.datasourceV2JoinPushdown):
+  // a feed⋈feed INNER equi-join on `id` is absorbed into ONE scan. The
+  // engine contract (probed): both sides' ScanBuilders get
+  // isOtherSideCompatibleForJoin, then the LEFT builder receives
+  // pushDownJoin with each side's pruning-surviving columns as
+  // ColumnWithAlias (alias non-null only on name collisions — right's
+  // id arrives as id_1) and the condition REWRITTEN over the post-alias
+  // names (`id = id_1`); returning true makes THIS builder the joined
+  // relation — its scan must emit leftCols ++ rightCols under the
+  // aliased names, and the engine may prune that joined schema again.
+  // Soundness gate: both sides plain (no agg/limit/cluster/columnar or
+  // prior join), INNER only, condition exactly the two id columns —
+  // then the join is the RANGE INTERSECTION of two deterministic feeds
+  // and every output column is closed-form in the shared id. At 100 TB
+  // this is the federation endgame: the join costs ZERO rows over the
+  // wire beyond its result — no exchange, no build side, one scan.
+  private var joinedMode: Option[StructType] = None
+  private var joinedOriginals: Array[String] = Array.empty
+  private def plainSide: Boolean =
+    aggFuncs.isEmpty && pushedLimit.isEmpty && !clusterByKind &&
+      !columnar && joinedMode.isEmpty
+
+  override def isOtherSideCompatibleForJoin(other: SupportsPushDownJoin): Boolean =
+    other match {
+      case o: MetricsFeedScanBuilder => plainSide && o.plainSide
+      case _ => false
+    }
+
+  override def pushDownJoin(other: SupportsPushDownJoin,
+      joinType: org.apache.spark.sql.connector.join.JoinType,
+      leftOut: Array[SupportsPushDownJoin.ColumnWithAlias],
+      rightOut: Array[SupportsPushDownJoin.ColumnWithAlias],
+      cond: Predicate): Boolean = other match {
+    case o: MetricsFeedScanBuilder
+        if joinType == org.apache.spark.sql.connector.join.JoinType.INNER_JOIN &&
+          plainSide && o.plainSide =>
+      def eff(c: SupportsPushDownJoin.ColumnWithAlias): String =
+        Option(c.alias()).getOrElse(c.colName())
+      val leftId = leftOut.find(_.colName() == "id").map(eff)
+      val rightId = rightOut.find(_.colName() == "id").map(eff)
+      val condOk = cond.name() == "=" && (cond.children() match {
+        case Array(a: NamedReference, b: NamedReference) =>
+          val names = Set(a.fieldNames.mkString("."), b.fieldNames.mkString("."))
+          (leftId, rightId) match {
+            case (Some(l), Some(r)) => l != r && names == Set(l, r)
+            case _ => false
+          }
+        case _ => false
+      })
+      if (!condOk) false
+      else {
+        // inner equi-join on the shared deterministic key: the joined
+        // feed IS the intersection of the two pushed id ranges
+        lo = math.max(lo, o.lo)
+        hi = math.min(hi, o.hi)
+        val base = MetricsFeedSource.schema
+        val cols = leftOut ++ rightOut
+        joinedMode = Some(StructType(cols.map(c =>
+          base(base.fieldIndex(c.colName())).copy(name = eff(c)))))
+        joinedOriginals = cols.map(_.colName())
+        required = joinedMode.get
+        MetricsFeedSource.lastPushedJoin =
+          s"inner(id) range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
+        true
+      }
+    case _ => false
+  }
   private var lo = 0L
   private var hi = rows
   private var pushed = Array.empty[Filter]
@@ -148,8 +220,15 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int,
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def pruneColumns(requiredSchema: StructType): Unit =
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // in joined mode the engine prunes the JOINED (aliased) schema —
+    // keep the per-field original-column sources aligned
+    if (joinedMode.isDefined) {
+      val m = joinedMode.get.fieldNames.zip(joinedOriginals).toMap
+      joinedOriginals = requiredSchema.fieldNames.map(m)
+    }
     required = requiredSchema
+  }
 
   // ---- SupportsPushDownLimit / SupportsPushDownTopN: the feed emits
   // ids ASCENDING within and ACROSS its fixed-width slices, so LIMIT n
@@ -217,7 +296,8 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int,
       new MetricsFeedAggScan(rows, parts, lo, hi, funcs, pushed)
     case None =>
       new MetricsFeedScan(rows, parts, lo, hi, required, pushed, streamStep,
-        clusterByKind, pushedLimit, columnar)
+        clusterByKind, pushedLimit, columnar,
+        fieldSources = if (joinedMode.isDefined) Some(joinedOriginals) else None)
   }
 }
 
@@ -376,7 +456,10 @@ class MetricsFeedAggReaderFactory(funcs: Array[String])
 class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
     required: StructType, pushed: Array[Filter],
     streamStep: Long = 25000L, clusterByKind: Boolean = false,
-    pushedLimit: String = "", columnar: Boolean = false) extends Scan with Batch
+    pushedLimit: String = "", columnar: Boolean = false,
+    // joined mode (q83): per-field ORIGINAL feed column each (possibly
+    // aliased) output field derives from — id_1 still reads "id"
+    fieldSources: Option[Array[String]] = None) extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportOrdering {
   // Runtime (DPP) clamp: filter() only RECORDS the delivered id bounds;
@@ -476,6 +559,7 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
       (if (pushedLimit.nonEmpty) s"PushedLimit: $pushedLimit, " else "") +
       (if (clusterByKind) "KeyGroupedBy: [kind], " else "") +
+      (if (fieldSources.nonEmpty) "PushedJoin: inner(id), " else "") +
       // truthful only when id SURVIVED pruning — same condition
       // filterAttributes() uses (kind-only projections report none)
       (if (required.fieldNames.contains("id")) "RuntimeFilterable: [id], "
@@ -542,7 +626,8 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
     slices
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new MetricsFeedReaderFactory(required.fieldNames, columnar)
+    new MetricsFeedReaderFactory(
+      fieldSources.getOrElse(required.fieldNames), columnar)
 }
 
 // ---- q68 metric classes: driver + task values fold by SUM into the

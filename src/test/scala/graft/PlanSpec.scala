@@ -513,6 +513,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), p)
   }
 
+  test("q83: feed⋈feed equi-join is ABSORBED into one scan — no join operator, decline path keeps parity") {
+    val df = SparkEntry.queries("q83_join_pushdown")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // ONE scan carrying the pushed join; no join operator anywhere
+    assert(p.contains("PushedJoin: inner(id)"), p)
+    assert(!p.contains("MergeJoin") && !p.contains("HashJoin") &&
+      !p.contains("NestedLoop") && !p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BatchScan")) == 1, p)
+    assert(graft.sources.MetricsFeedSource.lastPushedJoin
+      .startsWith("inner(id) range=[0,40000)"),
+      graft.sources.MetricsFeedSource.lastPushedJoin)
+    // decline path: a non-id condition is NOT absorbed — Spark plans
+    // the normal join and the answer is the engine's own
+    val s = spark.newSession()
+    s.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
+    def feed(n: Int) = s.read.format("graft.sources.MetricsFeedSource")
+      .option("rows", n.toString).option("partitions", "4").load()
+    val a = feed(300); val b = feed(200)
+    val weird = a.join(b, a("id") === b("value"))
+    assert(weird.queryExecution.executedPlan.toString.contains("Join"),
+      weird.queryExecution.executedPlan.toString)
+    // and the absorbed result equals the engine-planned join bit for bit
+    val c = feed(300); val d = feed(200)
+    val pushedRows = c.join(d, c("id") === d("id"))
+      .select(c("id"), c("kind"), d("value"))
+      .collect().map(_.toString).sorted.toSeq
+    val s2 = spark.newSession()
+    def feed2(n: Int) = s2.read.format("graft.sources.MetricsFeedSource")
+      .option("rows", n.toString).option("partitions", "4").load()
+    val e = feed2(300); val f = feed2(200)
+    val plainRows = e.join(f, e("id") === f("id"))
+      .select(e("id"), e("kind"), f("value"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pushedRows == plainRows && pushedRows.length == 200)
+  }
+
   test("s12: composed IVF×PQ — the ADC LUT joins broadcast WITH the cell key, no full-code scan") {
     val df = SparkEntry.queries("s12_ann_ivfpq")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
