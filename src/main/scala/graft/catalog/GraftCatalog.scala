@@ -41,7 +41,20 @@ import graft.sources.SnapshotLayout
   * same FileTable a 1000-executor scan plans from; nothing here touches
   * rows. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with StagingTableCatalog {
+    with FunctionCatalog with StagingTableCatalog with ProcedureCatalog {
+
+  // ---- stored procedures (q84 — ProcedureCatalog / CALL): the
+  // maintenance-op surface; bodies live in GraftProcedures
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("sys")))
+      GraftProcedures.names.map(Identifier.of(namespace, _)).toArray
+    else Array.empty
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    (if (ident.namespace().sameElements(Array("sys")))
+      GraftProcedures.load(ident.name()) else None)
+      .getOrElse(throw new RuntimeException(
+        s"procedure $ident not found (graft.sys.{${GraftProcedures.names.mkString(",")}})"))
   // modern DDL faces the mem tables accept (q76/q77): column DEFAULTs
   // are analyzer-filled from column metadata when this capability is
   // declared; CHECK constraints ride TableInfo into createTable and are
@@ -152,7 +165,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   // ---- namespaces -------------------------------------------------------
   private val namespaces = Seq("corpus", "mem")
   private def nsExists(ns: Array[String]): Boolean =
-    ns.length == 1 && (namespaces.contains(ns(0)) || ns(0) == "fn")
+    ns.length == 1 &&
+      (namespaces.contains(ns(0)) || ns(0) == "fn" || ns(0) == "sys")
 
   override def listNamespaces(): Array[Array[String]] =
     namespaces.map(Array(_)).toArray

@@ -340,6 +340,39 @@ object CatalogQueries {
         .orderBy(col("kind"))
     },
 
+    // STORED PROCEDURES (q84 — ProcedureCatalog / the CALL statement,
+    // Spark 4.1: the maintenance-operation surface every lakehouse
+    // ships; Iceberg's rewrite_data_files / expire_snapshots are
+    // CALLs): graft.sys.compact resolves by name through the catalog,
+    // binds its (table STRING) parameter against the analyzer-coerced
+    // named argument, executes against table state, and returns its
+    // summary through a LocalScan (probed: the CALL's resultset IS the
+    // scan's rows; SHOW PROCEDURES lists the namespace). compact is
+    // the OPTIMIZE analog a row store honors exactly — sort by id in
+    // ONE atomic swap — and its observable is q72's _pos metadata
+    // column: a MULTI-TASK insert leaves store order = task-commit
+    // order, compaction makes _pos == the id rank, which is what turns
+    // this key's per-kind _pos accounting closed-form (ids are dense,
+    // so post-compact _pos == id; any unsorted or dropped row breaks
+    // the sums).
+    "q84_procedure_call" -> { (s0, _) =>
+      val s = catalogSession(s0, "")
+      s.sql("DROP TABLE IF EXISTS graft.mem.metrics84")
+      s.sql("CREATE TABLE graft.mem.metrics84 " +
+        "(id BIGINT, kind STRING, value BIGINT)")
+      s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "30000").option("partitions", "8").load()
+        .createOrReplaceTempView("v84_feed")
+      s.sql("INSERT INTO graft.mem.metrics84 " +
+        "SELECT id, kind, value FROM v84_feed")
+      s.sql("CALL graft.sys.compact(table => 'metrics84')")
+      s.sql("""
+        SELECT kind, CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value,
+          sum(_pos) AS sum_pos, min(_pos) AS min_pos, max(_pos) AS max_pos
+        FROM graft.mem.metrics84
+        GROUP BY kind ORDER BY kind""")
+    },
+
     // METADATA COLUMNS (q72 — SupportsMetadataColumns, the Iceberg
     // _file/_pos analog): `_pos` is the row's position in the store
     // snapshot — hidden from SELECT * but addressable by name from SQL,
@@ -635,6 +668,21 @@ object CatalogQueries {
         |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
         |    (id * 2654435761) % 100000 AS value
         |  FROM range(0, 40000) t(id)) u
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // post-compact _pos == id (dense ids, sorted store)
+    "q84_procedure_call" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(sum(id) AS BIGINT) AS sum_pos,
+        |  CAST(min(id) AS BIGINT) AS min_pos,
+        |  CAST(max(id) AS BIGINT) AS max_pos
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 30000) t(id)) u
         |GROUP BY kind ORDER BY kind""".stripMargin,
 
     // survivors of the value floor, positions = compacted rank by the

@@ -284,6 +284,30 @@ class CatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft.mem.spec_i2")
   }
 
+  test("q84: CALL procedure — summary rows via LocalScan, store sorted, unknown procedure rejected") {
+    val s = cataloged()
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_c")
+    s.sql("CREATE TABLE graft.mem.spec_c (id BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft.mem.spec_c VALUES (5, 50), (1, 10), (3, 30)")
+    // the CALL's resultset is the procedure's LocalScan summary row
+    val r = s.sql("CALL graft.sys.compact(table => 'spec_c')").collect()
+    assert(r.length == 1 && r(0).getString(0) == "spec_c" &&
+      r(0).getLong(1) == 3L, r.mkString(","))
+    // the store is now id-sorted: _pos tracks id rank
+    val pos = s.sql("SELECT _pos, id FROM graft.mem.spec_c ORDER BY _pos")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(pos == Seq((0L, 1L), (1L, 3L), (2L, 5L)), pos)
+    // SHOW PROCEDURES surfaces the namespace inventory
+    val shown = s.sql("SHOW PROCEDURES IN graft.sys").collect()
+      .map(_.getAs[String]("procedure_name")).toSeq
+    assert(shown == Seq("compact"), shown)
+    // unknown procedure / positional misuse fail loudly
+    intercept[Exception] { s.sql("CALL graft.sys.nope()").collect() }
+    intercept[Exception] {
+      s.sql("CALL graft.sys.compact(table => 'no_such_table')").collect() }
+    s.sql("DROP TABLE graft.mem.spec_c")
+  }
+
   test("q72: _pos metadata column — hidden from SELECT *, addressable by name, positions compact after DELETE") {
     val s = cataloged()
     s.sql("DROP TABLE IF EXISTS graft.mem.spec_m")
