@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Data-LAYOUT operators (q85): the file-skipping story every 100-TB
+  * lakehouse lives on. A table's scan cost under a selective predicate
+  * is decided by how rows were SORTED into files when written: zone
+  * maps (per-file min/max, what parquet footers and Delta/Iceberg
+  * manifests store) let the planner skip whole files, and a Z-ORDER
+  * (Morton space-filling-curve) sort keeps BOTH dimensions of a
+  * 2-predicate workload local — a linear sort concentrates one
+  * dimension and smears the other across every file.
+  *
+  * Everything here is exact integer arithmetic (bit interleave, ranks,
+  * min/max) — cross-engine oracle-safe; shifts stay ≤ 62 (the x16/d12
+  * wrap lesson). */
+object Layout {
+
+  /** Morton (Z-order) code: interleave the low `bits` bits of x and y
+    * (x gets even positions, y odd). Pure bit ops on longs — whole-stage
+    * codegen keeps the 2·bits-term tree in one projection. */
+  def morton(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 16, "morton supports 1..16 bits per key")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Assign file ids under a given sort order WITHOUT a global
+    * single-partition sort (p25's two-level TeraSort rank on a NUMERIC
+    * key): bucket by the key's high bits (`bucketShift`), rank within
+    * each bucket in parallel, lift to a global rank with a broadcast
+    * bucket-offset cumsum, then file = rank / rowsPerFile. Ties must be
+    * fully determined by `ties` (both engines must agree on every
+    * row's file, or zone maps diverge). */
+  def fileIds(df: DataFrame, key: Column, ties: Seq[Column],
+      bucketShift: Int, rowsPerFile: Int): DataFrame = {
+    val keyed = df.withColumn("_k", key)
+      .withColumn("_bkt", shiftright(col("_k"), bucketShift))
+    val within = keyed.withColumn("_rn", row_number().over(
+      Window.partitionBy(col("_bkt"))
+        .orderBy(col("_k") +: ties: _*)).cast("long"))
+    val offs = keyed.groupBy(col("_bkt")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(
+        Window.orderBy(col("_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_bkt"), col("_off"))
+    within.join(broadcast(offs), Seq("_bkt"))
+      .withColumn("_file", ((col("_off") + col("_rn") - 1) / rowsPerFile)
+        .cast("long"))
+      .drop("_bkt", "_rn", "_off", "_k")
+  }
+
+  /** Zone-map skip accounting for a box predicate x∈[x1,x2], y∈[y1,y2]
+    * over a file layout: per-file min/max zones (what a manifest
+    * stores), then ONE row — files total/scanned and rows
+    * scanned/matched. `rows_matched` is layout-invariant (the true
+    * result); `files_scanned`/`rows_scanned` is what the layout buys. */
+  def zoneMapStats(withFiles: DataFrame, xCol: Column, yCol: Column,
+      x1: Long, x2: Long, y1: Long, y2: Long, label: String): DataFrame = {
+    val zones = withFiles.groupBy(col("_file"))
+      .agg(min(xCol).as("_xmin"), max(xCol).as("_xmax"),
+        min(yCol).as("_ymin"), max(yCol).as("_ymax"),
+        count(lit(1)).as("_rows"),
+        sum(when(xCol.between(x1, x2) && yCol.between(y1, y2), 1L)
+          .otherwise(0L)).as("_hits"))
+    val scanned = col("_xmax") >= x1 && col("_xmin") <= x2 &&
+      col("_ymax") >= y1 && col("_ymin") <= y2
+    zones.agg(
+        count(lit(1)).as("n_files"),
+        sum(when(scanned, 1L).otherwise(0L)).as("files_scanned"),
+        sum(when(scanned, col("_rows")).otherwise(0L)).as("rows_scanned"),
+        sum(col("_hits")).as("rows_matched"))
+      .withColumn("layout", lit(label))
+      .select(col("layout"), col("n_files"), col("files_scanned"),
+        col("rows_scanned"), col("rows_matched"))
+  }
+}

@@ -1559,10 +1559,92 @@ object RelationalQueries {
             .otherwise(0L)).as("n_stale_fill"),
           sum(col("filled")).cast("long").as("sum_filled_c"))
         .orderBy(col("user_id"))
+    },
+
+    // Z-ORDER data layout + zone-map FILE SKIPPING (q85 — the
+    // write-side lever every 100-TB lakehouse lives on: Delta OPTIMIZE
+    // ZORDER / Iceberg sort orders; q36 bucketed the JOIN key, this
+    // lays out the SCAN): the same fact rows are "filed" (4096-row
+    // files) under two sort orders — linear (x only) and Morton
+    // Z-order over (x, y), the bit-interleaved space-filling curve —
+    // then a 2-dimensional box predicate is priced against each
+    // layout's zone maps (per-file min/max, what parquet footers and
+    // manifests store): a file whose zone misses the box is SKIPPED.
+    // The output is the whole story in two rows — same n_files, same
+    // rows_matched (the layout never changes the answer), different
+    // files_scanned/rows_scanned (what it changes is the COST: linear
+    // keeps x local but smears y across every file, Z-order keeps both
+    // local). File assignment runs the p25 two-level rank (bucket by
+    // the sort key's HIGH BITS, rank within buckets in parallel, lift
+    // by a broadcast offset cumsum — no single-partition sort of fact
+    // rows); keys hash-spread to a fixed 14-bit domain with bounded
+    // multipliers (pmod 1e5 first — the sf10 key-shift would overflow
+    // a raw product, the x16 lesson applied cross-engine).
+    "q85_zorder_skipping" -> { (s, dir) =>
+      import graft.operators.Layout
+      val base = Tables.lineitem(s, dir).select(
+        pmod(pmod(col("l_partkey"), lit(100000L)) * lit(2654435761L),
+          lit(16384L)).as("x"),
+        pmod(pmod(col("l_suppkey"), lit(100000L)) * lit(40503L),
+          lit(16384L)).as("y"),
+        col("l_orderkey"), col("l_linenumber"))
+      val ties = Seq(col("x"), col("y"), col("l_orderkey"), col("l_linenumber"))
+      val linear = Layout.fileIds(base, col("x"), ties,
+        bucketShift = 9, rowsPerFile = 2048)
+      val zorder = Layout.fileIds(base,
+        Layout.morton(col("x"), col("y"), 14), ties,
+        bucketShift = 23, rowsPerFile = 2048)
+      Layout.zoneMapStats(linear, col("x"), col("y"),
+          2000L, 3000L, 3000L, 4000L, "linear")
+        .unionByName(Layout.zoneMapStats(zorder, col("x"), col("y"),
+          2000L, 3000L, 3000L, 4000L, "zorder"))
+        .orderBy(col("layout"))
     }
   )
 
   def oracles: Map[String, String] = Map(
+    // both layouts re-derived closed-form; the compare pins n_files and
+    // rows_matched EQUAL across layouts and the skip counts exactly
+    "q85_zorder_skipping" ->
+      """WITH base AS (
+        |  SELECT ((l_partkey % 100000) * 2654435761) % 16384 AS x,
+        |         ((l_suppkey % 100000) * 40503) % 16384 AS y,
+        |         l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |lin AS (
+        |  SELECT x, y, (row_number() OVER (
+        |    ORDER BY x, y, l_orderkey, l_linenumber) - 1) // 2048 AS f
+        |  FROM base),
+        |zb AS (
+        |  SELECT x, y, l_orderkey, l_linenumber,
+        |    CAST(list_sum(list_transform(generate_series(0, 13), i ->
+        |      ((x >> i) & 1) * (1::BIGINT << (2 * i)) +
+        |      ((y >> i) & 1) * (1::BIGINT << (2 * i + 1)))) AS BIGINT) AS m
+        |  FROM base),
+        |zo AS (
+        |  SELECT x, y, (row_number() OVER (
+        |    ORDER BY m, x, y, l_orderkey, l_linenumber) - 1) // 2048 AS f
+        |  FROM zb),
+        |zones AS (
+        |  SELECT 'linear' AS layout, f, min(x) AS xmin, max(x) AS xmax,
+        |    min(y) AS ymin, max(y) AS ymax, count(*) AS n,
+        |    sum(CASE WHEN x BETWEEN 2000 AND 3000
+        |             AND y BETWEEN 3000 AND 4000 THEN 1 ELSE 0 END) AS hits
+        |  FROM lin GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT 'zorder', f, min(x), max(x), min(y), max(y), count(*),
+        |    sum(CASE WHEN x BETWEEN 2000 AND 3000
+        |             AND y BETWEEN 3000 AND 4000 THEN 1 ELSE 0 END)
+        |  FROM zo GROUP BY 1, 2)
+        |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(CASE WHEN xmax >= 2000 AND xmin <= 3000
+        |    AND ymax >= 3000 AND ymin <= 4000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS files_scanned,
+        |  CAST(sum(CASE WHEN xmax >= 2000 AND xmin <= 3000
+        |    AND ymax >= 3000 AND ymin <= 4000 THEN n ELSE 0 END) AS BIGINT)
+        |    AS rows_scanned,
+        |  CAST(sum(hits) AS BIGINT) AS rows_matched
+        |FROM zones GROUP BY layout ORDER BY layout""".stripMargin,
     "q44_pipe_syntax" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT) *

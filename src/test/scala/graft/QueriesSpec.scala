@@ -155,4 +155,38 @@ class QueriesSpec extends AnyFunSuite {
       s"coarsening must only add collisions: $rows")
     assert(rows("cms_4096")._2 >= 0L && rows("cms_256")._2 >= rows("cms_4096")._2)
   }
+
+  test("q85 Layout: morton interleaves exactly; two-level fileIds == global rank on any partitioning") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Layout
+    import spark.implicits._
+    // closed-form morton checks: x occupies even bit positions, y odd
+    val m = spark.range(1).select(
+      Layout.morton(lit(3L), lit(1L), 2).as("a"),   // 0b0101 | 0b0010 = 7
+      Layout.morton(lit(0L), lit(3L), 2).as("b"),   // 0b1010 = 10
+      Layout.morton(lit(16383L), lit(0L), 14).as("c")) // all even bits set
+      .collect()(0)
+    assert(m.getLong(0) == 7L && m.getLong(1) == 10L, m.toString)
+    assert(m.getLong(2) == (0 until 14).map(i => 1L << (2 * i)).sum)
+    // file assignment is partitioning-invariant and equals the global
+    // row_number formulation (the single-partition-sort oracle)
+    val data = (0L until 5000L).map(i => ((i * 131) % 997, (i * 37) % 997, i))
+    def files(parts: Int) = {
+      val df = spark.createDataset(data).toDF("x", "y", "id").repartition(parts)
+      Layout.fileIds(df, Layout.morton(col("x"), col("y"), 10),
+          Seq(col("x"), col("y"), col("id")), bucketShift = 15, rowsPerFile = 256)
+        .select(col("id"), col("_file")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    }
+    val f1 = files(1)
+    assert(files(7) == f1, "file assignment changed with partitioning")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("m"), col("x"), col("y"), col("id"))
+    val truth = spark.createDataset(data).toDF("x", "y", "id")
+      .withColumn("m", Layout.morton(col("x"), col("y"), 10))
+      .withColumn("_file", ((row_number().over(w) - 1) / 256).cast("long"))
+      .select(col("id"), col("_file")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(f1 == truth, "two-level rank diverged from the global sort")
+  }
 }
