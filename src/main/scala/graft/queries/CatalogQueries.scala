@@ -75,8 +75,9 @@ object CatalogQueries {
         SELECT d.doc_id,
           graft.fn.token_count(d.text) AS n_tokens,
           round(graft.fn.cosine_sim(e1.embedding, e2.embedding), 6) AS sim_next,
-          graft.fn.hamming64(d.doc_id * 2654435761, d.doc_id * 40503,
-                             d.doc_id * 2654435761 + d.doc_id % 7,
+          graft.fn.hamming64((d.doc_id % 1000000) * 2654435761,
+                             d.doc_id * 40503,
+                             (d.doc_id % 1000000) * 2654435761 + d.doc_id % 7,
                              d.doc_id * 40503) AS ham
         FROM graft.corpus.documents d
         JOIN graft.corpus.embeddings e1 ON e1.vec_id = d.doc_id
@@ -552,7 +553,8 @@ object CatalogQueries {
         |  CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+')) AS INT) AS n_tokens,
         |  round(list_sum(list_transform(generate_series(1, len(a.e)), i ->
         |    CAST(a.e[i] AS DOUBLE) * CAST(b.e[i] AS DOUBLE))) / sqrt(a.n2 * b.n2), 6) AS sim_next,
-        |  CAST(bit_count(xor(d.doc_id * 2654435761, d.doc_id * 2654435761 + d.doc_id % 7)) AS INT) AS ham
+        |  CAST(bit_count(xor((d.doc_id % 1000000) * 2654435761,
+        |    (d.doc_id % 1000000) * 2654435761 + d.doc_id % 7)) AS INT) AS ham
         |FROM documents d
         |JOIN v a ON a.vec_id = d.doc_id
         |JOIN v b ON b.vec_id = d.doc_id + 1
