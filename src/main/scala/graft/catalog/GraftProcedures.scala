@@ -59,7 +59,11 @@ object GraftProcedures {
           var n = 0L
           st.rows.updateAndGet { rows =>
             n = rows.length
-            rows.sortBy(r => r(idIdx).asInstanceOf[java.lang.Long].longValue())
+            // NULL ids sort first (id is nullable on plain mem tables —
+            // a bare cast would NPE on the first null row)
+            rows.sortBy(r => Option(r(idIdx))
+              .map(_.asInstanceOf[java.lang.Long].longValue())
+              .getOrElse(Long.MinValue))
           }
           java.util.List.of(summaryScan(
             StructType(Seq(StructField("table_name", StringType, nullable = false),
