@@ -114,11 +114,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!ident.namespace().sameElements(Array("mem")))
       throw new UnsupportedOperationException(
         s"only graft.mem tables are writable, got $ident")
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException("mem tables are unpartitioned")
     val schema = StructType(columns.map(c =>
       StructField(c.name(), c.dataType(), c.nullable())))
-    new StagedMemTable(ident.name(), schema, memProps(properties), replace)
+    // partitioned CTAS/RTAS: same identity-transform validation as
+    // createTable — the partitioning publishes with the staged table
+    new StagedMemTable(ident.name(), schema, memProps(properties), replace,
+      partitionColumns(partitions, schema))
   }
   override def stageCreate(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
@@ -274,6 +275,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (state.partitionCols.contains(ren.fieldNames()(0)))
             throw new UnsupportedOperationException(
               s"cannot rename partition column ${ren.fieldNames()(0)}")
+          // a renamed identity column would leave a dangling
+          // IdentitySpec and crash every subsequent INSERT (idIdx = -1)
+          if (state.identity.exists(_.col == ren.fieldNames()(0)))
+            throw new UnsupportedOperationException(
+              s"cannot rename identity column ${ren.fieldNames()(0)}")
           // a CHECK constraint stores its predicate as SQL TEXT — a
           // rename would leave it pointing at a nonexistent name and
           // fail analysis on the NEXT enforced write; reject up front
@@ -297,6 +303,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (state.partitionCols.contains(del.fieldNames()(0)))
             throw new UnsupportedOperationException(
               s"cannot drop partition column ${del.fieldNames()(0)}")
+          if (state.identity.exists(_.col == del.fieldNames()(0)))
+            throw new UnsupportedOperationException(
+              s"cannot drop identity column ${del.fieldNames()(0)}")
           val next = StructType(
             schema.fields.patch(idx, Nil, 1))
           MemTables.evolve(ident.name(), next,

@@ -56,6 +56,9 @@ object GraftProcedures {
             throw new IllegalStateException(s"mem table $tbl does not exist"))
           val idIdx = st.schema.fieldNames.indexOf("id")
           require(idIdx >= 0, s"compact requires an `id` column on $tbl")
+          require(st.schema.fields(idIdx).dataType == LongType,
+            s"compact sorts BIGINT ids; $tbl.id is " +
+              st.schema.fields(idIdx).dataType.simpleString)
           var n = 0L
           st.rows.updateAndGet { rows =>
             n = rows.length

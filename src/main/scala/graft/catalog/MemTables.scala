@@ -95,8 +95,9 @@ object MemTables {
     * `replace=true` = atomic RTAS (the old table stays readable until
     * this single put swaps it). */
   def publish(name: String, schema: StructType, props: Map[String, String],
-      rows: Vector[Array[Any]], replace: Boolean): Unit = {
-    val st = new State(schema, Array.empty, props)
+      rows: Vector[Array[Any]], replace: Boolean,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val st = new State(schema, Array.empty, props, partitionCols)
     st.rows.set(rows)
     if (replace) { registry.put(name, st); () }
     else if (registry.putIfAbsent(name, st) != null)
@@ -286,6 +287,17 @@ class MemTable(tableName: String) extends Table
       override def build(): RowLevelOperation =
         if (state.props.get("write.mode").contains("merge-on-read"))
           new MemDeltaOperation(tableName, info.command())
+        else if (state.identity.isDefined)
+          // the group rewrite cannot tell PASS-THROUGH rows (which
+          // carry their already-assigned identity values) from MERGE
+          // inserts (which need fresh ones) — every row arrives through
+          // the same writer. The delta protocol CAN (insert() is only
+          // called for genuinely new rows), so identity tables require
+          // merge-on-read for UPDATE/MERGE rather than silently
+          // NULLing or rejecting pass-through identities.
+          throw new UnsupportedOperationException(
+            "row-level commands on identity tables require " +
+              "'write.mode'='merge-on-read'")
         else new MemRowLevelOperation(tableName, info.command())
     }
 
@@ -512,7 +524,8 @@ class MemBatchWrite(tableName: String, schema: StructType,
   * vanishes with this instance. CatalogSpec injects a mid-write
   * failure on both paths. */
 class StagedMemTable(tableName: String, stagedSchema: StructType,
-    props: Map[String, String], replace: Boolean)
+    props: Map[String, String], replace: Boolean,
+    partitionCols: Seq[String] = Nil)
     extends StagedTable with SupportsWrite {
   private val staged = new AtomicReference[Vector[Array[Any]]](Vector.empty)
   override def name(): String = s"graft.mem.$tableName (staged)"
@@ -541,7 +554,8 @@ class StagedMemTable(tableName: String, stagedSchema: StructType,
       }
     }
   override def commitStagedChanges(): Unit =
-    MemTables.publish(tableName, stagedSchema, props, staged.get(), replace)
+    MemTables.publish(tableName, stagedSchema, props, staged.get(), replace,
+      partitionCols)
   override def abortStagedChanges(): Unit = staged.set(Vector.empty)
 }
 
@@ -644,20 +658,36 @@ class MemDeltaBatchWrite(tableName: String, schema: StructType,
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.toSeq.map(_.asInstanceOf[MemDeltaMessage])
-    val inserts = msgs.flatMap(_.inserts)
+    val state = MemTables.get(tableName).getOrElse(
+      throw new IllegalStateException(s"mem table $tableName dropped"))
+    // identity assignment on MERGE-inserted rows (the delta protocol
+    // CAN tell inserts from pass-through rows — insert() fires only
+    // for new rows): null identities draw from the table sequence,
+    // explicit ones are rejected under GENERATED ALWAYS — the same
+    // contract as the append path
+    val inserts = state.identity match {
+      case Some(MemTables.IdentitySpec(col, _, step, allowExplicit)) =>
+        val iIdx = schema.fieldNames.indexOf(col)
+        msgs.flatMap(_.inserts).map { r =>
+          if (r(iIdx) == null) r(iIdx) = state.identityNext.getAndAdd(step)
+          else if (!allowExplicit) throw new IllegalArgumentException(
+            s"cannot INSERT into GENERATED ALWAYS AS IDENTITY column $col")
+          r
+        }
+      case None => msgs.flatMap(_.inserts)
+    }
     val updates = msgs.flatMap(_.updates).toMap
     val deletes = msgs.flatMap(_.deletes).toSet
     MemTables.lastRowLevelCommand = s"DELTA:$cmdName"
+    // all three counted POST-dedup — the observable equals ops APPLIED
     MemTables.lastDeltaCounts =
-      (inserts.size.toLong, updates.size.toLong, msgs.map(_.deletes.length.toLong).sum)
+      (inserts.size.toLong, updates.size.toLong, deletes.size.toLong)
     val idIdx = schema.fieldNames.indexOf(idCol)
     require(idIdx >= 0, s"rowId column $idCol not in table schema")
     // ONE atomic swap applies the whole delta: drop deleted ids,
     // substitute updated rows in place (store order preserved — the
     // _pos contract), append inserts
-    MemTables.get(tableName).getOrElse(
-      throw new IllegalStateException(s"mem table $tableName dropped"))
-      .rows.updateAndGet { rows =>
+    state.rows.updateAndGet { rows =>
         rows.flatMap { r =>
           val id = r(idIdx)
           if (deletes.contains(id)) None

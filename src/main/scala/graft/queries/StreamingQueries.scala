@@ -167,8 +167,11 @@ object StreamingQueries {
     // face that matters: state bugs (skew, leaks, watermark eviction)
     // are invisible in output parity but obvious in the store itself.
     "st22_state_reader" -> { (s, _) =>
-      val cp = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_st22_checkpoint")
+      // PID-scoped fixed dir: stable within a JVM (bench passes reuse
+      // it, rm-on-entry keeps /tmp bounded — the round-6 lesson) but
+      // two concurrent JVMs can never rm each other's LIVE checkpoint
+      val cp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_st22_checkpoint_${ProcessHandle.current().pid()}")
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
           Option(f.listFiles).foreach(_.foreach(rm))

@@ -248,6 +248,19 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception] {
       s.sql("CREATE TABLE graft.mem.spec_pb (id BIGINT, v BIGINT) " +
         "PARTITIONED BY (bucket(4, id))") }
+    // partitioned CTAS routes through the staged path and publishes
+    // WITH its partitioning — scoped overwrite works on the result
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_pc")
+    s.sql("CREATE TABLE graft.mem.spec_pc PARTITIONED BY (day) AS " +
+      "SELECT id, CASE WHEN id < 2 THEN 'd1' ELSE 'd2' END AS day " +
+      "FROM range(0, 4)")
+    assert(MemTables.get("spec_pc").get.partitionCols == Seq("day"))
+    s.sql("INSERT OVERWRITE graft.mem.spec_pc PARTITION (day = 'd1') " +
+      "VALUES (9)")
+    val pc = s.sql("SELECT id, day FROM graft.mem.spec_pc ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(pc == Seq((2L, "d2"), (3L, "d2"), (9L, "d1")), pc)
+    s.sql("DROP TABLE graft.mem.spec_pc")
     s.sql("DROP TABLE graft.mem.spec_p")
   }
 
@@ -280,8 +293,45 @@ class CatalogSpec extends AnyFunSuite {
     val byDef = s.sql("SELECT rid, v FROM graft.mem.spec_i2 ORDER BY rid")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(byDef == Seq((1L, "y"), (100L, "x")), byDef)
+    // DDL guards: renaming/dropping the identity column would leave a
+    // dangling IdentitySpec (and crash every later INSERT)
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.mem.spec_i2 RENAME COLUMN rid TO r2") }
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.mem.spec_i2 DROP COLUMN rid") }
     s.sql("DROP TABLE graft.mem.spec_i")
     s.sql("DROP TABLE graft.mem.spec_i2")
+  }
+
+  test("q82×q79: identity on merge-on-read — MERGE inserts draw from the sequence; CoW identity tables reject row-level commands") {
+    val s = cataloged()
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_i3")
+    s.sql("CREATE TABLE graft.mem.spec_i3 (id BIGINT NOT NULL, v BIGINT, " +
+      "rid BIGINT GENERATED BY DEFAULT AS IDENTITY) " +
+      "TBLPROPERTIES ('write.mode'='merge-on-read')")
+    s.sql("INSERT INTO graft.mem.spec_i3 (id, v) VALUES (1, 10), (2, 20)")
+    s.sql("SELECT * FROM VALUES (2, 200), (3, 300) AS t(id, v)")
+      .createOrReplaceTempView("spec_i3_src")
+    s.sql("""MERGE INTO graft.mem.spec_i3 t USING spec_i3_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""")
+    val got = s.sql("SELECT id, v, rid FROM graft.mem.spec_i3 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // merge-UPDATED row keeps its rid (pass-through); merge-INSERTED
+    // row drew the next sequence value (3)
+    assert(got == Seq((1L, 10L, 1L), (2L, 200L, 2L), (3L, 300L, 3L)), got)
+    // copy-on-write identity tables reject UPDATE/MERGE loudly: the
+    // group rewrite cannot tell pass-through identities from inserts
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_i4")
+    s.sql("CREATE TABLE graft.mem.spec_i4 (id BIGINT, " +
+      "rid BIGINT GENERATED ALWAYS AS IDENTITY)")
+    s.sql("INSERT INTO graft.mem.spec_i4 (id) VALUES (7)")
+    val e = intercept[Exception] {
+      s.sql("UPDATE graft.mem.spec_i4 SET id = 5 WHERE id = 7") }
+    assert(e.getMessage != null &&
+      e.toString.contains("merge-on-read"), e.toString)
+    s.sql("DROP TABLE graft.mem.spec_i3")
+    s.sql("DROP TABLE graft.mem.spec_i4")
   }
 
   test("q84: CALL procedure — summary rows via LocalScan, store sorted, unknown procedure rejected") {
