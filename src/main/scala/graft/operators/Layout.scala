@@ -37,22 +37,12 @@ object Layout {
     * fully determined by `ties` (both engines must agree on every
     * row's file, or zone maps diverge). */
   def fileIds(df: DataFrame, key: Column, ties: Seq[Column],
-      bucketShift: Int, rowsPerFile: Int): DataFrame = {
-    val keyed = df.withColumn("_k", key)
-      .withColumn("_bkt", shiftright(col("_k"), bucketShift))
-    val within = keyed.withColumn("_rn", row_number().over(
-      Window.partitionBy(col("_bkt"))
-        .orderBy(col("_k") +: ties: _*)).cast("long"))
-    val offs = keyed.groupBy(col("_bkt")).agg(count(lit(1)).as("_c"))
-      .withColumn("_off", coalesce(sum(col("_c")).over(
-        Window.orderBy(col("_bkt"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("_bkt"), col("_off"))
-    within.join(broadcast(offs), Seq("_bkt"))
-      .withColumn("_file", ((col("_off") + col("_rn") - 1) / rowsPerFile)
-        .cast("long"))
-      .drop("_bkt", "_rn", "_off", "_k")
-  }
+      bucketShift: Int, rowsPerFile: Int): DataFrame =
+    Relational.bucketedGlobalRankBy(df.withColumn("_k", key),
+        shiftright(col("_k"), bucketShift), col("_k") +: ties,
+        groupCols = Nil, outCol = "_grank")
+      .withColumn("_file", (col("_grank") / rowsPerFile).cast("long"))
+      .drop("_grank", "_k")
 
   /** Zone-map skip accounting for a box predicate x∈[x1,x2], y∈[y1,y2]
     * over a file layout: per-file min/max zones (what a manifest

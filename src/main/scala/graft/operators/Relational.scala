@@ -69,17 +69,31 @@ object Relational {
     * |groups|·256-row bucket-count cumsum lifts local ranks to exact
     * global positions via a broadcast join. Appends `outCol` (long). */
   def bucketedGlobalRank(df: DataFrame, keyCol: String,
-      groupCols: Seq[String], outCol: String): DataFrame = {
+      groupCols: Seq[String], outCol: String): DataFrame =
+    bucketedGlobalRankBy(df, substring(col(keyCol), 1, 2),
+      Seq(col(keyCol)), groupCols, outCol)
+
+  /** The generalized two-level rank core (shared by the md5-prefix form
+    * above and Layout.fileIds' numeric high-bit form): `bucket` must be
+    * a MONOTONE COARSENING of the sort order's leading key — order by
+    * (bucket, sortCols) must equal order by sortCols — or local ranks
+    * cannot lift to global positions. `sortCols` must fully determine
+    * row order (include a unique tie-breaker) for a deterministic
+    * assignment. */
+  def bucketedGlobalRankBy(df: DataFrame, bucket: Column,
+      sortCols: Seq[Column], groupCols: Seq[String],
+      outCol: String): DataFrame = {
     val grp = groupCols.map(col)
-    val keyed = df.withColumn("_bkt", substring(col(keyCol), 1, 2))
+    val keyed = df.withColumn("_bkt", bucket)
     val within = keyed.withColumn("_rn", row_number().over(
-      Window.partitionBy(grp :+ col("_bkt"): _*).orderBy(col(keyCol))).cast("long"))
+      Window.partitionBy(grp :+ col("_bkt"): _*)
+        .orderBy(sortCols: _*)).cast("long"))
     val offs = keyed.groupBy(grp :+ col("_bkt"): _*)
       .agg(count(lit(1)).as("_c"))
       .withColumn("_off", coalesce(sum(col("_c")).over(
         Window.partitionBy(grp: _*).orderBy(col("_bkt"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(groupCols.map(col) :+ col("_bkt") :+ col("_off"): _*)
+      .select(grp :+ col("_bkt") :+ col("_off"): _*)
     within.join(broadcast(offs), groupCols :+ "_bkt")
       .withColumn(outCol, col("_off") + col("_rn") - 1)
       .drop("_bkt", "_rn", "_off")
