@@ -151,6 +151,35 @@ object StreamingQueries {
       epochs.toDF("n_rows", "sum_value", "max_id").orderBy(col("max_id"))
     },
 
+    // STREAMING SOURCE METRICS (st23 — ReportsSourceMetrics, q68's
+    // custom-metric story carried into streaming and the LAG/BACKLOG
+    // observability face every production stream is monitored by: what
+    // Kafka surfaces as consumer lag appears in
+    // StreamingQueryProgress.sources[i].metrics): the feed reports
+    // rowsConsumed (the engine-committed offset handed back to the
+    // source — a pure function, the admission-control restart posture)
+    // and rowsBacklog (what the feed still holds beyond it); the key
+    // drains 3 deterministic admission epochs through a noop sink and
+    // emits each epoch's (input rows, consumed, backlog) — closed-form
+    // from the offset arithmetic, so a lagging or double-reported
+    // offset breaks the hash.
+    "st23_source_metrics" -> { (s, _) =>
+      val q = s.readStream.format("graft.sources.MetricsFeedSource")
+        .option("rows", "60000").option("partitions", "4")
+        .option("streamStep", "20000").load()
+        .writeStream.format("noop").outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      val epochs = q.recentProgress.toSeq
+        .map(p => p.sources(0))
+        .filter(_.numInputRows > 0)
+        .map(sp => (sp.numInputRows,
+          sp.metrics.get("rowsConsumed").toLong,
+          sp.metrics.get("rowsBacklog").toLong))
+      import s.implicits._
+      epochs.toDF("n_rows", "rows_consumed", "rows_backlog")
+        .orderBy(col("rows_consumed"))
+    },
+
     // STATE-STORE READER (st22 — the engine's own streaming STATE made
     // queryable, Spark 4's `statestore` batch source; the reference's
     // monitoring ethos aimed at the one internals face still dark:
@@ -408,6 +437,15 @@ object StreamingQueries {
         |    (id * 2654435761) % 100000 AS value
         |  FROM range(0, 60000) t(id)) u
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // offset arithmetic: epoch e consumes through e·20000, leaving
+    // 60000 − e·20000 behind
+    "st23_source_metrics" ->
+      """SELECT CAST(20000 AS BIGINT) AS n_rows,
+        |  CAST(e * 20000 AS BIGINT) AS rows_consumed,
+        |  CAST(60000 - e * 20000 AS BIGINT) AS rows_backlog
+        |FROM generate_series(1, 3) t(e)
+        |ORDER BY rows_consumed""".stripMargin,
 
     // the durable state must equal the full-feed aggregation (every
     // epoch folded exactly once); 3 admission epochs → max batch id 2

@@ -320,8 +320,25 @@ case class MetricsFeedOffset(hwm: Long)
 class MetricsFeedMicroBatch(rows: Long, parts: Int, step: Long,
     required: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // ---- ReportsSourceMetrics (st23 — q68's metric story carried into
+  // streaming: the per-batch SOURCE metrics Kafka reports as
+  // offsetOutOfRange/dataLoss surface in
+  // StreamingQueryProgress.sources[i].metrics): consumed = the
+  // engine-committed offset it hands us, backlog = what the feed still
+  // holds beyond it. Pure function of the offset — no instance state,
+  // same restart-safety posture as admission control.
+  override def metrics(latestConsumedOffset: java.util.Optional[Offset])
+      : java.util.Map[String, String] = {
+    val consumed = if (latestConsumedOffset.isPresent)
+      latestConsumedOffset.get().asInstanceOf[MetricsFeedOffset].hwm else 0L
+    java.util.Map.of(
+      "rowsConsumed", consumed.toString,
+      "rowsBacklog", math.max(0L, rows - consumed).toString)
+  }
   // NO instance state: availability is a pure function of the
   // engine-supplied start offset (SupportsAdmissionControl — the
   // Kafka/rate-source protocol). A self-advancing in-memory high-water
