@@ -321,8 +321,20 @@ class MetricsFeedMicroBatch(rows: Long, parts: Int, step: Long,
     required: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
-    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics {
+    with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // ---- Trigger.AvailableNow (StreamingSpec-pinned): the engine asks
+  // the source to FREEZE its end offset at prepare time, then drains
+  // admission-sized batches to exactly that point and TERMINATES — the
+  // run-as-batch-job operational mode (nightly catch-up on a cadence).
+  // A growing source must not chase its own tail under AvailableNow;
+  // this feed is bounded and immutable, so the frozen end IS `rows`,
+  // captured here to honor the contract shape.
+  @volatile private var availableNowEnd: Long = rows
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = rows
 
   // ---- ReportsSourceMetrics (st23 — q68's metric story carried into
   // streaming: the per-batch SOURCE metrics Kafka reports as
@@ -368,7 +380,7 @@ class MetricsFeedMicroBatch(rows: Long, parts: Int, step: Long,
   }
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[MetricsFeedOffset].hwm
-    MetricsFeedOffset(math.min(rows, s + admit(limit)))
+    MetricsFeedOffset(math.min(availableNowEnd, s + admit(limit)))
   }
   override def latestOffset(): Offset =
     // the engine never calls the stateless-source form on an

@@ -451,6 +451,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("Trigger.AvailableNow: the feed drains in admission-sized batches to the frozen end, then the query TERMINATES itself") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    graft.sources.MetricsFeedSource.streamIntervals.clear()
+    spark.catalog.dropTempView("avnow_out")
+    val q = spark.readStream.format("graft.sources.MetricsFeedSource")
+      .option("rows", "9000").option("partitions", "4")
+      .option("streamStep", "3000").load()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("avnow_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // AvailableNow terminates ON ITS OWN once the frozen end is reached
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    // every row drained exactly once, in admission-sized offset intervals
+    import scala.jdk.CollectionConverters._
+    val ivs = graft.sources.MetricsFeedSource.streamIntervals.asScala
+      .toSeq.sortBy(_._1)
+    assert(ivs.nonEmpty && ivs.head._1 == 0L && ivs.last._2 == 9000L &&
+      ivs.sliding(2).forall(w => w.length < 2 || w(0)._2 == w(1)._1),
+      s"intervals must partition [0,9000): $ivs")
+    assert(ivs.forall(iv => iv._2 - iv._1 <= 3000L),
+      s"admission cap violated: $ivs")
+    val total = spark.table("avnow_out")
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(total == 9000L, s"drained $total of 9000")
+  }
+
   test("st22: statestore batch read == the in-flight aggregation; batchId option time-travels state") {
     import org.apache.spark.sql.functions._
     // 3 admission epochs of 3000 rows through a streaming agg
