@@ -345,8 +345,16 @@ class MetricsFeedMicroBatch(rows: Long, parts: Int, step: Long,
   // same restart-safety posture as admission control.
   override def metrics(latestConsumedOffset: java.util.Optional[Offset])
       : java.util.Map[String, String] = {
+    // on a RESTARTED stream the engine passes the checkpoint's offset
+    // as a raw SerializedOffset WITHOUT routing it through
+    // deserializeOffset (probed: the st20 restart pin caught the bare
+    // cast) — parse via the json form, which both shapes carry
     val consumed = if (latestConsumedOffset.isPresent)
-      latestConsumedOffset.get().asInstanceOf[MetricsFeedOffset].hwm else 0L
+      latestConsumedOffset.get() match {
+        case m: MetricsFeedOffset => m.hwm
+        case other => other.json().toLong
+      }
+    else 0L
     java.util.Map.of(
       "rowsConsumed", consumed.toString,
       "rowsBacklog", math.max(0L, rows - consumed).toString)
