@@ -42,9 +42,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val iters = Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "5").trim.toInt)
       .getOrElse(5).max(1)
+    // partitions ∝ input volume (sf0.1 and below stay at `cpus`): the
+    // sf10 lesson — a fixed 32 turns the big ordered outputs superlinear
+    val shuffleParts = GraftSession.shufflePartitionsFor(sfDir, cpus.toInt)
     val spark = GraftSession.configure(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -31,6 +31,29 @@ object GraftSession {
     // write µs (not INT96) so emitted timestamps match DuckDB's TIMESTAMP
     .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
+  /** Shuffle-partition count for a bench/measurement run over `dir`:
+    * scale with INPUT VOLUME, not a fixed thread count. The r14 sf10
+    * cohort showed why: m5/m20's oracle-mandated global ORDER BY
+    * materializes 60M wide parsed rows through 32 range partitions
+    * (~1.9M rows/task) and single-JVM GC turns a linear plan into
+    * 1.3-1.5× superlinear wall time. A real cluster sets
+    * spark.sql.shuffle.partitions ∝ data; the harness does the same:
+    * one shuffle partition per ~4 MB of source parquet (compressed
+    * parquet fans out 10-30× into shuffle rows, so this lands near the
+    * classic 100-200 MB-per-task target), floored at the thread count
+    * (sf0.1 and below keep the historical 32 — bench comparability)
+    * and capped at 1024. SPARK_GRAFT_SHUFFLE_PARTITIONS overrides. */
+  def shufflePartitionsFor(dir: String, cpus: Int): Int =
+    sys.env.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .getOrElse {
+        def size(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
+        val bytes = scala.util.Try(size(new java.io.File(dir))).getOrElse(0L)
+        math.max(cpus, math.min(1024L, bytes / (4L << 20)).toInt)
+      }
+
   /** Local session for tests / tools. */
   def local(cores: String = "4", shufflePartitions: Int = 8): SparkSession = {
     val s = configure(
