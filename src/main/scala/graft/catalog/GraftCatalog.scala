@@ -53,8 +53,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
     (if (ident.namespace().sameElements(Array("sys")))
       GraftProcedures.load(ident.name()) else None)
-      .getOrElse(throw new RuntimeException(
-        s"procedure $ident not found (graft.sys.{${GraftProcedures.names.mkString(",")}})"))
+      // Spark 4.1 ships no NoSuchProcedureException; the engine-standard
+      // unresolved-routine path is the ROUTINE_NOT_FOUND error class
+      // (what DROP/DESCRIBE of a missing routine raises), so CALL on an
+      // unknown procedure renders like every other missing routine
+      .getOrElse(throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "ROUTINE_NOT_FOUND",
+        messageParameters = Map("routineName" ->
+          (ident.namespace() :+ ident.name()).map(n => s"`$n`").mkString("."))))
   // modern DDL faces the mem tables accept (q76/q77): column DEFAULTs
   // are analyzer-filled from column metadata when this capability is
   // declared; CHECK constraints ride TableInfo into createTable and are
@@ -80,11 +86,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (identities.length > 1)
       throw new UnsupportedOperationException(
         "mem tables support at most one identity column")
+    val partCols = partitionColumns(info.partitions(), info.schema())
     MemTables.create(ident.name(), info.schema(), info.constraints(),
-      memProps(info.properties()),
-      partitionColumns(info.partitions(), info.schema()),
-      identities.headOption)
-    new MemTable(ident.name())
+      memProps(info.properties()), partCols, identities.headOption)
+    if (partCols.nonEmpty) new MemPartitionedTable(ident.name())
+    else new MemTable(ident.name())
   }
 
   /** Identity-transform partitioning (q81) — the only transform a row
@@ -208,6 +214,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       parquetTable(s"corpus.${ident.name()}", Seq(s"$dir/${ident.name()}.parquet"))
     case Array("mem") =>
       MemTables.get(ident.name()) match {
+        // partitioned tables carry the partition-DDL face (q86) —
+        // unpartitioned ones must NOT expose an empty partitionSchema
+        // to ALTER TABLE ... PARTITION resolution
+        case Some(st) if st.partitionCols.nonEmpty =>
+          new MemPartitionedTable(ident.name())
         case Some(_) => new MemTable(ident.name())
         case None    => throw new NoSuchTableException(ident)
       }
@@ -232,9 +243,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!ident.namespace().sameElements(Array("mem")))
       throw new UnsupportedOperationException(
         s"only graft.mem tables are writable, got $ident")
+    val partCols = partitionColumns(partitions, schema)
     MemTables.create(ident.name(), schema, props = memProps(properties),
-      partitionCols = partitionColumns(partitions, schema))
-    new MemTable(ident.name())
+      partitionCols = partCols)
+    if (partCols.nonEmpty) new MemPartitionedTable(ident.name())
+    else new MemTable(ident.name())
   }
   // ---- schema evolution on mem tables (q78): ADD COLUMN (with an
   // optional DEFAULT materialized into existing rows — the "exists

@@ -50,6 +50,13 @@ object MemTables {
     // format persists in table metadata
     val identityNext = new java.util.concurrent.atomic.AtomicLong(
       identity.map(_.start).getOrElse(0L))
+    // explicit partition registry (q86 — SupportsPartitionManagement):
+    // partition value-tuple → partition properties. Writes auto-register
+    // the values they touch (Hive dynamic-partition semantics); ADD
+    // PARTITION registers an EMPTY partition, which is precisely what
+    // the registry exists to represent beyond the rows themselves.
+    val partitionMeta =
+      new AtomicReference[Map[Vector[Any], Map[String, String]]](Map.empty)
   }
   private val registry = new ConcurrentHashMap[String, State]()
 
@@ -99,9 +106,32 @@ object MemTables {
       partitionCols: Seq[String] = Nil): Unit = {
     val st = new State(schema, Array.empty, props, partitionCols)
     st.rows.set(rows)
+    if (partitionCols.nonEmpty && rows.nonEmpty) {
+      val idxs = partitionCols.map(c => schema.fieldNames.indexOf(c))
+      st.partitionMeta.set(rows.iterator
+        .map(r => idxs.map(r(_)).toVector).toSet
+        .map((v: Vector[Any]) => v -> Map.empty[String, String]).toMap)
+    }
     if (replace) { registry.put(name, st); () }
     else if (registry.putIfAbsent(name, st) != null)
       throw new IllegalStateException(s"mem table $name already exists")
+  }
+
+  /** Advance an identity high-water mark past an explicitly inserted
+    * value (Delta's SYNC IDENTITY behavior, applied automatically at
+    * commit): the next generated value becomes the first lattice point
+    * start+k·step strictly beyond the explicit value in the step
+    * direction, so GENERATED BY DEFAULT ids can never collide with
+    * explicit ones (r14 advisory — previously an explicit 100 left the
+    * sequence at 1 and a later generated id could land on 100). */
+  def bumpIdentity(seq: java.util.concurrent.atomic.AtomicLong,
+      explicitVal: Long, step: Long): Unit = {
+    seq.updateAndGet { cur =>
+      if ((step > 0 && explicitVal >= cur) || (step < 0 && explicitVal <= cur))
+        cur + ((explicitVal - cur) / step + 1) * step
+      else cur
+    }
+    ()
   }
 
   // DML helpers route through the same dropped-table guard the read
@@ -123,6 +153,21 @@ object MemTables {
   def overwriteWhere(name: String, drop: Array[Any] => Boolean,
       batch: Seq[Array[Any]]): Unit =
     live(name).rows.updateAndGet(_.filterNot(drop) ++ batch)
+
+  /** Dynamic partition registration (q86): every committed write adds
+    * the partition values it touched to the registry — SHOW PARTITIONS
+    * reflects inserts without DDL, the Hive/Iceberg behavior. */
+  def registerPartitions(name: String, batch: Seq[Array[Any]]): Unit = {
+    val st = live(name)
+    if (st.partitionCols.nonEmpty && batch.nonEmpty) {
+      val idxs = st.partitionCols.map(c => st.schema.fieldNames.indexOf(c))
+      val vals = batch.iterator.map(r => idxs.map(r(_)).toVector).toSet
+      st.partitionMeta.updateAndGet(m =>
+        vals.foldLeft(m)((acc, v) =>
+          if (acc.contains(v)) acc else acc.updated(v, Map.empty)))
+      ()
+    }
+  }
 }
 
 /** Structural check + interpreter for the V2 predicate tree DELETE
@@ -227,7 +272,7 @@ object MemPredicates {
 class MemTable(tableName: String) extends Table
     with SupportsRead with SupportsWrite with SupportsDeleteV2
     with SupportsRowLevelOperations with SupportsMetadataColumns {
-  private def state: MemTables.State = MemTables.get(tableName).getOrElse(
+  protected def state: MemTables.State = MemTables.get(tableName).getOrElse(
     throw new IllegalStateException(s"mem table $tableName was dropped"))
   override def name(): String = s"graft.mem.$tableName"
   override def schema(): StructType = state.schema
@@ -486,6 +531,8 @@ class MemBatchWrite(tableName: String, schema: StructType,
           if (r(idIdx) == null) r(idIdx) = seq.getAndAdd(step)
           else if (!allowExplicit) throw new IllegalArgumentException(
             s"cannot INSERT into GENERATED ALWAYS AS IDENTITY column $col")
+          else MemTables.bumpIdentity(seq,
+            r(idIdx).asInstanceOf[Number].longValue(), step)
           r
         }
       case _ => decoded
@@ -499,8 +546,10 @@ class MemBatchWrite(tableName: String, schema: StructType,
       // to the cheap deleteWhere path).
       MemTables.lastRowLevelCommand = rowLevelCmd
       MemTables.replace(tableName, batch.toVector)
+      MemTables.registerPartitions(tableName, batch)
     } else if (overwrite.isEmpty) {
       MemTables.append(tableName, batch)
+      MemTables.registerPartitions(tableName, batch)
     } else {
       // predicate-scoped overwrite in ONE atomic swap: rows matching
       // ALL predicates (Spark ANDs the array; ALWAYS_TRUE = truncate)
@@ -508,6 +557,7 @@ class MemBatchWrite(tableName: String, schema: StructType,
       val idx = schema.fieldNames.zipWithIndex.toMap
       MemTables.overwriteWhere(tableName,
         row => overwrite.forall(MemPredicates.eval(_, idx, row)), batch)
+      MemTables.registerPartitions(tableName, batch)
     }
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
@@ -672,12 +722,25 @@ class MemDeltaBatchWrite(tableName: String, schema: StructType,
           if (r(iIdx) == null) r(iIdx) = state.identityNext.getAndAdd(step)
           else if (!allowExplicit) throw new IllegalArgumentException(
             s"cannot INSERT into GENERATED ALWAYS AS IDENTITY column $col")
+          else MemTables.bumpIdentity(state.identityNext,
+            r(iIdx).asInstanceOf[Number].longValue(), step)
           r
         }
       case None => msgs.flatMap(_.inserts)
     }
-    val updates = msgs.flatMap(_.updates).toMap
-    val deletes = msgs.flatMap(_.deletes).toSet
+    val allUpdates = msgs.flatMap(_.updates)
+    val allDeletes = msgs.flatMap(_.deletes)
+    val updates = allUpdates.toMap
+    val deletes = allDeletes.toSet
+    // the delta fold keys ops on rowId — duplicate ids would make the
+    // map/set collapse distinct ops silently and lastDeltaCounts lie
+    // (r14 advisory). MERGE itself raises on duplicate source matches,
+    // so a collapse here means the rowId precondition was violated:
+    // fail the commit loudly instead.
+    require(allUpdates.size == updates.size && allDeletes.size == deletes.size,
+      s"duplicate rowId values in delta ops for $tableName " +
+        s"(updates ${allUpdates.size}->${updates.size}, " +
+        s"deletes ${allDeletes.size}->${deletes.size})")
     MemTables.lastRowLevelCommand = s"DELTA:$cmdName"
     // all three counted POST-dedup — the observable equals ops APPLIED
     MemTables.lastDeltaCounts =
@@ -688,12 +751,24 @@ class MemDeltaBatchWrite(tableName: String, schema: StructType,
     // substitute updated rows in place (store order preserved — the
     // _pos contract), append inserts
     state.rows.updateAndGet { rows =>
+        // store-side precondition: a duplicated rowId that a delta op
+        // touches would substitute/delete BOTH copies identically —
+        // surface the broken row identity instead of applying it
+        val touched = scala.collection.mutable.HashSet.empty[Any]
+        rows.foreach { r =>
+          val id = r(idIdx)
+          if (deletes.contains(id) || updates.contains(id))
+            require(touched.add(id),
+              s"rowId $id is duplicated in $tableName and targeted by a delta op")
+        }
         rows.flatMap { r =>
           val id = r(idIdx)
           if (deletes.contains(id)) None
           else updates.get(id).orElse(Some(r))
         } ++ inserts
       }
+    // delta-written rows can land in (or move to) new partitions
+    MemTables.registerPartitions(tableName, inserts ++ updates.values)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -718,4 +793,149 @@ class MemDeltaWriterFactory(types: Array[DataType], target: Array[Int],
       override def abort(): Unit = { ins.clear(); upd.clear(); del.clear() }
       override def close(): Unit = ()
     }
+}
+
+/** Partition DDL on partitioned mem tables (q86 —
+  * SupportsAtomicPartitionManagement, the natural completion of q81's
+  * identity partitioning): SHOW PARTITIONS, ALTER TABLE ADD/DROP/RENAME
+  * PARTITION and TRUNCATE ... PARTITION all resolve against the State's
+  * explicit partition registry. The registry is partition METADATA —
+  * an ADD PARTITION creates an empty partition that lists before any
+  * row lands (the Hive/date-partitioned-deployment workflow: register
+  * tomorrow's partition, then ingest into it), a DROP removes the
+  * partition's rows with it, a TRUNCATE empties the rows but keeps the
+  * partition listed. Writes auto-register the values they touch
+  * (dynamic partitioning), so DDL-created and write-created partitions
+  * are indistinguishable afterwards.
+  *
+  * Atomic variant contract (probed against AlterTableAddPartitionExec /
+  * AlterTableDropPartitionExec): the bulk createPartitions must be
+  * all-or-nothing — ANY existing ident fails the whole call with
+  * PartitionsAlreadyExistException before a single registry change;
+  * dropPartitions returns false (and drops nothing) if ANY ident is
+  * missing. Registry and row store are separate atomics — fine for the
+  * single-JVM demo store, a real format commits both in one snapshot. */
+class MemPartitionedTable(tableName: String) extends MemTable(tableName)
+    with SupportsAtomicPartitionManagement {
+  import org.apache.spark.sql.catalyst.analysis.{NoSuchPartitionException, PartitionsAlreadyExistException}
+
+  override def partitionSchema(): StructType = {
+    val st = state
+    StructType(st.partitionCols.map(c => st.schema(st.schema.fieldIndex(c))))
+  }
+
+  private def identValues(ident: InternalRow): Vector[Any] = {
+    val ps = partitionSchema()
+    (0 until ps.length).map(i =>
+      MemRowCodec.decodeValue(ident, i, ps(i).dataType)).toVector
+  }
+  private def identRow(values: Vector[Any]): InternalRow =
+    new GenericInternalRow(values.map {
+      case s: String => UTF8String.fromString(s)
+      case other     => other
+    }.toArray)
+  /** Row predicate: does a store row belong to partition `values`? */
+  private def inPartition(values: Vector[Any]): Array[Any] => Boolean = {
+    val st = state
+    val idxs = st.partitionCols.map(c => st.schema.fieldNames.indexOf(c))
+    row => idxs.map(row(_)).toVector == values
+  }
+
+  override def createPartitions(idents: Array[InternalRow],
+      props: Array[util.Map[String, String]]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val vals = idents.map(identValues)
+    val st = state
+    // all-or-nothing: vet EVERY ident against the registry first
+    val existing = vals.filter(st.partitionMeta.get().contains)
+    if (existing.nonEmpty)
+      throw new PartitionsAlreadyExistException(name(),
+        existing.toSeq.map(identRow), partitionSchema())
+    st.partitionMeta.updateAndGet(m =>
+      vals.zip(props).foldLeft(m) { case (acc, (v, p)) =>
+        acc.updated(v, p.asScala.toMap) })
+    ()
+  }
+
+  override def dropPartitions(idents: Array[InternalRow]): Boolean = {
+    val vals = idents.map(identValues)
+    val st = state
+    if (!vals.forall(st.partitionMeta.get().contains)) return false
+    st.partitionMeta.updateAndGet(m => vals.foldLeft(m)(_ - _))
+    // dropping a partition drops its DATA too (the DDL contract — the
+    // connector owns data removal, DropPartitionExec only calls here)
+    val preds = vals.map(inPartition)
+    MemTables.deleteWhere(tableName, row => !preds.exists(_(row)))
+    true
+  }
+
+  override def partitionExists(ident: InternalRow): Boolean =
+    state.partitionMeta.get().contains(identValues(ident))
+
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: InternalRow): Array[InternalRow] = {
+    val st = state
+    // partial-spec filter: `names` is a PREFIX-free subset of the
+    // partition columns; ident carries one value per name
+    val nameIdx = names.map(st.partitionCols.indexOf)
+    require(nameIdx.forall(_ >= 0),
+      s"unknown partition column(s) ${names.mkString(",")}")
+    val ps = partitionSchema()
+    val want = names.indices.map(i =>
+      MemRowCodec.decodeValue(ident, i, ps(nameIdx(i)).dataType))
+    st.partitionMeta.get().keysIterator
+      .filter(v => nameIdx.indices.forall(i => v(nameIdx(i)) == want(i)))
+      .toArray.sortBy(_.mkString("/")).map(identRow)
+  }
+
+  override def loadPartitionMetadata(ident: InternalRow): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    state.partitionMeta.get().get(identValues(ident))
+      .map(_.asJava)
+      .getOrElse(throw new NoSuchPartitionException(name(), ident,
+        partitionSchema()))
+  }
+
+  override def replacePartitionMetadata(ident: InternalRow,
+      props: util.Map[String, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val v = identValues(ident)
+    val st = state
+    if (!st.partitionMeta.get().contains(v))
+      throw new NoSuchPartitionException(name(), ident, partitionSchema())
+    st.partitionMeta.updateAndGet(_.updated(v, props.asScala.toMap))
+    ()
+  }
+
+  override def truncatePartition(ident: InternalRow): Boolean = {
+    val v = identValues(ident)
+    if (!state.partitionMeta.get().contains(v))
+      throw new NoSuchPartitionException(name(), ident, partitionSchema())
+    // rows vanish, the partition stays listed — the TRUNCATE contract
+    val in = inPartition(v)
+    MemTables.deleteWhere(tableName, row => !in(row))
+    true
+  }
+
+  override def renamePartition(from: InternalRow, to: InternalRow): Boolean = {
+    val fromV = identValues(from)
+    val toV = identValues(to)
+    val st = state
+    if (!st.partitionMeta.get().contains(fromV))
+      throw new NoSuchPartitionException(name(), from, partitionSchema())
+    if (st.partitionMeta.get().contains(toV))
+      throw new PartitionsAlreadyExistException(name(), to, partitionSchema())
+    st.partitionMeta.updateAndGet(m => (m - fromV).updated(toV, m(fromV)))
+    // rewrite the partition columns of the moved rows in one swap
+    val idxs = st.partitionCols.map(c => st.schema.fieldNames.indexOf(c))
+    val in = inPartition(fromV)
+    st.rows.updateAndGet(_.map { row =>
+      if (in(row)) {
+        val next = row.clone()
+        idxs.zipWithIndex.foreach { case (ci, i) => next(ci) = toV(i) }
+        next
+      } else row
+    })
+    true
+  }
 }

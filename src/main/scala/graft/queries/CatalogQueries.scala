@@ -374,6 +374,50 @@ object CatalogQueries {
         GROUP BY kind ORDER BY kind""")
     },
 
+    // PARTITION DDL (q86 — SupportsAtomicPartitionManagement, the
+    // natural completion of q81's identity partitioning and the DDL
+    // every date-partitioned deployment touches weekly): the table's
+    // EXPLICIT partition registry answers SHOW PARTITIONS; ALTER TABLE
+    // ADD PARTITION registers an empty partition BEFORE any row lands
+    // (the register-tomorrow-then-ingest workflow), DROP PARTITION
+    // removes registry entry AND data, RENAME PARTITION moves both,
+    // TRUNCATE ... PARTITION empties the data but keeps the partition
+    // listed, and plain INSERTs auto-register the values they touch
+    // (dynamic partitioning — DDL-created and write-created partitions
+    // are indistinguishable afterwards). The output joins the REGISTRY
+    // (SHOW PARTITIONS, parsed) against the per-partition row
+    // accounting, so every DDL effect is hash-checked: a dropped
+    // partition that kept rows, a truncated one that vanished from the
+    // listing, or a rename that moved metadata without rewriting rows
+    // all break it. CatalogSpec pins the error paths (add-existing,
+    // drop-missing) and the atomic all-or-nothing contract.
+    "q86_partition_ddl" -> { (s0, _) =>
+      val s = catalogSession(s0, "")
+      s.sql("DROP TABLE IF EXISTS graft.mem.metrics86")
+      s.sql("CREATE TABLE graft.mem.metrics86 " +
+        "(id BIGINT, day BIGINT, value BIGINT) PARTITIONED BY (day)")
+      // tomorrow's partition exists (and lists) before its first row
+      s.sql("ALTER TABLE graft.mem.metrics86 ADD PARTITION (day = 9)")
+      s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "20000").option("partitions", "8").load()
+        .createOrReplaceTempView("v86_feed")
+      s.sql("INSERT INTO graft.mem.metrics86 " +
+        "SELECT id, id % 5 AS day, value FROM v86_feed")
+      s.sql("ALTER TABLE graft.mem.metrics86 DROP PARTITION (day = 2)")
+      s.sql("ALTER TABLE graft.mem.metrics86 PARTITION (day = 4) " +
+        "RENAME TO PARTITION (day = 6)")
+      s.sql("TRUNCATE TABLE graft.mem.metrics86 PARTITION (day = 1)")
+      val reg = s.sql("SHOW PARTITIONS graft.mem.metrics86")
+        .select(regexp_extract(col("partition"), "day=([0-9]+)", 1)
+          .cast("long").as("day"))
+      reg.join(s.table("graft.mem.metrics86"), Seq("day"), "left")
+        .groupBy(col("day"))
+        .agg(count(col("id")).as("n"),
+          coalesce(sum(col("value")), lit(0L)).as("sum_value"),
+          coalesce(max(col("id")), lit(-1L)).as("max_id"))
+        .orderBy(col("day"))
+    },
+
     // METADATA COLUMNS (q72 — SupportsMetadataColumns, the Iceberg
     // _file/_pos analog): `_pos` is the row's position in the store
     // snapshot — hidden from SELECT * but addressable by name from SQL,
@@ -641,6 +685,24 @@ object CatalogQueries {
         |      ELSE (id * 2654435761) % 100000 END AS value
         |  FROM range(0, 30000) t(id)) u
         |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // registry after the DDL dance: {0, 1 (truncated, still listed),
+    // 3, 6 (renamed from 4 — rows' day rewritten), 9 (added empty)};
+    // day 2 dropped with its rows, day 1's rows truncated away
+    "q86_partition_ddl" ->
+      """WITH rows86 AS (
+        |  SELECT id,
+        |    CASE WHEN id % 5 = 4 THEN 6 ELSE id % 5 END AS day,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 20000) t(id)
+        |  WHERE id % 5 NOT IN (1, 2)
+        |), reg AS (SELECT * FROM (VALUES (0), (1), (3), (6), (9)) p(day))
+        |SELECT CAST(reg.day AS BIGINT) AS day,
+        |  CAST(count(rows86.id) AS BIGINT) AS n,
+        |  CAST(coalesce(sum(rows86.value), 0) AS BIGINT) AS sum_value,
+        |  CAST(coalesce(max(rows86.id), -1) AS BIGINT) AS max_id
+        |FROM reg LEFT JOIN rows86 ON rows86.day = reg.day
+        |GROUP BY reg.day ORDER BY day""".stripMargin,
 
     // row_id = 1000 + 2·id under the single-task ordered insert
     "q82_identity_columns" ->

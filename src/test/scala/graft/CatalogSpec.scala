@@ -283,8 +283,10 @@ class CatalogSpec extends AnyFunSuite {
       s.sql("INSERT INTO graft.mem.spec_i VALUES (999, 'x')") }
     assert(s.sql("SELECT count(*) FROM graft.mem.spec_i")
       .collect()(0).getLong(0) == 3)
-    // GENERATED BY DEFAULT: explicit values pass through, omitted ones
-    // still draw from the sequence
+    // GENERATED BY DEFAULT: explicit values pass through AND advance
+    // the high-water mark past themselves (SYNC IDENTITY at commit), so
+    // a later generated id lands on the first lattice point beyond the
+    // explicit value instead of colliding with it
     s.sql("DROP TABLE IF EXISTS graft.mem.spec_i2")
     s.sql("CREATE TABLE graft.mem.spec_i2 (rid BIGINT GENERATED BY DEFAULT " +
       "AS IDENTITY, v STRING)")
@@ -292,7 +294,13 @@ class CatalogSpec extends AnyFunSuite {
     s.sql("INSERT INTO graft.mem.spec_i2 (v) VALUES ('y')")
     val byDef = s.sql("SELECT rid, v FROM graft.mem.spec_i2 ORDER BY rid")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
-    assert(byDef == Seq((1L, "y"), (100L, "x")), byDef)
+    assert(byDef == Seq((100L, "x"), (101L, "y")), byDef)
+    // an explicit value BELOW the mark does not regress the sequence
+    s.sql("INSERT INTO graft.mem.spec_i2 VALUES (50, 'z')")
+    s.sql("INSERT INTO graft.mem.spec_i2 (v) VALUES ('w')")
+    val afterLow = s.sql("SELECT rid FROM graft.mem.spec_i2 ORDER BY rid")
+      .collect().map(_.getLong(0)).toSeq
+    assert(afterLow == Seq(50L, 100L, 101L, 102L), afterLow)
     // DDL guards: renaming/dropping the identity column would leave a
     // dangling IdentitySpec (and crash every later INSERT)
     intercept[Exception] {
@@ -332,6 +340,62 @@ class CatalogSpec extends AnyFunSuite {
       e.toString.contains("merge-on-read"), e.toString)
     s.sql("DROP TABLE graft.mem.spec_i3")
     s.sql("DROP TABLE graft.mem.spec_i4")
+  }
+
+  test("q86: partition DDL — registry-backed SHOW/ADD/DROP/RENAME/TRUNCATE, atomic all-or-nothing, error paths") {
+    val s = cataloged()
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_p86")
+    s.sql("CREATE TABLE graft.mem.spec_p86 (id BIGINT, day BIGINT) " +
+      "PARTITIONED BY (day)")
+    def parts = s.sql("SHOW PARTITIONS graft.mem.spec_p86")
+      .collect().map(_.getString(0)).sorted.toSeq
+    def ids = s.sql("SELECT id FROM graft.mem.spec_p86 ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    // writes auto-register the partitions they touch
+    s.sql("INSERT INTO graft.mem.spec_p86 VALUES (1, 10), (2, 20)")
+    assert(parts == Seq("day=10", "day=20"), parts)
+    // ADD registers an empty partition that lists before any row lands
+    s.sql("ALTER TABLE graft.mem.spec_p86 ADD PARTITION (day = 30)")
+    assert(parts == Seq("day=10", "day=20", "day=30"), parts)
+    // add-existing is an error...
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.mem.spec_p86 ADD PARTITION (day = 10)") }
+    // ...and the ATOMIC contract makes a multi-add all-or-nothing: one
+    // existing ident fails the whole call before any registry change
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.mem.spec_p86 " +
+        "ADD PARTITION (day = 40) PARTITION (day = 10)") }
+    assert(!parts.contains("day=40"), parts)
+    // IF NOT EXISTS tolerates
+    s.sql("ALTER TABLE graft.mem.spec_p86 ADD IF NOT EXISTS PARTITION (day = 10)")
+    // DROP removes the partition's DATA with it
+    s.sql("ALTER TABLE graft.mem.spec_p86 DROP PARTITION (day = 10)")
+    assert(parts == Seq("day=20", "day=30"), parts)
+    assert(ids == Seq(2L), ids)
+    // drop-missing is an error (IF EXISTS tolerates)
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.mem.spec_p86 DROP PARTITION (day = 99)") }
+    s.sql("ALTER TABLE graft.mem.spec_p86 DROP IF EXISTS PARTITION (day = 99)")
+    // RENAME moves registry entry AND rewrites the rows' partition column
+    s.sql("ALTER TABLE graft.mem.spec_p86 PARTITION (day = 20) " +
+      "RENAME TO PARTITION (day = 25)")
+    assert(parts == Seq("day=25", "day=30"), parts)
+    assert(s.sql("SELECT day FROM graft.mem.spec_p86 WHERE id = 2")
+      .collect()(0).getLong(0) == 25L)
+    // rename onto an existing partition is rejected
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.mem.spec_p86 PARTITION (day = 25) " +
+        "RENAME TO PARTITION (day = 30)") }
+    // TRUNCATE empties the rows but the partition stays listed
+    s.sql("TRUNCATE TABLE graft.mem.spec_p86 PARTITION (day = 25)")
+    assert(ids == Seq.empty, ids)
+    assert(parts == Seq("day=25", "day=30"), parts)
+    // unpartitioned mem tables do NOT expose the partition-DDL face
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_p86u")
+    s.sql("CREATE TABLE graft.mem.spec_p86u (id BIGINT)")
+    intercept[Exception] { s.sql("SHOW PARTITIONS graft.mem.spec_p86u") }
+    s.sql("DROP TABLE graft.mem.spec_p86")
+    s.sql("DROP TABLE graft.mem.spec_p86u")
   }
 
   test("q84: CALL procedure — summary rows via LocalScan, store sorted, unknown procedure rejected") {
