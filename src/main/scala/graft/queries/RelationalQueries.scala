@@ -1057,6 +1057,61 @@ object RelationalQueries {
         .orderBy(col("kind"))
     },
 
+    // V2 PREDICATE pushdown (q87 — SupportsPushDownV2Filters, the
+    // successor face to q51's V1 Filters; option-selected because the
+    // V1 face SHADOWS it when both are implemented — probed,
+    // PushDownUtils checks SupportsPushDownFilters first): the V2
+    // Predicate tree carries FUNCTION-BEARING predicates V1 cannot
+    // express — here `id % 3 = 1` arrives as a
+    // GeneralScalarExpression("%") leaf and folds into a STRIDE-3
+    // lattice scan (each slice walks only ids ≡ 1 mod 3), composing
+    // with the plain range clamp (id >= 15000) exactly like the V1
+    // path. At 100 TB this is the shard-probe lever: a modulo
+    // residue-class scan costs 1/k of the feed over the wire instead
+    // of a full scan post-filtered. PlanSpec pins zero Filter above
+    // the scan, the stride in the description, and the V1-path DECLINE
+    // of the same predicate (it arrives unpushed there).
+    "q87_v2_predicates" -> { (s, _) =>
+      val feed = s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "60000").option("partitions", "8")
+        .option("v2filters", "true").load()
+      feed.filter(col("id") % 3 === 1 && col("id") >= 15000L)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("node"))
+    },
+
+    // OFFSET + TABLESAMPLE pushdown (q88 — SupportsPushDownOffset /
+    // SupportsPushDownTableSample, completing the pushdown matrix after
+    // predicates q51/q87, aggregates q58, limit/topN q61, runtime q62,
+    // join q83): the feed emits ids ascending across slices, so OFFSET
+    // folds to advancing the planned range's low end and TABLESAMPLE
+    // [0, f) folds to the contiguous sub-range covering fraction f of
+    // the planned span — the JDBC TABLESAMPLE SYSTEM analog (the SOURCE
+    // defines the sample as a deterministic range slice; seed ignored,
+    // documented). OFFSET composes BEHIND the limit push only because
+    // the feed's plain LIMIT is COMPLETE (isPartiallyPushed=false for
+    // limit, true for topN — a partial limit blocks the engine's
+    // OffsetAndLimit rewrite; probed). Engine caveat (probed): the
+    // Sample pushes only when it sits DIRECTLY above the scan — a
+    // pushed-and-removed Filter in between still blocks the rewrite
+    // (rule ordering), so the sampled leg samples the raw feed. Leg 1 =
+    // sampled scan [0, 30000), leg 2 = pagination page [30000, 39000);
+    // both planned, not filtered (PlanSpec: observables + ranges + the
+    // filter-blocks-sample decline pin).
+    "q88_offset_sample" -> { (s, _) =>
+      def feed = s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "100000").option("partitions", "8").load()
+      def acc(df: DataFrame, leg: Int) =
+        df.groupBy(lit(leg).as("leg"))
+          .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+            min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      val sampled = feed.sample(0.3, 42L)
+      val page = feed.offset(30000).limit(9000)
+      acc(sampled, 1).unionAll(acc(page, 2)).orderBy(col("leg"))
+    },
+
     // DSv2 REPORTED PARTITIONING (the third federation lever after
     // predicate q51 and aggregate q58 pushdown): the source DECLARES
     // its splits clustered by kind (KeyGroupedPartitioning + per-split
@@ -1762,6 +1817,30 @@ object RelationalQueries {
         |  FROM range(0, 200000) t(id)
         |  WHERE id >= 150000) u
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the pushed stride + range: ids ≡ 1 (mod 3) within [15000, 60000)
+    "q87_v2_predicates" ->
+      """SELECT 'node' || CAST(id % 50 AS VARCHAR) AS node,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((id * 2654435761) % 100000) AS BIGINT) AS sum_value,
+        |  CAST(min(id) AS BIGINT) AS min_id,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM range(15000, 60000) t(id) WHERE id % 3 = 1
+        |GROUP BY 1 ORDER BY node""".stripMargin,
+
+    // leg 1: sample [0, 0.3) of the feed = the range slice [0, 30000);
+    // leg 2: offset 30000 + limit 9000 = [30000, 39000)
+    "q88_offset_sample" ->
+      """SELECT 1 AS leg, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum((id * 2654435761) % 100000) AS BIGINT) AS sum_value,
+        |  CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+        |FROM range(0, 30000) t(id)
+        |UNION ALL
+        |SELECT 2, CAST(count(*) AS BIGINT),
+        |  CAST(sum((id * 2654435761) % 100000) AS BIGINT),
+        |  CAST(min(id) AS BIGINT), CAST(max(id) AS BIGINT)
+        |FROM range(30000, 39000) t(id)
+        |ORDER BY leg""".stripMargin,
 
     // base feed = range(0,120000), current = range(0,240000); compare by
     // integer cross-multiplication, no division anywhere

@@ -180,6 +180,51 @@ object StreamingQueries {
         .orderBy(col("rows_consumed"))
     },
 
+    // STREAMING SINK METRICS (st24 — ReportsSinkMetrics, the SINK-side
+    // twin of st23's source lag and the last dark face of the streaming
+    // observability matrix: what Kafka's sink reports as committed
+    // offsets appears in StreamingQueryProgress.sink.metrics): the
+    // engine reads metrics() from the sink TABLE after each epoch
+    // (probed: ProgressContext matches the sink Table against the
+    // interface), so the sink reports its CUMULATIVE epoch-keyed commit
+    // registry — epochsCommitted and rowsCommitted fold the same
+    // exactly-once state st20 verifies, making the metric itself
+    // replay-safe (a re-committed epoch overwrites its key; the
+    // cumulative total never double-counts). The key drains 3
+    // deterministic admission epochs into the accounting sink and emits
+    // each progress event's (output rows, cumulative rows, cumulative
+    // epochs) — closed-form from the offset arithmetic.
+    "st24_sink_metrics" -> { (s, _) =>
+      import graft.sources.AccountingSink
+      val runId = "st24_sink_metrics"
+      AccountingSink.clear(runId)
+      val cp = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_st24_checkpoint")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(cp)
+      val q = s.readStream.format("graft.sources.MetricsFeedSource")
+        .option("rows", "60000").option("partitions", "4")
+        .option("streamStep", "20000").load()
+        .writeStream.format("graft.sources.AccountingSink")
+        .option("runId", runId)
+        .option("checkpointLocation", cp.getAbsolutePath)
+        .outputMode("append")
+        .start()
+      q.processAllAvailable(); q.stop()
+      val epochs = q.recentProgress.toSeq
+        .filter(_.sink.numOutputRows > 0)
+        .map(p => (p.sink.numOutputRows,
+          p.sink.metrics.get("rowsCommitted").toLong,
+          p.sink.metrics.get("epochsCommitted").toLong))
+      import s.implicits._
+      epochs.toDF("n_rows", "rows_committed", "epochs_committed")
+        .orderBy(col("rows_committed"))
+    },
+
     // STATE-STORE READER (st22 — the engine's own streaming STATE made
     // queryable, Spark 4's `statestore` batch source; the reference's
     // monitoring ethos aimed at the one internals face still dark:
@@ -446,6 +491,15 @@ object StreamingQueries {
         |  CAST(60000 - e * 20000 AS BIGINT) AS rows_backlog
         |FROM generate_series(1, 3) t(e)
         |ORDER BY rows_consumed""".stripMargin,
+
+    // cumulative commit-registry fold after epoch e: e·20000 rows, e
+    // epochs — the exactly-once state surfaced as sink metrics
+    "st24_sink_metrics" ->
+      """SELECT CAST(20000 AS BIGINT) AS n_rows,
+        |  CAST(e * 20000 AS BIGINT) AS rows_committed,
+        |  CAST(e AS BIGINT) AS epochs_committed
+        |FROM generate_series(1, 3) t(e)
+        |ORDER BY rows_committed""".stripMargin,
 
     // the durable state must equal the full-feed aggregation (every
     // epoch folded exactly once); 3 admission epochs → max batch id 2

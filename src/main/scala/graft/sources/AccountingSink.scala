@@ -88,12 +88,30 @@ class AccountingSink extends TableProvider {
     new StructType()
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new AccountingTable(schema)
+    new AccountingTable(schema, properties.getOrDefault("runId", "default"))
 }
 
-class AccountingTable(schema0: StructType) extends Table with SupportsWrite {
+class AccountingTable(schema0: StructType, runId: String = "default")
+    extends Table with SupportsWrite
+    with org.apache.spark.sql.connector.read.streaming.ReportsSinkMetrics {
   override def name(): String = "accounting_sink"
   override def schema(): StructType = schema0
+  // ---- ReportsSinkMetrics (st24 — the SINK-side twin of st23's source
+  // lag metrics, completing the streaming observability matrix: what
+  // Kafka's sink reports as committed offsets appears in
+  // StreamingQueryProgress.sink.metrics): the engine reads metrics()
+  // from the sink TABLE after each epoch's progress event (probed:
+  // ProgressContext matches the sink Table against this interface), so
+  // the values must be cumulative run-level state — here the fold of
+  // the epoch-keyed commit registry, which makes the metric exactly
+  // the exactly-once observable: a replayed epoch overwrites its key
+  // and the cumulative total never double-counts.
+  override def metrics(): util.Map[String, String] = {
+    val eps = AccountingSink.epochResults(runId)
+    java.util.Map.of(
+      "epochsCommitted", eps.size.toString,
+      "rowsCommitted", eps.map(_._2._1).sum.toString)
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)

@@ -67,7 +67,16 @@ object MetricsFeedSource {
   @volatile var lastRuntimeFilter: String = ""
   // join-pushdown observable (q83): the absorbed join's shape
   @volatile var lastPushedJoin: String = ""
+  // V2-predicate pushdown observable (q87): accepted predicates + the
+  // folded range/stride
+  @volatile var lastPushedV2: String = ""
+  // offset / table-sample pushdown observables (q88)
+  @volatile var lastPushedOffset: String = ""
+  @volatile var lastPushedSample: String = ""
   val rowsEmitted = new java.util.concurrent.atomic.AtomicLong(0L)
+  // AcceptsLatestSeenOffset observable: the offset-log hint the engine
+  // delivers to a restarted stream (single-JVM test hook)
+  @volatile var lastLatestSeenOffset: Long = -1L
   // streaming observable: the distinct non-empty offset intervals
   // planned (local-mode/test hook; Spark may re-plan one micro-batch
   // several times — the INTERVAL SET, not the call count, is the
@@ -94,18 +103,25 @@ class MetricsFeedSource extends TableProvider {
       properties.getOrDefault("partitions", "8").toInt,
       properties.getOrDefault("streamStep", "25000").toLong,
       properties.getOrDefault("clusterByKind", "false").toBoolean,
-      properties.getOrDefault("columnar", "false").toBoolean)
+      properties.getOrDefault("columnar", "false").toBoolean,
+      properties.getOrDefault("v2filters", "false").toBoolean)
 }
 
 class MetricsFeedTable(rows: Long, parts: Int, streamStep: Long,
-    clusterByKind: Boolean, columnar: Boolean = false)
+    clusterByKind: Boolean, columnar: Boolean = false,
+    v2filters: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"metrics_feed($rows)"
   override def schema(): StructType = MetricsFeedSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.CONTINUOUS_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MetricsFeedScanBuilder(rows, parts, streamStep, clusterByKind, columnar)
+    // the V1 Filter face SHADOWS the V2 one when both are implemented
+    // (probed: PushDownUtils checks SupportsPushDownFilters FIRST), so
+    // the V2-predicate face (q87) is a separate builder, option-selected
+    if (v2filters) new MetricsFeedV2ScanBuilder(rows, parts)
+    else new MetricsFeedScanBuilder(rows, parts, streamStep, clusterByKind, columnar)
 }
 
 class MetricsFeedScanBuilder(rows: Long, parts: Int,
@@ -115,6 +131,7 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int,
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset with SupportsPushDownTableSample
     with SupportsPushDownJoin {
 
   // ---- SupportsPushDownJoin (q83 — the last pushdown face, new in
@@ -135,7 +152,13 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int,
   // this is the federation endgame: the join costs ZERO rows over the
   // wire beyond its result — no exchange, no build side, one scan.
   private var joinedMode: Option[StructType] = None
-  private var joinedOriginals: Array[String] = Array.empty
+  // immutable joined-name → original feed column map, built ONCE at
+  // pushDownJoin time. The engine may prune the joined schema MORE THAN
+  // once; remapping a mutable parallel array on each call zips the full
+  // joined field list against an already-shortened source list and
+  // mis-maps (r14 advisory) — a lookup against this frozen map is
+  // idempotent under any prune sequence.
+  private var joinedNameToSource: Map[String, String] = Map.empty
   private def plainSide: Boolean =
     aggFuncs.isEmpty && pushedLimit.isEmpty && !clusterByKind &&
       !columnar && joinedMode.isEmpty
@@ -177,7 +200,8 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int,
         val cols = leftOut ++ rightOut
         joinedMode = Some(StructType(cols.map(c =>
           base(base.fieldIndex(c.colName())).copy(name = eff(c)))))
-        joinedOriginals = cols.map(_.colName())
+        joinedNameToSource =
+          joinedMode.get.fieldNames.zip(cols.map(_.colName())).toMap
         required = joinedMode.get
         MetricsFeedSource.lastPushedJoin =
           s"inner(id) range=[$lo,$hi) cols=${required.fieldNames.mkString(",")}"
@@ -220,15 +244,11 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int,
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def pruneColumns(requiredSchema: StructType): Unit = {
-    // in joined mode the engine prunes the JOINED (aliased) schema —
-    // keep the per-field original-column sources aligned
-    if (joinedMode.isDefined) {
-      val m = joinedMode.get.fieldNames.zip(joinedOriginals).toMap
-      joinedOriginals = requiredSchema.fieldNames.map(m)
-    }
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // in joined mode the engine prunes the JOINED (aliased) schema; the
+    // per-field sources are resolved at build() against the frozen
+    // joinedNameToSource map, so repeated prunes cannot drift
     required = requiredSchema
-  }
 
   // ---- SupportsPushDownLimit / SupportsPushDownTopN: the feed emits
   // ids ASCENDING within and ACROSS its fixed-width slices, so LIMIT n
@@ -244,7 +264,13 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int,
     MetricsFeedSource.lastPushedLimit = pushedLimit
     true
   }
-  override def isPartiallyPushed(): Boolean = true
+  // plain LIMIT is FULLY pushed (the planned range IS exactly the first
+  // n ids — set semantics, no ordering claim), which is what lets the
+  // engine compose OFFSET behind it (OffsetAndLimit pushes limit+offset
+  // then offset ONLY when the limit was complete). TopN stays PARTIAL:
+  // a multi-partition scan's output interleaves across slices, so Spark
+  // must keep its sort on the ≤n surviving rows.
+  override def isPartiallyPushed(): Boolean = pushedLimit.startsWith("topn")
   override def pushTopN(orders: Array[V2SortOrder], limit: Int): Boolean = {
     val idAsc = orders.length == 1 && isCol(orders(0).expression, "id") &&
       orders(0).direction == SortDirection.ASCENDING
@@ -252,6 +278,37 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int,
     hi = math.min(hi, lo + limit)
     pushedLimit = s"topn:$limit"
     MetricsFeedSource.lastPushedLimit = pushedLimit
+    true
+  }
+
+  // ---- SupportsPushDownOffset / SupportsPushDownTableSample (q88 —
+  // the pagination + sampled-scan faces completing the pushdown
+  // matrix): the feed emits ids ASCENDING across its slices, so OFFSET
+  // n folds to advancing the planned range's low end (the source
+  // DEFINES scan order as id order — the same contract that makes the
+  // limit/topN folds sound), and TABLESAMPLE [lower, upper) folds to
+  // the contiguous id sub-range covering that fraction of the planned
+  // span — the JDBC TABLESAMPLE SYSTEM analog: the SOURCE defines the
+  // sample as a range slice, deterministic by construction (seed
+  // ignored, documented; a row-store source samples pages the same
+  // way). At 100 TB: a paginated dashboard probe or a 1% profiling
+  // scan costs exactly its result's rows over the wire, never a full
+  // scan post-filtered.
+  override def pushOffset(n: Int): Boolean = {
+    if (aggFuncs.nonEmpty) return false
+    lo = math.min(hi, lo + n)
+    MetricsFeedSource.lastPushedOffset = s"offset:$n -> [$lo,$hi)"
+    true
+  }
+  override def pushTableSample(lower: Double, upper: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    if (withReplacement || aggFuncs.nonEmpty) return false
+    val span = math.max(0L, hi - lo)
+    val newLo = lo + math.floor(lower * span).toLong
+    val newHi = lo + math.floor(upper * span).toLong
+    lo = newLo
+    hi = math.max(newLo, newHi)
+    MetricsFeedSource.lastPushedSample = s"sample[$lower,$upper) -> [$lo,$hi)"
     true
   }
 
@@ -297,8 +354,95 @@ class MetricsFeedScanBuilder(rows: Long, parts: Int,
     case None =>
       new MetricsFeedScan(rows, parts, lo, hi, required, pushed, streamStep,
         clusterByKind, pushedLimit, columnar,
-        fieldSources = if (joinedMode.isDefined) Some(joinedOriginals) else None)
+        fieldSources = if (joinedMode.isDefined)
+          Some(required.fieldNames.map(joinedNameToSource)) else None)
   }
+}
+
+/** V2-PREDICATE scan builder (q87 — SupportsPushDownV2Filters,
+  * option-selected via v2filters=true because the V1 Filter face
+  * shadows it when both are implemented): the V2 Predicate tree can
+  * carry FUNCTION-BEARING predicates the V1 Filter API cannot express —
+  * here `id % k = r` (a GeneralScalarExpression("%") leaf), which folds
+  * into a STRIDE-k lattice scan: each planned slice walks only the ids
+  * ≡ r (mod k), so a modulo shard-probe costs 1/k of the feed over the
+  * wire instead of a full scan post-filtered. Plain id comparisons fold
+  * into the range exactly as the V1 path does (parity), anything else
+  * returns as residual for Spark to evaluate. */
+class MetricsFeedV2ScanBuilder(rows: Long, parts: Int)
+    extends ScanBuilder
+    with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.connector.expressions.{GeneralScalarExpression, Literal => V2Lit}
+  private var lo = 0L
+  private var hi = rows
+  private var stride: Option[(Long, Long)] = None
+  private var pushed = Array.empty[Predicate]
+  private var required = MetricsFeedSource.schema
+
+  private def idRef(e: V2Expression): Boolean = e match {
+    case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+    case _ => false
+  }
+  private def longLit(e: V2Expression): Option[Long] = e match {
+    case l: V2Lit[_] if l.value.isInstanceOf[java.lang.Long] =>
+      Some(l.value.asInstanceOf[Long])
+    case _ => None
+  }
+  /** id % k (the function-bearing leaf V1 cannot carry). */
+  private def idMod(e: V2Expression): Option[Long] = e match {
+    case g: GeneralScalarExpression
+        if g.name == "%" && g.children.length == 2 && idRef(g.children()(0)) =>
+      longLit(g.children()(1))
+    case _ => None
+  }
+  private def clamp(op: String, v: Long): Unit = op match {
+    case ">=" => lo = math.max(lo, v)
+    case ">"  => lo = if (v == Long.MaxValue) math.max(lo, hi)
+                      else math.max(lo, v + 1)
+    case "<"  => hi = math.min(hi, v)
+    case "<=" => if (v != Long.MaxValue) hi = math.min(hi, v + 1)
+    case "="  => clamp(">=", v); clamp("<=", v)
+  }
+  private def flip(op: String): String = op match {
+    case "<" => ">"
+    case "<=" => ">="
+    case ">" => "<"
+    case ">=" => "<="
+    case other => other
+  }
+
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    val residual = predicates.filterNot { p =>
+      val handled = (p.name(), p.children()) match {
+        case (op @ (">=" | ">" | "<" | "<=" | "="), Array(a, b))
+            if idRef(a) && longLit(b).isDefined =>
+          clamp(op, longLit(b).get); true
+        case (op @ (">=" | ">" | "<" | "<=" | "="), Array(a, b))
+            if longLit(a).isDefined && idRef(b) =>
+          clamp(flip(op), longLit(a).get); true
+        case ("=", Array(a, b))
+            if idMod(a).isDefined && longLit(b).isDefined && stride.isEmpty =>
+          val (m, r) = (idMod(a).get, longLit(b).get)
+          // only a well-formed residue class folds; anything else stays
+          // residual (soundness over coverage)
+          if (m > 0 && r >= 0 && r < m) { stride = Some((m, r)); true }
+          else false
+        case _ => false
+      }
+      if (handled) pushed :+= p
+      handled
+    }
+    MetricsFeedSource.lastPushedV2 =
+      s"[${pushed.map(_.describe()).mkString(", ")}] range=[$lo,$hi) " +
+        s"stride=${stride.map { case (m, r) => s"id%$m=$r" }.getOrElse("-")}"
+    residual
+  }
+  override def pushedPredicates(): Array[Predicate] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new MetricsFeedScan(rows, parts, lo, hi, required, Array.empty,
+      stride = stride, v2Pushed = pushed)
 }
 
 /** Row-index offset for the micro-batch stream (exclusive high-water
@@ -322,8 +466,25 @@ class MetricsFeedMicroBatch(rows: Long, parts: Int, step: Long,
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.ReportsSourceMetrics
-    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow
+    with org.apache.spark.sql.connector.read.streaming.AcceptsLatestSeenOffset {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // ---- AcceptsLatestSeenOffset (the restart-hint face of the
+  // admission-control protocol): on restart the engine tells the NEW
+  // source instance the latest offset in the offset log — including a
+  // planned-but-uncommitted epoch's — BEFORE the first latestOffset()
+  // call. This source needs no state from it (availability is already a
+  // pure function of the engine-supplied start offset), so the hint is
+  // recorded for observability only; a source whose external cursor
+  // must be re-seeked (Kafka) would act on it here. Same restart
+  // caveat as metrics(): the hint can arrive as a raw SerializedOffset,
+  // so parse the json form rather than bare-casting.
+  override def setLatestSeenOffset(offset: Offset): Unit =
+    MetricsFeedSource.lastLatestSeenOffset = offset match {
+      case m: MetricsFeedOffset => m.hwm
+      case other => other.json().toLong
+    }
 
   // ---- Trigger.AvailableNow (StreamingSpec-pinned): the engine asks
   // the source to FREEZE its end offset at prepare time, then drains
@@ -412,6 +573,86 @@ class MetricsFeedMicroBatch(rows: Long, parts: Int, step: Long,
     new MetricsFeedReaderFactory(required.fieldNames)
 }
 
+/** CONTINUOUS trigger support (the r14 verdict's spike, answered YES —
+  * the epoch-marker protocol IS usable by a custom V2 source in local
+  * mode, probed end-to-end by StreamingSpec): partition r owns the
+  * residue class ids ≡ r (mod parts) — a FIXED ownership, the
+  * continuous contract (partitions live for the stream's lifetime; the
+  * engine injects epoch markers around the long-running readers and
+  * reconfigures only when needsReconfiguration flips). Each reader
+  * emits its class ascending and BLOCKS at the bounded feed's end (the
+  * rate-source idiom — a live feed would block awaiting arrival);
+  * per-partition offsets carry the next id, mergeOffsets folds them
+  * into the checkpointed composite. Exactly-once bookkeeping is the
+  * engine's: it commits merged offsets per epoch, and a restart
+  * resumes each partition from its own committed position. */
+case class MetricsFeedPartitionOffset(rem: Int, next: Long)
+    extends org.apache.spark.sql.connector.read.streaming.PartitionOffset
+
+case class MetricsFeedContinuousOffset(next: Map[Int, Long])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    next.toSeq.sortBy(_._1).map { case (r, n) => s"$r:$n" }.mkString(",")
+}
+
+case class MetricsFeedContinuousPartition(rem: Int, start: Long,
+    rows: Long, parts: Int) extends InputPartition
+
+class MetricsFeedContinuousStream(rows: Long, parts: Int,
+    required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.ContinuousStream {
+  import org.apache.spark.sql.connector.read.streaming.{ContinuousPartitionReader, ContinuousPartitionReaderFactory, Offset, PartitionOffset}
+
+  private def decode(o: Offset): Map[Int, Long] = o match {
+    case m: MetricsFeedContinuousOffset => m.next
+    case other => // restart delivers a SerializedOffset (the st20 lesson)
+      other.json().split(",").filter(_.nonEmpty).map { s =>
+        val Array(r, n) = s.split(":"); r.toInt -> n.toLong
+      }.toMap
+  }
+  override def initialOffset(): Offset =
+    MetricsFeedContinuousOffset((0 until parts).map(r => r -> r.toLong).toMap)
+  override def deserializeOffset(json: String): Offset =
+    MetricsFeedContinuousOffset(json.split(",").filter(_.nonEmpty).map { s =>
+      val Array(r, n) = s.split(":"); r.toInt -> n.toLong
+    }.toMap)
+  override def planInputPartitions(start: Offset): Array[InputPartition] = {
+    val m = decode(start)
+    (0 until parts).map(r => MetricsFeedContinuousPartition(r,
+      m.getOrElse(r, r.toLong), rows, parts): InputPartition).toArray
+  }
+  override def mergeOffsets(offsets: Array[PartitionOffset]): Offset =
+    MetricsFeedContinuousOffset(offsets.map {
+      case MetricsFeedPartitionOffset(r, n) => r -> n
+    }.toMap)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def createContinuousReaderFactory(): ContinuousPartitionReaderFactory = {
+    val fields = required.fieldNames
+    new ContinuousPartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : ContinuousPartitionReader[InternalRow] = {
+        val cp = p.asInstanceOf[MetricsFeedContinuousPartition]
+        val rowFactory = new MetricsFeedReaderFactory(fields)
+        new ContinuousPartitionReader[InternalRow] {
+          private var cur = cp.start - cp.parts
+          override def next(): Boolean = {
+            // bounded feed: block at the end (the rate-source idiom);
+            // the engine interrupts the task at stop/reconfigure
+            while (cur + cp.parts >= cp.rows) Thread.sleep(50)
+            cur += cp.parts
+            true
+          }
+          override def get(): InternalRow = rowFactory.rowAt(cur)
+          override def getOffset(): PartitionOffset =
+            MetricsFeedPartitionOffset(cp.rem, cur + cp.parts)
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}
+
 /** Pre-aggregated scan: readSchema is the pushed aggregation's shape
   * (group column then agg columns, positional contract of
   * V2ScanRelationPushDown); each partition emits ≤ |kinds| rows. */
@@ -496,7 +737,11 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
     pushedLimit: String = "", columnar: Boolean = false,
     // joined mode (q83): per-field ORIGINAL feed column each (possibly
     // aliased) output field derives from — id_1 still reads "id"
-    fieldSources: Option[Array[String]] = None) extends Scan with Batch
+    fieldSources: Option[Array[String]] = None,
+    // stride mode (q87): only ids ≡ rem (mod m) are generated — the
+    // folded form of a pushed `id % m = rem` V2 predicate
+    stride: Option[(Long, Long)] = None,
+    v2Pushed: Array[Predicate] = Array.empty) extends Scan with Batch
     with SupportsReportPartitioning with SupportsRuntimeV2Filtering
     with SupportsReportStatistics with SupportsReportOrdering {
   // Runtime (DPP) clamp: filter() only RECORDS the delivered id bounds;
@@ -563,7 +808,9 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
   // (PlanSpec gates both directions). Width = the PRUNED schema's
   // default sizes: column pruning shrinks the estimate too.
   override def estimateStatistics(): Statistics = {
-    val n = math.max(0L, rhi - rlo)
+    val n0 = math.max(0L, rhi - rlo)
+    // a stride scan generates 1/m of the range's ids
+    val n = stride.map { case (m, _) => n0 / m }.getOrElse(n0)
     val width = math.max(8, required.fields.map(_.dataType.defaultSize).sum)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -591,9 +838,16 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new MetricsFeedMicroBatch(rows, parts, streamStep, required)
+  override def toContinuousStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+    new MetricsFeedContinuousStream(rows, parts, required)
   override def description(): String =
     s"MetricsFeed range=[$lo,$hi) of $rows, " +
       s"PushedFilters: ${pushed.mkString("[", ", ", "]")}, " +
+      (if (v2Pushed.nonEmpty)
+        s"PushedV2Predicates: [${v2Pushed.map(_.describe()).mkString(", ")}], "
+       else "") +
+      stride.map { case (m, r) => s"Stride: id%$m=$r, " }.getOrElse("") +
       (if (pushedLimit.nonEmpty) s"PushedLimit: $pushedLimit, " else "") +
       (if (clusterByKind) "KeyGroupedBy: [kind], " else "") +
       (if (fieldSources.nonEmpty) "PushedJoin: inner(id), " else "") +
@@ -648,12 +902,16 @@ class MetricsFeedScan(rows: Long, parts: Int, lo: Long, hi: Long,
       } else {
         // fixed-width slices of the FULL row space (the feed's "files");
         // slices wholly outside the pushed (or runtime-clamped) range
-        // never plan
+        // never plan. In stride mode (q87) each slice walks only its
+        // residue class — same slicing, 1/m of the rows generated.
         val width = math.max(1L, (rows + parts - 1) / parts)
         (0L until rows by width).flatMap { s =>
           val a = math.max(s, rlo)
           val b = math.min(s + width, rhi)
-          if (a < b) Some(MetricsFeedPartition(a, b): InputPartition) else None
+          if (a < b) Some(stride match {
+            case Some((m, r)) => MetricsFeedStridePartition(a, b, m, r): InputPartition
+            case None         => MetricsFeedPartition(a, b): InputPartition
+          }) else None
         }.toArray
       }
     MetricsFeedSource.lastPlannedPartitions = slices.length
@@ -689,6 +947,11 @@ case class FeedTaskMetric(metricName: String, metricValue: Long)
 
 case class MetricsFeedPartition(start: Long, end: Long) extends InputPartition
 
+/** Stride slice (q87): ids ≡ rem (mod m) within [start, end) — the
+  * physical form of a pushed `id % m = rem` predicate. */
+case class MetricsFeedStridePartition(start: Long, end: Long,
+    mod: Long, rem: Long) extends InputPartition
+
 /** A per-kind split: ids ≡ kind (mod 3) within [start, end), declaring
   * its partition key for KeyGroupedPartitioning. */
 case class MetricsFeedKindPartition(start: Long, end: Long, kind: Int)
@@ -701,7 +964,7 @@ case class MetricsFeedKindPartition(start: Long, end: Long, kind: Int)
 class MetricsFeedReaderFactory(fields: Array[String],
     columnar: Boolean = false)
     extends PartitionReaderFactory {
-  private def rowAt(cur: Long): InternalRow = {
+  private[sources] def rowAt(cur: Long): InternalRow = {
     val vals = new Array[Any](fields.length)
     var i = 0
     while (i < fields.length) {
@@ -740,6 +1003,19 @@ class MetricsFeedReaderFactory(fields: Array[String],
         private var n = 0L
         override def next(): Boolean =
           { cur += 3; val ok = cur < kp.end; if (ok) n += 1; ok }
+        override def get(): InternalRow = rowAt(cur)
+        override def currentMetricsValues() = taskMetrics(n)
+        override def close(): Unit = ()
+      }
+      case sp: MetricsFeedStridePartition => new PartitionReader[InternalRow] {
+        // first id >= start with id % mod == rem, then stride mod (q87)
+        private var cur = {
+          val rem = ((sp.rem - sp.start) % sp.mod + sp.mod) % sp.mod
+          sp.start + rem - sp.mod
+        }
+        private var n = 0L
+        override def next(): Boolean =
+          { cur += sp.mod; val ok = cur < sp.end; if (ok) n += 1; ok }
         override def get(): InternalRow = rowAt(cur)
         override def currentMetricsValues() = taskMetrics(n)
         override def close(): Unit = ()

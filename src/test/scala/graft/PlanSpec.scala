@@ -1066,6 +1066,84 @@ class PlanSpec extends AnyFunSuite {
     assert(desc.head.getLong(0) == 199999L)
   }
 
+  test("q87: V2 predicate id%3=1 folds to a stride scan with zero Filter; the V1 face declines the same predicate") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.MetricsFeedSource
+    MetricsFeedSource.lastPushedV2 = ""
+    val df = SparkEntry.queries("q87_v2_predicates")(spark, sf)
+    val out = df.collect()
+    // ids ≡ 1 (mod 3) in [15000, 60000): 15000 rows over all 50 nodes
+    assert(out.length == 50)
+    assert(out.map(_.getLong(1)).sum == 15000L)
+    val p = df.queryExecution.executedPlan.toString
+    // fully pushed: the stride is IN the scan, no Filter node remains
+    assert(p.contains("Stride: id%3=1"), p)
+    assert(p.contains("PushedV2Predicates:"), p)
+    assert(!p.contains("Filter ("), p)
+    assert(MetricsFeedSource.lastPushedV2.contains("stride=id%3=1"),
+      MetricsFeedSource.lastPushedV2)
+    assert(MetricsFeedSource.lastPlannedRange == ((15000L, 60000L)))
+    // the V1 Filter face CANNOT express the modulo — it stays a plan
+    // Filter there (the reason the V2 face exists)
+    val s = spark.newSession()
+    val v1 = s.read.format("graft.sources.MetricsFeedSource")
+      .option("rows", "60000").option("partitions", "8").load()
+      .filter(col("id") % 3 === 1)
+    val p1 = v1.queryExecution.executedPlan.toString
+    assert(p1.contains("Filter ("), p1)
+    assert(v1.count() == 20000L)
+    // and a malformed residue (r >= m) stays residual on the V2 face too
+    val v2 = s.read.format("graft.sources.MetricsFeedSource")
+      .option("rows", "60000").option("partitions", "8")
+      .option("v2filters", "true").load()
+    val odd = v2.filter(col("id") % 3 === 5)
+    assert(odd.count() == 0L)
+    assert(odd.queryExecution.executedPlan.toString.contains("Filter ("))
+  }
+
+  test("q88: OFFSET and TABLESAMPLE fold into the planned range — planned, not filtered") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.MetricsFeedSource
+    val df = SparkEntry.queries("q88_offset_sample")(spark, sf)
+    val out = df.collect()
+    assert(out.map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toSeq == Seq((1, 30000L, 0L, 29999L), (2, 9000L, 30000L, 38999L)), out.toSeq)
+    val s = spark.newSession()
+    val feed = s.read.format("graft.sources.MetricsFeedSource")
+      .option("rows", "100000").option("partitions", "8").load()
+    // TABLESAMPLE: the Sample node vanishes (pushed) and the planned
+    // range IS the fraction slice
+    MetricsFeedSource.lastPushedSample = ""
+    val sampled = feed.sample(0.25, 7L)
+    assert(sampled.count() == 25000L)
+    assert(MetricsFeedSource.lastPushedSample.startsWith("sample[0.0,0.25)"),
+      MetricsFeedSource.lastPushedSample)
+    assert(MetricsFeedSource.lastPlannedRange == ((0L, 25000L)))
+    assert(!sampled.queryExecution.executedPlan.toString.contains("Sample"),
+      sampled.queryExecution.executedPlan.toString)
+    // engine caveat pin: a Filter BELOW the Sample blocks the push even
+    // though the filter itself folds — the Sample stays a plan node and
+    // samples correctly (Bernoulli), it just isn't source-planned
+    MetricsFeedSource.lastPushedSample = ""
+    val blocked = feed.filter(col("id") < 80000L).sample(0.3, 42L)
+    val bp = blocked.queryExecution.executedPlan.toString
+    assert(bp.contains("Sample") && bp.contains("LessThan(id,80000)"), bp)
+    assert(MetricsFeedSource.lastPushedSample == "",
+      MetricsFeedSource.lastPushedSample)
+    // OFFSET composes BEHIND the complete limit push: page [40000, 40500)
+    MetricsFeedSource.lastPushedOffset = ""
+    val page = feed.offset(40000).limit(500).collect()
+    assert(MetricsFeedSource.lastPushedOffset.startsWith("offset:40000"),
+      MetricsFeedSource.lastPushedOffset)
+    assert(MetricsFeedSource.lastPlannedRange == ((40000L, 40500L)))
+    assert(page.length == 500 && page.head.getLong(0) == 40000L &&
+      page.last.getLong(0) == 40499L)
+    // plain LIMIT alone is COMPLETE (set semantics): exactly n rows planned
+    MetricsFeedSource.lastPushedLimit = ""
+    assert(feed.limit(1234).count() == 1234L)
+    assert(MetricsFeedSource.lastPlannedRange == ((0L, 1234L)))
+  }
+
   test("q69: storage-partitioned join — baseline agg, fact join, re-agg all plan with ZERO exchanges") {
     val df = SparkEntry.queries("q69_spj_join")(spark, sf)
     val out = df.collect()

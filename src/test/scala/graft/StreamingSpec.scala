@@ -1287,9 +1287,14 @@ class StreamingSpec extends AnyFunSuite {
       while (spark.streams.active.exists(_.id == q.id) &&
           System.nanoTime() < deadline) Thread.sleep(50)
     }
+    // AcceptsLatestSeenOffset: a FRESH start has no offset log, so the
+    // engine delivers no hint
+    graft.sources.MetricsFeedSource.lastLatestSeenOffset = -1L
     run(40000)
     val first = AccountingSink.epochResults(runId)
     assert(first.map(_._1) == Seq(0L, 1L), first.toString)
+    assert(graft.sources.MetricsFeedSource.lastLatestSeenOffset == -1L,
+      "fresh start must not receive a latest-seen offset")
     // REPLAY a committed range: drop the checkpoint's last commit marker
     // (the crash window between the sink's epoch commit and the engine's
     // checkpoint commit) — on restart the engine re-executes epoch 1
@@ -1304,6 +1309,14 @@ class StreamingSpec extends AnyFunSuite {
     run(40000)
     val replayed = AccountingSink.epochResults(runId)
     assert(replayed == first, s"replay changed totals: $first -> $replayed")
+    // AcceptsLatestSeenOffset on RESTART: the engine tells the new
+    // source instance the latest offset in the offset log — here 40000
+    // (epoch 1's end) — BEFORE the first latestOffset() call; arrives
+    // as a SerializedOffset (the st20/st23 restart lesson), parsed via
+    // json(). This source is stateless so the hint is observational;
+    // the pin proves the protocol fires with the right value.
+    assert(graft.sources.MetricsFeedSource.lastLatestSeenOffset == 40000L,
+      s"latest-seen = ${graft.sources.MetricsFeedSource.lastLatestSeenOffset}")
     // restart with MORE feed available: latestOffset must resume from
     // the committed offset (the monotone-hwm contract — a regressed
     // offset would re-plan committed rows), so exactly one NEW epoch
@@ -1319,6 +1332,67 @@ class StreamingSpec extends AnyFunSuite {
       assert(n == 20000L)
       assert(sv == intervalSum(e * 20000L, (e + 1) * 20000L), s"epoch $e")
     }
+  }
+
+  test("st24: ReportsSinkMetrics — cumulative per-epoch sink metrics in progress; replay-safe (no double count)") {
+    import graft.sources.{AccountingSink, AccountingTable}
+    val runId = "st24spec"
+    AccountingSink.clear(runId)
+    val cpDir = java.nio.file.Files.createTempDirectory("graft_st24spec").toFile
+    def run(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream.format("graft.sources.MetricsFeedSource")
+        .option("rows", "60000").option("partitions", "4")
+        .option("streamStep", "20000").load()
+        .writeStream.format("graft.sources.AccountingSink")
+        .option("runId", runId)
+        .option("checkpointLocation", cpDir.getAbsolutePath)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop(); q.awaitTermination()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.streams.active.exists(_.id == q.id) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      q
+    }
+    val q = run()
+    // each progress event carries the sink's CUMULATIVE commit registry
+    val seen = q.recentProgress.toSeq.filter(_.sink.numOutputRows > 0)
+      .map(p => (p.sink.numOutputRows,
+        p.sink.metrics.get("rowsCommitted").toLong,
+        p.sink.metrics.get("epochsCommitted").toLong))
+    assert(seen == Seq((20000L, 20000L, 1L), (20000L, 40000L, 2L),
+      (20000L, 60000L, 3L)), seen.toString)
+    // replay epoch 2 (drop its commit marker + crc): the epoch-keyed
+    // registry overwrites the same key, so the sink METRIC — not just
+    // the totals — is replay-safe
+    val c2 = new java.io.File(cpDir, "commits/2")
+    assert(c2.exists && c2.delete())
+    new java.io.File(cpDir, "commits/.2.crc").delete()
+    run()
+    val t = new AccountingTable(new org.apache.spark.sql.types.StructType(), runId)
+    assert(t.metrics().get("rowsCommitted") == "60000" &&
+      t.metrics().get("epochsCommitted") == "3", t.metrics().toString)
+  }
+
+  test("continuous trigger: the feed serves Trigger.Continuous in local mode — complete row set through epoch markers") {
+    // the r14 verdict's spike, answered YES: a custom V2 source CAN run
+    // under the continuous (epoch-marker) protocol in local mode —
+    // fixed residue-class partitions, blocking readers, per-partition
+    // offsets merged into the checkpointed composite
+    spark.sql("DROP VIEW IF EXISTS cont_spike")
+    val q = spark.readStream.format("graft.sources.MetricsFeedSource")
+      .option("rows", "4000").option("partitions", "2").load()
+      .writeStream.format("memory").queryName("cont_spike")
+      .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("200 milliseconds"))
+      .start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (spark.table("cont_spike").select("id").distinct.count() < 4000 &&
+          System.nanoTime() < deadline) Thread.sleep(200)
+    } finally q.stop()
+    val got = spark.table("cont_spike").select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got == (0L until 4000L).toSet,
+      s"missing=${(0L until 4000L).toSet.diff(got).take(5)} extra=${got.diff((0L until 4000L).toSet).take(5)}")
   }
 
   test("stateful sessionization (flatMapGroupsWithState) == declarative sessions") {
