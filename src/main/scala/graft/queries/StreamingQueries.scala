@@ -225,6 +225,39 @@ object StreamingQueries {
         .orderBy(col("rows_committed"))
     },
 
+    // CONTINUOUS TRIGGER (st25 — ContinuousStream, the epoch-marker
+    // protocol and the LAST streaming execution mode after micro-batch
+    // st19 and AvailableNow: ~1 ms-class end-to-end latency, the mode
+    // Kafka ETL pipelines run for latency-critical paths; the r14
+    // verdict's spike, answered YES and promoted to a key): the feed
+    // declares CONTINUOUS_READ and serves fixed residue-class
+    // partitions (partition r owns ids ≡ r mod parts — ownership is
+    // for the stream's LIFETIME, the continuous contract) through
+    // LONG-RUNNING blocking readers; the engine injects epoch markers
+    // around them and checkpoints mergeOffsets' composite. Delivery is
+    // at-least-once to the sink (epoch retries can duplicate), so the
+    // key aggregates over the DISTINCT row set — the replay-proof
+    // read-side idiom for continuous consumers. Output: per-kind
+    // accounting of the complete 30k-row feed, closed-form.
+    "st25_continuous" -> { (s, _) =>
+      s.catalog.dropTempView("st25_out")
+      val q = s.readStream.format("graft.sources.MetricsFeedSource")
+        .option("rows", "30000").option("partitions", "4").load()
+        .writeStream.format("memory").queryName("st25_out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("200 milliseconds"))
+        .start()
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (s.table("st25_out").select(col("id")).distinct.count() < 30000L &&
+            System.nanoTime() < deadline) Thread.sleep(200)
+      } finally q.stop()
+      s.table("st25_out").distinct()
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+          max(col("id")).as("max_id"))
+        .orderBy(col("kind"))
+    },
+
     // STATE-STORE READER (st22 — the engine's own streaming STATE made
     // queryable, Spark 4's `statestore` batch source; the reference's
     // monitoring ethos aimed at the one internals face still dark:
@@ -491,6 +524,19 @@ object StreamingQueries {
         |  CAST(60000 - e * 20000 AS BIGINT) AS rows_backlog
         |FROM generate_series(1, 3) t(e)
         |ORDER BY rows_consumed""".stripMargin,
+
+    // the complete feed through the continuous protocol, deduped
+    // read-side (at-least-once delivery)
+    "st25_continuous" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM (
+        |  SELECT id, CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(0, 30000) t(id)) u
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // cumulative commit-registry fold after epoch e: e·20000 rows, e
     // epochs — the exactly-once state surfaced as sink metrics
