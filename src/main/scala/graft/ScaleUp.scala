@@ -33,10 +33,23 @@ object ScaleUp {
       val exploded = df.withColumn("_i", explode(array((0 until f).map(i => lit(i.toLong)): _*)))
       keys.foldLeft(exploded) { (d, k) =>
         d.withColumn(k, col(k) + col("_i") * shift)
-      }.drop("_i")
+      }
     }
-    def write(name: String, df: DataFrame): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    // The file grain must SCALE with the data: the narrow
+    // read→explode→write pipeline otherwise inherits the small input's
+    // split count and lands 100× the rows in ONE file — which (at the
+    // default 128 MB parquet row group) is UNSPLITTABLE, so every
+    // downstream scan of the fixture runs single-threaded and the
+    // "scale measurement" measures one core (the r14 sf10 cohort's
+    // m5/m20 superlinearity was exactly this). One file per clone is
+    // the honest 100× shape — a real 100 TB table arrives as many
+    // ingest files, not one monolith.
+    def write(name: String, df: DataFrame): Unit = {
+      val parts =
+        if (df.columns.contains("_i")) df.drop("_i").repartition(f)
+        else df
+      parts.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
     write("region", Tables.region(spark, inDir))
     write("nation", Tables.nation(spark, inDir))
     write("customer", copies(Tables.customer(spark, inDir), "c_custkey"))

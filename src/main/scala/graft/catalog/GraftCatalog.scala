@@ -293,6 +293,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (state.identity.exists(_.col == ren.fieldNames()(0)))
             throw new UnsupportedOperationException(
               s"cannot rename identity column ${ren.fieldNames()(0)}")
+          // a renamed indexed column would leave dangling index specs
+          // and dead zone maps (q89) — drop the index first
+          if (state.indexes.get().values.exists(_ == ren.fieldNames()(0)))
+            throw new UnsupportedOperationException(
+              s"cannot rename indexed column ${ren.fieldNames()(0)}")
           // a CHECK constraint stores its predicate as SQL TEXT — a
           // rename would leave it pointing at a nonexistent name and
           // fail analysis on the NEXT enforced write; reject up front
@@ -319,6 +324,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           if (state.identity.exists(_.col == del.fieldNames()(0)))
             throw new UnsupportedOperationException(
               s"cannot drop identity column ${del.fieldNames()(0)}")
+          if (state.indexes.get().values.exists(_ == del.fieldNames()(0)))
+            throw new UnsupportedOperationException(
+              s"cannot drop indexed column ${del.fieldNames()(0)}")
           val next = StructType(
             schema.fields.patch(idx, Nil, 1))
           MemTables.evolve(ident.name(), next,

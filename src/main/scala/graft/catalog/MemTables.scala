@@ -57,7 +57,19 @@ object MemTables {
     // the registry exists to represent beyond the rows themselves.
     val partitionMeta =
       new AtomicReference[Map[Vector[Any], Map[String, String]]](Map.empty)
+    // secondary indexes (q89 — SupportsIndex): index name → BIGINT
+    // column, plus the MAINTAINED per-block zone maps (min/max per
+    // 1024-row block of the store, nulls excluded; an empty/all-null
+    // block carries the (MaxValue, MinValue) sentinel that fails every
+    // range check). Maintenance runs at every commit chokepoint — the
+    // write-side cost a real index pays — and the SCAN consults the
+    // PERSISTED zones, never a fresh pass over the data.
+    val indexes = new AtomicReference[Map[String, String]](Map.empty)
+    val indexZones =
+      new AtomicReference[Map[String, Vector[(Long, Long)]]](Map.empty)
   }
+  /** Zone-map block size (rows) for q89 secondary indexes. */
+  val indexBlock = 1024
   private val registry = new ConcurrentHashMap[String, State]()
 
   // test observable: the last row-level command that went through the
@@ -67,6 +79,10 @@ object MemTables {
   // test observable: per-op counts of the last DELTA (merge-on-read)
   // commit — (inserts, updates, deletes)
   @volatile var lastDeltaCounts: (Long, Long, Long) = (0L, 0L, 0L)
+  // test observable (q89): the last index-hinted scan's block pruning —
+  // "blocks=<planned>/<total>" or "fallback=<n>/<n>" when zones were
+  // stale/absent
+  @volatile var lastIndexSkip: String = ""
 
   def create(name: String, schema: StructType,
       constraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] = Array.empty,
@@ -86,14 +102,20 @@ object MemTables {
     * (computeIfPresent) so readers snapshot either the old or the new
     * shape, never a mix. */
   def evolve(name: String, newSchema: StructType,
-      remap: Array[Any] => Array[Any]): Unit =
+      remap: Array[Any] => Array[Any]): Unit = {
     registry.computeIfPresent(name, (_, old) => {
       val next = new State(newSchema, old.constraints, old.props,
         old.partitionCols, old.identity)
       next.identityNext.set(old.identityNext.get())
+      next.partitionMeta.set(old.partitionMeta.get())
+      next.indexes.set(old.indexes.get())
       next.rows.set(old.rows.get().map(remap))
       next
     })
+    // zone maps depend on column POSITIONS — rebuild under the new shape
+    // (the catalog vetoes dropping/renaming an indexed column)
+    if (registry.containsKey(name)) refreshIndexZones(name)
+  }
 
   /** Atomic publish of a staged table (q80 — the commit half of the
     * StagedTable protocol): the fully-written rows become visible in
@@ -142,17 +164,52 @@ object MemTables {
   // then writes to — the keys serialize DDL before DML.)
   private def live(name: String): State = Option(registry.get(name)).getOrElse(
     throw new IllegalStateException(s"mem table $name was dropped"))
-  def append(name: String, batch: Seq[Array[Any]]): Unit =
+  def append(name: String, batch: Seq[Array[Any]]): Unit = {
     live(name).rows.updateAndGet(_ ++ batch)
-  def replace(name: String, rows: Vector[Array[Any]]): Unit =
+    refreshIndexZones(name)
+  }
+  def replace(name: String, rows: Vector[Array[Any]]): Unit = {
     live(name).rows.set(rows)
-  def deleteWhere(name: String, keep: Array[Any] => Boolean): Unit =
+    refreshIndexZones(name)
+  }
+  def deleteWhere(name: String, keep: Array[Any] => Boolean): Unit = {
     live(name).rows.updateAndGet(_.filter(keep))
+    refreshIndexZones(name)
+  }
   /** Predicate-scoped overwrite (q81): drop-matching + append in ONE
     * swap, so readers never observe the partition half-replaced. */
   def overwriteWhere(name: String, drop: Array[Any] => Boolean,
-      batch: Seq[Array[Any]]): Unit =
+      batch: Seq[Array[Any]]): Unit = {
     live(name).rows.updateAndGet(_.filterNot(drop) ++ batch)
+    refreshIndexZones(name)
+  }
+
+  /** Recompute the per-block zone maps of every indexed column (q89) —
+    * the commit-side maintenance cost of a secondary index, paid at
+    * every store mutation; O(rows) only when indexes exist. */
+  def refreshIndexZones(name: String): Unit = {
+    val st = live(name)
+    val idxCols = st.indexes.get().values.toSet
+    if (idxCols.isEmpty) { st.indexZones.set(Map.empty); return }
+    val rows = st.rows.get()
+    st.indexZones.set(idxCols.toSeq.map { c =>
+      val ci = st.schema.fieldNames.indexOf(c)
+      c -> rows.grouped(indexBlock).map { blk =>
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        blk.foreach { r =>
+          r(ci) match {
+            case l: java.lang.Long =>
+              val v = l.longValue()
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+            case _ => () // nulls excluded; comparisons never match them
+          }
+        }
+        (mn, mx)
+      }.toVector
+    }.toMap)
+  }
 
   /** Dynamic partition registration (q86): every committed write adds
     * the partition values it touched to the registry — SHOW PARTITIONS
@@ -271,9 +328,51 @@ object MemPredicates {
 
 class MemTable(tableName: String) extends Table
     with SupportsRead with SupportsWrite with SupportsDeleteV2
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.index.SupportsIndex {
   protected def state: MemTables.State = MemTables.get(tableName).getOrElse(
     throw new IllegalStateException(s"mem table $tableName was dropped"))
+
+  // ---- secondary indexes (q89 — SupportsIndex, the CREATE INDEX /
+  // DROP INDEX DDL face JDBC connectors implement; CreateIndexExec /
+  // DropIndexExec wire it from SQL): a mem index is a per-block zone
+  // map over a BIGINT column, MAINTAINED at every commit (the
+  // write-side cost) and consulted by the scan as a ROWGROUP-SKIP hint
+  // (the parquet model — nothing is absorbed, Spark keeps every
+  // filter; the index only prunes provably-excluded blocks, so
+  // soundness is the superset contract, same as q62's runtime prune).
+  override def createIndex(indexName: String,
+      columns: Array[NamedReference],
+      columnsProperties: util.Map[NamedReference, util.Map[String, String]],
+      properties: util.Map[String, String]): Unit = {
+    require(columns.length == 1, "mem indexes are single-column")
+    val c = columns(0).fieldNames.mkString(".")
+    val st = state
+    val fi = st.schema.fieldNames.indexOf(c)
+    require(fi >= 0, s"no column $c")
+    require(st.schema.fields(fi).dataType == LongType,
+      s"mem indexes support BIGINT columns, $c is ${st.schema.fields(fi).dataType}")
+    if (st.indexes.get().contains(indexName))
+      throw new org.apache.spark.sql.catalyst.analysis.IndexAlreadyExistsException(
+        indexName, name(), scala.None)
+    st.indexes.updateAndGet(_.updated(indexName, c))
+    MemTables.refreshIndexZones(tableName)
+  }
+  override def dropIndex(indexName: String): Unit = {
+    if (!state.indexes.get().contains(indexName))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchIndexException(
+        indexName, name(), scala.None)
+    state.indexes.updateAndGet(_ - indexName)
+    MemTables.refreshIndexZones(tableName)
+  }
+  override def indexExists(indexName: String): Boolean =
+    state.indexes.get().contains(indexName)
+  override def listIndexes(): Array[org.apache.spark.sql.connector.catalog.index.TableIndex] =
+    state.indexes.get().toSeq.sortBy(_._1).map { case (n, c) =>
+      new org.apache.spark.sql.connector.catalog.index.TableIndex(n, "zonemap",
+        Array(org.apache.spark.sql.connector.expressions.Expressions.column(c)),
+        java.util.Collections.emptyMap(), new java.util.Properties())
+    }.toArray
   override def name(): String = s"graft.mem.$tableName"
   override def schema(): StructType = state.schema
   // identity partitioning (q81): declared at CREATE TABLE PARTITIONED
@@ -391,35 +490,123 @@ class MemTable(tableName: String) extends Table
   * with remapped rows — the scan just keeps reading its pre-evolve
   * snapshot shape. */
 class MemScanBuilder(tableName: String, state: MemTables.State)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownV2Filters {
   // the pruned schema may include the _pos METADATA column (requested
   // by SQL or by the row-level rewrite) — resolve each projected field
   // to a table-column index, or -1 for _pos
   private var projected: StructType = state.schema
+  // index skip-hints (q89): comparison predicates on INDEXED columns,
+  // kept as (col, op, value) for zone-map block pruning. NOTHING is
+  // absorbed — pushPredicates returns every predicate as residual and
+  // pushedPredicates() stays empty (the parquet rowgroup model: Spark
+  // keeps all its filters; the index only prunes blocks the zones
+  // PROVE cannot match — the superset soundness contract).
+  private var skipHints: Array[(String, String, Long)] = Array.empty
+  private def flip(op: String): String = op match {
+    case "<" => ">"
+    case "<=" => ">="
+    case ">" => "<"
+    case ">=" => "<="
+    case other => other
+  }
+  private def hintOf(p: Predicate, idxCols: Set[String])
+      : Option[(String, String, Long)] = p.name() match {
+    case op @ ("=" | "<" | "<=" | ">" | ">=") => p.children() match {
+      case Array(r: NamedReference, l: V2Literal[_])
+          if l.value.isInstanceOf[java.lang.Long] &&
+            idxCols.contains(r.fieldNames.mkString(".")) =>
+        Some((r.fieldNames.mkString("."), op, l.value.asInstanceOf[Long]))
+      case Array(l: V2Literal[_], r: NamedReference)
+          if l.value.isInstanceOf[java.lang.Long] &&
+            idxCols.contains(r.fieldNames.mkString(".")) =>
+        Some((r.fieldNames.mkString("."), flip(op), l.value.asInstanceOf[Long]))
+      case _ => None
+    }
+    case _ => None
+  }
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    skipHints = predicates.flatMap(hintOf(_, state.indexes.get().values.toSet))
+    predicates
+  }
+  override def pushedPredicates(): Array[Predicate] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     projected = requiredSchema
-  override def build(): Scan = new MemScan(tableName, state, projected)
+  override def build(): Scan =
+    new MemScan(tableName, state, projected, skipHints)
 }
 
-class MemScan(tableName: String, state: MemTables.State, projected: StructType)
+class MemScan(tableName: String, state: MemTables.State, projected: StructType,
+    skipHints: Array[(String, String, Long)] = Array.empty)
     extends Scan with Batch {
   private def schema: StructType = state.schema
   override def readSchema(): StructType = projected
   override def toBatch: Batch = this
-  override def description(): String = s"MemTable $tableName"
+  override def description(): String = s"MemTable $tableName" +
+    (if (skipHints.nonEmpty)
+      s", IndexSkipHints: [${skipHints.map { case (c, o, v) => s"$c $o $v" }.mkString(", ")}]"
+     else "")
+
+  /** Zone check: can ANY row of a block with [mn, mx] satisfy `op v`?
+    * The empty/all-null sentinel (MaxValue, MinValue) fails every
+    * check — null rows never match a comparison. */
+  private def zoneMatches(op: String, v: Long, mn: Long, mx: Long): Boolean =
+    op match {
+      case "="  => v >= mn && v <= mx
+      case "<"  => mn < v
+      case "<=" => mn <= v
+      case ">"  => mx > v
+      case ">=" => mx >= v
+    }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // snapshot ONCE from the build-time State; slices ride the
     // partitions, so the read is consistent even if DML lands
     // mid-query. Each slice carries its base offset so _pos is the
     // row's global snapshot position.
+    // Zones are read BEFORE the row snapshot; a write between the two
+    // reads makes the zone block count disagree with the snapshot's —
+    // the guard below then falls back to the full scan (soundness
+    // first; the q62 superset contract).
+    val zones = state.indexZones.get()
     val snap = state.rows.get()
-    val nSplits = math.max(1, math.min(8, snap.size / 1024))
-    val width = math.max(1, (snap.size + nSplits - 1) / nSplits)
-    snap.grouped(width).zipWithIndex.map { case (chunk, i) =>
-      MemPartition(chunk.toArray, i.toLong * width): InputPartition
-    }.toArray match {
-      case empty if empty.isEmpty => Array(MemPartition(Array.empty, 0L))
-      case parts => parts
+    val nBlocks = (snap.size + MemTables.indexBlock - 1) / MemTables.indexBlock
+    val hintsUsable = skipHints.nonEmpty && skipHints.forall { case (c, _, _) =>
+      zones.get(c).exists(_.length == nBlocks)
+    }
+    if (hintsUsable && nBlocks > 0) {
+      // q89: plan only the blocks the PERSISTED zone maps cannot
+      // exclude; contiguous surviving runs merge into one partition
+      val surviving = (0 until nBlocks).filter { b =>
+        skipHints.forall { case (c, op, v) =>
+          val (mn, mx) = zones(c)(b)
+          zoneMatches(op, v, mn, mx)
+        }
+      }
+      MemTables.lastIndexSkip = s"blocks=${surviving.length}/$nBlocks"
+      val runs = surviving.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, b) if b == e + 1 => (s, b) :: rest
+        case (acc, b) => (b, b) :: acc
+      }.reverse
+      runs.map { case (s, e) =>
+        val from = s * MemTables.indexBlock
+        val until = math.min(snap.size, (e + 1) * MemTables.indexBlock)
+        MemPartition(snap.slice(from, until).toArray, from.toLong): InputPartition
+      }.toArray match {
+        case empty if empty.isEmpty => Array(MemPartition(Array.empty, 0L))
+        case parts => parts
+      }
+    } else {
+      if (skipHints.nonEmpty)
+        MemTables.lastIndexSkip = s"fallback=$nBlocks/$nBlocks"
+      val nSplits = math.max(1, math.min(8, snap.size / 1024))
+      val width = math.max(1, (snap.size + nSplits - 1) / nSplits)
+      snap.grouped(width).zipWithIndex.map { case (chunk, i) =>
+        MemPartition(chunk.toArray, i.toLong * width): InputPartition
+      }.toArray match {
+        case empty if empty.isEmpty => Array(MemPartition(Array.empty, 0L))
+        case parts => parts
+      }
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -769,6 +956,7 @@ class MemDeltaBatchWrite(tableName: String, schema: StructType,
       }
     // delta-written rows can land in (or move to) new partitions
     MemTables.registerPartitions(tableName, inserts ++ updates.values)
+    MemTables.refreshIndexZones(tableName)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -374,6 +374,39 @@ object CatalogQueries {
         GROUP BY kind ORDER BY kind""")
     },
 
+    // SECONDARY INDEX DDL + INDEX-ACCELERATED SCAN (q89 —
+    // SupportsIndex, the CREATE INDEX / DROP INDEX face JDBC
+    // connectors implement; CreateIndexExec/DropIndexExec wire it from
+    // SQL): a mem index is a per-block ZONE MAP over a BIGINT column —
+    // MAINTAINED at every commit (the write-side cost a real index
+    // pays) and consulted by the scan as a ROWGROUP-SKIP hint under
+    // the parquet model: pushPredicates absorbs NOTHING (Spark keeps
+    // every filter), the index only prunes blocks the persisted zones
+    // PROVE cannot match — the q62 superset soundness contract, so a
+    // stale zone map degrades to a full scan, never a wrong answer.
+    // The single-task ordered insert clusters ids, so the BETWEEN
+    // probe plans 3 of 30 blocks (CatalogSpec pins the block counts,
+    // the DDL error paths, and index-vs-no-index result equality); the
+    // key's output is the probe's closed-form per-kind accounting.
+    "q89_index_scan" -> { (s0, _) =>
+      val s = catalogSession(s0, "")
+      s.sql("DROP TABLE IF EXISTS graft.mem.metrics89")
+      s.sql("CREATE TABLE graft.mem.metrics89 " +
+        "(id BIGINT, kind STRING, value BIGINT)")
+      s.read.format("graft.sources.MetricsFeedSource")
+        .option("rows", "30000").option("partitions", "1").load()
+        .createOrReplaceTempView("v89_feed")
+      s.sql("INSERT INTO graft.mem.metrics89 " +
+        "SELECT id, kind, value FROM v89_feed ORDER BY id")
+      s.sql("CREATE INDEX idx89 ON graft.mem.metrics89 (id)")
+      s.sql("""
+        SELECT kind, CAST(count(*) AS BIGINT) AS n, sum(value) AS sum_value,
+          min(id) AS min_id, max(id) AS max_id
+        FROM graft.mem.metrics89
+        WHERE id BETWEEN 10000 AND 12047
+        GROUP BY kind ORDER BY kind""")
+    },
+
     // PARTITION DDL (q86 — SupportsAtomicPartitionManagement, the
     // natural completion of q81's identity partitioning and the DDL
     // every date-partitioned deployment touches weekly): the table's
@@ -684,6 +717,20 @@ object CatalogQueries {
         |      THEN 3 * ((id * 2654435761) % 100000)
         |      ELSE (id * 2654435761) % 100000 END AS value
         |  FROM range(0, 30000) t(id)) u
+        |GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // the BETWEEN probe's rows, closed-form from the feed formulas
+    "q89_index_scan" ->
+      """SELECT kind, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(value) AS BIGINT) AS sum_value,
+        |  CAST(min(id) AS BIGINT) AS min_id,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM (
+        |  SELECT id,
+        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'gauge'
+        |      WHEN 1 THEN 'counter' ELSE 'timer' END AS kind,
+        |    (id * 2654435761) % 100000 AS value
+        |  FROM range(10000, 12048) t(id)) u
         |GROUP BY kind ORDER BY kind""".stripMargin,
 
     // registry after the DDL dance: {0, 1 (truncated, still listed),

@@ -342,6 +342,47 @@ class CatalogSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft.mem.spec_i4")
   }
 
+  test("q89: secondary index — zone-map block skip is sound and maintained; DDL error paths; column guards") {
+    val s = cataloged()
+    s.sql("DROP TABLE IF EXISTS graft.mem.spec_ix")
+    s.sql("CREATE TABLE graft.mem.spec_ix (id BIGINT, v BIGINT)")
+    // 8192 clustered rows = 8 blocks of 1024
+    s.sql("SELECT id, id * 7 AS v FROM range(0, 8192)")
+      .createOrReplaceTempView("spec_ix_src")
+    s.sql("INSERT INTO graft.mem.spec_ix SELECT id, v FROM spec_ix_src ORDER BY id")
+    s.sql("CREATE INDEX spec_idx ON graft.mem.spec_ix (id)")
+    def probe() = s.sql("SELECT CAST(count(*) AS BIGINT) AS n, sum(v) AS sv " +
+      "FROM graft.mem.spec_ix WHERE id BETWEEN 2048 AND 4095")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    MemTables.lastIndexSkip = ""
+    val withIx = probe()
+    // the BETWEEN [2048, 4095] probe covers exactly blocks 2..3 of 8
+    assert(MemTables.lastIndexSkip == "blocks=2/8", MemTables.lastIndexSkip)
+    assert(withIx == Seq((2048L, (2048L until 4096L).map(_ * 7).sum)), withIx)
+    // the index changes COST, never ANSWERS: drop it, same rows
+    s.sql("DROP INDEX spec_idx ON graft.mem.spec_ix")
+    MemTables.lastIndexSkip = ""
+    assert(probe() == withIx)
+    assert(MemTables.lastIndexSkip == "", "dropped index still hinted")
+    // maintenance: recreate, DELETE compacts the store, zones refresh —
+    // the probe stays correct on the SHIFTED block layout
+    s.sql("CREATE INDEX spec_idx ON graft.mem.spec_ix (id)")
+    s.sql("DELETE FROM graft.mem.spec_ix WHERE id < 1000")
+    assert(probe() == withIx, "zones stale after DELETE")
+    // DDL error paths
+    intercept[Exception] {
+      s.sql("CREATE INDEX spec_idx ON graft.mem.spec_ix (v)") }
+    intercept[Exception] {
+      s.sql("DROP INDEX nope ON graft.mem.spec_ix") }
+    // an indexed column can be neither renamed nor dropped (dangling
+    // specs + dead zone maps) — same posture as identity columns
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.mem.spec_ix RENAME COLUMN id TO id2") }
+    intercept[Exception] {
+      s.sql("ALTER TABLE graft.mem.spec_ix DROP COLUMN id") }
+    s.sql("DROP TABLE graft.mem.spec_ix")
+  }
+
   test("q86: partition DDL — registry-backed SHOW/ADD/DROP/RENAME/TRUNCATE, atomic all-or-nothing, error paths") {
     val s = cataloged()
     s.sql("DROP TABLE IF EXISTS graft.mem.spec_p86")
