@@ -11,6 +11,21 @@ import graft.streaming.HealthStream
   */
 object StreamingQueries {
 
+  /** Session for STATEFUL streaming keys (st19/st22): the state-store
+    * partition count is `spark.sql.shuffle.partitions` CAPTURED into
+    * the checkpoint at the stream's first run — one state-store
+    * instance per partition. It must scale with the STREAM's rate, not
+    * with whatever batch corpus shares the harness: the sf10 bench
+    * scales the session conf to ~283 for the 1.2 GB corpus, which
+    * spawned 283 state stores for a 60k-row feed and measured
+    * 2.3 → 24.2 s on st22. Real deployments size this per streaming
+    * job; these keys pin the stream's own width the same way. */
+  private def streamSession(s0: SparkSession): SparkSession = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "32")
+    s
+  }
+
   private val tsUs = "epoch_us(CAST(ts AS TIMESTAMP))"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -61,7 +76,8 @@ object StreamingQueries {
     // closed-form range sums prove no row was dropped or double-counted
     // across batch boundaries. StreamingSpec gates the batch count and
     // stream≡batch parity.
-    "st19_stream_source" -> { (s, _) =>
+    "st19_stream_source" -> { (s0, _) =>
+      val s = streamSession(s0)
       s.catalog.dropTempView("st19_out")
       val stream = s.readStream.format("graft.sources.MetricsFeedSource")
         .option("rows", "60000").option("partitions", "4")
@@ -273,7 +289,8 @@ object StreamingQueries {
     // or leaked a key breaks the hash. At 100 TB this is the debugging
     // face that matters: state bugs (skew, leaks, watermark eviction)
     // are invisible in output parity but obvious in the store itself.
-    "st22_state_reader" -> { (s, _) =>
+    "st22_state_reader" -> { (s0, _) =>
+      val s = streamSession(s0)
       // PID-scoped fixed dir: stable within a JVM (bench passes reuse
       // it, rm-on-entry keeps /tmp bounded — the round-6 lesson) but
       // two concurrent JVMs can never rm each other's LIVE checkpoint
