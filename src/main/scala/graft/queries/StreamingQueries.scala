@@ -257,8 +257,13 @@ object StreamingQueries {
     // accounting of the complete 30k-row feed, closed-form.
     "st25_continuous" -> { (s, _) =>
       s.catalog.dropTempView("st25_out")
+      // TWO partitions, deliberately: continuous tasks OCCUPY their
+      // slots for the query's lifetime, so the slot count must EXCEED
+      // the partition count or any concurrent driver query on the same
+      // scheduler (here: the poll's count()) starves forever — probed
+      // the hard way on a local[4] test session with partitions=4
       val q = s.readStream.format("graft.sources.MetricsFeedSource")
-        .option("rows", "30000").option("partitions", "4").load()
+        .option("rows", "30000").option("partitions", "2").load()
         .writeStream.format("memory").queryName("st25_out")
         .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("200 milliseconds"))
         .start()
