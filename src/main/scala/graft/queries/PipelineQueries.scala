@@ -2035,7 +2035,9 @@ object PipelineQueries {
           expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))").cast("int"))
         .withColumn("inter",
           size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
-        .withColumn("uni", size(array_union(col("set_a"), col("set_b"))).cast("long"))
+        // |A∪B| = |A|+|B|-|A∩B| on distinct arrays — see prefixSimJoin (r15)
+        .withColumn("uni",
+          (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
         .select(col("id_a"), col("id_b"), col("n_slot_matches"),
           (col("n_slot_matches").cast("double") / lit(8)).as("est_jaccard"),
           (col("inter").cast("double") / col("uni")).as("jaccard"),
