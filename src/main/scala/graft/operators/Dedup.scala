@@ -289,7 +289,12 @@ object Dedup {
     // arrays from the scan — measured 2.5 s/evaluation at sf0.1 (the
     // s12 tradeoff call: checkpoint when the re-derived prefix is the
     // expensive part, unlike s11's cheap scan lineage)
-    val sets = docs.select(col(idCol).as("_id"), shingles(textCol).as("tk"))
+    // spread before the shingle build (r15, guide §2.5): the split +
+    // 3-gram + distinct arrays are computed INTO the checkpoint, and a
+    // single-row-group scan ran that whole pass in one task (A/B:
+    // 4.97 -> 4.55 s solo at sf0.1)
+    val sets = Relational.spread(docs, col(idCol))
+      .select(col(idCol).as("_id"), shingles(textCol).as("tk"))
       .filter(size(col("tk")) > 0)
       .withColumn("n", size(col("tk")).cast("long"))
       .localCheckpoint()
@@ -405,7 +410,10 @@ object Dedup {
   def substringDupReport(docs: DataFrame, idCol: String, textCol: String,
       w: Int, stride: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = docs
+    // spread before the stride-window explode (r15, guide §2.5): the
+    // per-window slice+md5 pass otherwise runs single-task on a
+    // one-row-group scan
+    val wins = Relational.spread(docs, col(idCol))
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("tk"))
       .select(col("doc_id"), col("tk"),
         explode(expr(s"CASE WHEN size(tk) >= $w " +
@@ -488,7 +496,11 @@ object Dedup {
       "windows silently under-remove — use substringDupReport for the " +
       "stride>1 monitoring grain")
     import org.apache.spark.sql.expressions.Window
-    def toks = docs.select(col(idCol).as("doc_id"), words(col(textCol)).as("tk"))
+    // spread before tokenize+explode (r15, guide §2.5) — all three
+    // consumers re-derive toks, each otherwise single-task on a
+    // one-row-group scan
+    def toks = Relational.spread(docs, col(idCol))
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("tk"))
     val wins = toks
       .filter(size(col("tk")) >= w)
       .select(col("doc_id"), col("tk"),

@@ -108,6 +108,23 @@ object Relational {
       .drop("_bkt", "_rn", "_off")
   }
 
+  /** Hash-spread a frame across the cluster before per-row-heavy map
+    * work (guide-§2.5 input-skew posture: a single unsplittable input
+    * file otherwise runs the whole map side — parse, explode, partial
+    * agg — in ONE task; the r15 testdata parquet is one row group, so
+    * every scan stage was single-task at sf0.1). Width comes from
+    * spark.sql.shuffle.partitions — the conf this repo already scales
+    * with input volume (GraftSession.shufflePartitionsFor), so the
+    * spread stays proportional on a cluster. Explicit count (AQE
+    * coalesces keyless/unsized repartitions of small inputs back to 1
+    * task — the CLAUDE.md trap) and hash on a real key, not
+    * round-robin (round-robin pays the sort-before-repartition
+    * determinism sort). NOTE: do not guard this with
+    * df.rdd.getNumPartitions — the .rdd materialization costs ~0.4 s
+    * of planning per invocation (probed r15). */
+  def spread(df: DataFrame, key: Column): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, key)
+
   /** Skew-safe aggregation: salt the hot key into `salts` subkeys,
     * aggregate partially per (key, salt), then combine. Results are
     * identical to a direct groupBy — the salt only splits reducer load

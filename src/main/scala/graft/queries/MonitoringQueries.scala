@@ -36,7 +36,16 @@ object MonitoringQueries {
     // coercion), output typed columns. The oracle computes the expected
     // values directly — so the parse must be lossless to match.
     "m5_kv_parse" -> { (s, dir) =>
+      // sort the RAW rows first, parse after (r15): with the fixture
+      // built below the ORDER BY, the parse ran in the single-task scan
+      // stage (single-row-group input) AND twice (range sampling
+      // evaluates the child); sorting (event_id, user_id, event_type)
+      // first moves the one parse evaluation into the 32-way
+      // post-exchange stage and shuffles narrow raw rows instead of
+      // parsed strings. Same rows, same order, same values.
       val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
       // fixtures via codegen'd concat, not format_string (Formatter
       // costs µs/row — see m20)
       val conf = concat(lit("recved="), col("event_id").cast("string"),
@@ -53,7 +62,9 @@ object MonitoringQueries {
         LogLines.getBool(confMap, "enable_logging").as("enable_logging"),
         LogLines.getString(srvrMap, "server_mode").as("server_mode"),
         LogLines.getLong(srvrMap, "node_count").as("node_count")
-      ).orderBy(col("event_id"))
+      ) // ordered by the pre-parse sort above (a trailing orderBy would
+        // let EliminateSorts drop the inner one and push the parse back
+        // below the exchange)
     },
 
     // PH_SYSTEM_* syslog payload emission (uploadEvents analog) with
@@ -225,7 +236,11 @@ object MonitoringQueries {
       // substring cuts (was: one regex scan per field — 15× the line
       // traffic for byte-identical output)
       val m = col("_m")
+      // sort raw rows first, parse after — see m5 (r15): one exchange,
+      // one parse evaluation, 32-way instead of single-task-and-twice
       Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"))
+        .orderBy(col("event_id"))
         .withColumn("_line", line)
         .withColumn("_m", LogLines.consMap(col("_line")))
         .select(col("event_id"),
@@ -244,7 +259,7 @@ object MonitoringQueries {
           LogLines.getLong(m, "minlat").as("minlat"),
           LogLines.getLong(m, "avglat").as("avglat"),
           LogLines.getLong(m, "maxlat").as("maxlat"))
-        .orderBy(col("event_id"))
+        // ordered by the pre-parse sort — see m5 note
     },
 
     // heartbeat-gap detection: longest silence per node (max inter-event

@@ -127,7 +127,8 @@ object PipelineQueries {
         TextFunctions.qualityScore(col("n_distinct"), col("n_tokens"), col("stop_hits")))
 
   /** t14's Gopher-style repetition signals — also a p27 curation gate. */
-  private def repetitionFrame(docs: DataFrame): DataFrame = {
+  private def repetitionFrame(docs0: DataFrame): DataFrame = {
+    val docs = Relational.spread(docs0, col("doc_id"))
     val tagged = docs.select(col("doc_id"),
         explode(concat(
           transform(Dedup.ngrams("text", 2, distinct = false),
@@ -1308,7 +1309,13 @@ object PipelineQueries {
       val emailPat = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
       val ipPat = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
       val numPat = "\\d{7,}"
+      // sort raw docs first, run the regex battery after (r15 m5
+      // pattern): single-row-group input means the pre-exchange stage
+      // is one task, and the range sampler evaluates its child twice —
+      // sorting first makes the 6-regex pass run once, 32-way
       Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+        .orderBy(col("doc_id"))
         .withColumn("_pii", expr(
           "concat(text, ' contact user', CAST(doc_id AS STRING), '@', source, " +
           "'.net mail admin', CAST(doc_id % 7 AS STRING), '@example.org host 10.', " +
@@ -1325,7 +1332,7 @@ object PipelineQueries {
           regexp_count(col("_pii"), lit(numPat)).cast("int").as("n_nums"),
           length(col("_red")).cast("int").as("red_len"),
           md5(col("_red")).as("red_hash"))
-        .orderBy(col("doc_id"))
+        // ordered by the pre-redact sort — see m5 note
     },
 
     // line-level boilerplate removal (the CCNet/RefinedWeb "shared
@@ -1526,6 +1533,10 @@ object PipelineQueries {
     // baseline. All-integer il16 scoring; argmax tie-break is
     // lang-ascending (min of (−score, lang)) — cross-engine exact.
     "t26_learned_langid" -> { (s, dir) =>
+      // r15 probe: spreading the scan here REGRESSED 2.0 -> 6.0 s (the
+      // train/classify pair re-runs the repartition exchange per
+      // consumer and the added stages dominate the vocab-grain work) —
+      // left as the plain scan deliberately
       val aug = Tables.documents(s, dir)
         .withColumn("_ntok", size(split(trim(col("text")), "\\s+")))
         .withColumn("_k", (col("_ntok") / 4).cast("int") + 1)
