@@ -529,7 +529,10 @@ object PipelineQueries {
       val truth = simTruth(s, dir)
       val cand = Dedup.lshCandidates(docs, "doc_id", "text", bands = 4, rows = 2)
         .select(col("id_a"), col("id_b")).localCheckpoint()
-      val sets = docs.select(col("doc_id").as("_id"), Dedup.shingles("text").as("_set"))
+      val sets = Relational.spread(docs, col("doc_id"))
+        .select(col("doc_id").as("_id"), Dedup.shingles("text").as("_set"))
+        // spread: both verify joins re-derive this shingle build, each
+        // otherwise single-task (r15)
       val precise = cand
         .join(sets.toDF("_id", "set_a"), col("id_a") === col("_id")).drop("_id")
         .join(sets.toDF("_id", "set_b"), col("id_b") === col("_id")).drop("_id")
@@ -565,8 +568,9 @@ object PipelineQueries {
       val truth = simTruth(s, dir)
       val cand = Dedup.lshCandidatesSweep(docs, "doc_id", "text",
           configs = Seq((8, 1), (4, 2), (2, 4))).localCheckpoint()
-      val sets = docs.select(col("doc_id").as("_id"), Dedup.shingles("text").as("_set"))
-        .localCheckpoint()
+      val sets = Relational.spread(docs, col("doc_id"))
+        .select(col("doc_id").as("_id"), Dedup.shingles("text").as("_set"))
+        .localCheckpoint() // spread: shingle build otherwise single-task (r15)
       val nT = truth.agg(count(lit(1)).as("n_true"))
       val perCfg = cand.groupBy(col("cfg")).agg(count(lit(1)).as("n_candidates"))
       val found = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
@@ -1818,10 +1822,16 @@ object PipelineQueries {
       // a bounded panel is the honest form
       val isQ = (c: org.apache.spark.sql.Column) =>
         pmod(c, lit(50)) === 0 && c < 100000000L
-      val termTf = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
-        .filter(length(col("w")) > 0)
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf_w"))
+      // spread INTO the checkpoint (r15): AQE coalesces the small tf
+      // aggregate to ~1 partition, and both inverted-index dot joins
+      // then fan out ~15M joined rows on that width — the whole truth
+      // pass ran near-single-threaded off the checkpoint
+      val termTf = Relational.spread(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("w"))
+            .filter(length(col("w")) > 0)
+            .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf_w")),
+          col("doc_id"))
         .localCheckpoint()
       // truth: exact term-space tf-cosine (inverted-index dot join)
       val en2 = termTf.groupBy(col("doc_id")).agg(sum(expr("tf_w * tf_w")).as("n2"))
@@ -1853,6 +1863,8 @@ object PipelineQueries {
           col("wb.bucket").as("bucket"), col("tf_w"))
         .groupBy(col("doc_id"), col("width"), col("bucket"))
         .agg(sum(col("tf_w")).as("tf"))
+        // spread into the checkpoint — same rationale as termTf above
+        .transform(d => Relational.spread(d, col("doc_id")))
         .localCheckpoint()
       val n2 = tf.groupBy(col("doc_id"), col("width")).agg(sum(expr("tf * tf")).as("n2"))
       val qTf = tf.filter(isQ(col("doc_id")))

@@ -685,7 +685,12 @@ object RelationalQueries {
       val base = graft.sources.DerivedLayouts.once(s"q37_roundtrip|$dir")(_ => ())
       // cmt embeds commas AND double quotes so the CSV writer must
       // quote-and-escape; any mangling shifts the length/min/max aggs
-      val li = Tables.lineitem(s, dir)
+      // spread before the 3 format writes (r15, guide §2.5): the
+      // single-row-group scan made every writer SINGLE-TASK — the whole
+      // CSV/JSON/ORC encode ran serially; at real scale the input
+      // splits and the writers are parallel anyway
+      val li = graft.operators.Relational.spread(
+          Tables.lineitem(s, dir), $"l_orderkey")
         .select($"l_orderkey", $"l_quantity", $"l_shipdate", $"l_returnflag",
           concat($"l_returnflag", lit(",\""), $"l_linestatus", lit("\","),
             $"l_orderkey".cast("string")).as("cmt"))
