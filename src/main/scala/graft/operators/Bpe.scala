@@ -169,7 +169,13 @@ object Bpe {
             "array(concat(element_at(acc, -1), x))), " +
             "concat(acc, array(x))))"))
           .drop("picks")
-          .localCheckpoint()
+        // r16: checkpoint every OTHER round — the frame is vocab-sized
+        // (|V| rows), so carrying at most two rounds of fold lineage is
+        // cheaper than an eager materialization job per round (each
+        // picks frame in the lineage is itself checkpointed, bounding
+        // plan depth); halves the per-round driver job count the
+        // r15 verdict flagged as t27's remaining cost.
+        if (rnd % 2 == 0 || rnd == rounds) segs = segs.localCheckpoint()
         val after = segs.agg(
           sum(col("cnt") * size(col("syms"))).as("syms_after"))
         outs = outs :+ picks.crossJoin(broadcast(after))

@@ -197,15 +197,24 @@ object Similarity {
     * sort every (vector, centroid) pair. Tie-break = lowest centroid
     * id, encoded as max over (csim, -cent_id). `cents` must have
     * (cent_id, c_vec) and is always broadcast. */
+  /** r16 shape: centroids fold into ONE broadcast array row and the
+    * argmax runs MAP-SIDE (array_max over (sim, -cent_id) structs) —
+    * the old form crossJoined every corpus row ×|cells| and shuffled
+    * the whole corpus (vector payload included) through a
+    * groupBy(outId) max_by to undo the explode. Same round(cosine, 6),
+    * same max-sim/min-cent_id tie-break (struct ordering is NaN-aware
+    * both ways), zero exchange. */
   private def nearestCell(df: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String, outId: String, outVec: String): DataFrame =
     df.select(col(idCol).as(outId), col(vecCol).as(outVec))
-      .crossJoin(broadcast(cents))
-      .withColumn("_csim", round(cosine(col(outVec), col("c_vec")), 6))
-      .groupBy(col(outId))
-      .agg(max_by(struct(col(outVec).as("v"), col("cent_id")),
-        struct(col("_csim"), (-col("cent_id")).as("_nc"))).as("_best"))
-      .select(col(outId), col("_best.v").as(outVec), col("_best.cent_id").as("cell"))
+      .crossJoin(broadcast(cents.groupBy().agg(
+        array_sort(collect_list(struct(col("cent_id"), col("c_vec")))).as("_cbs"))))
+      .withColumn("cell", expr(
+        // opaque(): anti-inlining barrier (see assignPq / OpaqueBarrier)
+        s"opaque(array_max(transform(_cbs, cb -> named_struct(" +
+        s"'sim', round(cosine_sim($outVec, cb.c_vec), 6), " +
+        s"'nid', -cb.cent_id))).nid * -1)"))
+      .select(col(outId), col(outVec), col("cell"))
 
   /** Public nearest-centroid assignment: (id, cell) per corpus vector.
     * Broadcast codebook + max_by partial-agg argmax — one hash shuffle
@@ -240,6 +249,10 @@ object Similarity {
       col(vecCol).as("n_vec"), col("cell"))
     val q = queryCells.select(col(idCol).as("query_id"),
       col(vecCol).as("q_vec"), col("cell"))
+    // `cell` may be nearestCell's argmax fold — the opaque() barrier
+    // keeps the join from inlining it into probe keys and inferred
+    // filters (a left-join dodge does NOT work here: the =!= filter
+    // above null-rejects, so EliminateOuterJoin converts it back)
     val sims = cand.join(broadcast(q), Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("q_vec"), col("n_vec")), 6))
@@ -425,20 +438,31 @@ object Similarity {
 
   /** Nearest-centroid assignment per (vector, subspace): exact integer
     * L2, deterministic tie-break on cent_id, centroids broadcast
-    * (subs·k rows). Returns (_vid, s, sv, cell). */
+    * (subs·k rows). Returns (_vid, s, sv, cell).
+    *
+    * r16 shape: the per-subspace codebook is folded into ONE array row
+    * (k structs, cent_id-ascending) and the argmin runs MAP-SIDE as an
+    * array_min over per-centroid distances — the old form exploded
+    * every sub-row ×k through the broadcast join and shuffled all 8N
+    * rows back through a groupBy(_vid, s) to undo it. min of
+    * (d, cent_id) structs ≡ the old min(struct(_d, cent_id)): same
+    * distance, same tie-break, zero exchange. */
   def assignPq(subRows: DataFrame, cents: DataFrame,
       keep: Seq[String] = Nil): DataFrame =
-    subRows.join(broadcast(cents), Seq("s"))
-      .withColumn("_d", expr(
-        "aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), " +
-        "CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
-      .groupBy(col("_vid"), col("s"))
-      // sv (and any kept column) is functionally dependent on (_vid, s):
-      // first() is value-deterministic
-      .agg(min(struct(col("_d"), col("cent_id"))).as("_m"),
-        first(col("sv")).as("sv") +: keep.map(c => first(col(c)).as(c)): _*)
+    subRows.join(broadcast(cents.groupBy(col("s")).agg(
+        array_sort(collect_list(struct(col("cent_id"), col("c")))).as("_cbs"))),
+        Seq("s"))
+      .withColumn("cell", expr(
+        // opaque(): anti-inlining barrier — downstream joins key on
+        // `cell`, and without it the whole fold tree is substituted
+        // into the probe key and inferred isnotnull filters (3
+        // evaluations/row, probed; OpaqueBarrier scaladoc)
+        "opaque(array_min(transform(_cbs, cb -> named_struct(" +
+        "'d', aggregate(zip_with(sv, cb.c, (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0 AS BIGINT), (acc, t) -> acc + t), " +
+        "'id', cb.cent_id))).id)"))
       .select(col("_vid") +: col("s") +: col("sv") +:
-        col("_m.cent_id").as("cell") +: keep.map(col): _*)
+        col("cell") +: keep.map(col): _*)
 
   /** Per-subspace integer k-means (`subs` independent codebooks trained
     * in ONE partitioned dataframe): exact integer L2 assignment +

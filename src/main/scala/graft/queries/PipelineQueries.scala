@@ -572,9 +572,6 @@ object PipelineQueries {
         .select(col("doc_id").as("_id"), Dedup.shingles("text").as("_set"))
         .localCheckpoint() // spread: shingle build otherwise single-task (r15)
       val nT = truth.agg(count(lit(1)).as("n_true"))
-      val perCfg = cand.groupBy(col("cfg")).agg(count(lit(1)).as("n_candidates"))
-      val found = cand.join(truth, Seq("id_a", "id_b"), "left_semi")
-        .groupBy(col("cfg")).agg(count(lit(1)).as("n_found"))
       // the config candidate sets NEST ((2,4) ⊆ (4,2) ⊆ (8,1): a
       // matching slot-pair implies its matching slots), so the exact
       // Jaccard verification runs ONCE per distinct pair and each
@@ -589,14 +586,22 @@ object PipelineQueries {
           (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
         .filter(col("inter") * 10000 >= col("uni") * 8000)
         .select(col("id_a"), col("id_b"))
-      val precise = cand.join(verified, Seq("id_a", "id_b"), "left_semi")
-        .groupBy(col("cfg")).agg(count(lit(1)).as("n_precise"))
+      // ONE tagged pass over the checkpointed candidates (r16, was
+      // three: a groupBy plus two semi-join+groupBy legs each rescanned
+      // cand): truth and verified are bounded pair sets with unique
+      // keys, so left-join markers preserve candidate multiplicity and
+      // sum(marker) ≡ the semi-join counts.
+      val perCfg = cand
+        .join(broadcast(truth.withColumn("_t", lit(1L))),
+          Seq("id_a", "id_b"), "left")
+        .join(broadcast(verified.withColumn("_v", lit(1L))),
+          Seq("id_a", "id_b"), "left")
+        .groupBy(col("cfg"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("_t")), lit(0L)).as("n_found"),
+          coalesce(sum(col("_v")), lit(0L)).as("n_precise"))
       perCfg
-        .join(found, Seq("cfg"), "left")
-        .join(precise, Seq("cfg"), "left")
         .crossJoin(broadcast(nT))
-        .withColumn("n_found", coalesce(col("n_found"), lit(0L)))
-        .withColumn("n_precise", coalesce(col("n_precise"), lit(0L)))
         .select(col("cfg"), col("n_true"), col("n_candidates"), col("n_found"),
           col("n_precise"),
           expr("CASE WHEN n_true = 0 THEN CAST(10000 AS BIGINT) " +
@@ -1557,6 +1562,13 @@ object PipelineQueries {
           TextFunctions.stopHits("_w", TextFunctions.deStop),
           TextFunctions.stopHits("_w", TextFunctions.frStop)))
         .select(col("doc_id"), col("atext"), col("heur"))
+        // r16: SIX consumers read this frame (train tf, label set,
+        // priors, eval tf, eval heur join, majority) and each re-ran
+        // the augment + words + 3×stopHits lineage — the very cost the
+        // r15 spread probe identified (lineage re-run per consumer).
+        // One localCheckpoint attacks the cause without the
+        // per-consumer exchange that made the spread regress 3×.
+        .localCheckpoint()
       val model = LearnedQuality.trainLang(
         labeled.filter(pmod(col("doc_id"), lit(5)) < 4),
         "doc_id", "atext", "heur")
@@ -2258,15 +2270,14 @@ object PipelineQueries {
         broadcast(vb.filter(pmod(col("vec_id"), lit(50)) === 0)
           .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
             col("bucket"))), Seq("bucket")))
-      // IVF (s3's geometry: centroids vec_id<8, argmax-cosine cells)
-      val cents = vecs.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("cvec"))
-      val cells = Relational.topNPerGroupFast(
-          vecs.crossJoin(broadcast(cents))
-            .withColumn("csim",
-              round(VectorFunctions.cosine(col("embedding"), col("cvec")), 6)),
-          1, Seq("vec_id"), Seq(("csim", false), ("cent_id", true)))
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      // IVF (s3's geometry: centroids vec_id<8, argmax-cosine cells).
+      // r16: map-side argmax via indexWithCells — the old
+      // crossJoin×8 + TopNPerKey(1) shuffled the corpus (vectors
+      // included) just to undo the explode; tie-break identical
+      // (max csim, then min cent_id).
+      val cells = Similarity.indexWithCells(vecs,
+          vecs.filter(col("vec_id") < 8), "vec_id", "embedding")
+        .select(col("vec_id"), col("embedding"), col("cell"))
         .localCheckpoint()
       val ivfScored = score(cells.join(
         broadcast(cells.filter(pmod(col("vec_id"), lit(50)) === 0)

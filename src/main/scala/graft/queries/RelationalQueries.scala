@@ -694,9 +694,23 @@ object RelationalQueries {
         .select($"l_orderkey", $"l_quantity", $"l_shipdate", $"l_returnflag",
           concat($"l_returnflag", lit(",\""), $"l_linestatus", lit("\","),
             $"l_orderkey".cast("string")).as("cmt"))
-      li.write.mode("overwrite").orc(s"$base/orc")
-      li.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
-      li.write.mode("overwrite").json(s"$base/json")
+        // r16: pin the spread rows once — each writer otherwise re-ran
+        // the scan + spread exchange (3 scans, 3 exchanges for one
+        // logical frame)
+        .localCheckpoint()
+      // overlap the three independent write JOBS from driver threads
+      // (guide §2.6): each write's commit/file-open tail otherwise
+      // leaves the cluster idle while the next writer waits
+      val wErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val writers = Seq[() => Unit](
+        () => li.write.mode("overwrite").orc(s"$base/orc"),
+        () => li.write.mode("overwrite").option("header", "true").csv(s"$base/csv"),
+        () => li.write.mode("overwrite").json(s"$base/json"))
+        .map(f => new Thread(() => try f() catch {
+          case t: Throwable => wErr.compareAndSet(null, t)
+        }))
+      writers.foreach(_.start()); writers.foreach(_.join())
+      if (wErr.get() != null) throw wErr.get()
       val schema = li.schema
       def aggOf(df: DataFrame, fmt: String): DataFrame =
         df.agg(count(lit(1)).as("n"),

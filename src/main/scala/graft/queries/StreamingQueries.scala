@@ -262,20 +262,57 @@ object StreamingQueries {
     // accounting of the complete 30k-row feed, closed-form.
     "st25_continuous" -> { (s, _) =>
       s.catalog.dropTempView("st25_out")
+      // PID-scoped explicit checkpoint (st22's pattern): the r16
+      // completion gate reads the engine's offset log from it
+      val cp = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_st25_checkpoint_${ProcessHandle.current().pid()}")
+      def rmQ(f: java.io.File): Unit = {
+        if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+          Option(f.listFiles).foreach(_.foreach(rmQ))
+        f.delete(); ()
+      }
+      rmQ(cp)
       // TWO partitions, deliberately: continuous tasks OCCUPY their
       // slots for the query's lifetime, so the slot count must EXCEED
       // the partition count or any concurrent driver query on the same
-      // scheduler (here: the poll's count()) starves forever — probed
-      // the hard way on a local[4] test session with partitions=4
+      // scheduler (here: the confirming count()) starves forever —
+      // probed the hard way on a local[4] test session with partitions=4
       val q = s.readStream.format("graft.sources.MetricsFeedSource")
         .option("rows", "30000").option("partitions", "2").load()
         .writeStream.format("memory").queryName("st25_out")
+        .option("checkpointLocation", cp.getAbsolutePath)
         .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("200 milliseconds"))
         .start()
       try {
         val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        // completion gate on the CHECKPOINT OFFSET LOG (r16): the old
+        // poll ran a distinct().count() Spark job every 200 ms against
+        // the memory sink — each a full-table scan contending with the
+        // continuous tasks for slots (ContinuousExecution populates no
+        // lastProgress, probed — the file log is the one driver-visible
+        // signal without a job). Partition r's logged offset is the
+        // NEXT id it would emit, so offsets ≥ rows on BOTH partitions
+        // mean every feed row was emitted into a logged epoch. Reads
+        // race epoch writes harmlessly (Try → retry next poll).
+        def offsetsDrained(): Boolean = {
+          val dir = new java.io.File(cp, "offsets")
+          val last = Option(dir.listFiles).getOrElse(Array.empty[java.io.File])
+            .filter(f => f.isFile && f.getName.forall(_.isDigit))
+            .sortBy(_.getName.toLong).lastOption
+          last.exists(f => scala.util.Try {
+            val txt = new String(
+              java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            val offs = "(\\d+):(\\d+)".r.findAllMatchIn(txt).toSeq
+            offs.size == 2 && offs.forall(_.group(2).toLong >= 30000L)
+          }.getOrElse(false))
+        }
+        while (!offsetsDrained() && System.nanoTime() < deadline)
+          Thread.sleep(50)
+        // belt: one confirming Spark job (normally a single iteration)
+        // — at-least-once delivery means the logged epoch's rows are in
+        // the sink once its WRITES landed; the distinct count proves it
         while (s.table("st25_out").select(col("id")).distinct.count() < 30000L &&
-            System.nanoTime() < deadline) Thread.sleep(200)
+            System.nanoTime() < deadline) Thread.sleep(100)
       } finally q.stop()
       s.table("st25_out").distinct()
         .groupBy(col("kind"))

@@ -818,11 +818,14 @@ class PlanSpec extends AnyFunSuite {
 
   test("s18: the probe sweep runs ONE corpus cell-assignment, not one per probe level") {
     val p = plan("s18_probe_sweep")
-    // nearestCell's argmax is a max_by partial+final agg pair over the
-    // corpus — the sweep must plan exactly one such pair (the brute
-    // truth side has none; a per-level re-search would plan three)
-    val asgAggs = "partial_max_by".r.findAllIn(p).size
-    assert(asgAggs == 1, s"expected 1 partial max_by corpus assignment, saw $asgAggs\n$p")
+    // nearestCell's argmax is a MAP-SIDE array_max fold over the
+    // broadcast centroid array (r16 — the old max_by partial+final agg
+    // pair and its corpus shuffle are gone); the sweep must plan
+    // exactly one such fold (the brute truth side has none; a
+    // per-level re-search would plan three)
+    val asg = "array_max".r.findAllIn(p).size
+    assert(asg == 1, s"expected 1 map-side array_max corpus assignment, saw $asg\n$p")
+    assert(!p.contains("max_by"), s"the shuffled argmax form is back\n$p")
     assert(!p.contains("CartesianProduct"), p)
   }
 

@@ -305,6 +305,49 @@ class RegressionSpec extends AnyFunSuite {
     assert(SparkEntry.queries("p14_compaction_plan")(spark, s"$base/empty").count() == 0)
   }
 
+  test("canary: m5/m20/t9 output order is PHYSICAL (pre-parse sort, no top Sort node) — re-add ordering if this fails") {
+    // r15 moved these keys to sort-raw-then-parse: the declared output
+    // order rides "Project preserves Sort order" with no top-level Sort
+    // to re-establish it (a trailing orderBy would let EliminateSorts
+    // drop the inner sort and push the parse back below the exchange).
+    // A future Spark rule that reorders projection output would break
+    // the oracle's hash compare invisibly — this canary pins the
+    // physical order at sf0.001.
+    val dir = "/root/testdata/sf0.001"
+    for ((key, ord) <- Seq("m5_kv_parse" -> "event_id",
+        "m20_cons_parse" -> "event_id", "t9_pii_redact" -> "doc_id")) {
+      val got = SparkEntry.queries(key)(spark, dir)
+        .select(col(ord)).collect().map(_.getLong(0)).toSeq
+      assert(got == got.sorted,
+        s"$key output no longer arrives ordered by $ord — physical order broke")
+    }
+  }
+
+  test("bucketedGlobalRankBy contract: NULL buckets keep rows with NULL rank (inner-join form dropped them)") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // The r15 left-join rewrite is output-identical to the old inner
+    // join ONLY while the bucket expression is non-null (all four
+    // callers derive non-null buckets: morton over pmod, md5 prefixes).
+    // This pins the divergent null behavior so a future nullable-bucket
+    // caller hits a failing test instead of a silent semantics change.
+    val df = Seq((1L, "a"), (2L, "b"), (3L, null.asInstanceOf[String]))
+      .toDF("id", "k")
+    val ranked = Relational.bucketedGlobalRankBy(df,
+      substring(col("k"), 1, 1), Seq(col("k")), Nil, "rk")
+    val rows = ranked.select(col("id"), col("rk")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(rows(3L) == -1L, "null-bucket row must surface with NULL rank under the left join")
+    // NOTE the second-order violation this pins: the null GROUP also
+    // counts into the offset cumsum (nulls-first window order), so the
+    // non-null ranks start at 1, not 0 — under the old inner join the
+    // null ROW was dropped but its offset contribution remained, i.e.
+    // BOTH forms mis-rank when a null bucket exists. Non-null buckets
+    // are the contract; this test documents exactly how it degrades.
+    assert(Set(rows(1L), rows(2L)) == Set(1L, 2L),
+      "offset shift under a null bucket changed — re-audit the contract")
+  }
+
   test("polyHash iterates code points, matching SQL character indexing") {
     val s = "a😀b" // a😀b — 3 code points, 4 UTF-16 units
     val cps = s.codePoints().toArray

@@ -361,4 +361,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getAs[Long]("neg_id") == 3L, "out-of-bucket impostor 4 must never score")
     assert(r.getAs[Double]("margin") < 0.0, "pos outranks neg here: margin < 0")
   }
+
+  test("map-side argmin/argmax assignment ≡ explode+min(struct) reference (r16 rewrite)") {
+    import spark.implicits._
+    // r16 replaced assignPq's broadcast-explode + groupBy argmin and
+    // nearestCell's crossJoin + max_by with map-side folds over a
+    // collected centroid array. This pins value equivalence (including
+    // tie-breaks) against the old formulation computed inline.
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 73 + i * 37) % 101) - 50) / 100.0f)
+    val data = (0L until 25L).map(id => (id, vec(id))) :+ (25L, vec(3L))
+    val df = spark.createDataset(data).toDF("vec_id", "embedding").repartition(4)
+    val sub = Similarity.pqSubRows(df, "vec_id", "embedding", subs = 8, width = 8)
+    val book = Similarity.trainPqCodebooks(sub, 8, 16, 1).localCheckpoint()
+    val got = Similarity.assignPq(sub, book)
+      .select(col("_vid"), col("s"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val ref = sub.join(broadcast(book), Seq("s"))
+      .withColumn("_d", expr(
+        "aggregate(zip_with(sv, c, (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0 AS BIGINT), (acc, t) -> acc + t)"))
+      .groupBy(col("_vid"), col("s"))
+      .agg(min(struct(col("_d"), col("cent_id"))).as("_m"))
+      .select(col("_vid"), col("s"), col("_m.cent_id").as("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == ref, "assignPq fold diverged from the explode+min reference")
+    // nearestCell via the public assignCells face, vs crossJoin + max_by
+    val cents = df.filter(col("vec_id") < 4)
+    val gotCells = Similarity.assignCells(df, cents, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val refCells = df.crossJoin(broadcast(
+        cents.select(col("vec_id").as("cent_id"), col("embedding").as("c_vec"))))
+      .withColumn("_csim",
+        round(expr("cosine_sim(embedding, c_vec)"), 6))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"), struct(col("_csim"), (-col("cent_id")).as("_nc"))).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCells == refCells, "nearestCell fold diverged from the crossJoin+max_by reference")
+  }
 }
