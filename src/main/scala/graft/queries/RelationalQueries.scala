@@ -979,22 +979,33 @@ object RelationalQueries {
         .select(expr(s"CAST(${nib(1)} * 256 + ${nib(2)} * 16 + ${nib(3)} AS INT)")
           .as("b4096"))
         .groupBy(col("b4096")).agg(count(lit(1)).as("n"))
-      val lc = census(Tables.lineitem(s, dir).select(col("l_orderkey").as("k")))
-        .localCheckpoint()
-      val oc = census(Tables.orders(s, dir).select(col("o_orderkey").as("k")))
-        .localCheckpoint()
       def coarse(c: DataFrame) = c
         .groupBy(expr("CAST(b4096 div 16 AS INT)").as("b256"))
         .agg(sum(col("n")).as("n"))
-      // 1-row truth aggregate, crossJoined into all three variant rows
-      // AND reused as the exact row's est — checkpoint like lc/oc or it
-      // re-evaluates ~4x (the union-branch rescan trap)
-      val exact = Tables.lineitem(s, dir).groupBy(col("l_orderkey").as("k"))
-        .agg(count(lit(1)).as("nl"))
-        .join(Tables.orders(s, dir).groupBy(col("o_orderkey").as("k"))
-          .agg(count(lit(1)).as("no")), Seq("k"))
-        .agg(coalesce(sum(col("nl") * col("no")), lit(0L)).as("exact"))
-        .localCheckpoint()
+      // the two censuses and the 1-row truth aggregate are INDEPENDENT
+      // eager checkpoints (each reused across union branches — the
+      // rescan trap) — materialize them from driver threads (guide
+      // §2.6, the q37 pattern) so the three jobs overlap instead of
+      // running back-to-back
+      val ckpt = new Array[DataFrame](3)
+      val cErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val builders = Seq[() => DataFrame](
+        () => census(Tables.lineitem(s, dir).select(col("l_orderkey").as("k"))),
+        () => census(Tables.orders(s, dir).select(col("o_orderkey").as("k"))),
+        // 1-row truth aggregate, crossJoined into all three variant rows
+        // AND reused as the exact row's est — checkpoint like lc/oc or
+        // it re-evaluates ~4x (the union-branch rescan trap)
+        () => Tables.lineitem(s, dir).groupBy(col("l_orderkey").as("k"))
+          .agg(count(lit(1)).as("nl"))
+          .join(Tables.orders(s, dir).groupBy(col("o_orderkey").as("k"))
+            .agg(count(lit(1)).as("no")), Seq("k"))
+          .agg(coalesce(sum(col("nl") * col("no")), lit(0L)).as("exact")))
+        .zipWithIndex.map { case (f, i) => new Thread(() =>
+          try ckpt(i) = f().localCheckpoint()
+          catch { case t: Throwable => cErr.compareAndSet(null, t) }) }
+      builders.foreach(_.start()); builders.foreach(_.join())
+      if (cErr.get() != null) throw cErr.get()
+      val Array(lc, oc, exact) = ckpt
       def dot(a: DataFrame, b: DataFrame, key: String) =
         a.join(b.withColumnRenamed("n", "n2"), Seq(key))
           .agg(coalesce(sum(col("n") * col("n2")), lit(0L)).as("est"))
